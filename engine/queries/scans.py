@@ -1,0 +1,103 @@
+"""Scans, sources, filters, projections (SURVEY.md §2.2 rows 1-5).
+
+Catalyst pushes the filters and column selections here all the way
+into the parquet scan (verified via .explain: PushedFilters /
+ReadSchema) — at 100 TB these queries read only the referenced
+columns and row groups.
+"""
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from ..io import TABLES, load_tables
+from ..registry import query
+from .util import rnd, sql_rnd
+
+
+@query("q_scan_project", oracle=f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+       {sql_rnd('l_extendedprice')} AS price
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""")
+def q_scan_project(spark, sf):
+    li = load_tables(spark, sf)["lineitem"]
+    return (
+        li.filter(F.col("l_orderkey") % 100 == 0)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+                  rnd("l_extendedprice").alias("price"))
+    )
+
+
+@query("q_scan_count_all", oracle="\nUNION ALL\n".join(
+    f"SELECT '{t}' AS tbl, count(*) AS n FROM {t}" for t in TABLES
+))
+def q_scan_count_all(spark, sf):
+    dfs = load_tables(spark, sf)
+    parts = [
+        dfs[t].agg(F.count(F.lit(1)).alias("n")).select(F.lit(t).alias("tbl"), "n")
+        for t in TABLES
+    ]
+    return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+@query("q_source_range", oracle=f"""
+SELECT id,
+       id * 2          AS dbl,
+       id % 7          AS grp,
+       {sql_rnd('sqrt(id)')}   AS sq,
+       (id * (id + 1)) // 2    AS tri
+FROM generate_series(0, 999) AS t(id)
+""")
+def q_source_range(spark, sf):
+    # generated source — the analogue of position_grid's meshgrid
+    # (reference local_affine.py:7-13), 1-D case.
+    return spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("dbl"),
+        (F.col("id") % 7).alias("grp"),
+        rnd(F.sqrt("id")).alias("sq"),
+        F.expr("id * (id + 1) div 2").alias("tri"),
+    )
+
+
+@query("q_filter_pred", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_quantity BETWEEN 10 AND 30
+  AND l_returnflag IN ('A', 'R')
+  AND l_partkey IS NOT NULL
+""")
+def q_filter_pred(spark, sf):
+    li = load_tables(spark, sf)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-01-01'"))
+            & F.col("l_quantity").between(10, 30)
+            & F.col("l_returnflag").isin("A", "R")
+            & F.col("l_partkey").isNotNull()
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+@query("q_project_compute", oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       {sql_rnd('l_extendedprice * (1 - l_discount)')} AS net,
+       CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class,
+       CAST(l_quantity AS INTEGER) AS qty_int
+FROM lineitem
+""")
+def q_project_compute(spark, sf):
+    li = load_tables(spark, sf)["lineitem"]
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        rnd(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+    )

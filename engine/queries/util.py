@@ -1,0 +1,43 @@
+"""Cross-engine hash-match conventions.
+
+Spark's ``round()`` (HALF_UP on the shortest decimal repr) and
+DuckDB's ``round()`` (scaled-multiply, half away) disagree on ~0.1%
+of rows for computed doubles — measured on the sf0.01 fixtures. The
+engine therefore quantizes floats with pure IEEE-754 arithmetic that
+every engine evaluates bit-identically:
+
+    q(x, n) = floor(x * 10^n + 0.5) / 10^n
+
+and money-style SUMs accumulate the scaled BIGINT (order-independent,
+exact) before one final division.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def rnd(col: Column | str, n: int = 4) -> Column:
+    """Deterministic cross-engine quantization of a double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10 ** n)
+    return F.floor(c * p + F.lit(0.5)) / p
+
+
+def sql_rnd(expr: str, n: int = 4) -> str:
+    """The oracle-side spelling of :func:`rnd` (valid DuckDB + Spark SQL)."""
+    p = 10 ** n
+    return f"(floor(({expr}) * {p} + 0.5) / {p})"
+
+
+def dsum(col: Column | str, n: int = 4) -> Column:
+    """Exact order-independent sum of a double quantized to n decimals."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10 ** n)
+    return F.sum(F.floor(c * p + F.lit(0.5)).cast("long")).cast("double") / p
+
+
+def sql_dsum(expr: str, n: int = 4) -> str:
+    p = 10 ** n
+    return (
+        f"(CAST(sum(CAST(floor(({expr}) * {p} + 0.5) AS BIGINT)) AS DOUBLE) / {p})"
+    )

@@ -1,0 +1,55 @@
+"""Query registry: the SURVEY.md §2.2 checklist made executable.
+
+Each operator registers a callable ``(spark, sf_dir) -> DataFrame``
+under its key, optionally with the equivalent DuckDB oracle SQL.
+Keys without oracle SQL get the driver's weaker rows-only check
+(reserved for genuinely non-SQL-expressible ops).
+"""
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+QUERIES: dict[str, Callable] = {}
+ORACLE: dict[str, str] = {}
+
+_MODULES = [
+    "engine.queries.scans",
+    "engine.queries.joins",
+    "engine.queries.aggregates",
+    "engine.queries.windows",
+    "engine.queries.setops",
+    "engine.queries.scalar_funcs",
+    "engine.queries.events",
+    "engine.queries.llm",
+    "engine.queries.stitch",
+    "engine.queries.udfs",
+]
+
+_loaded = False
+
+
+def query(name: str, oracle: str | None = None):
+    """Register an operator implementation (decorator)."""
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle.strip()
+        return fn
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module (idempotent); missing modules are fine
+    while the checklist is still being built out."""
+    global _loaded
+    if _loaded:
+        return
+    for m in _MODULES:
+        try:
+            importlib.import_module(m)
+        except ModuleNotFoundError as e:
+            if e.name and e.name.startswith("engine."):
+                continue
+            raise
+    _loaded = True

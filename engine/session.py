@@ -1,0 +1,66 @@
+"""SparkSession factory and runtime configuration.
+
+The binding configs (empirically required against the driver fixtures,
+see SURVEY.md §1.4):
+
+- ``spark.sql.session.timeZone=UTC`` — oracle (DuckDB) timestamps are
+  UTC-naive; pinning the session TZ makes epoch arithmetic agree.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.parquet``
+  stores TIMESTAMP(NANOS) which stock Spark 4 refuses to read; with
+  the flag it arrives as a bigint of nanoseconds which engine.io
+  rebuilds into a microsecond timestamp.
+- AQE on — runtime shuffle-partition coalescing and skew-join
+  splitting; essential at the 100 TB design point and harmless at
+  test scale.
+
+All of these are runtime-settable, so ``configure`` also repairs a
+session created by an external harness (the driver builds its own
+SparkSession and passes it in).
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable engine configs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; builder-time config required
+    return spark
+
+
+def get_spark(app: str = "engine") -> SparkSession:
+    """Build (or fetch) the engine's local session.
+
+    local[N] is a single-JVM stand-in for a multi-executor cluster;
+    shuffle partitions are sized to the core count, not the 200
+    default (right for local; on a real cluster AQE coalescing takes
+    over).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)
