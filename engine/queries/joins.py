@@ -1,0 +1,199 @@
+"""Joins (SURVEY.md §2.2 rows 6-15).
+
+Scale notes: dimension tables (region/nation/part/customer at TPC-H
+ratios) ride explicit ``F.broadcast`` hints — the Spark analogue of
+the reference's ``delayed(affines)`` side-input
+(/root/reference/dask_stitch/local_affine.py:124). Fact-fact joins
+stay sort-merge/shuffle-hash on their equi-keys and benefit from AQE
+skew splitting. The theta/interval joins keep the small side literal
+so Spark picks BroadcastNestedLoopJoin rather than a cartesian
+shuffle.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from ..io import load_tables
+from ..registry import query
+from .util import dsum, rnd, sql_dsum, sql_rnd
+
+
+@query("q_join_inner", oracle=f"""
+SELECT r_name,
+       count(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def q_join_inner(spark, sf):
+    t = load_tables(spark, sf)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@query("q_join_broadcast", oracle=f"""
+SELECT p_brand,
+       count(*) AS n,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_rnd('avg(l_extendedprice)')} AS avg_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""")
+def q_join_broadcast(spark, sf):
+    t = load_tables(spark, sf)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+            rnd(F.avg("l_extendedprice")).alias("avg_price"),
+        )
+    )
+
+
+@query("q_join_left", oracle="""
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""")
+def q_join_left(spark, sf):
+    t = load_tables(spark, sf)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query("q_join_full", oracle="""
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS c_cnt FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, count(*) AS s_cnt FROM supplier GROUP BY 1)
+SELECT coalesce(c.nk, s.nk) AS nationkey, c_cnt, s_cnt
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""")
+def q_join_full(spark, sf):
+    t = load_tables(spark, sf)
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("cnk")).agg(
+        F.count(F.lit(1)).alias("c_cnt"))
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("snk")).agg(
+        F.count(F.lit(1)).alias("s_cnt"))
+    return (
+        c.join(s, F.col("cnk") == F.col("snk"), "full")
+        .select(
+            F.coalesce("cnk", "snk").alias("nationkey"), "c_cnt", "s_cnt")
+    )
+
+
+@query("q_join_semi", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""")
+def q_join_semi(spark, sf):
+    t = load_tables(spark, sf)
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query("q_join_anti", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""")
+def q_join_anti(spark, sf):
+    t = load_tables(spark, sf)
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query("q_join_cross", oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""")
+def q_join_cross(spark, sf):
+    t = load_tables(spark, sf)
+    return t["region"].crossJoin(t["nation"]).select("r_name", "n_name")
+
+
+@query("q_join_theta_range", oracle=f"""
+SELECT b.band,
+       count(*) AS n,
+       {sql_dsum('l.l_extendedprice')} AS total
+FROM lineitem l
+JOIN (VALUES (0, 0.0, 20000.0), (1, 20000.0, 40000.0),
+             (2, 40000.0, 70000.0), (3, 70000.0, 1e18)) AS b(band, lo, hi)
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.band
+""")
+def q_join_theta_range(spark, sf):
+    t = load_tables(spark, sf)
+    bands = spark.createDataFrame(
+        [(0, 0.0, 20000.0), (1, 20000.0, 40000.0),
+         (2, 40000.0, 70000.0), (3, 70000.0, 1e18)],
+        "band INT, lo DOUBLE, hi DOUBLE",
+    )
+    li = t["lineitem"]
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("total"))
+    )
+
+
+@query("q_join_asof", oracle="""
+SELECT o_orderkey, o_custkey,
+       lag(o_orderkey) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+FROM orders
+""")
+def q_join_asof(spark, sf):
+    """As-of self-join: each order matched to the same customer's most
+    recent prior order. Spark has no native ASOF JOIN; the equivalent
+    single-shuffle plan is a window lag over (key, time) — strictly
+    better than the naive range self-join at scale."""
+    o = load_tables(spark, sf)["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@query("q_join_interval", oracle=f"""
+WITH iv AS (
+    SELECT i AS interval_id,
+           TIMESTAMP '2024-01-01' + to_days(CAST(7 * i AS INT))     AS lo,
+           TIMESTAMP '2024-01-01' + to_days(CAST(7 * (i+1) AS INT)) AS hi
+    FROM generate_series(0, 4) AS t(i))
+SELECT interval_id, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events JOIN iv ON ts >= iv.lo AND ts < iv.hi
+GROUP BY interval_id
+""")
+def q_join_interval(spark, sf):
+    t = load_tables(spark, sf)
+    iv = spark.range(0, 5).select(
+        F.col("id").cast("int").alias("interval_id"),
+        F.expr("TIMESTAMP '2024-01-01' + make_interval(0,0,0,CAST(7*id AS INT))").alias("lo"),
+        F.expr("TIMESTAMP '2024-01-01' + make_interval(0,0,0,CAST(7*(id+1) AS INT))").alias("hi"),
+    )
+    ev = t["events"]
+    return (
+        ev.join(F.broadcast(iv), (ev.ts >= iv.lo) & (ev.ts < iv.hi))
+        .groupBy("interval_id")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
