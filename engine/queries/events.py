@@ -1,0 +1,108 @@
+"""Streaming-shaped operators over the events table (SURVEY.md §2.2
+rows 45-48), as oracle-checkable batch queries. The same aggregations
+run under Structured Streaming with watermarks in
+engine/streaming.py (asserted equal to these in tests).
+
+All timestamps compare as epoch microseconds: Spark's events.ts is
+ns-truncated-to-µs (engine.io), the oracle uses epoch_ns(ts)//1000 —
+identical integers by construction.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from ..io import load_tables
+from ..registry import query
+from .util import dsum, sql_dsum, sql_rnd, rnd
+
+_US_H = 3_600_000_000  # one hour in microseconds
+
+
+@query("q_window_tumbling", oracle=f"""
+WITH e AS (SELECT (epoch_ns(ts) // 1000 // {_US_H}) * {_US_H} AS ws_us,
+                  event_type, value
+           FROM events)
+SELECT ws_us, event_type, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM e GROUP BY ws_us, event_type
+""")
+def q_window_tumbling(spark, sf):
+    ev = load_tables(spark, sf)["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.unix_micros("w.start").alias("ws_us"), "event_type", "n", "sum_value")
+    )
+
+
+@query("q_window_sliding", oracle=f"""
+WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, value FROM events),
+     x AS (SELECT (us // {_US_H // 2}) * {_US_H // 2} - o.off AS ws_us, value
+           FROM e CROSS JOIN (VALUES (0::BIGINT), ({_US_H // 2}::BIGINT)) AS o(off))
+SELECT ws_us, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM x GROUP BY ws_us
+""")
+def q_window_sliding(spark, sf):
+    # 1-hour windows sliding every 30 min: each event lands in exactly
+    # two windows; Spark expands this with its Expand node — the oracle
+    # enumerates the same two starts arithmetically.
+    ev = load_tables(spark, sf)["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.unix_micros("w.start").alias("ws_us"), "n", "sum_value")
+    )
+
+
+@query("q_window_session", oracle=f"""
+WITH e AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+     g AS (SELECT *,
+                  CASE WHEN us - lag(us) OVER w > 1800000000
+                         OR lag(us) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+     s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) + 1800000000 AS session_end_us,
+       count(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM s GROUP BY user_id, sid
+""")
+def q_window_session(spark, sf):
+    # session_window end = last event + gap; the oracle reproduces the
+    # same boundary with gaps-and-islands SQL.
+    ev = load_tables(spark, sf)["events"]
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+@query("q_event_dedup_first", oracle=f"""
+WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS us FROM events),
+     r AS (SELECT user_id, event_type, event_id, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY us, event_id) AS rn
+           FROM e)
+SELECT user_id, event_type, event_id, {sql_rnd('value')} AS value
+FROM r WHERE rn = 1
+""")
+def q_event_dedup_first(spark, sf):
+    # deterministic dedup: explicit (ts, event_id) order — never bare
+    # dropDuplicates, whose row choice is partitioning-dependent.
+    ev = load_tables(spark, sf)["events"]
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", rnd("value").alias("value"))
+    )

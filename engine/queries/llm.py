@@ -1,0 +1,516 @@
+"""LLM-training-data-pipeline operators (SURVEY.md §2.2 rows 49-55
+plus the BASELINE north-star extensions): deduplication (exact,
+MinHash, SimHash, n-gram Jaccard), similarity search (brute-force
+cosine + LSH-bucketed scale path), kNN centroids, and text analysis
+(tokens, stats, tf-idf, language-ID, quality scoring, fingerprints).
+
+Scale design:
+- All shingling/token work is per-document (narrow transforms, no
+  shuffle); only the aggregation/join steps shuffle, on keys chosen
+  to stay balanced (band hashes, words).
+- Candidate generation is always banded/bucketed (MinHash bands, LSH
+  buckets) — the all-pairs crossJoin exists only as the small-fixture
+  oracle baseline for the ANN operator.
+- Hashes are md5-derived via util.hex32_sql so DuckDB can replay them
+  bit-identically; engine-native hash() never appears in a checked
+  query.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from ..io import load_tables
+from ..registry import query
+from .util import hex32_sql, rnd, sql_rnd
+
+# MinHash parameters: k=8 signatures, banded 4×2. p > 2^32 keeps the
+# modular hash a permutation-ish map; a,b stay small so a*h fits a
+# BIGINT without overflow in either engine.
+_P = 4294967311
+_AB = [(2 * s + 3, 97 * s + 11) for s in range(8)]
+
+_SHINGLES_SQL = f"""
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE len(string_split(text, ' ')) >= 3)
+    ),
+    hv AS (SELECT doc_id, {hex32_sql('s')} AS h FROM sh)
+"""
+
+
+def _shingle_hashes(spark, sf):
+    """(doc_id, h): 32-bit md5 hash of each 3-word shingle. All
+    per-row work — no shuffle."""
+    d = load_tables(spark, sf)["documents"]
+    ws = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2),
+            F.element_at(ws, i + 3)),
+    )
+    return (
+        d.filter(F.size(ws) >= 3)
+        .select("doc_id", F.explode(tri).alias("s"))
+        .select("doc_id", F.expr(hex32_sql("s")).alias("h"))
+    )
+
+
+@query("q_dedup_exact", oracle="""
+SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""")
+def q_dedup_exact(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query("q_dedup_fuzzy_minhash", oracle=f"""
+WITH {_SHINGLES_SQL},
+m AS (
+    SELECT doc_id,
+           {", ".join(f"min(({a} * h + {b}) % {_P}) AS h{s}"
+                      for s, (a, b) in enumerate(_AB))}
+    FROM hv GROUP BY doc_id
+),
+b AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band_id, "
+        f"md5(concat_ws(',', CAST(h{2*band} AS VARCHAR), "
+        f"CAST(h{2*band+1} AS VARCHAR))) AS bh FROM m"
+        for band in range(4))}
+)
+SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+FROM b x JOIN b y ON x.band_id = y.band_id AND x.bh = y.bh
+WHERE x.doc_id < y.doc_id
+""")
+def q_dedup_fuzzy_minhash(spark, sf):
+    """MinHash near-dup: shingle → k min-hashes → banded candidate
+    pairs. One shuffle for the signature groupBy, one for the band
+    self-join — never all-pairs."""
+    hv = _shingle_hashes(spark, sf)
+    sig = hv.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("h") + b) % _P).alias(f"h{s}")
+        for s, (a, b) in enumerate(_AB)
+    ])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.md5(F.concat_ws(
+                    ",", F.col(f"h{2*band}"), F.col(f"h{2*band+1}")
+                ).cast("binary")).alias("bh"),
+            )
+            for band in range(4)
+        ])).alias("b"),
+    ).select("doc_id", "b.band_id", "b.bh")
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+               & (F.col("x.bh") == F.col("y.bh"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+@query("q_dedup_simhash", oracle=f"""
+WITH w AS (
+    SELECT doc_id, {hex32_sql('w')} AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+)
+SELECT doc_id,
+       {" + ".join(
+           f"(CASE WHEN sum(CASE WHEN (h // {1 << k}) % 2 = 1 "
+           f"THEN 1 ELSE -1 END) >= 0 THEN {1 << k} ELSE 0 END)"
+           for k in range(16))} AS simhash
+FROM w GROUP BY doc_id
+""")
+def q_dedup_simhash(spark, sf):
+    """16-bit SimHash over word hashes: per bit, majority vote of
+    ±1 across the document's words — a single groupBy."""
+    d = load_tables(spark, sf)["documents"]
+    w = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", F.expr(hex32_sql("w")).alias("h"))
+    bit_votes = [
+        F.sum(
+            F.when((F.col("h") / (1 << k)).cast("long") % 2 == 1, 1).otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(16)
+    ]
+    votes = w.groupBy("doc_id").agg(*bit_votes)
+    sim = None
+    for k in range(16):
+        term = F.when(F.col(f"v{k}") >= 0, 1 << k).otherwise(0)
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+@query("q_dedup_ngram_jaccard", oracle=f"""
+WITH {_SHINGLES_SQL},
+ds AS (SELECT DISTINCT doc_id, h FROM hv),
+n AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_common
+    FROM ds x JOIN ds y ON x.h = y.h AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT d1, d2,
+       {sql_rnd('CAST(n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - n_common)')} AS jaccard
+FROM inter
+JOIN n n1 ON n1.doc_id = d1
+JOIN n n2 ON n2.doc_id = d2
+WHERE CAST(n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - n_common) >= 0.2
+""")
+def q_dedup_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard for candidate pairs that share ≥1 shingle
+    — the verification stage that typically follows MinHash banding."""
+    ds = _shingle_hashes(spark, sf).distinct()
+    n = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    x, y = ds.alias("x"), ds.alias("y")
+    inter = (
+        x.join(y, (F.col("x.h") == F.col("y.h"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n1 = n.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n_sh1"))
+    n2 = n.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n_sh2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_sh1") + F.col("n_sh2") - F.col("n_common"))
+    return (
+        inter.join(n1, "d1").join(n2, "d2")
+        .filter(jac >= 0.2)
+        .select("d1", "d2", rnd(jac).alias("jaccard"))
+    )
+
+
+def _norms(spark, sf):
+    e = load_tables(spark, sf)["embeddings"]
+    sq = F.aggregate(F.col("embedding"), F.lit(0.0),
+                     lambda a, x: a + x.cast("double") * x.cast("double"))
+    return e.select("vec_id", "embedding", F.sqrt(sq).alias("nrm"))
+
+
+@query("q_sim_topk", oracle=f"""
+WITH x AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, 64) AS t(i)),
+nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM x GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.v * b.v) AS dot
+    FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id),
+cos AS (
+    SELECT v1, v2, {sql_rnd('dot / (n1.nrm * n2.nrm)')} AS cos_sim
+    FROM dots
+    JOIN nm n1 ON n1.vec_id = v1
+    JOIN nm n2 ON n2.vec_id = v2)
+SELECT v1, v2, cos_sim FROM cos
+ORDER BY cos_sim DESC, v1, v2 LIMIT 20
+""")
+def q_sim_topk(spark, sf):
+    """Brute-force cosine top-k — the exact baseline the LSH path
+    (q_sim_lsh_topk) approximates. Ordering is on the quantized
+    similarity with unique tie-breakers so the cut is stable."""
+    nm = _norms(spark, sf)
+    a = nm.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
+                  F.col("nrm").alias("n1"))
+    b = nm.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
+                  F.col("nrm").alias("n2"))
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", rnd(dot / (F.col("n1") * F.col("n2"))).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "v1", "v2")
+        .limit(20)
+    )
+
+
+@query("q_sim_lsh_topk")  # rows-only: LSH recall is engine-defined, not SQL
+def q_sim_lsh_topk(spark, sf):
+    """Scale path for ANN: 8-plane signed-random-projection LSH.
+    Vectors hash into 2^8 buckets; candidate pairs come from a
+    bucket-equality join (shuffle on bucket id), cosine is computed
+    only inside buckets. At 100 TB this replaces the O(n²) crossJoin
+    with an O(n·bucket_size) join."""
+    nm = _norms(spark, sf)
+    # deterministic pseudo-random hyperplanes: w(p,i) in [-0.5, 0.5)
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.expr(
+                    "transform(sequence(0, 63), "
+                    f"i -> (CAST((i * 2654435761 + {p} * 40503) % 1000 AS DOUBLE)"
+                    " / 1000.0 - 0.5))"
+                ),
+                lambda x, wgt: x.cast("double") * wgt,
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        for p in range(8)
+    ]
+    bucket = None
+    for p, pr in enumerate(proj):
+        term = F.when(pr >= 0, 1 << p).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    h = nm.select("vec_id", "embedding", "nrm", bucket.alias("bucket"))
+    a = h.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
+                 F.col("nrm").alias("n1"), "bucket")
+    b = h.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
+                 F.col("nrm").alias("n2"), F.col("bucket").alias("bucket2"))
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket2"))
+               & (F.col("v1") < F.col("v2")))
+        .select("v1", "v2", rnd(dot / (F.col("n1") * F.col("n2"))).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "v1", "v2")
+        .limit(20)
+    )
+
+
+@query("q_knn_centroid", oracle=f"""
+WITH x AS (
+    SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, 64) AS t(i)),
+c AS (SELECT label, i, avg(v) AS cv FROM x GROUP BY label, i)
+SELECT x.vec_id, x.label,
+       {sql_rnd('sqrt(sum((x.v - c.cv) * (x.v - c.cv)))')} AS dist_to_centroid
+FROM x JOIN c ON x.label = c.label AND x.i = c.i
+GROUP BY x.vec_id, x.label
+""")
+def q_knn_centroid(spark, sf):
+    e = load_tables(spark, sf)["embeddings"]
+    x = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("i", "vf")
+    ).select("label", "vec_id", "i", F.col("vf").cast("double").alias("v"))
+    c = x.groupBy("label", "i").agg(F.avg("v").alias("cv"))
+    d2 = (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+    return (
+        x.join(F.broadcast(c), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(rnd(F.sqrt(F.sum(d2))).alias("dist_to_centroid"))
+    )
+
+
+@query("q_text_tokens", oracle="""
+WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY cnt DESC, word) AS rn FROM c)
+SELECT lang, word, cnt FROM r WHERE rn <= 20
+""")
+def q_text_tokens(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    c = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "word")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20).select("lang", "word", "cnt")
+    )
+
+
+@query("q_text_stats", oracle=f"""
+WITH t AS (
+    SELECT lang, source, n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           (SELECT count(DISTINCT x) FROM unnest(string_split(text, ' ')) AS u(x))
+               AS n_distinct
+    FROM documents)
+SELECT lang, source,
+       count(*) AS n_docs,
+       {sql_rnd('avg(n_chars)')} AS avg_chars,
+       {sql_rnd('avg(n_words)')} AS avg_words,
+       {sql_rnd('avg(CAST(n_distinct AS DOUBLE) / n_words)', 6)} AS distinct_ratio
+FROM t GROUP BY lang, source
+""")
+def q_text_stats(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    ws = F.split("text", " ")
+    t = d.select(
+        "lang", "source", "n_chars",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("n_chars")).alias("avg_chars"),
+        rnd(F.avg("n_words")).alias("avg_words"),
+        rnd(F.avg(F.col("n_distinct").cast("double") / F.col("n_words")), 6)
+            .alias("distinct_ratio"),
+    )
+
+
+@query("q_tfidf_top", oracle=f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+    SELECT doc_id, word,
+           tf * ln((n_docs + 1.0) / (df + 1.0)) AS score
+    FROM tf JOIN df USING (word) CROSS JOIN n),
+r AS (SELECT doc_id, word, {sql_rnd('score')} AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY {sql_rnd('score')} DESC, word) AS rn
+      FROM s)
+SELECT doc_id, word, score FROM r WHERE rn = 1
+""")
+def q_tfidf_top(spark, sf):
+    d = load_tables(spark, sf)["documents"]
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    s = (
+        tf.join(df, "word")  # word-keyed shuffle join; df is large-ish, let AQE pick
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "word", rnd(score).alias("score"))
+    )
+    win = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        s.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1).select("doc_id", "word", "score")
+    )
+
+
+@query("q_text_langid", oracle="""
+WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word),
+sig AS (SELECT lang AS sig_lang, word FROM (
+            SELECT *, row_number() OVER (PARTITION BY lang
+                                         ORDER BY cnt DESC, word) AS rn
+            FROM c) WHERE rn <= 5),
+dw AS (SELECT DISTINCT doc_id, lang,
+              unnest(string_split(text, ' ')) AS word FROM documents),
+m AS (SELECT doc_id, lang, sig_lang, count(*) AS matches
+      FROM dw JOIN sig USING (word) GROUP BY doc_id, lang, sig_lang),
+g AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY matches DESC, sig_lang) AS rn
+      FROM m)
+SELECT doc_id, lang, sig_lang AS lang_guess,
+       (lang = sig_lang) AS is_match
+FROM g WHERE rn = 1
+""")
+def q_text_langid(spark, sf):
+    """Signature-word language ID: the per-language top-5 word lists
+    (learned from the corpus itself, one aggregate) act as the n-gram
+    profile; each document votes by distinct-word overlap."""
+    d = load_tables(spark, sf)["documents"]
+    w = d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    c = w.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    win = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "word")
+    sig = (
+        c.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select(F.col("lang").alias("sig_lang"), "word")
+    )
+    dw = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    m = (
+        dw.join(F.broadcast(sig), "word")
+        .groupBy("doc_id", "lang", "sig_lang")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    gw = W.partitionBy("doc_id").orderBy(F.col("matches").desc(), "sig_lang")
+    return (
+        m.withColumn("rn", F.row_number().over(gw))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("sig_lang").alias("lang_guess"),
+                (F.col("lang") == F.col("sig_lang")).alias("is_match"))
+    )
+
+
+@query("q_text_quality", oracle=f"""
+WITH stop AS (
+    SELECT word FROM (
+        SELECT word, count(*) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word) WHERE rn <= 20),
+t AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                w -> length(w))) AS DOUBLE) AS sum_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> length(w) >= 8)) AS DOUBLE) AS n_long,
+           CAST((SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(x)
+                 WHERE x IN (SELECT word FROM stop)) AS DOUBLE) AS n_stop
+    FROM documents)
+SELECT doc_id, n_words,
+       {sql_rnd('sum_len / n_words')} AS avg_word_len,
+       {sql_rnd('n_stop / n_words')} AS stop_ratio,
+       {sql_rnd('n_long / n_words')} AS long_ratio,
+       {sql_rnd('0.4 * (n_stop / n_words) + 0.3 * (n_long / n_words)'
+                ' + 0.3 * least(sum_len / n_words / 10.0, 1.0)')} AS quality
+FROM t
+""")
+def q_text_quality(spark, sf):
+    """Document quality scoring: length/stopword/long-word features
+    combined into one score — all array folds, zero extra shuffles
+    beyond the one broadcast of the learned stopword list."""
+    d = load_tables(spark, sf)["documents"]
+    ws = F.split("text", " ")
+    stop_win = W.orderBy(F.col("cnt").desc(), "word")
+    stop = (
+        d.select(F.explode(ws).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(stop_win))
+        .filter(F.col("rn") <= 20)
+        .agg(F.collect_list("word").alias("stopwords"))
+    )
+    t = d.crossJoin(F.broadcast(stop)).select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.aggregate(F.transform(ws, lambda w: F.length(w)),
+                    F.lit(0), lambda a, x: a + x).cast("double").alias("sum_len"),
+        F.size(F.filter(ws, lambda w: F.length(w) >= 8))
+            .cast("double").alias("n_long"),
+        F.size(F.filter(ws, lambda w: F.array_contains(F.col("stopwords"), w)))
+            .cast("double").alias("n_stop"),
+    )
+    nw = F.col("n_words")
+    quality = (0.4 * (F.col("n_stop") / nw) + 0.3 * (F.col("n_long") / nw)
+               + 0.3 * F.least(F.col("sum_len") / nw / 10.0, F.lit(1.0)))
+    return t.select(
+        "doc_id", "n_words",
+        rnd(F.col("sum_len") / nw).alias("avg_word_len"),
+        rnd(F.col("n_stop") / nw).alias("stop_ratio"),
+        rnd(F.col("n_long") / nw).alias("long_ratio"),
+        rnd(quality).alias("quality"),
+    )
+
+
+@query("q_text_fingerprint", oracle=f"""
+WITH {_SHINGLES_SQL}
+SELECT doc_id, min(h) AS fingerprint, count(*) AS n_shingles
+FROM hv GROUP BY doc_id
+""")
+def q_text_fingerprint(spark, sf):
+    """Winnowing-style document fingerprint: minimum rolling (3-word
+    shingle) hash per document."""
+    return _shingle_hashes(spark, sf).groupBy("doc_id").agg(
+        F.min("h").alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )

@@ -29,6 +29,21 @@ def sql_rnd(expr: str, n: int = 4) -> str:
     return f"(floor(({expr}) * {p} + 0.5) / {p})"
 
 
+def hex32_sql(expr: str) -> str:
+    """A 32-bit integer from the first 8 hex chars of ``md5(expr)``,
+    written as plain positional arithmetic so Spark SQL and DuckDB
+    produce bit-identical BIGINTs (neither engine's hex-parse builtin
+    matches the other's). This is the cross-engine content hash used
+    by MinHash/SimHash/fingerprint operators — never engine-native
+    ``hash()``."""
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
 def dsum(col: Column | str, n: int = 4) -> Column:
     """Exact order-independent sum of a double quantized to n decimals."""
     c = F.col(col) if isinstance(col, str) else col
