@@ -1,0 +1,399 @@
+"""Blocked-array / stitching operators — the reference's own surface
+(SURVEY.md §2.1 R1-R7, §2.2 rows 56-62), voxel-path: one row per
+voxel, the kernels expressed as closed-form SQL so DuckDB can replay
+them. The Arrow/applyInPandas block path lives in engine/blocks.py
+and is asserted equal to these in tests.
+
+Semantics are re-derived from the reference's observable behavior:
+
+- R1 trapezoid weight (stitch.py:7-46 of the reference): per axis,
+  over the chunk-with-halo extent L = bs + 2*o, a ones-core with
+  linear ramps of length 2*o-1 on interior faces, constant 1 on
+  domain-boundary faces. Closed form:
+      w(b, i) = least(lw, rw)
+      lw = 1 if b == 0     else least(1, i / (2o-1))
+      rw = 1 if b == G-1   else least(1, (L-1-i) / (2o-1))
+  which is an exact partition of unity over overlaps (verified
+  property, SURVEY.md §5.2-1).
+- R2 halo-merge (stitch.py:49-91): after weighting, the merged value
+  at a global voxel is simply the SUM over all tiles covering it —
+  a hash aggregate on global coordinates replaces the reference's
+  face/edge/corner slab bookkeeping wholesale.
+- R6 neighbor blend (local_affine.py:33-107): per-axis weight array
+  W of length bs + o' + 1 (o' = max(0, 2*o-1)); own-block planes
+  read W[j+o], the o planes facing a neighbor read mirrored edge
+  weights. The reference's low-side indexing is off by one (weight
+  sums > 1 on low-side overlap planes — SURVEY.md §2.1-R6); the
+  engine implements the intended partition-of-unity blend by
+  normalizing with the per-voxel weight sum.
+- Coordinates are BIGINT throughout (the reference's int16 grid,
+  local_affine.py:12, overflows at ≥32768 voxels — not copied).
+"""
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import query
+from .util import sql_rnd
+
+
+def w1d_sql(b: str, i: str, grid: int, bs: int, o: int) -> str:
+    """Closed-form R1 trapezoid weight (SQL text valid in Spark+DuckDB).
+
+    ``i`` indexes the chunk-with-halo extent 0..bs+2o-1.
+    """
+    r = 2 * o - 1
+    L = bs + 2 * o
+    lw = f"CASE WHEN ({b}) = 0 THEN 1e0 ELSE least(1e0, ({i}) / {r}e0) END"
+    rw = (f"CASE WHEN ({b}) = {grid - 1} THEN 1e0 "
+          f"ELSE least(1e0, ({L - 1} - ({i})) / {r}e0) END")
+    return f"least({lw}, {rw})"
+
+
+def wmerge_sql(b: str, t: str, grid: int, bs: int, o: int) -> str:
+    """Closed-form R6 weight-array lookup W_b[t] (length bs+o'+1)."""
+    op = max(0, 2 * o - 1)
+    lw = f"CASE WHEN ({b}) = 0 THEN 1e0 ELSE least(1e0, ({t}) / {op}e0) END"
+    rw = (f"CASE WHEN ({b}) = {grid - 1} THEN 1e0 "
+          f"ELSE least(1e0, ({bs + op} - ({t})) / {op}e0) END")
+    return f"least({lw}, {rw})"
+
+
+def _axes(spark, *specs: tuple[str, int]) -> DataFrame:
+    """Cartesian product of named 0..n-1 ranges (grid generator, R4)."""
+    dfs = [spark.range(n).select(F.col("id").alias(name)) for name, n in specs]
+    return reduce(lambda a, b: a.crossJoin(b), dfs)
+
+
+# ---------------------------------------------------------------- R4
+
+@query("q_grid_gen", oracle="""
+SELECT x, y, z,
+       x // 8 AS bx, y // 8 AS by, z // 8 AS bz,
+       x * 2e0 AS px, y * 1.5e0 AS py, z * 1e0 AS pz
+FROM generate_series(0, 15) AS t1(x),
+     generate_series(0, 15) AS t2(y),
+     generate_series(0, 15) AS t3(z)
+""")
+def q_grid_gen(spark, sf):
+    """R4 position_grid (reference local_affine.py:7-13): coordinate
+    grid + block ids + physical coords (spacing scaling,
+    local_affine.py:119-121). meshgrid/stack/rechunk becomes three
+    range cross-joins — Catalyst folds it into nested-loop generators
+    with no data movement."""
+    g = _axes(spark, ("x", 16), ("y", 16), ("z", 16))
+    return g.select(
+        "x", "y", "z",
+        F.expr("x div 8").alias("bx"),
+        F.expr("y div 8").alias("by"),
+        F.expr("z div 8").alias("bz"),
+        (F.col("x") * 2.0).alias("px"),
+        (F.col("y") * 1.5).alias("py"),
+        (F.col("z") * 1.0).alias("pz"),
+    )
+
+
+# ---------------------------------------------------------------- R5
+
+_AFF = {  # a literal top-3x4 affine (row-major)
+    "a00": 1.1, "a01": 0.0, "a02": 0.0, "a03": 2.0,
+    "a10": 0.0, "a11": 0.9, "a12": 0.1, "a13": -1.0,
+    "a20": 0.05, "a21": 0.0, "a22": 1.0, "a23": 0.5,
+}
+
+_R5_FIELD = {
+    "dx": f"({_AFF['a00']}e0 * x + {_AFF['a01']}e0 * y + {_AFF['a02']}e0 * z + {_AFF['a03']}e0) - x",
+    "dy": f"({_AFF['a10']}e0 * x + {_AFF['a11']}e0 * y + {_AFF['a12']}e0 * z + {_AFF['a13']}e0) - y",
+    "dz": f"({_AFF['a20']}e0 * x + {_AFF['a21']}e0 * y + {_AFF['a22']}e0 * z + {_AFF['a23']}e0) - z",
+}
+
+
+@query("q_affine_field", oracle=f"""
+SELECT x, y, z,
+       {sql_rnd(_R5_FIELD['dx'], 6)} AS dx,
+       {sql_rnd(_R5_FIELD['dy'], 6)} AS dy,
+       {sql_rnd(_R5_FIELD['dz'], 6)} AS dz
+FROM generate_series(0, 15) AS t1(x),
+     generate_series(0, 15) AS t2(y),
+     generate_series(0, 15) AS t3(z)
+""")
+def q_affine_field(spark, sf):
+    """R5 affine_to_field (reference local_affine.py:16-30): the
+    einsum matvec + translation as plain column arithmetic;
+    displacement = transformed - identity grid."""
+    g = _axes(spark, ("x", 16), ("y", 16), ("z", 16))
+    return g.select(
+        "x", "y", "z",
+        F.expr(sql_rnd(_R5_FIELD["dx"], 6)).alias("dx"),
+        F.expr(sql_rnd(_R5_FIELD["dy"], 6)).alias("dy"),
+        F.expr(sql_rnd(_R5_FIELD["dz"], 6)).alias("dz"),
+    )
+
+
+# ---------------------------------------------------------------- R1
+
+@query("q_block_weights", oracle=f"""
+WITH w AS (
+    SELECT b, i, b * 16 + i - 2 AS x,
+           {w1d_sql('b', 'i', 4, 16, 2)} AS w
+    FROM generate_series(0, 3) AS t1(b),
+         generate_series(0, 19) AS t2(i))
+SELECT b, i, x,
+       {sql_rnd('w', 6)} AS w,
+       {sql_rnd('sum(w) OVER (PARTITION BY x)', 6)} AS pou
+FROM w WHERE x BETWEEN 0 AND 63
+""")
+def q_block_weights(spark, sf):
+    """R1 weight_block (reference stitch.py:7-46), 1-D: trapezoid
+    profiles incl. boundary-block constant pads; the pou column is
+    the per-coordinate weight sum across blocks — exactly 1.0
+    everywhere in-domain (partition of unity, SURVEY.md §5.2-1)."""
+    g = _axes(spark, ("b", 4), ("i", 20))
+    w = g.select(
+        "b", "i",
+        (F.col("b") * 16 + F.col("i") - 2).alias("x"),
+        F.expr(w1d_sql("b", "i", 4, 16, 2)).alias("w"),
+    ).filter(F.col("x").between(0, 63))
+    from pyspark.sql import Window as W
+    return w.select(
+        "b", "i", "x",
+        F.expr(sql_rnd("w", 6)).alias("w"),
+        F.expr(sql_rnd("sum(w) OVER (PARTITION BY x)", 6)).alias("pou"),
+    )
+
+
+# ---------------------------------------------------------------- R1+R2 (1-D)
+
+_V1D = ("CASE WHEN x BETWEEN 0 AND 63 "
+        "THEN sin(x / 7e0) + 0.01e0 * x ELSE 0e0 END")
+
+
+@query("q_stitch_1d", oracle=f"""
+WITH t AS (
+    SELECT b, i, b * 16 + i - 2 AS x,
+           {w1d_sql('b', 'i', 4, 16, 2)} AS w
+    FROM generate_series(0, 3) AS t1(b),
+         generate_series(0, 19) AS t2(i)),
+v AS (SELECT x, w, {_V1D} AS v FROM t)
+SELECT x, {sql_rnd('sum(w * v)', 6)} AS stitched
+FROM v WHERE x BETWEEN 0 AND 63 GROUP BY x
+""")
+def q_stitch_1d(spark, sf):
+    """R1∘R2 on the B1 strip fixture: weight, then halo-merge. The
+    merge (reference stitch.py:49-91's 6-face/12-edge/8-corner slab
+    sums) is a single hash aggregate on the global coordinate; the
+    stitched value reproduces the generating function exactly
+    (round-trip invariant, SURVEY.md §5.2-2)."""
+    g = _axes(spark, ("b", 4), ("i", 20))
+    t = g.select(
+        (F.col("b") * 16 + F.col("i") - 2).alias("x"),
+        F.expr(w1d_sql("b", "i", 4, 16, 2)).alias("w"),
+    ).withColumn("v", F.expr(_V1D))
+    return (
+        t.filter(F.col("x").between(0, 63))
+        .groupBy("x")
+        .agg(F.expr(sql_rnd("sum(w * v)", 6)).alias("stitched"))
+    )
+
+
+# ---------------------------------------------------------------- R3 (3-D)
+
+_V3D = ("CASE WHEN x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15 "
+        "AND z BETWEEN 0 AND 15 "
+        "THEN (x + 1) * 1e0 + (y + 1) * 0.1e0 + (z + 1) * 0.01e0 "
+        "ELSE 0e0 END")
+
+
+@query("q_stitch_3d", oracle=f"""
+WITH t AS (
+    SELECT bx * 8 + ix - 2 AS x, by * 8 + iy - 2 AS y, bz * 8 + iz - 2 AS z,
+           ({w1d_sql('bx', 'ix', 2, 8, 2)})
+         * ({w1d_sql('by', 'iy', 2, 8, 2)})
+         * ({w1d_sql('bz', 'iz', 2, 8, 2)}) AS w
+    FROM generate_series(0, 1) AS t1(bx), generate_series(0, 1) AS t2(by),
+         generate_series(0, 1) AS t3(bz), generate_series(0, 11) AS t4(ix),
+         generate_series(0, 11) AS t5(iy), generate_series(0, 11) AS t6(iz)),
+v AS (SELECT x, y, z, w, {_V3D} AS v FROM t)
+SELECT x, y, z, {sql_rnd('sum(w * v)', 6)} AS stitched
+FROM v
+WHERE x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15 AND z BETWEEN 0 AND 15
+GROUP BY x, y, z
+""")
+def q_stitch_3d(spark, sf):
+    """Full R3 stitch_blocks (reference stitch.py:94-121) on the B2
+    fixture: 2×2×2 blocks of 8³ with overlap 2 (chunk-with-halo 12³,
+    the blocksize+2·overlap sizing contract of SURVEY.md §3.3).
+    Separable 3-D weights = product of per-axis trapezoids; the halo
+    exchange is one hash aggregate on (x,y,z)."""
+    g = _axes(spark, ("bx", 2), ("by", 2), ("bz", 2),
+              ("ix", 12), ("iy", 12), ("iz", 12))
+    t = g.select(
+        (F.col("bx") * 8 + F.col("ix") - 2).alias("x"),
+        (F.col("by") * 8 + F.col("iy") - 2).alias("y"),
+        (F.col("bz") * 8 + F.col("iz") - 2).alias("z"),
+        (F.expr(w1d_sql("bx", "ix", 2, 8, 2))
+         * F.expr(w1d_sql("by", "iy", 2, 8, 2))
+         * F.expr(w1d_sql("bz", "iz", 2, 8, 2))).alias("w"),
+    ).withColumn("v", F.expr(_V3D))
+    return (
+        t.filter(F.col("x").between(0, 15) & F.col("y").between(0, 15)
+                 & F.col("z").between(0, 15))
+        .groupBy("x", "y", "z")
+        .agg(F.expr(sql_rnd("sum(w * v)", 6)).alias("stitched"))
+    )
+
+
+# ---------------------------------------------------------------- halo shuffle
+
+@query("q_halo_sum", oracle="""
+WITH blocks AS (
+    SELECT bx, by, bz, 1 + bx + 2 * by + 4 * bz AS val
+    FROM generate_series(0, 2) AS t1(bx), generate_series(0, 2) AS t2(by),
+         generate_series(0, 2) AS t3(bz)),
+contrib AS (
+    SELECT bx + dx AS tbx, by + dy AS tby, bz + dz AS tbz,
+           val * (CASE WHEN dx = 0 THEN 4 ELSE 2 END)
+               * (CASE WHEN dy = 0 THEN 4 ELSE 2 END)
+               * (CASE WHEN dz = 0 THEN 4 ELSE 2 END) AS c
+    FROM blocks,
+         generate_series(-1, 1) AS o1(dx), generate_series(-1, 1) AS o2(dy),
+         generate_series(-1, 1) AS o3(dz))
+SELECT tbx, tby, tbz, sum(c) AS halo_total
+FROM contrib
+WHERE tbx BETWEEN 0 AND 2 AND tby BETWEEN 0 AND 2 AND tbz BETWEEN 0 AND 2
+GROUP BY tbx, tby, tbz
+""")
+def q_halo_sum(spark, sf):
+    """The bare map_overlap halo exchange (reference stitch.py:113-121)
+    as a keyed-fragment shuffle: every block emits ≤27 slab
+    contributions addressed to its neighbors (slab volume = overlap-
+    or blocksize-wide per axis; bs=4, o=2 here), one shuffle, one
+    aggregate. Fragments carry only slab-sized payloads — never whole
+    blocks ×27 — which is what keeps this viable at 100 TB."""
+    blocks = _axes(spark, ("bx", 3), ("by", 3), ("bz", 3)).withColumn(
+        "val", 1 + F.col("bx") + 2 * F.col("by") + 4 * F.col("bz"))
+    offs = _axes(spark, ("ox", 3), ("oy", 3), ("oz", 3)).select(
+        (F.col("ox") - 1).alias("dx"), (F.col("oy") - 1).alias("dy"),
+        (F.col("oz") - 1).alias("dz"))
+    vol = (
+        F.when(F.col("dx") == 0, 4).otherwise(2)
+        * F.when(F.col("dy") == 0, 4).otherwise(2)
+        * F.when(F.col("dz") == 0, 4).otherwise(2)
+    )
+    return (
+        blocks.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("bx") + F.col("dx")).alias("tbx"),
+            (F.col("by") + F.col("dy")).alias("tby"),
+            (F.col("bz") + F.col("dz")).alias("tbz"),
+            (F.col("val") * vol).alias("c"),
+        )
+        .filter(F.col("tbx").between(0, 2) & F.col("tby").between(0, 2)
+                & F.col("tbz").between(0, 2))
+        .groupBy("tbx", "tby", "tbz")
+        .agg(F.sum("c").alias("halo_total"))
+    )
+
+
+# ---------------------------------------------------------------- R6/R7
+
+# affines for the blend fixture (FIXTURES.md B3, x-overlap widened to
+# 2 so the interior linear ramps are actually exercised):
+#   block 0: identity; block 1: identity + t(2,-1,0.5);
+#   block 2: diag(1.1,1,1) + t(0,0,1)
+_BLEND_AFFINES = [
+    (0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0),
+    (1, 1.0, 0.0, 0.0, 2.0, 0.0, 1.0, 0.0, -1.0, 0.0, 0.0, 1.0, 0.5),
+    (2, 1.1, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0),
+]
+def _aff_row_sql(row):
+    return "(" + ", ".join(
+        str(v) if isinstance(v, int) else f"{v!r}e0" for v in row) + ")"
+
+
+_AFF_COLS = ("nb", "a00", "a01", "a02", "a03", "a10", "a11", "a12",
+             "a13", "a20", "a21", "a22", "a23")
+
+# x axis: G=3 blocks, bs=8, o=2 (o'=3, weight array length 12)
+_BW = {
+    "own": wmerge_sql("b", "j + 2", 3, 8, 2),       # W_b[j + o]
+    "left": wmerge_sql("b", "2 - j", 3, 8, 2),      # W_b[o - j], j < o
+    "right": wmerge_sql("b", "17 - j", 3, 8, 2),    # W_b[2bs+o'-o-j], j >= bs-o
+}
+
+
+@query("q_local_affine_blend", oracle=f"""
+WITH g AS (
+    SELECT x, y, z, x // 8 AS b, x % 8 AS j
+    FROM generate_series(0, 23) AS t1(x), generate_series(0, 3) AS t2(y),
+         generate_series(0, 3) AS t3(z)),
+c AS (
+    SELECT g.*, o.d,
+           CASE o.d WHEN 0 THEN {_BW['own']}
+                    WHEN -1 THEN {_BW['left']}
+                    ELSE {_BW['right']} END AS w
+    FROM g, (VALUES (-1), (0), (1)) AS o(d)
+    WHERE (o.d = 0)
+       OR (o.d = -1 AND j < 2 AND b >= 1)
+       OR (o.d = 1 AND j >= 6 AND b <= 1)),
+a AS (SELECT * FROM (VALUES {", ".join(_aff_row_sql(r) for r in _BLEND_AFFINES)})
+      AS t({", ".join(_AFF_COLS)})),
+f AS (
+    SELECT c.x, c.y, c.z, c.w,
+           c.w * ((a00 * x + a01 * y + a02 * z + a03) - x) AS wdx,
+           c.w * ((a10 * x + a11 * y + a12 * z + a13) - y) AS wdy,
+           c.w * ((a20 * x + a21 * y + a22 * z + a23) - z) AS wdz
+    FROM c JOIN a ON a.nb = c.b + c.d)
+SELECT x, y, z,
+       {sql_rnd('sum(wdx) / sum(w)', 6)} AS dx,
+       {sql_rnd('sum(wdy) / sum(w)', 6)} AS dy,
+       {sql_rnd('sum(wdz) / sum(w)', 6)} AS dz
+FROM f WHERE x < 20 GROUP BY x, y, z
+""")
+def q_local_affine_blend(spark, sf):
+    """R6/R7 local_affines_to_field (reference local_affine.py:33-139)
+    with the intended, normalized partition-of-unity blend (the
+    reference's low-side off-by-one — weight sums 2, 4/3, 6/5 for
+    overlap 1,2,3 — is fixed by dividing by sum(w); SURVEY.md
+    §2.1-R6). Voxel path: neighbor-offset explode → broadcast affine
+    join → weighted aggregate; final crop (local_affine.py:136) is a
+    coordinate filter. Fixture: 3×1×1 blocks of (8,4,4), x-overlap 2,
+    crop to x<20."""
+    g = _axes(spark, ("x", 24), ("y", 4), ("z", 4)).select(
+        "x", "y", "z",
+        F.expr("x div 8").alias("b"), (F.col("x") % 8).alias("j"))
+    offs = spark.range(3).select((F.col("id") - 1).alias("d"))
+    c = (
+        g.crossJoin(F.broadcast(offs))
+        .filter(
+            (F.col("d") == 0)
+            | ((F.col("d") == -1) & (F.col("j") < 2) & (F.col("b") >= 1))
+            | ((F.col("d") == 1) & (F.col("j") >= 6) & (F.col("b") <= 1)))
+        .withColumn("w", F.expr(
+            f"CASE d WHEN 0 THEN {_BW['own']} "
+            f"WHEN -1 THEN {_BW['left']} ELSE {_BW['right']} END"))
+    )
+    aff = spark.createDataFrame(_BLEND_AFFINES, list(_AFF_COLS))
+    f = c.join(F.broadcast(aff), F.col("nb") == F.col("b") + F.col("d")).select(
+        "x", "y", "z", "w",
+        (F.col("w") * ((F.col("a00") * F.col("x") + F.col("a01") * F.col("y")
+                        + F.col("a02") * F.col("z") + F.col("a03")) - F.col("x"))
+         ).alias("wdx"),
+        (F.col("w") * ((F.col("a10") * F.col("x") + F.col("a11") * F.col("y")
+                        + F.col("a12") * F.col("z") + F.col("a13")) - F.col("y"))
+         ).alias("wdy"),
+        (F.col("w") * ((F.col("a20") * F.col("x") + F.col("a21") * F.col("y")
+                        + F.col("a22") * F.col("z") + F.col("a23")) - F.col("z"))
+         ).alias("wdz"),
+    )
+    return (
+        f.filter(F.col("x") < 20)
+        .groupBy("x", "y", "z")
+        .agg(
+            F.expr(sql_rnd("sum(wdx) / sum(w)", 6)).alias("dx"),
+            F.expr(sql_rnd("sum(wdy) / sum(w)", 6)).alias("dy"),
+            F.expr(sql_rnd("sum(wdz) / sum(w)", 6)).alias("dz"),
+        )
+    )
