@@ -1,0 +1,261 @@
+"""Arrow block path for the blocked-array subsystem.
+
+The voxel-path SQL in engine/queries/stitch.py is the oracle-checkable
+formulation; this module is the scale path: one DataFrame row per
+block (``bx,by,bz: long, data: array<double>`` C-order), kernels
+applied as Arrow-batched mapInPandas / applyInPandas with numpy
+inside — the literal Spark analogue of the reference's
+``da.map_blocks`` (/root/reference/dask_stitch/stitch.py:105,
+local_affine.py:127).
+
+Halo exchange (``da.map_overlap``, stitch.py:113-121) is expressed as
+a keyed-fragment shuffle: every weighted tile emits ≤27 fragments
+addressed to the output blocks it overlaps, each carrying only the
+overlap-slab payload (never the whole tile ×27), then one
+``groupBy(target).applyInPandas`` reassembles and sums. That is one
+shuffle round with map-side-combinable payload sizes — the shape that
+survives 100 TB.
+
+Numeric conventions (deliberate divergences, SURVEY.md §1.2/§2.1-R6):
+coordinates are int64 (the reference's int16 overflows at ≥32768
+voxels), accumulation is float64, and the 27-neighbor affine blend is
+normalized to a true partition of unity (the reference's low-side
+weight indexing is off by one).
+"""
+from __future__ import annotations
+
+from itertools import product
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+BLOCK_SCHEMA = "bx long, by long, bz long, data array<double>"
+FRAG_SCHEMA = (
+    "tbx long, tby long, tbz long, "
+    "px int, py int, pz int, sx int, sy int, sz int, payload array<double>"
+)
+
+
+def axis_weights(b: int, grid: int, bs: int, o: int) -> np.ndarray:
+    """R1 trapezoid profile over the chunk-with-halo extent bs+2o
+    (closed form of reference stitch.py:15-38: ones core, linear
+    ramps of length 2o-1 on interior faces, constant 1 at domain
+    boundaries)."""
+    if o == 0:
+        return np.ones(bs)
+    r = 2 * o - 1
+    L = bs + 2 * o
+    i = np.arange(L, dtype=np.float64)
+    lw = np.ones(L) if b == 0 else np.minimum(1.0, i / r)
+    rw = np.ones(L) if b == grid - 1 else np.minimum(1.0, (L - 1 - i) / r)
+    return np.minimum(lw, rw)
+
+
+def merge_axis_weights(b: int, grid: int, bs: int, o: int) -> np.ndarray:
+    """R6 per-axis weight array W of length bs+o'+1, o' = max(0, 2o-1)
+    (closed form of reference local_affine.py:50-75)."""
+    op = max(0, 2 * o - 1)
+    L = bs + op + 1
+    if o == 0:  # no overlap ⇒ no blending: own weight everywhere
+        return np.ones(L)
+    t = np.arange(L, dtype=np.float64)
+    lw = np.ones(L) if b == 0 else np.minimum(1.0, t / max(op, 1))
+    rw = np.ones(L) if b == grid - 1 else np.minimum(1.0, (bs + op - t) / max(op, 1))
+    return np.minimum(lw, rw)
+
+
+def weight_blocks(df: DataFrame, blocksize, overlap, grid) -> DataFrame:
+    """R1: multiply every chunk-with-halo tile by its separable
+    trapezoid weight (map_blocks analogue — narrow, no shuffle)."""
+    bs, o, g = tuple(blocksize), tuple(overlap), tuple(grid)
+    ext = tuple(bs[a] + 2 * o[a] for a in range(3))
+
+    def fn(batches):
+        cache: dict[tuple, np.ndarray] = {}
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                key = (row.bx, row.by, row.bz)
+                if key not in cache:
+                    w = (
+                        axis_weights(row.bx, g[0], bs[0], o[0])[:, None, None]
+                        * axis_weights(row.by, g[1], bs[1], o[1])[None, :, None]
+                        * axis_weights(row.bz, g[2], bs[2], o[2])[None, None, :]
+                    )
+                    cache[key] = w
+                arr = np.asarray(row.data, dtype=np.float64).reshape(ext)
+                out.append((row.bx, row.by, row.bz,
+                            (arr * cache[key]).ravel()))
+            yield pd.DataFrame(out, columns=["bx", "by", "bz", "data"])
+
+    return df.mapInPandas(fn, BLOCK_SCHEMA)
+
+
+def merge_overlaps(df: DataFrame, blocksize, overlap, grid) -> DataFrame:
+    """R2: halo-sum via keyed fragments + one shuffle + reassembly
+    (map_overlap analogue, reference stitch.py:49-91,113-121)."""
+    bs, o, g = tuple(blocksize), tuple(overlap), tuple(grid)
+    ext = tuple(bs[a] + 2 * o[a] for a in range(3))
+
+    def emit(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                b = (row.bx, row.by, row.bz)
+                arr = np.asarray(row.data, dtype=np.float64).reshape(ext)
+                for d in product((-1, 0, 1), repeat=3):
+                    t = tuple(b[a] + d[a] for a in range(3))
+                    if not all(0 <= t[a] < g[a] for a in range(3)):
+                        continue
+                    # global intersection of target core and this tile
+                    sl, place, shape = [], [], []
+                    ok = True
+                    for a in range(3):
+                        lo = max(t[a] * bs[a], b[a] * bs[a] - o[a])
+                        hi = min((t[a] + 1) * bs[a], b[a] * bs[a] + bs[a] + o[a])
+                        if hi <= lo:
+                            ok = False
+                            break
+                        tile0 = b[a] * bs[a] - o[a]
+                        sl.append(slice(lo - tile0, hi - tile0))
+                        place.append(lo - t[a] * bs[a])
+                        shape.append(hi - lo)
+                    if not ok:
+                        continue
+                    out.append((*t, *place, *shape, arr[tuple(sl)].ravel()))
+            yield pd.DataFrame(
+                out, columns=["tbx", "tby", "tbz", "px", "py", "pz",
+                              "sx", "sy", "sz", "payload"])
+
+    frags = df.mapInPandas(emit, FRAG_SCHEMA)
+
+    def assemble(key, pdf):
+        acc = np.zeros(bs, dtype=np.float64)
+        for row in pdf.itertuples(index=False):
+            shp = (row.sx, row.sy, row.sz)
+            sl = tuple(slice(p, p + s) for p, s in zip((row.px, row.py, row.pz), shp))
+            acc[sl] += np.asarray(row.payload, dtype=np.float64).reshape(shp)
+        return pd.DataFrame(
+            [(key[0], key[1], key[2], acc.ravel())],
+            columns=["bx", "by", "bz", "data"])
+
+    return frags.groupBy("tbx", "tby", "tbz").applyInPandas(assemble, BLOCK_SCHEMA)
+
+
+def stitch_blocks(df: DataFrame, blocksize, overlap, grid) -> DataFrame:
+    """R3 (reference stitch.py:94-121): weight ∘ halo-merge. Input
+    tiles have chunk-with-halo extent blocksize+2·overlap (the sizing
+    contract of SURVEY.md §3.3); output blocks have extent blocksize."""
+    return merge_overlaps(
+        weight_blocks(df, blocksize, overlap, grid), blocksize, overlap, grid)
+
+
+def local_affines_to_field(
+    spark: SparkSession,
+    affines: np.ndarray,          # (gx, gy, gz, 4, 4) or (gx, gy, gz, 3, 4)
+    blocksize, overlap, spacing,
+    shape=None,
+    displacement: bool = True,
+) -> DataFrame:
+    """R7 (reference local_affine.py:110-139), block path: one task
+    per block, the whole (small) affines array broadcast to every
+    executor — mirroring ``delayed(affines)`` at local_affine.py:124.
+    No inter-block exchange: the stencil reads coordinates, not
+    neighbor data. Output: one row per block, data = C-order
+    (bs0,bs1,bs2,3) float64 displacement/position field; use
+    :func:`field_to_voxels` + a coordinate filter for the R7 crop."""
+    bs, o = tuple(blocksize), tuple(overlap)
+    g = affines.shape[:3]
+    sp = tuple(float(s) for s in spacing)
+    bcast = spark.sparkContext.broadcast(np.asarray(affines, dtype=np.float64))
+
+    blocks = (
+        spark.range(g[0]).select(F.col("id").alias("bx"))
+        .crossJoin(spark.range(g[1]).select(F.col("id").alias("by")))
+        .crossJoin(spark.range(g[2]).select(F.col("id").alias("bz")))
+        .repartition(max(32, g[0] * g[1] * g[2] // 4), "bx", "by", "bz")
+    )
+
+    def fn(batches):
+        aff = bcast.value
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                b = (row.bx, row.by, row.bz)
+                # physical coordinates of this block's voxels
+                axes = [
+                    (np.arange(b[a] * bs[a], (b[a] + 1) * bs[a], dtype=np.float64)
+                     * sp[a])
+                    for a in range(3)
+                ]
+                gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+                coords = np.stack([gx, gy, gz], axis=-1)
+                W = [merge_axis_weights(b[a], g[a], bs[a], o[a]) for a in range(3)]
+                acc = np.zeros(bs + (3,), dtype=np.float64)
+                wsum = np.zeros(bs, dtype=np.float64)
+                for d in product((-1, 0, 1), repeat=3):
+                    nb = tuple(b[a] + d[a] for a in range(3))
+                    if not all(0 <= nb[a] < g[a] for a in range(3)):
+                        continue
+                    sl, wv = [], []
+                    skip = False
+                    for a in range(3):
+                        oa, opa = o[a], max(0, 2 * o[a] - 1)
+                        if d[a] == 0:
+                            sl.append(slice(None))
+                            wv.append(W[a][oa:oa + bs[a]])
+                        elif oa == 0:
+                            skip = True
+                            break
+                        elif d[a] == -1:
+                            sl.append(slice(0, oa))
+                            j = np.arange(oa)
+                            wv.append(W[a][oa - j])
+                        else:
+                            sl.append(slice(bs[a] - oa, bs[a]))
+                            j = np.arange(bs[a] - oa, bs[a])
+                            wv.append(W[a][2 * bs[a] + opa - oa - j])
+                    if skip:
+                        continue
+                    w3 = (wv[0][:, None, None] * wv[1][None, :, None]
+                          * wv[2][None, None, :])
+                    m = aff[nb[0], nb[1], nb[2]]
+                    sub = coords[tuple(sl)]
+                    vec = sub @ m[:3, :3].T + m[:3, 3]
+                    if displacement:
+                        vec = vec - sub
+                    acc[tuple(sl)] += vec * w3[..., None]
+                    wsum[tuple(sl)] += w3
+                # normalized partition-of-unity blend (off-by-one fix)
+                field = acc / wsum[..., None]
+                out.append((*b, field.ravel()))
+            yield pd.DataFrame(out, columns=["bx", "by", "bz", "data"])
+
+    return blocks.mapInPandas(fn, BLOCK_SCHEMA)
+
+
+def field_to_voxels(df: DataFrame, blocksize, ncomp: int = 3) -> DataFrame:
+    """Explode block rows into (x, y, z, c0..c{n}) voxel rows —
+    used for crops, oracle comparisons, and sinks."""
+    bs = tuple(blocksize)
+    idx = F.posexplode("data").alias("pos", "v")
+    flat = df.select("bx", "by", "bz", idx)
+    npos = bs[0] * bs[1] * bs[2]
+    vox = flat.select(
+        "bx", "by", "bz",
+        (F.col("pos") / ncomp).cast("long").alias("vpos"),
+        (F.col("pos") % ncomp).alias("c"),
+        "v",
+    ) if ncomp > 1 else flat.select(
+        "bx", "by", "bz", F.col("pos").alias("vpos"),
+        F.lit(0).alias("c"), "v")
+    del npos
+    return vox.select(
+        (F.col("bx") * bs[0]
+         + (F.col("vpos") / (bs[1] * bs[2])).cast("long")).alias("x"),
+        (F.col("by") * bs[1]
+         + ((F.col("vpos") / bs[2]).cast("long") % bs[1])).alias("y"),
+        (F.col("bz") * bs[2] + F.col("vpos") % bs[2]).alias("z"),
+        "c", "v",
+    )

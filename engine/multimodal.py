@@ -1,0 +1,67 @@
+"""Multimodal (binary) column plumbing.
+
+Images/audio/video are opaque ``binary`` columns plus a typed
+metadata struct; the Spark-side plumbing — schema, partition-friendly
+batch shapes, Arrow UDF signatures — is real and tested, while the
+actual codec step is stubbed (no image/audio libraries in this
+environment) behind a deterministic fake and a clearly marked
+``NotImplementedError`` for the real path.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+PAYLOAD_SCHEMA = (
+    "doc_id long, payload binary, media_type string, n_bytes int"
+)
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, checksum long, feat array<double>"
+)
+
+
+def attach_payload(documents: DataFrame) -> DataFrame:
+    """Model a multimodal table: a binary payload column (here the
+    utf-8 encoded text standing in for image bytes) + typed metadata."""
+    payload = F.encode("text", "utf-8")
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.octet_length(payload).alias("n_bytes"),
+    )
+
+
+def decode_real(payload: bytes):  # pragma: no cover - stub by design
+    """Real media decode (PIL/librosa/ffmpeg) — unavailable in this
+    environment; the Spark plumbing around it is exercised via
+    :func:`extract_features`' deterministic fake."""
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; "
+        "use extract_features (deterministic fake) for plumbing tests")
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: Arrow
+    batches in, numpy per batch, fixed-width feature vectors out —
+    exactly the batch shape a real image decoder would use. The
+    'features' are a deterministic fake (byte histogram moments)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                buf = np.frombuffer(bytes(row.payload), dtype=np.uint8)
+                # deterministic fake of a decode→pool step
+                checksum = int(buf.astype(np.int64).sum())
+                feat = [
+                    float(buf[k::dim].sum() % 997) for k in range(dim)
+                ] if len(buf) else [0.0] * dim
+                rows.append((row.doc_id, int(row.n_bytes), checksum, feat))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "checksum", "feat"])
+
+    return df.mapInPandas(fn, FEATURE_SCHEMA)

@@ -63,6 +63,19 @@ def q_source_range(spark, sf):
     )
 
 
+@query("q_sink_roundtrip")  # rows-only: sink side effect, not SQL-comparable
+def q_sink_roundtrip(spark, sf):
+    """Parquet sink + re-scan: writes the per-region order rollup and
+    returns the read-back result (schema survives the round trip)."""
+    import tempfile
+
+    from .joins import q_join_inner
+
+    out = tempfile.mkdtemp(prefix="engine_sink_") + "/rollup"
+    q_join_inner(spark, sf).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
 @query("q_filter_pred", oracle="""
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem

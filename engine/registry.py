@@ -22,6 +22,7 @@ _MODULES = [
     "engine.queries.scalar_funcs",
     "engine.queries.events",
     "engine.queries.llm",
+    "engine.queries.multimodal",
     "engine.queries.stitch",
     "engine.queries.udfs",
 ]

@@ -1,0 +1,119 @@
+"""Structured Streaming wiring for the stream-shaped operators.
+
+The batch analogues (engine/queries/events.py) are the oracle-checked
+semantics; this module runs the same aggregations through
+``readStream`` with event-time watermarks, and provides the replay
+harness that proves (a) streaming result == batch analogue on in-order
+data and (b) the watermark drops a late tail (FIXTURES.md B5).
+
+File-source + memory-sink + ``processAllAvailable`` keeps the smoke
+fully deterministic and offline; on a real cluster the same plan runs
+against Kafka with identical semantics.
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import configure
+
+RAW_EVENT_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    # raw ts is bigint nanoseconds (nanosAsLong) → microsecond timestamp
+    return df.withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+
+
+def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    configure(spark)
+    raw = (
+        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+    )
+    return _with_event_time(raw)
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """1-hour tumbling count/sum with a watermark — the streaming twin
+    of q_window_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.unix_micros("w.start").alias("ws_us"), "event_type",
+                "n", "sum_value")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """dropDuplicatesWithinWatermark on the natural event key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+def run_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    query_name: str = "stream_smoke",
+) -> dict:
+    """Replay the events table through the streaming tumbling agg in
+    append mode, then append a 2-hour-late tail and verify the
+    watermark drops it.
+
+    Returns dict(streamed=DataFrame, batch=DataFrame,
+                 n_before=int, n_after_late=int).
+    """
+    configure(spark)
+    src = os.path.join(workdir, "stream_src")
+    os.makedirs(src, exist_ok=True)
+
+    raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    # in-order prefix: everything except the last hour of data, sorted
+    cutoff = raw.agg(F.max("ts")).collect()[0][0] - 3_600_000_000_000
+    ontime = raw.filter(F.col("ts") <= cutoff)
+    ontime.repartition(8).write.mode("overwrite").parquet(src)
+
+    events = read_event_stream(spark, src)
+    agg = tumbling_counts(events)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    n_before = spark.sql(f"SELECT count(*) FROM {query_name}").collect()[0][0]
+
+    # late tail: the 20 earliest events replayed 2h later in arrival
+    # order but with their ORIGINAL (now far-behind-watermark) times —
+    # append mode + watermark must not re-emit their windows.
+    late = raw.orderBy("ts").limit(20)
+    late.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    n_after = spark.sql(f"SELECT count(*) FROM {query_name}").collect()[0][0]
+    q.stop()
+
+    streamed = spark.sql(f"SELECT * FROM {query_name}")
+    batch = (
+        _with_event_time(ontime)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.unix_micros("w.start").alias("ws_us"), "event_type",
+                "n", "sum_value")
+    )
+    return {
+        "streamed": streamed,
+        "batch": batch,
+        "n_before": n_before,
+        "n_after_late": n_after,
+    }

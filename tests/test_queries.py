@@ -1,0 +1,38 @@
+"""Every registered query runs at sf0.001 with a stable schema and a
+sane row count. Full value-level verification against DuckDB is
+check.py (the driver-gate mirror); this is the fast regression net.
+"""
+import pytest
+
+from engine.registry import ORACLE, QUERIES, load_all
+
+load_all()
+
+# keys whose result is legitimately tiny or fixture-bound
+_MIN_ROWS = {k: 0 for k in ["q_dedup_fuzzy_minhash", "q_dedup_ngram_jaccard",
+                            "q_join_anti", "q_agg_having"]}
+
+
+@pytest.mark.parametrize("key", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, key):
+    df = QUERIES[key](spark, sf_dir)
+    assert df.columns, f"{key}: empty schema"
+    assert len(df.columns) == len(set(df.columns)), f"{key}: duplicate columns"
+    rows = df.limit(1000000).collect()
+    assert len(rows) >= _MIN_ROWS.get(key, 1), f"{key}: empty result"
+
+
+def test_every_key_has_oracle_or_reason():
+    no_oracle = sorted(set(QUERIES) - set(ORACLE))
+    # rows-only keys must be a deliberate, short list
+    assert no_oracle == [
+        "q_agg_approx_distinct", "q_sim_lsh_topk", "q_sink_roundtrip",
+    ]
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert set(E.oracle_sql()) <= set(E.queries())

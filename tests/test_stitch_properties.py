@@ -1,0 +1,220 @@
+"""Golden invariants of the blocked-array subsystem (SURVEY.md §5.2),
+plus block-path ≡ voxel-path equality. The kernels were re-derived
+from the reference's observable behavior; these properties pin them.
+"""
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from engine.blocks import (
+    axis_weights,
+    field_to_voxels,
+    local_affines_to_field,
+    merge_axis_weights,
+    stitch_blocks,
+)
+
+# ------------------------------------------------------------ pure numpy
+
+
+@given(
+    grid=st.integers(1, 6),
+    bs=st.integers(4, 24),
+    o=st.integers(1, 5),
+)
+@settings(max_examples=60, deadline=None)
+def test_partition_of_unity(grid, bs, o):
+    """SURVEY §5.2-1: per-coordinate weight sums across blocks are
+    exactly 1 in-domain, for any grid/blocksize/overlap."""
+    if bs < 2 * o:  # reference sizing contract: core length >= 2
+        return
+    total = np.zeros(grid * bs)
+    for b in range(grid):
+        w = axis_weights(b, grid, bs, o)
+        lo = b * bs - o
+        for i, wi in enumerate(w):
+            x = lo + i
+            if 0 <= x < grid * bs:
+                total[x] += wi
+    assert np.allclose(total, 1.0, atol=1e-12)
+
+
+@given(grid=st.integers(1, 5), bs=st.integers(4, 16), o=st.integers(0, 4))
+@settings(max_examples=40, deadline=None)
+def test_merge_weights_positive_own(grid, bs, o):
+    """The R6 own-block weight is > 0 on every plane (so the
+    normalized blend is always well-defined)."""
+    if o > 0 and bs < 2 * o:
+        return
+    for b in range(grid):
+        W = merge_axis_weights(b, grid, bs, o)
+        own = W[o:o + bs]
+        assert (own > 0).all()
+
+
+def _tiles_from_array(arr, grid, bs, o):
+    """Cut a domain array into chunk-with-halo tiles (zero padding
+    outside the domain — the reference's boundary=0)."""
+    padded = np.pad(arr, [(oo, oo) for oo in o])
+    tiles = {}
+    for bx in range(grid[0]):
+        for by in range(grid[1]):
+            for bz in range(grid[2]):
+                sl = tuple(
+                    slice(b * s, b * s + s + 2 * oo)
+                    for b, s, oo in zip((bx, by, bz), bs, o))
+                tiles[(bx, by, bz)] = padded[sl]
+    return tiles
+
+
+@pytest.fixture(scope="module")
+def roundtrip(spark):
+    rng = np.random.default_rng(42)
+    grid, bs, o = (2, 3, 2), (6, 8, 6), (2, 2, 2)
+    shape = tuple(g * b for g, b in zip(grid, bs))
+    arr = rng.normal(size=shape)
+    tiles = _tiles_from_array(arr, grid, bs, o)
+    rows = [(k[0], k[1], k[2], v.ravel().tolist()) for k, v in tiles.items()]
+    df = spark.createDataFrame(rows, "bx long, by long, bz long, data array<double>")
+    out = stitch_blocks(df, bs, o, grid).collect()
+    rebuilt = np.zeros(shape)
+    for row in out:
+        sl = tuple(slice(b * s, (b + 1) * s)
+                   for b, s in zip((row.bx, row.by, row.bz), bs))
+        rebuilt[sl] = np.asarray(row.data).reshape(bs)
+    return arr, rebuilt
+
+
+def test_stitch_roundtrip(roundtrip):
+    """SURVEY §5.2-2: weighting + halo-merge reconstructs the source
+    array (float64 here, so tighter than the reference's 1.8e-7)."""
+    arr, rebuilt = roundtrip
+    assert np.abs(arr - rebuilt).max() < 1e-12
+
+
+def test_stitch_constant_invariance(spark):
+    grid, bs, o = (2, 1, 1), (4, 4, 4), (1, 1, 1)
+    tiles = _tiles_from_array(
+        np.full((8, 4, 4), 7.5), grid, bs, o)
+    rows = [(k[0], k[1], k[2], v.ravel().tolist()) for k, v in tiles.items()]
+    df = spark.createDataFrame(rows, "bx long, by long, bz long, data array<double>")
+    for row in stitch_blocks(df, bs, o, grid).collect():
+        vals = np.asarray(row.data)
+        assert np.allclose(vals, 7.5, atol=1e-12)
+
+
+# ------------------------------------------------------------ affine blend
+
+
+def _identity_affines(g):
+    aff = np.zeros(g + (4, 4))
+    aff[..., range(4), range(4)] = 1.0
+    return aff
+
+
+def test_identity_affines_zero_displacement(spark):
+    """SURVEY §5.2-3: identity affines ⇒ exactly zero displacement."""
+    g, bs, o = (2, 2, 1), (4, 4, 4), (1, 1, 1)
+    df = local_affines_to_field(
+        spark, _identity_affines(g), bs, o, (1.0, 1.0, 1.0))
+    vals = np.array([v for row in df.collect() for v in row.data])
+    assert np.abs(vals).max() == 0.0
+
+
+def test_uniform_affine_consistency(spark):
+    """SURVEY §5.2-4: with the same affine in every block, the
+    normalized blend equals that affine's field everywhere — including
+    the low-side overlap planes where the literal reference
+    over-weights (the documented off-by-one, local_affine.py:85-88)."""
+    g, bs, o = (3, 1, 1), (4, 4, 4), (2, 1, 1)
+    aff = _identity_affines(g)
+    aff[..., 0, 0] = 1.25
+    aff[..., 0, 3] = 2.0
+    aff[..., 1, 3] = -0.5
+    sp = (2.0, 1.0, 1.0)
+    df = local_affines_to_field(spark, aff, bs, o, sp)
+    for row in df.collect():
+        field = np.asarray(row.data).reshape(4, 4, 4, 3)
+        xs = (np.arange(row.bx * 4, row.bx * 4 + 4) * sp[0])
+        expect_dx = 1.25 * xs + 2.0 - xs
+        assert np.allclose(field[..., 0], expect_dx[:, None, None], atol=1e-12)
+        assert np.allclose(field[..., 1], -0.5, atol=1e-12)
+        assert np.allclose(field[..., 2], 0.0, atol=1e-12)
+
+
+def test_crop_semantics(spark):
+    """SURVEY §5.2-5: the R7 crop (coordinate filter) yields exactly
+    `shape` voxels regardless of block-grid rounding."""
+    g, bs, o = (2, 1, 1), (4, 4, 4), (1, 1, 1)
+    df = local_affines_to_field(
+        spark, _identity_affines(g), bs, o, (1.0, 1.0, 1.0))
+    vox = field_to_voxels(df, bs, ncomp=3)
+    shape = (6, 3, 4)
+    n = (vox.filter((vox.x < shape[0]) & (vox.y < shape[1]) & (vox.z < shape[2]))
+         .count())
+    assert n == shape[0] * shape[1] * shape[2] * 3
+
+
+# ------------------------------------------------------------ block ≡ voxel
+
+
+def test_block_path_equals_voxel_path_stitch(spark):
+    """The Arrow block path reproduces q_stitch_3d (B2 fixture)."""
+    from engine.registry import QUERIES, load_all
+
+    load_all()
+    voxel = {
+        (r.x, r.y, r.z): r.stitched
+        for r in QUERIES["q_stitch_3d"](spark, "/root/testdata/sf0.001").collect()
+    }
+    grid, bs, o = (2, 2, 2), (8, 8, 8), (2, 2, 2)
+
+    def v(x, y, z):
+        if 0 <= x < 16 and 0 <= y < 16 and 0 <= z < 16:
+            return (x + 1) * 1.0 + (y + 1) * 0.1 + (z + 1) * 0.01
+        return 0.0
+
+    xs = np.arange(-2, 18)
+    vol = np.array([[[v(x, y, z) for z in xs] for y in xs] for x in xs])
+    tiles = {}
+    for bx in range(2):
+        for by in range(2):
+            for bz in range(2):
+                sl = tuple(slice(b * 8, b * 8 + 12) for b in (bx, by, bz))
+                tiles[(bx, by, bz)] = vol[sl]
+    rows = [(k[0], k[1], k[2], t.ravel().tolist()) for k, t in tiles.items()]
+    df = spark.createDataFrame(rows, "bx long, by long, bz long, data array<double>")
+    out = stitch_blocks(df, bs, o, grid)
+    vox_rows = field_to_voxels(out, bs, ncomp=1).collect()
+    assert len(vox_rows) == len(voxel)
+    for r in vox_rows:
+        q = np.floor(r.v * 1e6 + 0.5) / 1e6
+        assert q == pytest.approx(voxel[(r.x, r.y, r.z)], abs=2e-6)
+
+
+def test_block_path_equals_voxel_path_blend(spark):
+    """The Arrow block path reproduces q_local_affine_blend (B3
+    fixture, x-overlap 2, crop x<20)."""
+    from engine.queries.stitch import _BLEND_AFFINES
+    from engine.registry import QUERIES, load_all
+
+    load_all()
+    voxel = {
+        (r.x, r.y, r.z): (r.dx, r.dy, r.dz)
+        for r in QUERIES["q_local_affine_blend"](
+            spark, "/root/testdata/sf0.001").collect()
+    }
+    aff = np.zeros((3, 1, 1, 4, 4))
+    aff[..., 3, 3] = 1.0
+    for row in _BLEND_AFFINES:
+        b = row[0]
+        aff[b, 0, 0, 0, :] = row[1:5]
+        aff[b, 0, 0, 1, :] = row[5:9]
+        aff[b, 0, 0, 2, :] = row[9:13]
+    df = local_affines_to_field(
+        spark, aff, (8, 4, 4), (2, 1, 1), (1.0, 1.0, 1.0))
+    vox = field_to_voxels(df, (8, 4, 4), ncomp=3).filter("x < 20").collect()
+    assert len(vox) == len(voxel) * 3
+    for r in vox:
+        got = np.floor(r.v * 1e6 + 0.5) / 1e6
+        assert got == pytest.approx(voxel[(r.x, r.y, r.z)][r.c], abs=2e-6)
