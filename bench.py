@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+Each query executes to completion via a count-style action (results
+are materialized, nothing collected to the driver beyond the
+aggregate). A warm-up pass loads/caches the fact-table scans so the
+numbers measure operator execution, not first-touch parquet footer
+reads.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_pricing_summary",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_window_rank",
+    "q_window_frame_rows",
+    "q_agg_rollup",
+    "q_topk_orders",
+    "q_window_session",
+    "q_event_dedup_first",
+    "q_dedup_exact",
+    "q_dedup_fuzzy_minhash",
+    "q_sim_topk",
+    "q_tfidf_top",
+    "q_text_stats",
+    "q_stitch_3d",
+    "q_local_affine_blend",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from engine.io import load_tables
+    from engine.registry import QUERIES, load_all
+    from engine.session import get_spark
+
+    spark = get_spark("bench")
+    load_all()
+
+    # warm-up: materialize the two fact scans once (cache survives the run)
+    t = load_tables(spark, sf_dir)
+    for name in ("lineitem", "orders", "events"):
+        t[name].cache().count()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = QUERIES[key]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[key] = round(time.time() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+    }))
+
+
+if __name__ == "__main__":
+    main()

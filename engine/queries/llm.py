@@ -21,7 +21,7 @@ from pyspark.sql import Window as W, functions as F
 
 from ..io import load_tables
 from ..registry import query
-from .util import hex32_sql, rnd, sql_rnd
+from .util import hex32_sql, hexpoly_sql, rnd, sql_rnd
 
 # MinHash parameters: k=8 signatures, banded 4×2. p > 2^32 keeps the
 # modular hash a permutation-ish map; a,b stay small so a*h fits a
@@ -44,9 +44,13 @@ _SHINGLES_SQL = f"""
 
 def _shingle_hashes(spark, sf):
     """(doc_id, h): 32-bit md5 hash of each 3-word shingle. All
-    per-row work — no shuffle."""
+    per-row work — no shuffle. The word array is materialized into
+    its own column before the shingle lambda: a split() referenced
+    inside a higher-order-function body is re-evaluated per element
+    (measured ~5× slowdown at sf0.1)."""
     d = load_tables(spark, sf)["documents"]
-    ws = F.split("text", " ")
+    words = d.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
     tri = F.transform(
         F.sequence(F.lit(0), F.size(ws) - 3),
         lambda i: F.concat_ws(
@@ -54,9 +58,10 @@ def _shingle_hashes(spark, sf):
             F.element_at(ws, i + 3)),
     )
     return (
-        d.filter(F.size(ws) >= 3)
+        words.filter(F.size(ws) >= 3)
         .select("doc_id", F.explode(tri).alias("s"))
-        .select("doc_id", F.expr(hex32_sql("s")).alias("h"))
+        .select("doc_id", F.md5(F.col("s").cast("binary")).alias("m"))
+        .select("doc_id", F.expr(hexpoly_sql("m")).alias("h"))
     )
 
 
@@ -141,7 +146,9 @@ def q_dedup_simhash(spark, sf):
     d = load_tables(spark, sf)["documents"]
     w = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).select("doc_id", F.expr(hex32_sql("w")).alias("h"))
+    ).select(
+        "doc_id", F.md5(F.col("w").cast("binary")).alias("m")
+    ).select("doc_id", F.expr(hexpoly_sql("m")).alias("h"))
     bit_votes = [
         F.sum(
             F.when((F.col("h") / (1 << k)).cast("long") % 2 == 1, 1).otherwise(-1)
@@ -158,7 +165,9 @@ def q_dedup_simhash(spark, sf):
 
 @query("q_dedup_ngram_jaccard", oracle=f"""
 WITH {_SHINGLES_SQL},
-ds AS (SELECT DISTINCT doc_id, h FROM hv),
+dall AS (SELECT DISTINCT doc_id, h FROM hv),
+rare AS (SELECT h FROM dall GROUP BY h HAVING count(*) <= 64),
+ds AS (SELECT dall.* FROM dall JOIN rare USING (h)),
 n AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
 inter AS (
     SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_common
@@ -174,8 +183,16 @@ WHERE CAST(n_common AS DOUBLE) / (n1.n_sh + n2.n_sh - n_common) >= 0.2
 """)
 def q_dedup_ngram_jaccard(spark, sf):
     """Exact n-gram Jaccard for candidate pairs that share ≥1 shingle
-    — the verification stage that typically follows MinHash banding."""
-    ds = _shingle_hashes(spark, sf).distinct()
+    — the verification stage that typically follows MinHash banding.
+    Stop-shingles (document frequency > 64) are removed before the
+    shared-shingle join: they carry ~zero resemblance signal but
+    quadratic join cost — the standard scale guard (df² blowup on hot
+    keys); the Jaccard sets are defined over the remaining shingles
+    in both engines."""
+    dall = _shingle_hashes(spark, sf).distinct()
+    rare = (dall.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= 64).select("h"))
+    ds = dall.join(rare, "h")
     n = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     x, y = ds.alias("x"), ds.alias("y")
     inter = (
@@ -220,22 +237,63 @@ SELECT v1, v2, cos_sim FROM cos
 ORDER BY cos_sim DESC, v1, v2 LIMIT 20
 """)
 def q_sim_topk(spark, sf):
-    """Brute-force cosine top-k — the exact baseline the LSH path
-    (q_sim_lsh_topk) approximates. Ordering is on the quantized
-    similarity with unique tie-breakers so the cut is stable."""
-    nm = _norms(spark, sf)
-    a = nm.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
-                  F.col("nrm").alias("n1"))
-    b = nm.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
-                  F.col("nrm").alias("n2"))
-    dot = F.aggregate(
-        F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
+    """Brute-force cosine top-k via chunked BLAS: vectors are hashed
+    into C chunks, each of the C(C+1)/2 chunk *pairs* becomes one
+    applyInPandas group doing a single numpy matmul, per-group top-k
+    is unioned and cut globally. O(n²d) work stays, but it runs as
+    ~C²/2 dense GEMMs across executors instead of n²/2 codegen'd
+    array folds — the shape that scales to a real cluster (and ~20×
+    faster locally than the crossJoin+fold plan). The LSH path
+    (q_sim_lsh_topk) replaces the all-pairs stage entirely at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_tables(spark, sf)["embeddings"]
+    C = 8
+    v = e.select("vec_id", "embedding", (F.col("vec_id") % C).alias("chunk"))
+    chunks = spark.range(C).select(F.col("id").alias("c1"))
+    pairs = (
+        chunks.crossJoin(spark.range(C).select(F.col("id").alias("c2")))
+        .filter(F.col("c1") <= F.col("c2"))
+    )
+    rep = v.join(
+        F.broadcast(pairs),
+        (F.col("c1") == F.col("chunk")) | (F.col("c2") == F.col("chunk")))
+
+    k = 20
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        c1, c2 = key
+        A = pdf[pdf.chunk == c1].sort_values("vec_id")
+        B = pdf[pdf.chunk == c2].sort_values("vec_id") if c2 != c1 else A
+        if A.empty or B.empty:
+            return pd.DataFrame(columns=["v1", "v2", "cos_sim"])
+        MA = np.stack(A.embedding.to_numpy()).astype(np.float64)
+        MB = np.stack(B.embedding.to_numpy()).astype(np.float64)
+        na = np.sqrt((MA * MA).sum(1))
+        nb = np.sqrt((MB * MB).sum(1))
+        S = np.floor((MA @ MB.T) / np.outer(na, nb) * 10000 + 0.5) / 10000
+        ia, ib = A.vec_id.to_numpy(), B.vec_id.to_numpy()
+        if c1 == c2:  # ids sorted: upper triangle = each pair once
+            ii, jj = np.triu_indices(len(ia), 1)
+        else:  # disjoint chunks: every (a, b) pair
+            ii, jj = np.divmod(np.arange(len(ia) * len(ib)), len(ib))
+        vals = S[ii, jj]
+        if len(vals) > k:  # exact top-k cut incl. quantized ties
+            thresh = np.partition(vals, len(vals) - k)[len(vals) - k]
+            keep = vals >= thresh
+            ii, jj, vals = ii[keep], jj[keep], vals[keep]
+        va, vb = ia[ii], ib[jj]
+        v1, v2 = np.minimum(va, vb), np.maximum(va, vb)
+        order = np.lexsort((v2, v1, -vals))[:k]
+        return pd.DataFrame({
+            "v1": v1[order], "v2": v2[order], "cos_sim": vals[order]})
+
     return (
-        a.join(b, F.col("v1") < F.col("v2"))
-        .select("v1", "v2", rnd(dot / (F.col("n1") * F.col("n2"))).alias("cos_sim"))
+        rep.groupBy("c1", "c2")
+        .applyInPandas(kernel, "v1 long, v2 long, cos_sim double")
         .orderBy(F.col("cos_sim").desc(), "v1", "v2")
-        .limit(20)
+        .limit(k)
     )
 
 

@@ -62,9 +62,15 @@ def wmerge_sql(b: str, t: str, grid: int, bs: int, o: int) -> str:
 
 
 def _axes(spark, *specs: tuple[str, int]) -> DataFrame:
-    """Cartesian product of named 0..n-1 ranges (grid generator, R4)."""
-    dfs = [spark.range(n).select(F.col("id").alias(name)) for name, n in specs]
-    return reduce(lambda a, b: a.crossJoin(b), dfs)
+    """Cartesian product of named 0..n-1 ranges (grid generator, R4):
+    a single ``spark.range(prod)`` decoded with div/mod — one narrow
+    whole-stage-codegen projection instead of a crossJoin chain."""
+    total = reduce(lambda a, b: a * b, (n for _, n in specs), 1)
+    cols, stride = [], total
+    for name, n in specs:
+        stride //= n
+        cols.append(F.expr(f"(id div {stride}) % {n}").alias(name))
+    return spark.range(total).select(*cols)
 
 
 # ---------------------------------------------------------------- R4

@@ -29,19 +29,26 @@ def sql_rnd(expr: str, n: int = 4) -> str:
     return f"(floor(({expr}) * {p} + 0.5) / {p})"
 
 
+def hexpoly_sql(col: str) -> str:
+    """BIGINT from the first 8 hex chars of an md5-hex column —
+    positional arithmetic both engines evaluate bit-identically."""
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr({col}, {i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
 def hex32_sql(expr: str) -> str:
     """A 32-bit integer from the first 8 hex chars of ``md5(expr)``,
     written as plain positional arithmetic so Spark SQL and DuckDB
     produce bit-identical BIGINTs (neither engine's hex-parse builtin
     matches the other's). This is the cross-engine content hash used
     by MinHash/SimHash/fingerprint operators — never engine-native
-    ``hash()``."""
-    terms = " + ".join(
-        f"CAST(instr('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (8 - i)}"
-        for i in range(1, 9)
-    )
-    return f"({terms})"
+    ``hash()``. Engine-side plans should md5 once into a column and
+    apply :func:`hexpoly_sql` to avoid 8 hash evaluations."""
+    return hexpoly_sql(f"md5({expr})")
 
 
 def dsum(col: Column | str, n: int = 4) -> Column:
