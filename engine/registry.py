@@ -19,6 +19,7 @@ _MODULES = [
     "engine.queries.aggregates",
     "engine.queries.windows",
     "engine.queries.setops",
+    "engine.queries.relational_extra",
     "engine.queries.scalar_funcs",
     "engine.queries.events",
     "engine.queries.llm",
