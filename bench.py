@@ -39,6 +39,39 @@ HEADLINE = [
 ]
 
 
+def _bench_block_path(spark) -> float:
+    """Arrow block-path stitch of a 2×2×2 grid of 128³ blocks
+    (16.8M voxels) with tiles generated distributed — measures the
+    keyed-fragment halo shuffle + reassembly end to end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine.blocks import stitch_blocks
+
+    grid, bs, o = (2, 2, 2), (128, 128, 128), (4, 4, 4)
+    ext = tuple(b + 2 * oo for b, oo in zip(bs, o))
+    ids = spark.range(8).select(
+        (F.col("id") % 2).alias("bx"),
+        (F.expr("id div 2") % 2).alias("by"),
+        (F.expr("id div 4") % 2).alias("bz"),
+    ).repartition(8)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                rng = np.random.default_rng(int(r.bx * 4 + r.by * 2 + r.bz))
+                out.append((r.bx, r.by, r.bz,
+                            rng.normal(size=ext).ravel().tobytes()))
+            yield pd.DataFrame(out, columns=["bx", "by", "bz", "data"])
+
+    tiles = ids.mapInPandas(gen, "bx long, by long, bz long, data binary")
+    t0 = time.time()
+    assert stitch_blocks(tiles, bs, o, grid).count() == 8
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from engine.io import load_tables
@@ -61,6 +94,7 @@ def main() -> None:
         n = df.count()
         timings[key] = round(time.time() - t0, 3)
         assert n >= 0
+    timings["stitch_block_path_128cube"] = _bench_block_path(spark)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_seconds",

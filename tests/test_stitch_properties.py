@@ -10,6 +10,7 @@ from engine.blocks import (
     axis_weights,
     field_to_voxels,
     local_affines_to_field,
+    make_tiles,
     merge_axis_weights,
     stitch_blocks,
 )
@@ -74,14 +75,13 @@ def roundtrip(spark):
     shape = tuple(g * b for g, b in zip(grid, bs))
     arr = rng.normal(size=shape)
     tiles = _tiles_from_array(arr, grid, bs, o)
-    rows = [(k[0], k[1], k[2], v.ravel().tolist()) for k, v in tiles.items()]
-    df = spark.createDataFrame(rows, "bx long, by long, bz long, data array<double>")
+    df = make_tiles(spark, tiles)
     out = stitch_blocks(df, bs, o, grid).collect()
     rebuilt = np.zeros(shape)
     for row in out:
         sl = tuple(slice(b * s, (b + 1) * s)
                    for b, s in zip((row.bx, row.by, row.bz), bs))
-        rebuilt[sl] = np.asarray(row.data).reshape(bs)
+        rebuilt[sl] = np.frombuffer(row.data, dtype=np.float64).reshape(bs)
     return arr, rebuilt
 
 
@@ -96,10 +96,9 @@ def test_stitch_constant_invariance(spark):
     grid, bs, o = (2, 1, 1), (4, 4, 4), (1, 1, 1)
     tiles = _tiles_from_array(
         np.full((8, 4, 4), 7.5), grid, bs, o)
-    rows = [(k[0], k[1], k[2], v.ravel().tolist()) for k, v in tiles.items()]
-    df = spark.createDataFrame(rows, "bx long, by long, bz long, data array<double>")
+    df = make_tiles(spark, tiles)
     for row in stitch_blocks(df, bs, o, grid).collect():
-        vals = np.asarray(row.data)
+        vals = np.frombuffer(row.data, dtype=np.float64)
         assert np.allclose(vals, 7.5, atol=1e-12)
 
 
@@ -117,7 +116,8 @@ def test_identity_affines_zero_displacement(spark):
     g, bs, o = (2, 2, 1), (4, 4, 4), (1, 1, 1)
     df = local_affines_to_field(
         spark, _identity_affines(g), bs, o, (1.0, 1.0, 1.0))
-    vals = np.array([v for row in df.collect() for v in row.data])
+    vals = np.concatenate([
+        np.frombuffer(row.data, dtype=np.float64) for row in df.collect()])
     assert np.abs(vals).max() == 0.0
 
 
@@ -134,7 +134,7 @@ def test_uniform_affine_consistency(spark):
     sp = (2.0, 1.0, 1.0)
     df = local_affines_to_field(spark, aff, bs, o, sp)
     for row in df.collect():
-        field = np.asarray(row.data).reshape(4, 4, 4, 3)
+        field = np.frombuffer(row.data, dtype=np.float64).reshape(4, 4, 4, 3)
         xs = (np.arange(row.bx * 4, row.bx * 4 + 4) * sp[0])
         expect_dx = 1.25 * xs + 2.0 - xs
         assert np.allclose(field[..., 0], expect_dx[:, None, None], atol=1e-12)
@@ -182,8 +182,7 @@ def test_block_path_equals_voxel_path_stitch(spark):
             for bz in range(2):
                 sl = tuple(slice(b * 8, b * 8 + 12) for b in (bx, by, bz))
                 tiles[(bx, by, bz)] = vol[sl]
-    rows = [(k[0], k[1], k[2], t.ravel().tolist()) for k, t in tiles.items()]
-    df = spark.createDataFrame(rows, "bx long, by long, bz long, data array<double>")
+    df = make_tiles(spark, tiles)
     out = stitch_blocks(df, bs, o, grid)
     vox_rows = field_to_voxels(out, bs, ncomp=1).collect()
     assert len(vox_rows) == len(voxel)
