@@ -61,6 +61,37 @@ def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running event count + value total maintained in
+    GroupState across micro-batches — the pattern for operators that
+    windowed aggregation can't express (true running state keyed by
+    entity). Emits one row per (user, micro-batch) with the updated
+    totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_replay(
     spark: SparkSession,
     sf_dir: str,

@@ -5,7 +5,7 @@ analogue and (b) a 2-hour-late replayed tail changes nothing.
 """
 import tempfile
 
-from engine.streaming import run_replay, streaming_dedup, read_event_stream
+from engine.streaming import read_event_stream, run_replay, streaming_dedup
 
 
 def test_streaming_matches_batch_and_drops_late(spark, sf_dir):
@@ -46,3 +46,41 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
         q.stop()
         assert n == 50
         assert total == 50  # duplicates suppressed within the watermark
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    the final emitted totals equal the batch per-user aggregates."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from engine.streaming import running_user_totals
+
+    with tempfile.TemporaryDirectory() as wd:
+        src = f"{wd}/src"
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw.repartition(6).write.mode("overwrite").parquet(src)
+        q = (
+            running_user_totals(read_event_stream(spark, src))
+            .writeStream.outputMode("update")
+            .format("memory").queryName("t_state").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # last emitted row per user == batch aggregate
+        final = {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in spark.sql(
+                "SELECT user_id, n_events, total_value FROM ("
+                " SELECT *, row_number() OVER (PARTITION BY user_id "
+                "   ORDER BY n_events DESC) rn FROM t_state) WHERE rn = 1"
+            ).collect()
+        }
+        batch = {
+            r.user_id: (r.n, round(r.s, 6))
+            for r in raw.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert final == batch
