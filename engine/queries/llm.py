@@ -572,3 +572,102 @@ def q_text_fingerprint(spark, sf):
         F.min("h").alias("fingerprint"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+@query("q_sim_ivf_topk")  # rows-only: IVF recall is engine-defined, not SQL
+def q_sim_ivf_topk(spark, sf):
+    """IVF-style ANN: a coarse quantizer (the 10 per-label centroids,
+    learned with one aggregate) partitions vectors into cells; each
+    query vector probes its top-2 nearest cells and ranks only those
+    candidates. At 100 TB this is the index-then-probe layout —
+    centroids broadcast, one shuffle on cell id, GEMM per cell pair —
+    with nprobe trading recall for cost."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_tables(spark, sf)["embeddings"]
+    x = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("i", "vf"))
+    cents = (
+        x.groupBy("label", "i").agg(F.avg(F.col("vf").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("sc"))
+        .select("label", F.expr("transform(sc, s -> s.c)").alias("centroid"))
+    )
+    cent_rows = cents.collect()  # 10 rows — the coarse index itself is tiny
+    C = np.stack([np.asarray(r.centroid) for r in cent_rows])
+    cl = np.asarray([r.label for r in cent_rows])
+    nc = np.sqrt((C * C).sum(1))
+    bc = spark.sparkContext.broadcast((C, cl, nc))
+
+    def assign(batches):
+        C, cl, nc = bc.value
+        for pdf in batches:
+            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+            nm = np.sqrt((M * M).sum(1))
+            sims = (M @ C.T) / np.outer(nm, nc)
+            top2 = np.argsort(-sims, axis=1)[:, :2]
+            out = pdf.loc[pdf.index.repeat(2)].reset_index(drop=True)
+            out["cell"] = cl[top2.ravel()]
+            yield out[["vec_id", "embedding", "cell"]]
+
+    probed = e.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, embedding array<float>, cell int")
+
+    k = 20
+
+    def cell_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["v1", "v2", "cos_sim"])
+        M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+        nm = np.sqrt((M * M).sum(1))
+        S = np.floor((M @ M.T) / np.outer(nm, nm) * 10000 + 0.5) / 10000
+        ids = pdf.vec_id.to_numpy()
+        ii, jj = np.triu_indices(len(ids), 1)
+        vals = S[ii, jj]
+        if len(vals) > k:
+            thresh = np.partition(vals, len(vals) - k)[len(vals) - k]
+            keep = vals >= thresh
+            ii, jj, vals = ii[keep], jj[keep], vals[keep]
+        order = np.lexsort((ids[jj], ids[ii], -vals))[:k]
+        return pd.DataFrame({
+            "v1": ids[ii[order]], "v2": ids[jj[order]], "cos_sim": vals[order]})
+
+    return (
+        probed.groupBy("cell")
+        .applyInPandas(cell_topk, "v1 long, v2 long, cos_sim double")
+        .groupBy("v1", "v2").agg(F.max("cos_sim").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "v1", "v2")
+        .limit(k)
+    )
+
+
+@query("q_text_tokens_regex", oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+           AS n_distinct_tokens,
+       {sql_rnd("len(string_split(text, ' '))"
+               " / CAST(len(regexp_extract_all(text,"
+               " '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)", 6)} AS words_per_token
+FROM documents
+WHERE len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) > 0
+""")
+def q_text_tokens_regex(spark, sf):
+    """BPE-ish tokenizer counting: a regex lexer (letter runs, digit
+    runs, single punctuation) instead of whitespace split — the
+    subword-style token accounting a training-data pipeline reports."""
+    d = load_tables(spark, sf)["documents"]
+    toks = F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    t = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    ).filter(F.col("n_tokens") > 0)
+    return t.select(
+        "doc_id", "n_tokens", "n_distinct_tokens",
+        rnd(F.col("n_words") / F.col("n_tokens").cast("double"), 6)
+            .alias("words_per_token"),
+    )

@@ -26,7 +26,8 @@ def test_every_key_has_oracle_or_reason():
     no_oracle = sorted(set(QUERIES) - set(ORACLE))
     # rows-only keys must be a deliberate, short list
     assert no_oracle == [
-        "q_agg_approx_distinct", "q_sim_lsh_topk", "q_sink_roundtrip",
+        "q_agg_approx_distinct", "q_sim_ivf_topk", "q_sim_lsh_topk",
+        "q_sink_roundtrip",
     ]
 
 
@@ -36,3 +37,17 @@ def test_entry_contract(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_ann_paths_recall(spark):
+    """The bucketed ANN paths (LSH, IVF) recover a meaningful share of
+    the exact brute-force top-20 — on random synthetic embeddings
+    (near-uniform similarity, the hardest case for ANN) deterministic
+    recall floors hold."""
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.v1, r.v2) for r in QUERIES["q_sim_topk"](spark, sf).collect()}
+    ivf = {(r.v1, r.v2) for r in QUERIES["q_sim_ivf_topk"](spark, sf).collect()}
+    lsh = {(r.v1, r.v2) for r in QUERIES["q_sim_lsh_topk"](spark, sf).collect()}
+    assert len(exact) == 20
+    assert len(exact & ivf) >= 4
+    assert len(exact & lsh) >= 2
