@@ -19,15 +19,28 @@ TABLES = [
 _CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
+_LAST_REGISTERED: dict[int, str] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load all driver tables as DataFrames and register temp views."""
-    key = (id(spark), sf_dir.rstrip("/"))
+    """Load all driver tables as DataFrames and register temp views.
+
+    Memoized per (session, sf_dir); if this session last registered
+    views for a *different* sf_dir, the views are re-pointed so
+    SQL-text queries always read the requested scale.
+    """
+    sf = sf_dir.rstrip("/")
+    key = (id(spark), sf)
     if key in _CACHE:
+        if _LAST_REGISTERED.get(id(spark)) != sf:
+            for t, df in _CACHE[key].items():
+                df.createOrReplaceTempView(t)
+            _LAST_REGISTERED[id(spark)] = sf
         return _CACHE[key]
     configure(spark)
     dfs: dict[str, DataFrame] = {}
     for t in TABLES:
-        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet")
+        df = spark.read.parquet(f"{sf}/{t}.parquet")
         if t == "events":
             # raw column is bigint nanoseconds (legacy.parquet.nanosAsLong);
             # truncate to microseconds — matches DuckDB epoch_ns(ts)//1000.
@@ -37,6 +50,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         dfs[t] = df
         df.createOrReplaceTempView(t)
     _CACHE[key] = dfs
+    _LAST_REGISTERED[id(spark)] = sf
     return dfs
 
 
