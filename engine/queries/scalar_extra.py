@@ -1,0 +1,156 @@
+"""Second tranche of scalar/array/struct coverage: array set
+operations, struct access, date-sequence generation, regex rewriting,
+boolean aggregates, null-aware first/last.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from ..io import load_tables
+from ..registry import query
+from .util import rnd, sql_rnd
+
+
+@query("q_array_setops", oracle="""
+WITH t AS (
+    SELECT o_orderkey,
+           [o_orderkey % 5, o_orderkey % 7, o_orderkey % 11] AS a,
+           [o_orderkey % 3, o_orderkey % 7] AS b
+    FROM orders)
+SELECT o_orderkey,
+       len(list_distinct(list_concat(a, b))) AS n_union,
+       len(list_distinct(list_intersect(a, b))) AS n_intersect,
+       len(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS n_except,
+       list_contains(a, 1) AS has_one,
+       len(list_distinct(a)) AS n_distinct_a
+FROM t
+""")
+def q_array_setops(spark, sf):
+    o = load_tables(spark, sf)["orders"]
+    a = F.array(F.col("o_orderkey") % 5, F.col("o_orderkey") % 7,
+                F.col("o_orderkey") % 11)
+    b = F.array(F.col("o_orderkey") % 3, F.col("o_orderkey") % 7)
+    return o.select(
+        "o_orderkey",
+        F.size(F.array_union(a, b)).alias("n_union"),
+        F.size(F.array_intersect(a, b)).alias("n_intersect"),
+        F.size(F.array_except(a, b)).alias("n_except"),
+        F.array_contains(a, 1).alias("has_one"),
+        F.size(F.array_distinct(a)).alias("n_distinct_a"),
+    )
+
+
+@query("q_struct_funcs", oracle=f"""
+SELECT c_custkey,
+       c_name AS s_name,
+       {sql_rnd('c_acctbal')} AS s_bal,
+       (c_acctbal > 5000) AS s_rich
+FROM customer
+""")
+def q_struct_funcs(spark, sf):
+    """Nested struct build + field access; output flat scalars so the
+    oracle compares plain columns."""
+    c = load_tables(spark, sf)["customer"]
+    s = F.struct(
+        F.col("c_name").alias("name"),
+        rnd("c_acctbal").alias("bal"),
+        (F.col("c_acctbal") > 5000).alias("rich"),
+    )
+    return c.select(
+        "c_custkey",
+        s.getField("name").alias("s_name"),
+        s.getField("bal").alias("s_bal"),
+        s.getField("rich").alias("s_rich"),
+    )
+
+
+@query("q_sequence_dates", oracle="""
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE) + to_days(CAST(7 * i AS INT)),
+                '%Y-%m-%d') AS followup
+FROM orders, generate_series(0, 2) AS t(i)
+WHERE o_orderkey % 500 = 0
+""")
+def q_sequence_dates(spark, sf):
+    """Date-sequence generation + explode (schedule expansion)."""
+    o = load_tables(spark, sf)["orders"]
+    return (
+        o.filter(F.col("o_orderkey") % 500 == 0)
+        .select("o_orderkey", "o_orderdate",
+                F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"))
+        .select(
+            "o_orderkey",
+            F.date_format(
+                F.date_add(F.col("o_orderdate").cast("date"),
+                           (F.col("i") * 7).cast("int")),
+                "yyyy-MM-dd").alias("followup"),
+        )
+    )
+
+
+@query("q_regexp_funcs", oracle=r"""
+SELECT p_partkey,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_cheap_tier,
+       len(regexp_extract_all(p_name, '[a-z]+')) AS n_runs
+FROM part
+""")
+def q_regexp_funcs(spark, sf):
+    p = load_tables(spark, sf)["part"]
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_cheap_tier"),
+        F.size(F.expr("regexp_extract_all(p_name, '[a-z]+', 0)")).alias("n_runs"),
+    )
+
+
+@query("q_agg_bool", oracle="""
+SELECT l_returnflag,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_discount > 0.09) AS any_big_discount,
+       count(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+       max(l_linenumber) AS max_line
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_agg_bool(spark, sf):
+    li = load_tables(spark, sf)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_taxfree"),
+        F.max("l_linenumber").alias("max_line"),
+    )
+
+
+@query("q_first_last_ignorenulls", oracle="""
+WITH t AS (
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN o_orderkey END AS finished_key
+    FROM orders)
+SELECT o_custkey,
+       min(finished_key) AS first_finished,
+       max(finished_key) AS last_finished,
+       count(finished_key) AS n_finished
+FROM t GROUP BY o_custkey
+""")
+def q_first_last_ignorenulls(spark, sf):
+    """first/last with ignorenulls over an ordered window — expressed
+    so the oracle's order-insensitive min/max/count agree exactly."""
+    o = load_tables(spark, sf)["orders"]
+    fk = F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))
+    w = (W.partitionBy("o_custkey").orderBy("o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return (
+        o.select(
+            "o_custkey",
+            F.first(fk, ignorenulls=True).over(w).alias("first_finished"),
+            F.last(fk, ignorenulls=True).over(w).alias("last_finished"),
+            F.count(fk).over(w).alias("n_finished"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("first_finished").alias("first_finished"),
+             F.max("last_finished").alias("last_finished"),
+             F.max("n_finished").alias("n_finished"))
+    )

@@ -21,6 +21,7 @@ _MODULES = [
     "engine.queries.setops",
     "engine.queries.relational_extra",
     "engine.queries.scalar_funcs",
+    "engine.queries.scalar_extra",
     "engine.queries.events",
     "engine.queries.llm",
     "engine.queries.multimodal",
