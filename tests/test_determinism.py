@@ -1,0 +1,38 @@
+"""Metamorphic determinism (SURVEY.md §5.3): results must be invariant
+to physical partitioning. Every hash-checked query already rounds /
+exact-sums so that partial-aggregation order can't leak into values;
+this test re-executes representative keys under a different shuffle
+partitioning and requires bit-identical results.
+"""
+import pytest
+
+from engine.registry import QUERIES, load_all
+
+load_all()
+
+KEYS = [
+    "q_agg_pricing_summary",   # money sums (scaled-BIGINT exactness)
+    "q_window_rank",           # window with tie-broken total order
+    "q_stitch_3d",             # float weight aggregate
+    "q_dedup_fuzzy_minhash",   # banded self-join
+    "q_sim_topk",              # applyInPandas GEMM + global cut
+    "q_event_dedup_first",     # row_number dedup
+]
+
+
+def _rows(spark, key, parts):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        df = QUERIES[key](spark, "/root/testdata/sf0.001")
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(r[c] for c in cols) for r in df.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_partitioning_invariance(spark, key):
+    assert _rows(spark, key, 5) == _rows(spark, key, 32)
