@@ -370,9 +370,8 @@ def q_local_affine_blend(spark, sf):
     g = _axes(spark, ("x", 24), ("y", 4), ("z", 4)).select(
         "x", "y", "z",
         F.expr("x div 8").alias("b"), (F.col("x") % 8).alias("j"))
-    offs = spark.range(3).select((F.col("id") - 1).alias("d"))
     c = (
-        g.crossJoin(F.broadcast(offs))
+        g.select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("d"))
         .filter(
             (F.col("d") == 0)
             | ((F.col("d") == -1) & (F.col("j") < 2) & (F.col("b") >= 1))
@@ -381,18 +380,22 @@ def q_local_affine_blend(spark, sf):
             f"CASE d WHEN 0 THEN {_BW['own']} "
             f"WHEN -1 THEN {_BW['left']} ELSE {_BW['right']} END"))
     )
-    aff = spark.createDataFrame(_BLEND_AFFINES, list(_AFF_COLS))
-    f = c.join(F.broadcast(aff), F.col("nb") == F.col("b") + F.col("d")).select(
+    # the per-neighbor affine is a 3-entry lookup — inline it as CASE
+    # expressions on nb = b + d (constant-folds; no join, no broadcast)
+    coef = {
+        name: "CASE b + d " + " ".join(
+            f"WHEN {row[0]} THEN {row[1 + i]!r}e0"
+            for row in _BLEND_AFFINES) + " END"
+        for i, name in enumerate(_AFF_COLS[1:])
+    }
+    f = c.select(
         "x", "y", "z", "w",
-        (F.col("w") * ((F.col("a00") * F.col("x") + F.col("a01") * F.col("y")
-                        + F.col("a02") * F.col("z") + F.col("a03")) - F.col("x"))
-         ).alias("wdx"),
-        (F.col("w") * ((F.col("a10") * F.col("x") + F.col("a11") * F.col("y")
-                        + F.col("a12") * F.col("z") + F.col("a13")) - F.col("y"))
-         ).alias("wdy"),
-        (F.col("w") * ((F.col("a20") * F.col("x") + F.col("a21") * F.col("y")
-                        + F.col("a22") * F.col("z") + F.col("a23")) - F.col("z"))
-         ).alias("wdz"),
+        F.expr(f"w * ((({coef['a00']}) * x + ({coef['a01']}) * y"
+               f" + ({coef['a02']}) * z + ({coef['a03']})) - x)").alias("wdx"),
+        F.expr(f"w * ((({coef['a10']}) * x + ({coef['a11']}) * y"
+               f" + ({coef['a12']}) * z + ({coef['a13']})) - y)").alias("wdy"),
+        F.expr(f"w * ((({coef['a20']}) * x + ({coef['a21']}) * y"
+               f" + ({coef['a22']}) * z + ({coef['a23']})) - z)").alias("wdz"),
     )
     return (
         f.filter(F.col("x") < 20)
