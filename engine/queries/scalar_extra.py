@@ -154,3 +154,70 @@ def q_first_last_ignorenulls(spark, sf):
              F.max("last_finished").alias("last_finished"),
              F.max("n_finished").alias("n_finished"))
     )
+
+
+@query("q_bitwise_ops", oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & 255 AS low_byte,
+       l_orderkey | 15  AS or_15,
+       xor(l_orderkey, l_partkey) AS keys_xor,
+       l_linenumber << 3 AS shl3,
+       l_orderkey >> 2  AS shr2
+FROM lineitem
+WHERE l_orderkey % 250 = 0
+""")
+def q_bitwise_ops(spark, sf):
+    li = load_tables(spark, sf)["lineitem"]
+    return (
+        li.filter(F.col("l_orderkey") % 250 == 0)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_orderkey").bitwiseAND(255).alias("low_byte"),
+            F.col("l_orderkey").bitwiseOR(15).alias("or_15"),
+            F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("keys_xor"),
+            F.expr("shiftleft(l_linenumber, 3)").alias("shl3"),
+            F.expr("shiftright(l_orderkey, 2)").alias("shr2"),
+        )
+    )
+
+
+@query("q_string_agg", oracle="""
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def q_string_agg(spark, sf):
+    """Ordered string aggregation: collect_list + array_sort +
+    array_join gives a deterministic concatenation regardless of
+    partitioning (bare listagg order is partition-dependent)."""
+    t = load_tables(spark, sf)
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+              .alias("nations"))
+    )
+
+
+@query("q_percentile_disc", oracle=f"""
+SELECT l_returnflag,
+       {sql_rnd('quantile_disc(l_quantity, 0.25)')} AS q25,
+       {sql_rnd('quantile_disc(l_quantity, 0.75)')} AS q75,
+       {sql_rnd('quantile_disc(l_extendedprice, 0.5)')} AS med_price
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_percentile_disc(spark, sf):
+    """Discrete percentiles (an actual data value, no interpolation) —
+    deterministic across engines, unlike approximate sketches."""
+    li = load_tables(spark, sf)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)"))
+            .alias("q25"),
+        rnd(F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)"))
+            .alias("q75"),
+        rnd(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"))
+            .alias("med_price"),
+    )
