@@ -49,11 +49,16 @@ def canon(rows, cols):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv):
-        if a == "--sf":
-            sf = sys.argv[i + 1]
+    argv, args, sf = sys.argv[1:], [], "/root/testdata/sf0.01"
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf":
+            sf = argv[i + 1]
+            i += 2
+        else:
+            if not argv[i].startswith("--"):
+                args.append(argv[i])
+            i += 1
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as E

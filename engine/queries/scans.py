@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..io import TABLES, load_tables
 from ..registry import query
-from .util import rnd, sql_rnd
+from .util import hex32_sql, hexpoly_sql, rnd, sql_rnd
 
 
 @query("q_scan_project", oracle=f"""
@@ -113,4 +113,23 @@ def q_project_compute(spark, sf):
         rnd(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
         F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
         F.col("l_quantity").cast("int").alias("qty_int"),
+    )
+
+
+@query("q_sample_hash", oracle=f"""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE {hex32_sql("concat(l_orderkey, '#', l_linenumber)")} % 100 < 10
+""")
+def q_sample_hash(spark, sf):
+    """Deterministic ~10% sample via content hashing — unlike
+    TABLESAMPLE this is reproducible across engines, runs, and
+    partitionings (the property a training-data pipeline needs for
+    stable held-out splits)."""
+    li = load_tables(spark, sf)["lineitem"]
+    h = F.expr(hexpoly_sql("md5(concat(l_orderkey, '#', l_linenumber))"))
+    return (
+        li.withColumn("_h", h)
+        .filter(F.col("_h") % 100 < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
     )
