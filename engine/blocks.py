@@ -178,8 +178,17 @@ def local_affines_to_field(
         spark.range(g[0]).select(F.col("id").alias("bx"))
         .crossJoin(spark.range(g[1]).select(F.col("id").alias("by")))
         .crossJoin(spark.range(g[2]).select(F.col("id").alias("bz")))
-        .repartition(max(32, g[0] * g[1] * g[2] // 4), "bx", "by", "bz")
     )
+    if shape is not None:
+        # crop-aware block pruning (the R7 crop, local_affine.py:136):
+        # blocks entirely past `shape` are never computed — the
+        # fine-grained trim happens in field_to_voxels
+        blocks = blocks.filter(
+            (F.col("bx") * bs[0] < int(shape[0]))
+            & (F.col("by") * bs[1] < int(shape[1]))
+            & (F.col("bz") * bs[2] < int(shape[2])))
+    blocks = blocks.repartition(
+        max(32, g[0] * g[1] * g[2] // 4), "bx", "by", "bz")
 
     def fn(batches):
         aff = bcast.value

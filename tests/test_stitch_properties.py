@@ -217,3 +217,89 @@ def test_block_path_equals_voxel_path_blend(spark):
     for r in vox:
         got = np.floor(r.v * 1e6 + 0.5) / 1e6
         assert got == pytest.approx(voxel[(r.x, r.y, r.z)][r.c], abs=2e-6)
+
+
+def test_reference_off_by_one_documented():
+    """Empirically pin the documented divergence (SURVEY §2.1-R6): a
+    literal re-implementation of the reference's low-side weight
+    lookup (local_affine.py:85-88 — weight slice(o, 0, -1) against an
+    array whose pads are o' = 2o-1 wide) over-weights the first `o`
+    planes of a non-first block: own + left-neighbor weight sums reach
+    2, 4/3, 6/5 for overlap 1, 2, 3. The engine's normalized blend
+    divides these out (test_uniform_affine_consistency proves the
+    fixed invariant)."""
+    expected = {1: 2.0, 2: 4 / 3, 3: 6 / 5}
+    bs, grid, b = 16, 3, 1  # interior block
+    for o, worst in expected.items():
+        W = merge_axis_weights(b, grid, bs, o)
+        # literal reference indexing for plane j of the low slab:
+        # own weight W[j+o], left-neighbor weight W[o-j] (mirrored
+        # slice(o, 0, -1)) — reference local_affine.py:86-88
+        sums = [W[j + o] + W[o - j] for j in range(o)]
+        assert max(sums) == pytest.approx(worst, abs=1e-12)
+        # high side is exactly a partition of unity in the reference
+        op = max(0, 2 * o - 1)
+        hi_sums = [
+            W[j + o] + W[2 * bs + op - o - j]
+            for j in range(bs - o, bs)
+        ]
+        assert all(s == pytest.approx(1.0, abs=1e-12) for s in hi_sums)
+
+
+def test_blend_matches_numpy_oracle(spark):
+    """Independent numpy re-computation of the normalized blend for a
+    random affine grid — the block path must agree to float64."""
+    rng = np.random.default_rng(7)
+    g, bs, o = (3, 2, 1), (6, 4, 4), (2, 1, 1)
+    aff = _identity_affines(g)
+    aff[..., :3, :] += rng.normal(scale=0.05, size=g + (3, 4))
+    sp = (1.5, 1.0, 2.0)
+    df = local_affines_to_field(spark, aff, bs, o, sp)
+    from itertools import product as iproduct
+
+    from engine.blocks import merge_axis_weights as mw
+    for row in df.collect():
+        b = (row.bx, row.by, row.bz)
+        field = np.frombuffer(row.data, dtype=np.float64).reshape(bs + (3,))
+        axes = [np.arange(b[a] * bs[a], (b[a] + 1) * bs[a]) * sp[a]
+                for a in range(3)]
+        gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+        coords = np.stack([gx, gy, gz], -1)
+        acc = np.zeros(bs + (3,))
+        wsum = np.zeros(bs)
+        for d in iproduct((-1, 0, 1), repeat=3):
+            nb = tuple(b[a] + d[a] for a in range(3))
+            if not all(0 <= nb[a] < g[a] for a in range(3)):
+                continue
+            W = [mw(b[a], g[a], bs[a], o[a]) for a in range(3)]
+            sl, wv = [], []
+            for a in range(3):
+                oa, opa = o[a], max(0, 2 * o[a] - 1)
+                if d[a] == 0:
+                    sl.append(slice(None))
+                    wv.append(W[a][oa:oa + bs[a]])
+                elif d[a] == -1:
+                    sl.append(slice(0, oa))
+                    wv.append(W[a][oa - np.arange(oa)])
+                else:
+                    sl.append(slice(bs[a] - oa, bs[a]))
+                    j = np.arange(bs[a] - oa, bs[a])
+                    wv.append(W[a][2 * bs[a] + opa - oa - j])
+            w3 = wv[0][:, None, None] * wv[1][None, :, None] * wv[2][None, None, :]
+            m = aff[nb]
+            sub = coords[tuple(sl)]
+            vec = sub @ m[:3, :3].T + m[:3, 3] - sub
+            acc[tuple(sl)] += vec * w3[..., None]
+            wsum[tuple(sl)] += w3
+        assert np.allclose(field, acc / wsum[..., None], atol=1e-12)
+
+
+def test_crop_prunes_whole_blocks(spark):
+    """shape= prunes blocks wholly outside the crop before any
+    compute (partition pruning for the R7 crop)."""
+    g, bs, o = (3, 1, 1), (4, 4, 4), (1, 1, 1)
+    aff = _identity_affines(g)
+    full = local_affines_to_field(spark, aff, bs, o, (1, 1, 1))
+    pruned = local_affines_to_field(spark, aff, bs, o, (1, 1, 1), shape=(3, 4, 4))
+    assert full.count() == 3
+    assert pruned.count() == 1
