@@ -16,6 +16,7 @@ ORACLE: dict[str, str] = {}
 _MODULES = [
     "engine.queries.scans",
     "engine.queries.joins",
+    "engine.queries.bucketed",
     "engine.queries.aggregates",
     "engine.queries.windows",
     "engine.queries.setops",
