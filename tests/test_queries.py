@@ -51,3 +51,16 @@ def test_ann_paths_recall(spark):
     assert len(exact) == 20
     assert len(exact & ivf) >= 4
     assert len(exact & lsh) >= 2
+
+
+_HASH_SAFE_TYPES = {"bigint", "int", "smallint", "double", "string", "boolean"}
+
+
+@pytest.mark.parametrize("key", sorted(QUERIES))
+def test_output_types_hash_safe(spark, sf_dir, key):
+    """Every declared output column is a primitive type that Spark and
+    DuckDB stringify identically — decimals, timestamps, and nested
+    types never reach the driver's value hash."""
+    df = QUERIES[key](spark, sf_dir)
+    odd = [(c, t) for c, t in df.dtypes if t not in _HASH_SAFE_TYPES]
+    assert not odd, f"{key}: non-primitive output columns {odd}"
