@@ -19,6 +19,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
+# Keys already driver-verified green in CORRECTNESS_r02.json (47 hash-green +
+# 2 rows-only-by-design).  The driver's correctness gate covers the first 50
+# keys in dict order per round, so these rotate to the BACK of the dict and
+# the 43 keys without a driver row yet — plus the re-fixed q_agg_distinct and
+# any newly added keys — fill the front of the window.
+_R02_GREEN = [
+    "q_scan_project", "q_scan_count_all", "q_source_range",
+    "q_sink_roundtrip", "q_filter_pred", "q_project_compute",
+    "q_sample_hash", "q_join_inner", "q_join_broadcast", "q_join_left",
+    "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
+    "q_join_theta_range", "q_join_asof", "q_join_interval",
+    "q_join_bucketed", "q_agg_pricing_summary", "q_agg_having",
+    "q_agg_approx_distinct", "q_agg_rollup", "q_agg_cube",
+    "q_agg_grouping_sets", "q_agg_stats", "q_window_rank",
+    "q_window_lag_lead", "q_window_frame_rows", "q_window_frame_range",
+    "q_window_analytic", "q_window_running_total", "q_topk_orders",
+    "q_limit_offset", "q_union_all", "q_union_distinct", "q_intersect",
+    "q_except", "q_pivot", "q_unpivot", "q_subquery_scalar",
+    "q_subquery_exists", "q_subquery_in", "q_cte_chain", "q_null_handling",
+    "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_conditional",
+    "q_cast_types",
+]
+
+
+def _rotated(keys) -> list[str]:
+    """Unverified-first key order (relative registration order preserved)."""
+    green = set(_R02_GREEN)
+    front = [k for k in keys if k not in green]
+    back = [k for k in keys if k in green]
+    return front + back
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001."""
@@ -35,7 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from engine import registry
 
     registry.load_all()
-    return dict(registry.QUERIES)
+    return {k: registry.QUERIES[k] for k in _rotated(registry.QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -43,4 +74,4 @@ def oracle_sql() -> dict[str, str]:
     from engine import registry
 
     registry.load_all()
-    return dict(registry.ORACLE)
+    return {k: registry.ORACLE[k] for k in _rotated(registry.ORACLE)}

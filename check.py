@@ -48,6 +48,39 @@ def canon(rows, cols):
     return out, [cols[i] for i in order]
 
 
+# Wire-type families that serialize identically for equal values across the
+# two engines (Spark simpleString ↔ DuckDB type).  Anything outside this map
+# — e.g. DuckDB HUGEINT or an unexpectedly widened DECIMAL vs Spark BIGINT —
+# is exactly the class of mismatch that the driver's serialized value-hash
+# catches while a float-normalizing python comparison does not
+# (seen: q_agg_distinct in CORRECTNESS_r02).
+_TYPE_OK = {
+    # int-width differences are tolerated by the driver's hash: q_window_rank
+    # (Spark rank() → int, DuckDB rank() → BIGINT) was hash-green in r02.
+    # HUGEINT / widened DECIMAL are NOT (q_agg_distinct was hash-red).
+    ("int", "BIGINT"), ("bigint", "INTEGER"),
+    ("bigint", "BIGINT"), ("int", "INTEGER"), ("smallint", "SMALLINT"),
+    ("tinyint", "TINYINT"), ("double", "DOUBLE"), ("float", "FLOAT"),
+    ("string", "VARCHAR"), ("boolean", "BOOLEAN"), ("date", "DATE"),
+    ("timestamp", "TIMESTAMP"), ("timestamp_ntz", "TIMESTAMP"),
+    ("timestamp", "TIMESTAMP_NS"), ("timestamp_ntz", "TIMESTAMP_NS"),
+}
+
+
+def type_mismatches(sschema, dcols, dtypes):
+    """(col, spark_type, duck_type) triples that risk a driver hash miss."""
+    dmap = {c: str(t) for c, t in zip(dcols, dtypes)}
+    bad = []
+    for f in sschema.fields:
+        st, dt = f.dataType.simpleString(), dmap.get(f.name)
+        if dt is None:
+            continue
+        if (st, dt) in _TYPE_OK or st.upper() == dt:
+            continue
+        bad.append((f.name, st, dt))
+    return bad
+
+
 def main():
     argv, args, sf = sys.argv[1:], [], "/root/testdata/sf0.01"
     i = 0
@@ -89,11 +122,16 @@ def main():
             rows_only += 1
             continue
         try:
-            res = con.execute(oracles[k])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[k])
+            dcols, dtypes = rel.columns, rel.types
+            drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {k}: DUCKDB ERROR {type(e).__name__}: {str(e)[:400]}")
+            failed += 1
+            continue
+        tbad = type_mismatches(df.schema, dcols, dtypes)
+        if tbad:
+            print(f"FAIL {k}: wire-type mismatch {tbad}")
             failed += 1
             continue
         if len(srows) != len(drows):

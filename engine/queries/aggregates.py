@@ -74,7 +74,7 @@ def q_agg_having(spark, sf):
 SELECT c_mktsegment,
        count(DISTINCT o_custkey) AS n_cust,
        count(*) AS n_orders,
-       sum(DISTINCT c_nationkey) AS sum_nk
+       CAST(sum(DISTINCT c_nationkey) AS BIGINT) AS sum_nk
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """)

@@ -17,8 +17,8 @@ from ..registry import query
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        ascii(text) AS first_cp,
-       list_sum(list_transform(string_split_regex(text, ''),
-                c -> ascii(c))) AS checksum
+       CAST(list_sum(list_transform(string_split_regex(text, ''),
+                c -> ascii(c))) AS BIGINT) AS checksum
 FROM documents
 """)
 def q_multimodal_meta(spark, sf):

@@ -266,7 +266,7 @@ contrib AS (
     FROM blocks,
          generate_series(-1, 1) AS o1(dx), generate_series(-1, 1) AS o2(dy),
          generate_series(-1, 1) AS o3(dz))
-SELECT tbx, tby, tbz, sum(c) AS halo_total
+SELECT tbx, tby, tbz, CAST(sum(c) AS BIGINT) AS halo_total
 FROM contrib
 WHERE tbx BETWEEN 0 AND 2 AND tby BETWEEN 0 AND 2 AND tbz BETWEEN 0 AND 2
 GROUP BY tbx, tby, tbz
