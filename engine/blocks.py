@@ -75,11 +75,16 @@ def weight_blocks(df: DataFrame, blocksize, overlap, grid) -> DataFrame:
     ext = tuple(bs[a] + 2 * o[a] for a in range(3))
 
     def fn(batches):
+        # The trapezoid depends on a block index only through "is this
+        # the first / last block of the axis", so cache per boundary
+        # class (≤27 entries) rather than per block — a per-block key
+        # grows without bound within a task at large grids.
         cache: dict[tuple, np.ndarray] = {}
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                key = (row.bx, row.by, row.bz)
+                b = (row.bx, row.by, row.bz)
+                key = tuple((b[a] == 0, b[a] == g[a] - 1) for a in range(3))
                 if key not in cache:
                     w = (
                         axis_weights(row.bx, g[0], bs[0], o[0])[:, None, None]

@@ -7,6 +7,8 @@ the ~70 query callables don't re-read parquet footers.
 """
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .session import configure
@@ -16,10 +18,13 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
-
-
-_LAST_REGISTERED: dict[int, str] = {}
+# Keyed by a weak session reference so entries die with the session —
+# an id(spark) key can be recycled by a later session and would then
+# hand out DataFrames bound to a stopped SparkContext.
+_CACHE: weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]] \
+    = weakref.WeakKeyDictionary()
+_LAST_REGISTERED: weakref.WeakKeyDictionary[SparkSession, str] \
+    = weakref.WeakKeyDictionary()
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -30,13 +35,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     SQL-text queries always read the requested scale.
     """
     sf = sf_dir.rstrip("/")
-    key = (id(spark), sf)
-    if key in _CACHE:
-        if _LAST_REGISTERED.get(id(spark)) != sf:
-            for t, df in _CACHE[key].items():
+    per_session = _CACHE.setdefault(spark, {})
+    if sf in per_session:
+        if _LAST_REGISTERED.get(spark) != sf:
+            for t, df in per_session[sf].items():
                 df.createOrReplaceTempView(t)
-            _LAST_REGISTERED[id(spark)] = sf
-        return _CACHE[key]
+            _LAST_REGISTERED[spark] = sf
+        return per_session[sf]
     configure(spark)
     dfs: dict[str, DataFrame] = {}
     for t in TABLES:
@@ -49,8 +54,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             )
         dfs[t] = df
         df.createOrReplaceTempView(t)
-    _CACHE[key] = dfs
-    _LAST_REGISTERED[id(spark)] = sf
+    per_session[sf] = dfs
+    _LAST_REGISTERED[spark] = sf
     return dfs
 
 

@@ -12,6 +12,7 @@ tests/test_bucketed.py.
 """
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -30,7 +31,12 @@ def prepare_bucketed(spark, sf: str, buckets: int = 8) -> str:
     key = (id(spark), sf)
     if key in _prepared:
         return _prepared[key]
-    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    # Tag carries a digest of the FULL path: two sf dirs with the same
+    # basename must not share table names, or the second prepare would
+    # silently repoint the first's cached tag at wrong-scale data.
+    full = os.path.abspath(sf.rstrip("/"))
+    digest = hashlib.md5(full.encode()).hexdigest()[:8]
+    tag = f'{os.path.basename(full).replace(".", "_")}_{digest}'
     wh = tempfile.mkdtemp(prefix=f"engine_buckets_{tag}_")
     t = load_tables(spark, sf)
     for name, df, k in (

@@ -249,7 +249,10 @@ def q_sim_topk(spark, sf):
     import pandas as pd
 
     e = load_tables(spark, sf)["embeddings"]
-    C = 8
+    # Chunk count derived from the data so per-task GEMM size stays
+    # bounded (~1k rows/chunk) instead of growing linearly with n.
+    n = e.count()
+    C = max(2, -(-n // 1024))
     v = e.select("vec_id", "embedding", (F.col("vec_id") % C).alias("chunk"))
     chunks = spark.range(C).select(F.col("id").alias("c1"))
     pairs = (
@@ -279,7 +282,23 @@ def q_sim_topk(spark, sf):
         else:  # disjoint chunks: every (a, b) pair
             ii, jj = np.divmod(np.arange(len(ia) * len(ib)), len(ib))
         vals = S[ii, jj]
-        if len(vals) > k:  # exact top-k cut incl. quantized ties
+        if len(vals) > k:
+            # preselect on the GEMM values with a one-quantum margin:
+            # blocked GEMM summation order can differ from a sequential
+            # fold in the last ulp, which the margin absorbs
+            thresh = np.partition(vals, len(vals) - k)[len(vals) - k]
+            keep = vals >= thresh - 1e-4
+            ii, jj, vals = ii[keep], jj[keep], vals[keep]
+        # recompute survivors with a strict left-to-right float64 fold
+        # (element i ascending) — the same order as the oracle's
+        # per-element sum, so the quantized value is deterministic and
+        # engine-independent; cost is O(survivors · d), negligible
+        prod = MA[ii] * MB[jj]
+        dots = np.zeros(len(prod))
+        for t in range(prod.shape[1]):
+            dots += prod[:, t]
+        vals = np.floor(dots / (na[ii] * nb[jj]) * 10000 + 0.5) / 10000
+        if len(vals) > k:
             thresh = np.partition(vals, len(vals) - k)[len(vals) - k]
             keep = vals >= thresh
             ii, jj, vals = ii[keep], jj[keep], vals[keep]
@@ -576,27 +595,50 @@ def q_text_fingerprint(spark, sf):
 
 @query("q_sim_ivf_topk")  # rows-only: IVF recall is engine-defined, not SQL
 def q_sim_ivf_topk(spark, sf):
-    """IVF-style ANN: a coarse quantizer (the 10 per-label centroids,
-    learned with one aggregate) partitions vectors into cells; each
-    query vector probes its top-2 nearest cells and ranks only those
-    candidates. At 100 TB this is the index-then-probe layout —
-    centroids broadcast, one shuffle on cell id, GEMM per cell pair —
-    with nprobe trading recall for cost."""
+    """IVF-style ANN: a coarse quantizer of nlist ≈ √n centroids
+    (one k-means iteration from deterministic Forgy seeds) partitions
+    vectors into cells; each query vector probes its top-2 nearest
+    cells and ranks only those candidates. At 100 TB this is the
+    index-then-probe layout — centroids broadcast, one shuffle on
+    cell id, GEMM per cell — with nlist growing √n so cells stay
+    O(√n)-sized, and nprobe trading recall for cost."""
     import numpy as np
     import pandas as pd
 
     e = load_tables(spark, sf)["embeddings"]
-    x = e.select(
-        "label", "vec_id", F.posexplode("embedding").alias("i", "vf"))
+    n = e.count()
+    nlist = max(4, int(n ** 0.5 / 2))
+    # Forgy seeds: the nlist lowest vec_ids (deterministic); then one
+    # Lloyd step — assign every vector to its nearest seed, average
+    # per cell — gives the coarse codebook. Both collects are
+    # index-sized (nlist × 64 doubles), never data-sized.
+    seeds = np.stack([
+        np.asarray(r.embedding, dtype=np.float64)
+        for r in e.select("embedding").orderBy("vec_id").limit(nlist).collect()
+    ])
+    sb = spark.sparkContext.broadcast(
+        (seeds, np.sqrt((seeds * seeds).sum(1))))
+
+    def seed_assign(batches):
+        S, ns = sb.value
+        for pdf in batches:
+            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+            nm = np.sqrt((M * M).sum(1))
+            cell = np.argmax((M @ S.T) / np.outer(nm, ns), axis=1)
+            yield pd.DataFrame({"cell0": cell, "emb": list(pdf.embedding)})
+
+    half = e.select("embedding").mapInPandas(
+        seed_assign, "cell0 int, emb array<float>")
     cents = (
-        x.groupBy("label", "i").agg(F.avg(F.col("vf").cast("double")).alias("c"))
-        .groupBy("label")
+        half.select("cell0", F.posexplode("emb").alias("i", "vf"))
+        .groupBy("cell0", "i").agg(F.avg(F.col("vf").cast("double")).alias("c"))
+        .groupBy("cell0")
         .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("sc"))
-        .select("label", F.expr("transform(sc, s -> s.c)").alias("centroid"))
+        .select("cell0", F.expr("transform(sc, s -> s.c)").alias("centroid"))
     )
-    cent_rows = cents.collect()  # 10 rows — the coarse index itself is tiny
+    cent_rows = cents.collect()  # nlist rows — the coarse index itself
     C = np.stack([np.asarray(r.centroid) for r in cent_rows])
-    cl = np.asarray([r.label for r in cent_rows])
+    cl = np.asarray([r.cell0 for r in cent_rows])
     nc = np.sqrt((C * C).sum(1))
     bc = spark.sparkContext.broadcast((C, cl, nc))
 

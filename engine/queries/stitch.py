@@ -36,7 +36,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, functions as F
 
 from ..registry import query
-from .util import sql_rnd
+from .util import rnd, sql_rnd
 
 
 def w1d_sql(b: str, i: str, grid: int, bs: int, o: int) -> str:
@@ -249,6 +249,54 @@ def q_stitch_3d(spark, sf):
         .groupBy("x", "y", "z")
         .agg(F.expr(sql_rnd("sum(w * v)", 6)).alias("stitched"))
     )
+
+
+_STITCH3D_ORACLE = f"""
+WITH t AS (
+    SELECT bx * 8 + ix - 2 AS x, by * 8 + iy - 2 AS y, bz * 8 + iz - 2 AS z,
+           ({w1d_sql('bx', 'ix', 2, 8, 2)})
+         * ({w1d_sql('by', 'iy', 2, 8, 2)})
+         * ({w1d_sql('bz', 'iz', 2, 8, 2)}) AS w
+    FROM generate_series(0, 1) AS t1(bx), generate_series(0, 1) AS t2(by),
+         generate_series(0, 1) AS t3(bz), generate_series(0, 11) AS t4(ix),
+         generate_series(0, 11) AS t5(iy), generate_series(0, 11) AS t6(iz)),
+v AS (SELECT x, y, z, w, {_V3D} AS v FROM t)
+SELECT x, y, z, {sql_rnd('sum(w * v)', 6)} AS stitched
+FROM v
+WHERE x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15 AND z BETWEEN 0 AND 15
+GROUP BY x, y, z
+"""
+
+
+@query("q_stitch_3d_blocks", oracle=_STITCH3D_ORACLE)
+def q_stitch_3d_blocks(spark, sf):
+    """R3 on the same B2 fixture as q_stitch_3d, but through the Arrow
+    BLOCK path (engine/blocks.py: weight_blocks → keyed-fragment halo
+    shuffle → applyInPandas reassembly → voxel decode) instead of the
+    voxel SQL — so the scale path itself is oracle-verified, not just
+    pytest-equal to the voxel path. Tile payloads are the generating
+    function sampled over each chunk-with-halo extent (12³), zeros
+    outside the domain — the same contract as da.map_overlap's
+    boundary=0 fill (reference stitch.py:113-121)."""
+    import numpy as np
+
+    from ..blocks import field_to_voxels, make_tiles, stitch_blocks
+
+    bs, o, g = (8, 8, 8), (2, 2, 2), (2, 2, 2)
+    tiles = {}
+    for b in ((bx, by, bz) for bx in range(2) for by in range(2)
+              for bz in range(2)):
+        ax = [np.arange(b[a] * 8 - 2, b[a] * 8 + 10, dtype=np.float64)
+              for a in range(3)]
+        gx, gy, gz = np.meshgrid(*ax, indexing="ij")
+        # same float64 op order as the SQL fixture expression _V3D
+        v = (gx + 1) * 1.0 + (gy + 1) * 0.1 + (gz + 1) * 0.01
+        inside = ((gx >= 0) & (gx <= 15) & (gy >= 0) & (gy <= 15)
+                  & (gz >= 0) & (gz <= 15))
+        tiles[b] = np.where(inside, v, 0.0)
+    df = make_tiles(spark, tiles)
+    out = field_to_voxels(stitch_blocks(df, bs, o, g), bs, ncomp=1)
+    return out.select("x", "y", "z", rnd(F.col("v"), 6).alias("stitched"))
 
 
 # ---------------------------------------------------------------- halo shuffle
