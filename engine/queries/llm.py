@@ -316,6 +316,86 @@ def q_sim_topk(spark, sf):
     )
 
 
+@query("q_dedup_embed_cosine", oracle=f"""
+WITH x AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, 64) AS t(i)),
+nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM x GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.v * b.v) AS dot
+    FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id)
+SELECT v1, v2, cos_sim FROM (
+    SELECT v1, v2, {sql_rnd('dot / (n1.nrm * n2.nrm)')} AS cos_sim
+    FROM dots
+    JOIN nm n1 ON n1.vec_id = v1
+    JOIN nm n2 ON n2.vec_id = v2)
+WHERE cos_sim >= 0.4
+""")
+def q_dedup_embed_cosine(spark, sf):
+    """Embedding-cosine near-duplicate detection: ALL pairs whose
+    quantized cosine ≥ τ (not top-k) — the dedup flavor that catches
+    paraphrases exact/MinHash text hashing misses. Same chunked-GEMM
+    layout as q_sim_topk (each unordered pair lands in exactly one
+    chunk-pair task); at 100 TB the candidate stage is the LSH bucket
+    join of q_sim_lsh_topk, with this as the exact verifier inside
+    buckets. τ = 0.4 sits in the tail of the synthetic fixture's
+    random-vector cosine distribution (max ≈ 0.51) so the demo result
+    is small but non-empty; real corpora use ~0.95."""
+    import numpy as np
+    import pandas as pd
+
+    tau = 0.4
+    e = load_tables(spark, sf)["embeddings"]
+    n = e.count()
+    C = max(2, -(-n // 1024))
+    v = e.select("vec_id", "embedding", (F.col("vec_id") % C).alias("chunk"))
+    pairs = (
+        spark.range(C).select(F.col("id").alias("c1"))
+        .crossJoin(spark.range(C).select(F.col("id").alias("c2")))
+        .filter(F.col("c1") <= F.col("c2"))
+    )
+    rep = v.join(
+        F.broadcast(pairs),
+        (F.col("c1") == F.col("chunk")) | (F.col("c2") == F.col("chunk")))
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        c1, c2 = key
+        A = pdf[pdf.chunk == c1].sort_values("vec_id")
+        B = pdf[pdf.chunk == c2].sort_values("vec_id") if c2 != c1 else A
+        if A.empty or B.empty:
+            return pd.DataFrame(columns=["v1", "v2", "cos_sim"])
+        MA = np.stack(A.embedding.to_numpy()).astype(np.float64)
+        MB = np.stack(B.embedding.to_numpy()).astype(np.float64)
+        na = np.sqrt((MA * MA).sum(1))
+        nb = np.sqrt((MB * MB).sum(1))
+        S = (MA @ MB.T) / np.outer(na, nb)
+        ia, ib = A.vec_id.to_numpy(), B.vec_id.to_numpy()
+        if c1 == c2:
+            ii, jj = np.triu_indices(len(ia), 1)
+        else:
+            ii, jj = np.divmod(np.arange(len(ia) * len(ib)), len(ib))
+        # GEMM preselect with a one-quantum margin, then the strict
+        # element-ascending fold for the deterministic reported value
+        # (same convention as q_sim_topk)
+        keep = S[ii, jj] >= tau - 1e-4
+        ii, jj = ii[keep], jj[keep]
+        prod = MA[ii] * MB[jj]
+        dots = np.zeros(len(prod))
+        for t in range(prod.shape[1]):
+            dots += prod[:, t]
+        vals = np.floor(dots / (na[ii] * nb[jj]) * 10000 + 0.5) / 10000
+        keep = vals >= tau
+        ii, jj, vals = ii[keep], jj[keep], vals[keep]
+        va, vb = ia[ii], ib[jj]
+        return pd.DataFrame({
+            "v1": np.minimum(va, vb), "v2": np.maximum(va, vb),
+            "cos_sim": vals})
+
+    return rep.groupBy("c1", "c2").applyInPandas(
+        kernel, "v1 long, v2 long, cos_sim double")
+
+
 @query("q_sim_lsh_topk")  # rows-only: LSH recall is engine-defined, not SQL
 def q_sim_lsh_topk(spark, sf):
     """Scale path for ANN: 8-plane signed-random-projection LSH.

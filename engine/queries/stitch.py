@@ -378,8 +378,8 @@ _BW = {
 }
 
 
-@query("q_local_affine_blend", oracle=f"""
-WITH g AS (
+_BLEND_ORACLE_CORE = f"""
+g AS (
     SELECT x, y, z, x // 8 AS b, x % 8 AS j
     FROM generate_series(0, 23) AS t1(x), generate_series(0, 3) AS t2(y),
          generate_series(0, 3) AS t3(z)),
@@ -399,12 +399,19 @@ f AS (
            c.w * ((a00 * x + a01 * y + a02 * z + a03) - x) AS wdx,
            c.w * ((a10 * x + a11 * y + a12 * z + a13) - y) AS wdy,
            c.w * ((a20 * x + a21 * y + a22 * z + a23) - z) AS wdz
-    FROM c JOIN a ON a.nb = c.b + c.d)
-SELECT x, y, z,
-       {sql_rnd('sum(wdx) / sum(w)', 6)} AS dx,
-       {sql_rnd('sum(wdy) / sum(w)', 6)} AS dy,
-       {sql_rnd('sum(wdz) / sum(w)', 6)} AS dz
-FROM f WHERE x < 20 GROUP BY x, y, z
+    FROM c JOIN a ON a.nb = c.b + c.d),
+blend AS (
+    SELECT x, y, z,
+           {sql_rnd('sum(wdx) / sum(w)', 6)} AS dx,
+           {sql_rnd('sum(wdy) / sum(w)', 6)} AS dy,
+           {sql_rnd('sum(wdz) / sum(w)', 6)} AS dz
+    FROM f WHERE x < 20 GROUP BY x, y, z)
+"""
+
+
+@query("q_local_affine_blend", oracle=f"""
+WITH {_BLEND_ORACLE_CORE}
+SELECT x, y, z, dx, dy, dz FROM blend
 """)
 def q_local_affine_blend(spark, sf):
     """R6/R7 local_affines_to_field (reference local_affine.py:33-139)
@@ -453,4 +460,37 @@ def q_local_affine_blend(spark, sf):
             F.expr(sql_rnd("sum(wdy) / sum(w)", 6)).alias("dy"),
             F.expr(sql_rnd("sum(wdz) / sum(w)", 6)).alias("dz"),
         )
+    )
+
+
+@query("q_local_affine_blend_blocks", oracle=f"""
+WITH {_BLEND_ORACLE_CORE}
+SELECT x, y, z, c, CASE c WHEN 0 THEN dx WHEN 1 THEN dy ELSE dz END AS dv
+FROM blend, (VALUES (0), (1), (2)) AS t(c)
+""")
+def q_local_affine_blend_blocks(spark, sf):
+    """R6/R7 on the same fixture as q_local_affine_blend, but through
+    the Arrow BLOCK path (engine/blocks.py local_affines_to_field:
+    broadcast affines, one mapInPandas task per block, zero
+    inter-block exchange — the delayed(affines) pattern of reference
+    local_affine.py:124-133) so the blend's scale path is itself
+    driver-oracle-verified. Output is the voxel decode, one row per
+    (voxel, component c∈{0,1,2}), cropped to x < 20 (the R7 crop,
+    local_affine.py:136)."""
+    import numpy as np
+
+    from ..blocks import field_to_voxels, local_affines_to_field
+
+    aff = np.zeros((3, 1, 1, 4, 4))
+    for row in _BLEND_AFFINES:
+        m = np.eye(4)
+        m[:3, :] = np.asarray(row[1:], dtype=np.float64).reshape(3, 4)
+        aff[row[0], 0, 0] = m
+    field = local_affines_to_field(
+        spark, aff, blocksize=(8, 4, 4), overlap=(2, 0, 0),
+        spacing=(1.0, 1.0, 1.0), shape=(20, 4, 4), displacement=True)
+    out = field_to_voxels(field, (8, 4, 4), ncomp=3)
+    return (
+        out.filter(F.col("x") < 20)
+        .select("x", "y", "z", "c", rnd(F.col("v"), 6).alias("dv"))
     )
