@@ -59,6 +59,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
+_COUNTS: weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], int]] \
+    = weakref.WeakKeyDictionary()
+
+
+def table_count(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Memoized row count of a driver table — used by operators that
+    size themselves from n (ANN chunk counts, IVF nlist) so repeated
+    invocations don't re-run the count job."""
+    sf = sf_dir.rstrip("/")
+    per_session = _COUNTS.setdefault(spark, {})
+    key = (sf, table)
+    if key not in per_session:
+        per_session[key] = load_tables(spark, sf)[table].count()
+    return per_session[key]
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: list[str] | None = None) -> None:
     w = df.write.mode(mode)

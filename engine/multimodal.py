@@ -44,6 +44,39 @@ def decode_real(payload: bytes):  # pragma: no cover - stub by design
         "use extract_features (deterministic fake) for plumbing tests")
 
 
+FRAME_SCHEMA = (
+    "doc_id long, frame_id int, off int, frame_bytes int, checksum long"
+)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 48,
+                  stride: int = 32) -> DataFrame:
+    """Frame sampling over binary payloads (the video analogue: fixed
+    windows at a stride, overlapping when stride < frame_bytes). Pure
+    per-row work under mapInPandas — no shuffle; each payload emits
+    ceil(n_bytes/stride) frames, the last one truncated. The frame
+    content handed to a real decoder is the byte window itself; here
+    the per-frame 'decode' is the deterministic byte-sum checksum."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                buf = np.frombuffer(bytes(row.payload), dtype=np.uint8)
+                n = len(buf)
+                nframes = 0 if n == 0 else (n - 1) // stride + 1
+                for k in range(nframes):
+                    fr = buf[k * stride:k * stride + frame_bytes]
+                    rows.append((row.doc_id, k, k * stride, len(fr),
+                                 int(fr.astype(np.int64).sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_id", "off", "frame_bytes",
+                         "checksum"])
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction over binary payloads: Arrow
     batches in, numpy per batch, fixed-width feature vectors out —

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
-from ..io import load_tables
+from ..io import load_tables, table_count
 from ..registry import query
 from .util import hex32_sql, hexpoly_sql, rnd, sql_rnd
 
@@ -251,7 +251,7 @@ def q_sim_topk(spark, sf):
     e = load_tables(spark, sf)["embeddings"]
     # Chunk count derived from the data so per-task GEMM size stays
     # bounded (~1k rows/chunk) instead of growing linearly with n.
-    n = e.count()
+    n = table_count(spark, sf, "embeddings")
     C = max(2, -(-n // 1024))
     v = e.select("vec_id", "embedding", (F.col("vec_id") % C).alias("chunk"))
     chunks = spark.range(C).select(F.col("id").alias("c1"))
@@ -347,7 +347,7 @@ def q_dedup_embed_cosine(spark, sf):
 
     tau = 0.4
     e = load_tables(spark, sf)["embeddings"]
-    n = e.count()
+    n = table_count(spark, sf, "embeddings")
     C = max(2, -(-n // 1024))
     v = e.select("vec_id", "embedding", (F.col("vec_id") % C).alias("chunk"))
     pairs = (
@@ -539,7 +539,11 @@ def q_tfidf_top(spark, sf):
     n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     s = (
-        tf.join(df, "word")  # word-keyed shuffle join; df is large-ish, let AQE pick
+        # the vocabulary (df) side is broadcast: it is corpus-distinct
+        # words (tens of MB even at web scale), while a word-keyed
+        # shuffle of tf would move the FULL (doc, word) table and
+        # concentrate Zipf-head words onto single reducers
+        tf.join(F.broadcast(df), "word")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "word", rnd(score).alias("score"))
     )
@@ -686,7 +690,7 @@ def q_sim_ivf_topk(spark, sf):
     import pandas as pd
 
     e = load_tables(spark, sf)["embeddings"]
-    n = e.count()
+    n = table_count(spark, sf, "embeddings")
     nlist = max(4, int(n ** 0.5 / 2))
     # Forgy seeds: the nlist lowest vec_ids (deterministic); then one
     # Lloyd step — assign every vector to its nearest seed, average

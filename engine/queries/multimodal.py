@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load_tables
-from ..multimodal import attach_payload
+from ..multimodal import attach_payload, sample_frames
 from ..registry import query
 
 
@@ -33,3 +33,31 @@ def q_multimodal_meta(spark, sf):
         p.join(meta, "doc_id")
         .select("doc_id", "n_bytes", "first_cp", "checksum")
     )
+
+
+@query("q_multimodal_frames", oracle="""
+WITH f AS (
+    SELECT doc_id, text,
+           unnest(generate_series(
+               0, (octet_length(encode(text)) - 1) // 32)) AS frame_id
+    FROM documents WHERE octet_length(encode(text)) > 0)
+SELECT doc_id, frame_id,
+       frame_id * 32 AS off,
+       octet_length(encode(substr(text, frame_id * 32 + 1, 48)))
+           AS frame_bytes,
+       CAST(list_sum(list_transform(
+           string_split_regex(substr(text, frame_id * 32 + 1, 48), ''),
+           c -> ascii(c))) AS BIGINT) AS checksum
+FROM f
+""")
+def q_multimodal_frames(spark, sf):
+    """Frame sampling over the binary payload column (the video
+    frame-sample pattern: 48-byte windows every 32 bytes, overlapping,
+    last frame truncated) with a deterministic per-frame byte-sum
+    standing in for the decoder. The Spark side slices real binary
+    buffers under mapInPandas; the oracle replays the same windows via
+    text positions, which equals byte offsets because the fixture
+    corpus is ASCII (asserted by q_multimodal_meta's per-char ascii
+    checksum hash-matching octet sums)."""
+    d = load_tables(spark, sf)["documents"]
+    return sample_frames(attach_payload(d), frame_bytes=48, stride=32)
