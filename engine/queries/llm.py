@@ -21,7 +21,7 @@ from pyspark.sql import Window as W, functions as F
 
 from ..io import load_tables, table_count
 from ..registry import query
-from .util import hex32_sql, hexpoly_sql, rnd, sql_rnd
+from .util import hex32_sql, hexpoly_col, rnd, sql_rnd
 
 # MinHash parameters: k=8 signatures, banded 4×2. p > 2^32 keeps the
 # modular hash a permutation-ish map; a,b stay small so a*h fits a
@@ -61,7 +61,7 @@ def _shingle_hashes(spark, sf):
         words.filter(F.size(ws) >= 3)
         .select("doc_id", F.explode(tri).alias("s"))
         .select("doc_id", F.md5(F.col("s").cast("binary")).alias("m"))
-        .select("doc_id", F.expr(hexpoly_sql("m")).alias("h"))
+        .select("doc_id", hexpoly_col("m").alias("h"))
     )
 
 
@@ -148,7 +148,7 @@ def q_dedup_simhash(spark, sf):
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).select(
         "doc_id", F.md5(F.col("w").cast("binary")).alias("m")
-    ).select("doc_id", F.expr(hexpoly_sql("m")).alias("h"))
+    ).select("doc_id", hexpoly_col("m").alias("h"))
     bit_votes = [
         F.sum(
             F.when((F.col("h") / (1 << k)).cast("long") % 2 == 1, 1).otherwise(-1)

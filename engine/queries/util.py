@@ -40,6 +40,16 @@ def hexpoly_sql(col: str) -> str:
     return f"({terms})"
 
 
+def hexpoly_col(mcol: Column | str) -> Column:
+    """Spark-side twin of :func:`hexpoly_sql`: the same 32-bit value
+    from the first 8 hex chars, via the built-in base conversion
+    (one expression node instead of 16 — smaller codegen, measurably
+    faster warm). Oracles keep the positional-arithmetic spelling
+    because DuckDB has no hex→int builtin with matching semantics."""
+    m = F.col(mcol) if isinstance(mcol, str) else mcol
+    return F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+
+
 def hex32_sql(expr: str) -> str:
     """A 32-bit integer from the first 8 hex chars of ``md5(expr)``,
     written as plain positional arithmetic so Spark SQL and DuckDB
