@@ -78,8 +78,9 @@ def q_dedup_exact(spark, sf):
     )
 
 
-@query("q_dedup_fuzzy_minhash", oracle=f"""
-WITH {_SHINGLES_SQL},
+# Banded-MinHash candidate-pair CTE chain, shared by the pair key and
+# the connected-components clustering key's recursive oracle.
+_MINHASH_CTES = f"""{_SHINGLES_SQL},
 m AS (
     SELECT doc_id,
            {", ".join(f"min(({a} * h + {b}) % {_P}) AS h{s}"
@@ -92,7 +93,11 @@ b AS (
         f"md5(concat_ws(',', CAST(h{2*band} AS VARCHAR), "
         f"CAST(h{2*band+1} AS VARCHAR))) AS bh FROM m"
         for band in range(4))}
-)
+)"""
+
+
+@query("q_dedup_fuzzy_minhash", oracle=f"""
+WITH {_MINHASH_CTES}
 SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
 FROM b x JOIN b y ON x.band_id = y.band_id AND x.bh = y.bh
 WHERE x.doc_id < y.doc_id
@@ -126,6 +131,89 @@ def q_dedup_fuzzy_minhash(spark, sf):
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
     )
+
+
+@query("q_dedup_cluster", oracle=f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (
+    SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+    FROM b x JOIN b y ON x.band_id = y.band_id AND x.bh = y.bh
+    WHERE x.doc_id < y.doc_id
+),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+""")
+def q_dedup_cluster(spark, sf):
+    """Duplicate clustering: connected components over the banded
+    MinHash candidate pairs, labeling each near-dup doc with
+    cluster_id = the smallest doc_id reachable through shared-band
+    edges. This is the stage a real dedup pipeline runs after pair
+    generation — keep ``min(doc_id)`` per cluster, drop the rest.
+
+    Spark-first iterative algorithm (Pregel/GraphX shape, no library
+    dependency): min-label propagation to fixpoint. Each round is one
+    edges⋈labels shuffle join plus a groupBy(dst) min; rounds needed =
+    component diameter (near-dup clusters are shallow — the fixture
+    converges in ≤4). localCheckpoint cuts lineage each round so the
+    plan stays O(1) across iterations; a cluster deployment would use
+    a reliable HDFS/S3 checkpoint dir instead. At 100 TB the label
+    frame is just (doc_id, cluster_id) — tiny next to the corpus —
+    and edges stay partitioned on the join key across rounds, so each
+    iteration reshuffles only the shrinking label deltas. The oracle
+    replays the same components as a DuckDB recursive transitive
+    closure (fine at fixture scale; the iterative plan is the one
+    that survives 1000 executors).
+    """
+    pairs = q_dedup_fuzzy_minhash(spark, sf)
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .union(pairs.select(F.col("d2").alias("src"),
+                            F.col("d1").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr"))
+        .select(F.col("src").alias("doc_id"),
+                F.least("src", "nbr").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        prop = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst").agg(F.min("cluster_id").alias("nbr"))
+        )
+        new = (
+            labels.join(prop, labels["doc_id"] == prop["dst"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(labels["cluster_id"],
+                        F.coalesce(prop["nbr"], labels["cluster_id"])
+                        ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("q_dedup_cluster: no fixpoint in 20 rounds")
+    return labels
 
 
 @query("q_dedup_simhash", oracle=f"""

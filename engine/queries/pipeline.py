@@ -1,0 +1,301 @@
+"""Training-data pipeline composites: the operators a 100 TB corpus
+curation run chains AFTER the primitive dedup/quality/similarity
+stages (engine/queries/llm.py) — duplicate resolution, stratified and
+mixture sampling, histogramming, funnel/retention analytics, n-gram
+statistics, and explicit skew-mitigated joins.
+
+These go beyond the reference surface (SURVEY.md §2.2 extras): the
+reference (GFleishman/dask_stitch, stitch.py:94-121) only fuses
+blocks; a corpus pipeline additionally has to *select* data. Every
+key here is a driver-checkable oracle query.
+
+Scale notes are per-operator; the common theme: statistics frames
+(per-stratum counts, thresholds) are tiny and broadcast, while the
+corpus-sized side is touched exactly once with a deterministic
+hash-filter — reproducible across engines, runs, and partitionings.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..io import load_tables
+from ..registry import query
+from ..skew import salted_join
+from .util import dsum, hexpoly_sql, rnd, sql_dsum, sql_rnd
+
+
+@query("q_dedup_keep_best", oracle="""
+SELECT doc_id, lang, source, n_chars FROM (
+    SELECT doc_id, lang, source, n_chars,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn = 1
+""")
+def q_dedup_keep_best(spark, sf):
+    """Duplicate RESOLUTION (the stage after detection): one surviving
+    row per exact-content group, deterministically the lowest doc_id.
+    One hash-partitioned window over md5(text) — a single shuffle on
+    the content hash, no join back to the corpus. At 100 TB the window
+    never materializes a group in memory (row_number streams), and the
+    same shape handles near-dup clusters by swapping the partition key
+    for q_dedup_cluster's cluster_id."""
+    d = load_tables(spark, sf)["documents"]
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))) \
+              .orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+_STRATA_RATES = [("en", 50), ("de", 20)]  # percent kept; default below
+_DEFAULT_RATE = 10
+
+
+def _strat_rate_sql() -> str:
+    arms = " ".join(f"WHEN lang = '{k}' THEN {r}" for k, r in _STRATA_RATES)
+    return f"(CASE {arms} ELSE {_DEFAULT_RATE} END)"
+
+
+@query("q_sample_stratified", oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {hexpoly_sql("md5(concat(doc_id, '#strat'))")} % 100
+      < {_strat_rate_sql()}
+""")
+def q_sample_stratified(spark, sf):
+    """Stratified deterministic sampling: per-language keep rates
+    (en 50%, de 20%, otherwise 10%) applied via a content-hash
+    threshold — the reproducible train/eval-split primitive. The rate
+    lookup is a literal CASE (no join at all) and the filter is one
+    narrow scan-side predicate; nothing shuffles."""
+    d = load_tables(spark, sf)["documents"]
+    rate = F.when(F.col("lang") == "en", F.lit(_STRATA_RATES[0][1]))
+    for k, r in _STRATA_RATES[1:]:
+        rate = rate.when(F.col("lang") == k, F.lit(r))
+    rate = rate.otherwise(F.lit(_DEFAULT_RATE))
+    h = F.expr(hexpoly_sql("md5(concat(doc_id, '#strat'))"))
+    return (
+        d.filter((h % 100) < rate)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query("q_dataset_mix", oracle=f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+mn AS (SELECT min(n) AS mn FROM counts),
+thr AS (SELECT source,
+               CAST(floor(mn * 10000.0 / n) AS BIGINT) AS threshold
+        FROM counts, mn)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE {hexpoly_sql("md5(concat(d.doc_id, '#mix'))")} % 10000 < thr.threshold
+""")
+def q_dataset_mix(spark, sf):
+    """Dataset mixture re-weighting: down-sample every source to the
+    size of the smallest one (uniform mix), the move a pre-training
+    data recipe makes to stop one crawl dominating. Two-phase plan:
+    the per-source count frame is tiny (|sources| rows) and is
+    BROADCAST back onto the corpus with the per-source keep-threshold
+    precomputed; the corpus itself is scanned once with a
+    deterministic hash filter. At 100 TB the only shuffle is the
+    per-source count aggregation (map-side partial, |sources| rows
+    out)."""
+    d = load_tables(spark, sf)["documents"]
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    thr = (
+        counts.crossJoin(F.broadcast(mn))
+        .select(
+            "source",
+            F.floor(F.col("mn") * 10000.0 / F.col("n"))
+             .cast("long").alias("threshold"),
+        )
+    )
+    h = F.expr(hexpoly_sql("md5(concat(doc_id, '#mix'))"))
+    return (
+        d.join(F.broadcast(thr), "source")
+        .filter((h % 10000) < F.col("threshold"))
+        .select("doc_id", "source")
+    )
+
+
+@query("q_token_histogram", oracle=f"""
+SELECT CAST(len(string_split(text, ' ')) // 16 AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       {sql_rnd('avg(n_chars)')} AS avg_chars
+FROM documents
+GROUP BY bucket
+""")
+def q_token_histogram(spark, sf):
+    """Token-count histogram (bucket width 16 tokens) with mean doc
+    length per bucket — the length-distribution profile every corpus
+    report starts with. One map-side-combined aggregation; at 100 TB
+    the output is |buckets| rows regardless of input size."""
+    d = load_tables(spark, sf)["documents"]
+    return (
+        d.groupBy(F.floor(F.size(F.split("text", " ")) / 16)
+                  .cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             rnd(F.avg("n_chars")).alias("avg_chars"))
+    )
+
+
+@query("q_events_funnel", oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+    FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(tv) AS n_view,
+       count(CASE WHEN tc > tv THEN 1 END) AS n_view_click,
+       count(CASE WHEN tp > tc AND tc > tv THEN 1 END) AS n_funnel
+FROM per_user
+""")
+def q_events_funnel(spark, sf):
+    """Ordered funnel (view → click → purchase): per-user first-touch
+    timestamps via conditional MIN aggregation, then ordering
+    predicates — no self-joins, no window sort; one user-keyed
+    aggregation and a single-row reduce. The conditional-min trick is
+    the scale shape: a 3-way self-join funnel would shuffle the event
+    log three times."""
+    e = load_tables(spark, sf)["events"]
+
+    def first(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    pu = e.groupBy("user_id").agg(
+        first("view").alias("tv"),
+        first("click").alias("tc"),
+        first("purchase").alias("tp"),
+    )
+    return pu.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("tv").alias("n_view"),
+        F.count(F.when(F.col("tc") > F.col("tv"), 1)).alias("n_view_click"),
+        F.count(F.when((F.col("tp") > F.col("tc"))
+                       & (F.col("tc") > F.col("tv")), 1)).alias("n_funnel"),
+    )
+
+
+@query("q_retention", oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT CAST(a.d AS VARCHAR) AS day, count(*) AS retained
+FROM ud a JOIN ud b ON b.user_id = a.user_id AND b.d = a.d + 1
+GROUP BY a.d
+""")
+def q_retention(spark, sf):
+    """Next-day retention: users active on day d AND d+1. The distinct
+    (user, day) frame is shuffled once on user_id and self-joined with
+    a shifted date key — both sides share the user_id partitioning so
+    AQE plans one exchange per side, and the joined frame is tiny
+    relative to the event log (|users|·|days| upper bound)."""
+    e = load_tables(spark, sf)["events"]
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    a, b = ud.alias("a"), ud.alias("b")
+    return (
+        a.join(b, (F.col("b.user_id") == F.col("a.user_id"))
+               & (F.col("b.d") == F.date_add(F.col("a.d"), 1)))
+        .groupBy(F.col("a.d").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+
+
+@query("q_ngram_freq", oracle="""
+WITH w AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+bg AS (
+    SELECT lang,
+           unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i + 1])) AS bigram
+    FROM w
+),
+c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY lang, bigram)
+SELECT lang, bigram, cnt FROM (
+    SELECT lang, bigram, cnt,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, bigram) AS rn
+    FROM c
+) WHERE rn <= 5
+""")
+def q_ngram_freq(spark, sf):
+    """Top-5 word bigrams per language — the n-gram frequency profile
+    used for contamination checks and boilerplate detection. Bigrams
+    are formed array-side (transform over the split array: zero extra
+    rows until the single explode), counted with a map-side-combined
+    aggregation, and cut per language with a row_number window whose
+    input is already |distinct bigrams| — far smaller than the corpus.
+    Deterministic tie-break (count DESC, bigram ASC) keeps the result
+    engine-independent."""
+    d = load_tables(spark, sf)["documents"]
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))"
+    )
+    c = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bigram", "cnt")
+    )
+
+
+@query("q_join_salted", oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       {sql_dsum('l_extendedprice')} AS total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""")
+def q_join_salted(spark, sf):
+    """Plan-time skew mitigation made a first-class operator: the
+    lineitem⋈orders join through engine.skew.salted_join (hot
+    l_orderkey values spread over 8 salted sub-keys; the orders side
+    replicated 8×), then the same rollup as q_join_bucketed — the
+    oracle proves salting is semantics-preserving. The tool for the
+    case AQE's runtime skew split can't fix: both sides too big to
+    broadcast AND the skew known at plan time."""
+    t = load_tables(spark, sf)
+    li = t["lineitem"].withColumnRenamed("l_orderkey", "okey")
+    o = t["orders"].withColumnRenamed("o_orderkey", "okey")
+    j = salted_join(li, o.select("okey", "o_orderstatus"),
+                    ["okey"], salt_src="l_partkey", nsalt=8)
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("l_extendedprice").alias("total"))
+    )
+
+
+@query("q_percentile_cont", oracle=f"""
+SELECT l_returnflag,
+       {sql_rnd("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)")}
+           AS p50,
+       {sql_rnd("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)")}
+           AS p90
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_percentile_cont(spark, sf):
+    """Exact continuous (interpolated) percentiles per group —
+    complements the discrete variant (q_percentile_disc). Spark's
+    ``percentile`` and DuckDB's ``percentile_cont`` share the linear
+    interpolation definition at rank (n-1)·p, so values hash-match
+    under the engine's standard quantization. Exact percentiles sort
+    within groups; the 100 TB shape swaps this for
+    ``approx_percentile`` (t-digest sketch, map-side merge) when ±ε
+    is acceptable."""
+    li = load_tables(spark, sf)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.expr("percentile(l_quantity, 0.5D)")).alias("p50"),
+        rnd(F.expr("percentile(l_quantity, 0.9D)")).alias("p90"),
+    )

@@ -28,6 +28,11 @@ _MODULES = [
     "engine.queries.multimodal",
     "engine.queries.stitch",
     "engine.queries.udfs",
+    # registered last on purpose: new keys slot in AFTER the existing
+    # driver-unverified keys in the correctness-window rotation
+    # (__spark_entry__._rotated), so keys that already waited a round
+    # get their driver row first.
+    "engine.queries.pipeline",
 ]
 
 _loaded = False

@@ -1,0 +1,123 @@
+"""Semantic invariants for the training-pipeline composites
+(engine/queries/pipeline.py) and the dedup clustering key — value
+equality vs DuckDB lives in check.py; these pin the properties the
+oracle can't express (idempotence, subset-ness, monotonicity,
+semantics-preservation of the salted join).
+"""
+import pyspark.sql.functions as F
+
+from engine.io import load_tables
+from engine.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_funnel_monotone(spark, sf_dir):
+    r = QUERIES["q_events_funnel"](spark, sf_dir).collect()[0]
+    assert r.n_users >= r.n_view >= r.n_view_click >= r.n_funnel >= 0
+
+
+def test_salted_join_semantics_preserving(spark, sf_dir):
+    """Salting must not change the join result — compare against the
+    plain (unsalted) join aggregated the same way."""
+    t = load_tables(spark, sf_dir)
+    plain = {
+        (r.o_orderstatus, r.n): round(r.total, 4)
+        for r in (
+            t["lineitem"].join(
+                t["orders"],
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.floor(F.col("l_extendedprice") * 1e4 + 0.5)
+                        .cast("long")).cast("double") / 1e4).alias("total"))
+            .collect()
+        )
+    }
+    salted = {
+        (r.o_orderstatus, r.n): round(r.total, 4)
+        for r in QUERIES["q_join_salted"](spark, sf_dir).collect()
+    }
+    assert salted == plain
+
+
+def test_stratified_sample_deterministic_subset(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    s1 = {r.doc_id for r in
+          QUERIES["q_sample_stratified"](spark, sf_dir).collect()}
+    s2 = {r.doc_id for r in
+          QUERIES["q_sample_stratified"](spark, sf_dir).collect()}
+    assert s1 == s2, "hash sampling must be run-deterministic"
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert s1 <= all_ids and 0 < len(s1) < len(all_ids)
+
+
+def test_dataset_mix_downsamples_to_smallest(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    orig = {r.source: r.n for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    mixed = {r.source: r.n for r in
+             QUERIES["q_dataset_mix"](spark, sf_dir)
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    mn = min(orig.values())
+    for src, n in mixed.items():
+        assert n <= orig[src]
+        # hash-threshold sampling targets mn/orig[src]; allow generous
+        # binomial slack on the tiny fixture
+        assert n <= 3 * mn + 5
+
+
+def test_keep_best_one_per_content_group(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_distinct = docs.select(F.md5(F.col("text").cast("binary"))) \
+                     .distinct().count()
+    kept = QUERIES["q_dedup_keep_best"](spark, sf_dir)
+    assert kept.count() == n_distinct
+    # survivors must be the MIN doc_id of their content group
+    mins = {r[0] for r in
+            docs.groupBy(F.md5(F.col("text").cast("binary")))
+            .agg(F.min("doc_id").alias("m")).select("m").collect()}
+    assert {r.doc_id for r in kept.collect()} == mins
+
+
+def test_dedup_cluster_consistent_with_pairs(spark, sf_dir):
+    labels = {r.doc_id: r.cluster_id for r in
+              QUERIES["q_dedup_cluster"](spark, sf_dir).collect()}
+    pairs = QUERIES["q_dedup_fuzzy_minhash"](spark, sf_dir).collect()
+    assert set(labels) == {r.d1 for r in pairs} | {r.d2 for r in pairs}
+    for r in pairs:
+        assert labels[r.d1] == labels[r.d2], (r.d1, r.d2)
+    for d, c in labels.items():
+        assert c <= d, "cluster label is the component minimum"
+        assert labels[c] == c, "the labeling is idempotent at the root"
+
+
+def test_ngram_freq_shape(spark, sf_dir):
+    rows = QUERIES["q_ngram_freq"](spark, sf_dir).collect()
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.cnt)
+    for lang, cnts in per_lang.items():
+        assert len(cnts) <= 5
+        assert all(c >= 1 for c in cnts)
+
+
+def test_token_histogram_partitions_corpus(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    hist = QUERIES["q_token_histogram"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in hist) == docs.count()
+    assert all(r.bucket >= 0 for r in hist)
+
+
+def test_percentile_cont_ordered(spark, sf_dir):
+    for r in QUERIES["q_percentile_cont"](spark, sf_dir).collect():
+        assert r.p50 <= r.p90
+
+
+def test_retention_bounded_by_users(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"]
+    n_users = e.select("user_id").distinct().count()
+    for r in QUERIES["q_retention"](spark, sf_dir).collect():
+        assert 0 < r.retained <= n_users
