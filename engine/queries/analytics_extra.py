@@ -1,0 +1,81 @@
+"""Analytic-function extras: distribution ranks, bivariate statistics,
+and text normalization — rounding out the window/aggregate surface
+(SURVEY.md §2.2 extras).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from ..io import load_tables
+from ..registry import query
+from .util import rnd, sql_rnd
+
+
+@query("q_window_ntile", oracle="""
+SELECT c_custkey, c_nationkey,
+       ntile(4) OVER w AS tile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""")
+def q_window_ntile(spark, sf):
+    """Quartile assignment + distribution ranks per nation. The
+    ordering carries a unique tiebreak (c_custkey) so ntile's bucket
+    boundaries are engine-independent; percent_rank and cume_dist are
+    exact rationals (int/int division) that both engines evaluate to
+    the same IEEE double — no quantization needed. One window sort per
+    nation partition; at 100 TB this is the canonical 'rank within
+    shard' shape (the partition key carries the shuffle)."""
+    c = load_tables(spark, sf)["customer"]
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey", "c_nationkey",
+        F.ntile(4).over(w).alias("tile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query("q_corr_stats", oracle=f"""
+SELECT l_returnflag,
+       {sql_rnd('corr(l_quantity, l_extendedprice)')} AS r,
+       {sql_rnd('covar_samp(l_quantity, l_extendedprice)')} AS cov_s,
+       {sql_rnd('covar_pop(l_quantity, l_extendedprice)')} AS cov_p
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_corr_stats(spark, sf):
+    """Bivariate statistics per group (Pearson r, sample/population
+    covariance) — the co-moment aggregates are algebraic (one
+    map-side-combinable pass), the same scale shape as q_agg_stats.
+    Values quantized with the engine's standard 1e-4 grid; both
+    engines use pairwise co-moment accumulation over the same
+    partition-parallel merges at fixture scale."""
+    li = load_tables(spark, sf)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.corr("l_quantity", "l_extendedprice")).alias("r"),
+        rnd(F.covar_samp("l_quantity", "l_extendedprice")).alias("cov_s"),
+        rnd(F.covar_pop("l_quantity", "l_extendedprice")).alias("cov_p"),
+    )
+
+
+@query("q_text_clean", oracle="""
+SELECT doc_id,
+       substr(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 60) AS clean
+FROM documents
+""")
+def q_text_clean(spark, sf):
+    """Text normalization: lowercase, strip non-alphanumerics,
+    collapse runs of spaces, trim — the first stage of every corpus
+    cleaning recipe. Pure narrow projection (no shuffle, fully
+    codegen'd JVM-side regex); prefix-limited output keeps the
+    driver hash small."""
+    d = load_tables(spark, sf)["documents"]
+    clean = F.substring(
+        F.trim(F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+            " +", " ")),
+        1, 60)
+    return d.select("doc_id", clean.alias("clean"))

@@ -1,0 +1,117 @@
+"""Non-parquet source connectors, oracle-checked end to end.
+
+The engine's canonical storage is parquet (columnar, predicate
+pushdown, the only sane 100 TB format), but a corpus pipeline ingests
+CSV and JSON-lines too. Each key here writes a slice of a driver
+table to the text format once per (session, sf), reads it back
+through the corresponding Spark source with an EXPLICIT schema (schema
+inference is a full extra pass at scale — never in production plans),
+and aggregates; the oracle runs the same aggregate on the original
+parquet, so the whole write→read→compute path is value-checked.
+
+Doubles survive the text round-trip exactly: Spark writes shortest
+round-trip decimal representations.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..io import load_tables
+from ..registry import query
+from .util import dsum, sql_dsum
+
+_prepared: dict[tuple[int, str, str], str] = {}
+
+
+def _roundtrip_dir(spark, sf: str, fmt: str) -> str:
+    """Write the slice for ``fmt`` once per (session, sf); returns dir."""
+    key = (id(spark), sf.rstrip("/"), fmt)
+    if key in _prepared:
+        return _prepared[key]
+    digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"engine_src_{fmt}_{digest}")
+    t = load_tables(spark, sf)
+    if fmt == "csv":
+        (t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+         .write.mode("overwrite").option("header", "true").csv(out))
+    else:
+        (t["events"].select("event_id", "event_type", "value")
+         .write.mode("overwrite").json(out))
+    _prepared[key] = out
+    return out
+
+
+@query("q_source_csv", oracle=f"""
+SELECT o_orderstatus, count(*) AS n, {sql_dsum('o_totalprice')} AS total
+FROM orders GROUP BY o_orderstatus
+""")
+def q_source_csv(spark, sf):
+    """CSV source connector: parquet → CSV → ``spark.read.csv`` with an
+    explicit schema → aggregate, hash-matched against the parquet
+    original. At 100 TB the CSV scan parallelizes per file split like
+    any other source; what it can NEVER do is prune columns or push
+    predicates — which is why this connector exists for ingest and the
+    engine's storage stays parquet."""
+    path = _roundtrip_dir(spark, sf, "csv")
+    df = (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double")
+        .option("header", "true").csv(path)
+    )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("o_totalprice").alias("total"))
+    )
+
+
+@query("q_sink_partitioned", oracle=f"""
+SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents WHERE lang = 'en' GROUP BY source
+""")
+def q_sink_partitioned(spark, sf):
+    """Hive-partitioned parquet sink + partition-pruned read-back:
+    documents written ``partitionBy(lang)`` once per (session, sf),
+    then read with a ``lang = 'en'`` filter that must resolve as a
+    PARTITION filter (directory pruning — zero I/O for other
+    languages), aggregated, and hash-matched against the original
+    table. Partition layout is the first scale lever at 100 TB: a
+    predicate on the partition column skips data before any row is
+    read. The pruning itself is pinned in
+    tests/test_plans_pipeline.py."""
+    key = (id(spark), sf.rstrip("/"), "part")
+    if key not in _prepared:
+        digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"engine_sink_part_{digest}")
+        (load_tables(spark, sf)["documents"]
+         .write.mode("overwrite").partitionBy("lang").parquet(out))
+        _prepared[key] = out
+    df = spark.read.parquet(_prepared[key])
+    return (
+        df.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").alias("chars"))
+    )
+
+
+@query("q_source_json", oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY event_type
+""")
+def q_source_json(spark, sf):
+    """JSON-lines source connector, same contract as q_source_csv:
+    explicit schema (no inference pass), aggregate hash-matched
+    against the parquet original."""
+    path = _roundtrip_dir(spark, sf, "json")
+    df = spark.read.schema(
+        "event_id long, event_type string, value double").json(path)
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )

@@ -1,0 +1,126 @@
+"""Structured Streaming keys with full driver-oracle verification.
+
+engine/streaming.py holds the streaming wiring (watermarks, late-data
+replay, stateful ops) proven equal to batch in pytest; these keys run
+REAL ``readStream`` pipelines to completion inside a ``queries()``
+callable, so the driver's DuckDB hash-gate covers the streaming
+engine too:
+
+- ``q_stream_tumbling``: file-source → event-time tumbling aggregate →
+  memory sink in COMPLETE mode. Complete mode re-emits the full state
+  at the last micro-batch, so the final table equals the batch
+  aggregate exactly regardless of how the input was split into
+  micro-batches.
+- ``q_stream_stateful_totals``: per-user running totals via
+  ``applyInPandasWithState`` in UPDATE mode. State accumulates the
+  value as a scaled BIGINT (exact, order-independent), and the final
+  answer takes each user's last update (max n_events), so the result
+  is deterministic under ANY micro-batch partitioning of the input.
+
+On a cluster the same plans run against Kafka with identical
+semantics; the memory sink stands in for the serving store.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import Window as W, functions as F
+
+from ..registry import query
+from ..streaming import read_event_stream
+from .util import dsum, sql_dsum
+
+_US_H = 3_600_000_000  # one hour in microseconds
+
+_done: dict[tuple[int, str, str], str] = {}
+
+
+def _run_stream(spark, sf: str, kind: str, build) -> str:
+    """Run a bounded stream to completion once per (session, sf);
+    returns the memory-sink table name."""
+    key = (id(spark), sf.rstrip("/"), kind)
+    if key in _done:
+        return _done[key]
+    digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    name = f"stream_{kind}_{digest}"
+    # the file stream source lists a DIRECTORY; stage one holding a
+    # symlink to the events parquet (no data copy)
+    src = os.path.join(tempfile.gettempdir(), f"engine_stream_src_{digest}")
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf.rstrip('/')}/events.parquet"), link)
+    events = read_event_stream(spark, src)
+    df, mode = build(events)
+    q = (df.writeStream.outputMode(mode)
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    _done[key] = name
+    return name
+
+
+@query("q_stream_tumbling", oracle=f"""
+WITH e AS (SELECT (epoch_ns(ts) // 1000 // {_US_H}) * {_US_H} AS ws_us,
+                  event_type, value
+           FROM events)
+SELECT ws_us, event_type, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM e GROUP BY ws_us, event_type
+""")
+def q_stream_tumbling(spark, sf):
+    def build(events):
+        agg = (
+            events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("value").alias("sum_value"))
+            .select(F.unix_micros("w.start").alias("ws_us"), "event_type",
+                    "n", "sum_value")
+        )
+        return agg, "complete"
+
+    name = _run_stream(spark, sf, "tumbling", build)
+    return spark.table(name)
+
+
+@query("q_stream_stateful_totals", oracle=f"""
+SELECT user_id, count(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM events GROUP BY user_id
+""")
+def q_stream_stateful_totals(spark, sf):
+    def build(events):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def fn(key, pdfs, state):
+            n, cents = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 1e4 + 0.5)
+                    .astype(np.int64).sum())
+            state.update((n, cents))
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "total_value": [cents / 1e4]})
+
+        out = events.groupBy("user_id").applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return out, "update"
+
+    name = _run_stream(spark, sf, "stateful", build)
+    # last update per user (n_events strictly increases per batch seen)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

@@ -33,6 +33,9 @@ _MODULES = [
     # (__spark_entry__._rotated), so keys that already waited a round
     # get their driver row first.
     "engine.queries.pipeline",
+    "engine.queries.sources",
+    "engine.queries.analytics_extra",
+    "engine.queries.streaming_q",
 ]
 
 _loaded = False
