@@ -187,6 +187,10 @@ def q_dedup_cluster(spark, sf):
                 F.least("src", "nbr").alias("cluster_id"))
         .localCheckpoint()
     )
+    # convergence check without a compare-join: labels only ever
+    # DECREASE, so sum(cluster_id) strictly decreases until fixpoint —
+    # one tiny aggregate per round on the label frame
+    cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(20):
         prop = (
             edges.join(labels, edges["src"] == labels["doc_id"])
@@ -202,15 +206,11 @@ def q_dedup_cluster(spark, sf):
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1).count()
-        )
+        new_sum = new.agg(F.sum("cluster_id")).collect()[0][0]
         labels = new
-        if changed == 0:
+        if new_sum == cur_sum:
             break
+        cur_sum = new_sum
     else:
         raise RuntimeError("q_dedup_cluster: no fixpoint in 20 rounds")
     return labels
