@@ -60,6 +60,42 @@ def q_corr_stats(spark, sf):
     )
 
 
+@query("q_rollup_time", oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       count(*) AS n
+FROM orders GROUP BY ROLLUP (y, m)
+""")
+def q_rollup_time(spark, sf):
+    """Calendar-hierarchy rollup (year → month → grand total) — the
+    time-dimension twin of the categorical q_agg_rollup, i.e. a
+    hypertable-style time rollup. Spark compiles ROLLUP to one Expand
+    + partial/final aggregate: a single shuffle regardless of how many
+    grouping sets the hierarchy adds."""
+    o = load_tables(spark, sf)["orders"]
+    return (
+        o.select(F.year("o_orderdate").alias("y"),
+                 F.month("o_orderdate").alias("m"))
+        .rollup("y", "m")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("q_agg_approx_quantile")  # rows-only: sketch internals differ by engine
+def q_agg_approx_quantile(spark, sf):
+    """Approximate percentiles per group via Spark's relative-error
+    quantile sketch (`approx_percentile`, KLL-style, mergeable) — the
+    100 TB path for q_percentile_cont: map-side sketches merge
+    associatively, no per-group sort. No oracle by design (sketch
+    internals are engine-specific); tests/test_pipeline.py bounds the
+    error against the exact percentiles instead."""
+    li = load_tables(spark, sf)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5D, 1000)").alias("p50"),
+        F.expr("approx_percentile(l_quantity, 0.9D, 1000)").alias("p90"),
+    )
+
+
 @query("q_text_clean", oracle="""
 SELECT doc_id,
        substr(trim(regexp_replace(regexp_replace(lower(text),

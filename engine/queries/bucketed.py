@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import weakref
 
 from pyspark.sql import functions as F
 
@@ -22,15 +23,17 @@ from ..io import load_tables
 from ..registry import query
 from .util import dsum, sql_dsum
 
-_prepared: dict[tuple[int, str], str] = {}
+# weak-keyed by session: the bucketed tables live in the session
+# catalog, so an id()-recycled new session must not inherit the tag
+_prepared: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def prepare_bucketed(spark, sf: str, buckets: int = 8) -> str:
     """Write lineitem + orders bucketed by the join key (idempotent
     per session+sf). Returns the table-name suffix used."""
-    key = (id(spark), sf)
-    if key in _prepared:
-        return _prepared[key]
+    per_session = _prepared.setdefault(spark, {})
+    if sf in per_session:
+        return per_session[sf]
     # Tag carries a digest of the FULL path: two sf dirs with the same
     # basename must not share table names, or the second prepare would
     # silently repoint the first's cached tag at wrong-scale data.
@@ -48,7 +51,7 @@ def prepare_bucketed(spark, sf: str, buckets: int = 8) -> str:
         (df.write.bucketBy(buckets, k).sortBy(k)
            .option("path", f"{wh}/{tbl}")
            .mode("overwrite").saveAsTable(tbl))
-    _prepared[key] = tag
+    per_session[sf] = tag
     return tag
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import weakref
 
 from pyspark.sql import functions as F
 
@@ -24,14 +25,16 @@ from ..io import load_tables
 from ..registry import query
 from .util import dsum, sql_dsum
 
-_prepared: dict[tuple[int, str, str], str] = {}
+# weak-keyed by session (id() can be recycled after a session dies)
+_prepared: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _roundtrip_dir(spark, sf: str, fmt: str) -> str:
     """Write the slice for ``fmt`` once per (session, sf); returns dir."""
-    key = (id(spark), sf.rstrip("/"), fmt)
-    if key in _prepared:
-        return _prepared[key]
+    per_session = _prepared.setdefault(spark, {})
+    key = (sf.rstrip("/"), fmt)
+    if key in per_session:
+        return per_session[key]
     digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
     out = os.path.join(
         tempfile.gettempdir(), f"engine_src_{fmt}_{digest}")
@@ -42,7 +45,7 @@ def _roundtrip_dir(spark, sf: str, fmt: str) -> str:
     else:
         (t["events"].select("event_id", "event_type", "value")
          .write.mode("overwrite").json(out))
-    _prepared[key] = out
+    per_session[key] = out
     return out
 
 
@@ -84,14 +87,15 @@ def q_sink_partitioned(spark, sf):
     predicate on the partition column skips data before any row is
     read. The pruning itself is pinned in
     tests/test_plans_pipeline.py."""
-    key = (id(spark), sf.rstrip("/"), "part")
-    if key not in _prepared:
+    per_session = _prepared.setdefault(spark, {})
+    key = (sf.rstrip("/"), "part")
+    if key not in per_session:
         digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
         out = os.path.join(tempfile.gettempdir(), f"engine_sink_part_{digest}")
         (load_tables(spark, sf)["documents"]
          .write.mode("overwrite").partitionBy("lang").parquet(out))
-        _prepared[key] = out
-    df = spark.read.parquet(_prepared[key])
+        per_session[key] = out
+    df = spark.read.parquet(per_session[key])
     return (
         df.filter(F.col("lang") == "en")
         .groupBy("source")

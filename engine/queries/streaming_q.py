@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import weakref
 
 from pyspark.sql import Window as W, functions as F
 
@@ -34,15 +35,18 @@ from .util import dsum, sql_dsum
 
 _US_H = 3_600_000_000  # one hour in microseconds
 
-_done: dict[tuple[int, str, str], str] = {}
+# weak-keyed by session: memory-sink tables die with their session,
+# and an id()-recycled new session must never see the old entry
+_done: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _run_stream(spark, sf: str, kind: str, build) -> str:
     """Run a bounded stream to completion once per (session, sf);
     returns the memory-sink table name."""
-    key = (id(spark), sf.rstrip("/"), kind)
-    if key in _done:
-        return _done[key]
+    per_session = _done.setdefault(spark, {})
+    key = (sf.rstrip("/"), kind)
+    if key in per_session:
+        return per_session[key]
     digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
     name = f"stream_{kind}_{digest}"
     # the file stream source lists a DIRECTORY; stage one holding a
@@ -58,7 +62,7 @@ def _run_stream(spark, sf: str, kind: str, build) -> str:
          .format("memory").queryName(name).start())
     q.processAllAvailable()
     q.stop()
-    _done[key] = name
+    per_session[key] = name
     return name
 
 

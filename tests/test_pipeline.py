@@ -116,6 +116,21 @@ def test_percentile_cont_ordered(spark, sf_dir):
         assert r.p50 <= r.p90
 
 
+def test_approx_quantile_close_to_exact(spark, sf_dir):
+    """The sketch path must land within a small relative error of the
+    exact interpolated percentiles it replaces at scale."""
+    exact = {r.l_returnflag: (r.p50, r.p90)
+             for r in QUERIES["q_percentile_cont"](spark, sf_dir).collect()}
+    approx = {r.l_returnflag: (r.p50, r.p90)
+              for r in QUERIES["q_agg_approx_quantile"](spark, sf_dir)
+              .collect()}
+    assert set(approx) == set(exact)
+    for flag, (a50, a90) in approx.items():
+        e50, e90 = exact[flag]
+        assert abs(a50 - e50) <= 0.05 * max(1.0, abs(e50)), flag
+        assert abs(a90 - e90) <= 0.05 * max(1.0, abs(e90)), flag
+
+
 def test_retention_bounded_by_users(spark, sf_dir):
     e = load_tables(spark, sf_dir)["events"]
     n_users = e.select("user_id").distinct().count()
