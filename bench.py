@@ -31,6 +31,10 @@ HEADLINE = [
     "q_event_dedup_first",
     "q_dedup_exact",
     "q_dedup_fuzzy_minhash",
+    "q_dedup_keep_best",
+    "q_dataset_mix",
+    "q_ngram_freq",
+    "q_events_funnel",
     "q_sim_topk",
     "q_tfidf_top",
     "q_text_stats",

@@ -231,13 +231,15 @@ def q_ngram_freq(spark, sf):
     Deterministic tie-break (count DESC, bigram ASC) keeps the result
     engine-independent."""
     d = load_tables(spark, sf)["documents"]
+    # materialize the split ONCE per row — a split inside the lambda
+    # would re-tokenize the document per element (O(words²)/doc)
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1)))"
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
     )
     c = (
-        d.select("lang", F.explode(bigrams).alias("bigram"))
+        d.select("lang", F.split("text", " ").alias("w"))
+        .select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

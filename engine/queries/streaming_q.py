@@ -88,6 +88,33 @@ def q_stream_tumbling(spark, sf):
     return spark.table(name)
 
 
+@query("q_stream_sliding", oracle=f"""
+WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, value FROM events),
+     x AS (SELECT (us // {_US_H // 2}) * {_US_H // 2} - o.off AS ws_us, value
+           FROM e CROSS JOIN (VALUES (0::BIGINT), ({_US_H // 2}::BIGINT)) AS o(off))
+SELECT ws_us, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM x GROUP BY ws_us
+""")
+def q_stream_sliding(spark, sf):
+    """Streaming sliding windows (1 h window, 30 min slide): Spark's
+    Expand node assigns each event to its two windows inside the
+    micro-batch, state merges across batches, and complete mode emits
+    the full window table at the end — equal to the batch sliding
+    aggregate (same oracle as q_window_sliding) under any input
+    split."""
+    def build(events):
+        agg = (
+            events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("value").alias("sum_value"))
+            .select(F.unix_micros("w.start").alias("ws_us"), "n", "sum_value")
+        )
+        return agg, "complete"
+
+    name = _run_stream(spark, sf, "sliding", build)
+    return spark.table(name)
+
+
 @query("q_stream_stateful_totals", oracle=f"""
 SELECT user_id, count(*) AS n_events, {sql_dsum('value')} AS total_value
 FROM events GROUP BY user_id
