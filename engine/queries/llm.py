@@ -216,6 +216,51 @@ def q_dedup_cluster(spark, sf):
     return labels
 
 
+@query("q_dedup_resolve", oracle=f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (
+    SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+    FROM b x JOIN b y ON x.band_id = y.band_id AND x.bh = y.bh
+    WHERE x.doc_id < y.doc_id
+),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
+""")
+def q_dedup_resolve(spark, sf):
+    """The COMPLETE near-dup pipeline, end to end: banded-MinHash
+    candidate pairs → connected-components clustering → keep only each
+    cluster's representative (its min doc_id) plus every unclustered
+    doc. This is the query a corpus curation run actually ships — the
+    detect and cluster stages exist separately as
+    q_dedup_fuzzy_minhash / q_dedup_cluster.
+
+    Scale shape: the label frame is (doc_id, cluster_id) — tiny — so
+    the final filter is a LEFT join of the corpus against a broadcast
+    label table; non-representatives are dropped without a corpus
+    shuffle."""
+    labels = q_dedup_cluster(spark, sf)
+    d = load_tables(spark, sf)["documents"]
+    keep = F.broadcast(
+        labels.filter(F.col("cluster_id") != F.col("doc_id"))
+        .select(F.col("doc_id").alias("drop_id")))
+    return (
+        d.join(keep, d["doc_id"] == keep["drop_id"], "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
 @query("q_dedup_simhash", oracle=f"""
 WITH w AS (
     SELECT doc_id, {hex32_sql('w')} AS h

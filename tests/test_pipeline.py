@@ -94,6 +94,18 @@ def test_dedup_cluster_consistent_with_pairs(spark, sf_dir):
         assert labels[c] == c, "the labeling is idempotent at the root"
 
 
+def test_dedup_resolve_keeps_exactly_representatives(spark, sf_dir):
+    docs = load_tables(spark, sf_dir)["documents"]
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    labels = {r.doc_id: r.cluster_id for r in
+              QUERIES["q_dedup_cluster"](spark, sf_dir).collect()}
+    expected = (all_ids - set(labels)) | \
+        {d for d, c in labels.items() if c == d}
+    kept = {r.doc_id for r in
+            QUERIES["q_dedup_resolve"](spark, sf_dir).collect()}
+    assert kept == expected
+
+
 def test_ngram_freq_shape(spark, sf_dir):
     rows = QUERIES["q_ngram_freq"](spark, sf_dir).collect()
     per_lang: dict[str, list] = {}
