@@ -71,9 +71,10 @@ def q_sample_stratified(spark, sf):
     lookup is a literal CASE (no join at all) and the filter is one
     narrow scan-side predicate; nothing shuffles."""
     d = load_tables(spark, sf)["documents"]
-    rate = F.when(F.col("lang") == "en", F.lit(_STRATA_RATES[0][1]))
-    for k, r in _STRATA_RATES[1:]:
-        rate = rate.when(F.col("lang") == k, F.lit(r))
+    rate = None
+    for k, r in _STRATA_RATES:
+        cond, val = F.col("lang") == k, F.lit(r)
+        rate = F.when(cond, val) if rate is None else rate.when(cond, val)
     rate = rate.otherwise(F.lit(_DEFAULT_RATE))
     h = F.expr(hexpoly_sql("md5(concat(doc_id, '#strat'))"))
     return (

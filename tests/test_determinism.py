@@ -17,6 +17,11 @@ KEYS = [
     "q_dedup_fuzzy_minhash",   # banded self-join
     "q_sim_topk",              # applyInPandas GEMM + global cut
     "q_event_dedup_first",     # row_number dedup
+    "q_dedup_keep_best",       # content-hash window survivor choice
+    "q_dataset_mix",           # broadcast thresholds + hash filter
+    "q_ngram_freq",            # top-k with count/bigram tiebreak
+    "q_join_salted",           # salt spread must not leak into values
+    "q_events_funnel",         # conditional-min aggregation
 ]
 
 
