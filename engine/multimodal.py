@@ -77,6 +77,36 @@ def sample_frames(df: DataFrame, frame_bytes: int = 48,
     return df.mapInPandas(fn, FRAME_SCHEMA)
 
 
+POOL_SCHEMA = "doc_id long, bucket int, pooled long"
+
+
+def resize_pool(df: DataFrame, buckets: int = 16) -> DataFrame:
+    """The resize step of the multimodal pipeline, on the stubbed
+    decode: pool each payload into a fixed number of buckets (the 1-D
+    analogue of image downsampling — a real decoder would pool pixel
+    blocks the same way). Bucket i covers bytes
+    [i·n//B, (i+1)·n//B); the pooled value is the exact byte sum, so
+    the operation is integer-deterministic. Narrow mapInPandas, no
+    shuffle; payloads shorter than B bytes are skipped (no pixels to
+    pool)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                buf = np.frombuffer(bytes(row.payload), dtype=np.uint8)
+                n = len(buf)
+                if n < buckets:
+                    continue
+                for i in range(buckets):
+                    lo, hi = i * n // buckets, (i + 1) * n // buckets
+                    rows.append((row.doc_id, i,
+                                 int(buf[lo:hi].astype(np.int64).sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "bucket", "pooled"])
+
+    return df.mapInPandas(fn, POOL_SCHEMA)
+
+
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction over binary payloads: Arrow
     batches in, numpy per batch, fixed-width feature vectors out —

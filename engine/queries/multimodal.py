@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import load_tables
-from ..multimodal import attach_payload, sample_frames
+from ..multimodal import attach_payload, resize_pool, sample_frames
 from ..registry import query
 
 
@@ -61,3 +61,27 @@ def q_multimodal_frames(spark, sf):
     checksum hash-matching octet sums)."""
     d = load_tables(spark, sf)["documents"]
     return sample_frames(attach_payload(d), frame_bytes=48, stride=32)
+
+
+@query("q_multimodal_resize", oracle="""
+WITH n AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) >= 16),
+b AS (SELECT doc_id, text, n, unnest(range(0, 16)) AS bucket FROM n)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+       CAST(list_sum(list_transform(
+           string_split_regex(substr(text,
+               (bucket * n) // 16 + 1,
+               ((bucket + 1) * n) // 16 - (bucket * n) // 16), ''),
+           c -> ascii(c))) AS BIGINT) AS pooled
+FROM b
+""")
+def q_multimodal_resize(spark, sf):
+    """The resize/downsample step of the multimodal pipeline: each
+    payload pooled into 16 fixed buckets of exact byte sums (the 1-D
+    analogue of image resizing on the stubbed decode — see
+    engine/multimodal.py:resize_pool). The oracle replays the same
+    integer bucket boundaries over character positions, valid because
+    the fixture corpus is ASCII (byte offset ≡ char offset, pinned by
+    q_multimodal_meta)."""
+    d = load_tables(spark, sf)["documents"]
+    return resize_pool(attach_payload(d), buckets=16)

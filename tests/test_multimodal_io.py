@@ -47,3 +47,19 @@ def test_events_ts_rebuilt_to_microseconds(spark, sf_dir):
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
     assert lo.year == 2024 and hi.year == 2024
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_resize_pool_conserves_checksum(spark, sf_dir):
+    """The 16 pooled bucket sums of a payload must add back up to the
+    full byte-sum checksum — the pooling partitions the buffer."""
+    from engine.multimodal import attach_payload, extract_features, resize_pool
+
+    t = load_tables(spark, sf_dir)
+    p = attach_payload(t["documents"])
+    totals = {r.doc_id: r.checksum for r in extract_features(p).collect()}
+    pooled = resize_pool(p, buckets=16).groupBy("doc_id").agg(
+        F.sum("pooled").alias("s"), F.count(F.lit(1)).alias("nb")).collect()
+    assert pooled, "no payloads pooled"
+    for r in pooled:
+        assert r.nb == 16
+        assert r.s == totals[r.doc_id]
