@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..io import TABLES, load_tables
 from ..registry import query
-from .util import hex32_sql, hexpoly_sql, rnd, sql_rnd
+from .util import hex32_sql, hexpoly_sql, rnd, sql_dsum, sql_rnd
 
 
 @query("q_scan_project", oracle=f"""
@@ -63,10 +63,21 @@ def q_source_range(spark, sf):
     )
 
 
-@query("q_sink_roundtrip")  # rows-only: sink side effect, not SQL-comparable
+@query("q_sink_roundtrip", oracle=f"""
+SELECT r_name,
+       count(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
 def q_sink_roundtrip(spark, sf):
     """Parquet sink + re-scan: writes the per-region order rollup and
-    returns the read-back result (schema survives the round trip)."""
+    returns the read-back result. Oracle-checked with q_join_inner's
+    SQL — the parquet round trip must preserve every value and type
+    bit-exactly, so the sink itself is inside the hash gate."""
     import tempfile
 
     from .joins import q_join_inner

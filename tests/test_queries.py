@@ -25,9 +25,11 @@ def test_query_runs(spark, sf_dir, key):
 def test_every_key_has_oracle_or_reason():
     no_oracle = sorted(set(QUERIES) - set(ORACLE))
     # rows-only keys must be a deliberate, short list
+    # every remaining rows-only key is an approximate/sketch/ANN path
+    # whose internals are engine-specific by design
     assert no_oracle == [
         "q_agg_approx_distinct", "q_agg_approx_quantile",
-        "q_sim_ivf_topk", "q_sim_lsh_topk", "q_sink_roundtrip",
+        "q_sim_ivf_topk", "q_sim_lsh_topk",
     ]
 
 
