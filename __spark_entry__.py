@@ -43,12 +43,32 @@ _R02_GREEN = [
 ]
 
 
+# Keys first registered in round 3 (modules pipeline/sources/
+# analytics_extra/streaming_q plus additions to llm/multimodal).  They
+# queue BEHIND the keys that have been waiting since round 2, so every
+# original SURVEY §2.2 checklist key gets its driver row first; the
+# remainder rotate into later rounds' windows.
+_R03_NEW = [
+    "q_dedup_cluster", "q_dedup_resolve", "q_multimodal_resize",
+    "q_dedup_keep_best", "q_sample_stratified", "q_dataset_mix",
+    "q_token_histogram", "q_events_funnel", "q_retention",
+    "q_ngram_freq", "q_join_salted", "q_percentile_cont",
+    "q_source_csv", "q_sink_partitioned", "q_source_json",
+    "q_window_ntile", "q_corr_stats", "q_rollup_time",
+    "q_agg_approx_quantile", "q_text_clean", "q_stream_tumbling",
+    "q_stream_sliding", "q_stream_stateful_totals",
+]
+
+
 def _rotated(keys) -> list[str]:
-    """Unverified-first key order (relative registration order preserved)."""
-    green = set(_R02_GREEN)
-    front = [k for k in keys if k not in green]
+    """Waiting-longest-first key order (relative registration order
+    preserved within each tier): round-2-unverified, then round-3
+    additions, then already-green keys."""
+    green, new = set(_R02_GREEN), set(_R03_NEW)
+    waiting = [k for k in keys if k not in green and k not in new]
+    fresh = [k for k in keys if k in new]
     back = [k for k in keys if k in green]
-    return front + back
+    return waiting + fresh + back
 
 
 def entry(spark: SparkSession) -> DataFrame:
