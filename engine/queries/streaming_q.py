@@ -115,6 +115,48 @@ def q_stream_sliding(spark, sf):
     return spark.table(name)
 
 
+@query("q_stream_session", oracle=f"""
+WITH e AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+     g AS (SELECT *,
+                  CASE WHEN us - lag(us) OVER w > 1800000000
+                         OR lag(us) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+     s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) + 1800000000 AS session_end_us,
+       count(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM s GROUP BY user_id, sid
+""")
+def q_stream_session(spark, sf):
+    """Streaming session windows (30 min gap): sessions merge across
+    micro-batches in the state store, complete mode emits the final
+    merged sessions — equal to the batch session_window aggregate
+    (q_window_session's gaps-and-islands oracle) under any input
+    split."""
+    def build(events):
+        agg = (
+            events.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                           "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("sum_value"))
+            .select(
+                "user_id",
+                F.unix_micros("w.start").alias("session_start_us"),
+                F.unix_micros("w.end").alias("session_end_us"),
+                "n_events", "sum_value",
+            )
+        )
+        return agg, "complete"
+
+    name = _run_stream(spark, sf, "session", build)
+    return spark.table(name)
+
+
 @query("q_stream_stateful_totals", oracle=f"""
 SELECT user_id, count(*) AS n_events, {sql_dsum('value')} AS total_value
 FROM events GROUP BY user_id

@@ -148,3 +148,16 @@ def test_retention_bounded_by_users(spark, sf_dir):
     n_users = e.select("user_id").distinct().count()
     for r in QUERIES["q_retention"](spark, sf_dir).collect():
         assert 0 < r.retained <= n_users
+
+
+def test_prepared_state_isolated_per_session(spark, sf_dir):
+    """Session-scoped prepared state (bucketed tables, stream memory
+    sinks) must not leak across sessions: a sibling session (separate
+    catalog temp views) re-prepares its own state and still gets the
+    right answer."""
+    sib = spark.newSession()
+    base = {tuple(sorted(r.asDict().items())) for r in
+            QUERIES["q_join_bucketed"](spark, sf_dir).collect()}
+    other = {tuple(sorted(r.asDict().items())) for r in
+             QUERIES["q_join_bucketed"](sib, sf_dir).collect()}
+    assert base == other
