@@ -43,11 +43,14 @@ _R02_GREEN = [
 ]
 
 
-# Keys first registered in round 3 (modules pipeline/sources/
-# analytics_extra/streaming_q plus additions to llm/multimodal).  They
-# queue BEHIND the keys that have been waiting since round 2, so every
-# original SURVEY §2.2 checklist key gets its driver row first; the
-# remainder rotate into later rounds' windows.
+# Keys added late in round 3 that DEFER to the front of the queue.
+# They sit behind every key still waiting for its first driver row —
+# the 44 keys unverified since round 2 PLUS four early-round-3 keys
+# deliberately kept in the waiting tier (q_dedup_embed_cosine,
+# q_multimodal_frames, and the two *_blocks keys, which the round-2
+# verdict explicitly asked to get driver rows) — so the whole original
+# SURVEY §2.2 checklist verifies first and the rest rotate into later
+# windows.
 _R03_NEW = [
     "q_dedup_cluster", "q_dedup_resolve", "q_multimodal_resize",
     "q_dedup_keep_best", "q_sample_stratified", "q_dataset_mix",

@@ -7,8 +7,6 @@ the ~70 query callables don't re-read parquet footers.
 """
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .session import configure
@@ -18,13 +16,22 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-# Keyed by a weak session reference so entries die with the session —
-# an id(spark) key can be recycled by a later session and would then
-# hand out DataFrames bound to a stopped SparkContext.
-_CACHE: weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]] \
-    = weakref.WeakKeyDictionary()
-_LAST_REGISTERED: weakref.WeakKeyDictionary[SparkSession, str] \
-    = weakref.WeakKeyDictionary()
+
+def session_cache(spark: SparkSession, name: str) -> dict:
+    """Per-session mutable cache stored ON the session object itself.
+
+    A module-global keyed by id(spark) outlives the session (and the
+    id can be recycled); a WeakKeyDictionary can never evict either,
+    because cached DataFrames strongly reference their session — the
+    value would keep its own key alive. Attaching the dict to the
+    session makes the lifecycle trivially correct: the cache is
+    collected exactly when the session is, and a ``newSession()``
+    sibling starts empty."""
+    d = getattr(spark, name, None)
+    if d is None:
+        d = {}
+        setattr(spark, name, d)
+    return d
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -35,12 +42,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     SQL-text queries always read the requested scale.
     """
     sf = sf_dir.rstrip("/")
-    per_session = _CACHE.setdefault(spark, {})
+    per_session = session_cache(spark, "_engine_table_cache")
+    last = session_cache(spark, "_engine_view_state")
     if sf in per_session:
-        if _LAST_REGISTERED.get(spark) != sf:
+        if last.get("sf") != sf:
             for t, df in per_session[sf].items():
                 df.createOrReplaceTempView(t)
-            _LAST_REGISTERED[spark] = sf
+            last["sf"] = sf
         return per_session[sf]
     configure(spark)
     dfs: dict[str, DataFrame] = {}
@@ -55,12 +63,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         dfs[t] = df
         df.createOrReplaceTempView(t)
     per_session[sf] = dfs
-    _LAST_REGISTERED[spark] = sf
+    last["sf"] = sf
     return dfs
-
-
-_COUNTS: weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], int]] \
-    = weakref.WeakKeyDictionary()
 
 
 def table_count(spark: SparkSession, sf_dir: str, table: str) -> int:
@@ -68,7 +72,7 @@ def table_count(spark: SparkSession, sf_dir: str, table: str) -> int:
     size themselves from n (ANN chunk counts, IVF nlist) so repeated
     invocations don't re-run the count job."""
     sf = sf_dir.rstrip("/")
-    per_session = _COUNTS.setdefault(spark, {})
+    per_session = session_cache(spark, "_engine_count_cache")
     key = (sf, table)
     if key not in per_session:
         per_session[key] = load_tables(spark, sf)[table].count()

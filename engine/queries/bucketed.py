@@ -15,23 +15,20 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
-import weakref
 
 from pyspark.sql import functions as F
 
-from ..io import load_tables
+from ..io import load_tables, session_cache
 from ..registry import query
 from .util import dsum, sql_dsum
-
-# weak-keyed by session: the bucketed tables live in the session
-# catalog, so an id()-recycled new session must not inherit the tag
-_prepared: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def prepare_bucketed(spark, sf: str, buckets: int = 8) -> str:
     """Write lineitem + orders bucketed by the join key (idempotent
-    per session+sf). Returns the table-name suffix used."""
-    per_session = _prepared.setdefault(spark, {})
+    per session+sf; the tables live in the session catalog, so the
+    memo is session-attached — see engine.io.session_cache).
+    Returns the table-name suffix used."""
+    per_session = session_cache(spark, "_engine_bucket_cache")
     if sf in per_session:
         return per_session[sf]
     # Tag carries a digest of the FULL path: two sf dirs with the same

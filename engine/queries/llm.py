@@ -17,11 +17,9 @@ Scale design:
 """
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import Window as W, functions as F
 
-from ..io import load_tables, table_count
+from ..io import load_tables, session_cache, table_count
 from ..registry import query
 from .util import hex32_sql, hexpoly_col, rnd, sql_rnd
 
@@ -80,9 +78,6 @@ def q_dedup_exact(spark, sf):
     )
 
 
-# fixpoint label frames per session (see q_dedup_cluster)
-_CLUSTER_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
-
 # Banded-MinHash candidate-pair CTE chain, shared by the pair key and
 # the connected-components clustering key's recursive oracle.
 _MINHASH_CTES = f"""{_SHINGLES_SQL},
@@ -138,8 +133,10 @@ def q_dedup_fuzzy_minhash(spark, sf):
     )
 
 
-@query("q_dedup_cluster", oracle=f"""
-WITH RECURSIVE {_MINHASH_CTES},
+# connected-components closure over the banded-MinHash pairs, shared
+# by the clustering key and the end-to-end resolve key's oracles so
+# the two can never drift (same rationale as _MINHASH_CTES)
+_CLUSTER_CTES = f"""{_MINHASH_CTES},
 pairs AS (
     SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
     FROM b x JOIN b y ON x.band_id = y.band_id AND x.bh = y.bh
@@ -151,10 +148,16 @@ reach(src, dst) AS (
     SELECT src, dst FROM edges
     UNION
     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-)
-SELECT src AS doc_id,
-       CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
-FROM reach GROUP BY src
+),
+labels AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+)"""
+
+
+@query("q_dedup_cluster", oracle=f"""
+WITH RECURSIVE {_CLUSTER_CTES}
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM labels
 """)
 def q_dedup_cluster(spark, sf):
     """Duplicate clustering: connected components over the banded
@@ -179,8 +182,8 @@ def q_dedup_cluster(spark, sf):
     """
     # the labels are localCheckpointed (materialized) at fixpoint, so
     # memoizing per (session, sf) lets q_dedup_resolve reuse them
-    # without re-running the iteration; weak-keyed like engine.io
-    per_session = _CLUSTER_CACHE.setdefault(spark, {})
+    # without re-running the iteration; session-attached (engine.io)
+    per_session = session_cache(spark, "_engine_cluster_cache")
     if sf.rstrip("/") in per_session:
         return per_session[sf.rstrip("/")]
     pairs = q_dedup_fuzzy_minhash(spark, sf)
@@ -230,23 +233,7 @@ def q_dedup_cluster(spark, sf):
 
 
 @query("q_dedup_resolve", oracle=f"""
-WITH RECURSIVE {_MINHASH_CTES},
-pairs AS (
-    SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-    FROM b x JOIN b y ON x.band_id = y.band_id AND x.bh = y.bh
-    WHERE x.doc_id < y.doc_id
-),
-edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-          UNION ALL SELECT d2, d1 FROM pairs),
-reach(src, dst) AS (
-    SELECT src, dst FROM edges
-    UNION
-    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-),
-labels AS (
-    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-    FROM reach GROUP BY src
-)
+WITH RECURSIVE {_CLUSTER_CTES}
 SELECT d.doc_id, d.lang, d.source
 FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
 WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id

@@ -240,6 +240,10 @@ def q_ngram_freq(spark, sf):
     )
     c = (
         d.select("lang", F.split("text", " ").alias("w"))
+        # guard single-word/empty docs: sequence(1, 0) is the
+        # DESCENDING array [1, 0] and element_at(w, 2) would throw;
+        # the oracle's range(1, 1) = [] skips them the same way
+        .filter(F.size("w") >= 2)
         .select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))

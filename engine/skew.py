@@ -30,7 +30,18 @@ def salted_join(
     an nsalt× blow-up of the SMALL side only). The join then runs on
     (key..., _salt), so a key holding 90% of the big side lands on
     nsalt reducers instead of one. Output drops the salt column.
+
+    Only join types whose result is unchanged by replicating the
+    small side are allowed: inner/left keep unmatched SMALL rows out
+    of the output, so the nsalt copies collapse; right/full outer
+    would emit every unmatched small row nsalt times.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join: join type {how!r} is not semantics-preserving "
+            "under small-side replication (unmatched small rows would "
+            "appear nsalt times); use inner/left/semi/anti")
     bigs = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(nsalt)).cast("int"))
     smalls = small.withColumn(

@@ -53,3 +53,12 @@ def test_hot_key_spreads_across_salts(spark):
     assert len(dist) == 8  # every salt bucket gets a share of key 0
     counts = [r["count"] for r in dist]
     assert max(counts) < 2 * min(counts)  # roughly even spread
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest
+
+    big, small = _fixture(spark)
+    for how in ("full", "right", "rightouter"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, ["k"], salt_src="id", how=how)
