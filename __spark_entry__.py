@@ -60,6 +60,7 @@ _R03_NEW = [
     "q_window_ntile", "q_corr_stats", "q_rollup_time",
     "q_agg_approx_quantile", "q_text_clean", "q_stream_tumbling",
     "q_stream_sliding", "q_stream_session", "q_stream_stateful_totals",
+    "q_corpus_curate",
 ]
 
 

@@ -306,3 +306,64 @@ def q_percentile_cont(spark, sf):
         rnd(F.expr("percentile(l_quantity, 0.5D)")).alias("p50"),
         rnd(F.expr("percentile(l_quantity, 0.9D)")).alias("p90"),
     )
+
+
+@query("q_corpus_curate", oracle=f"""
+WITH cleaned AS (
+    SELECT doc_id, lang, source,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean
+    FROM documents
+),
+scored AS (
+    SELECT *, len(string_split(clean, ' ')) AS n_tokens
+    FROM cleaned
+    WHERE len(clean) >= 50
+),
+quality AS (SELECT * FROM scored WHERE n_tokens >= 10),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(clean)
+                                     ORDER BY doc_id) AS rn
+        FROM quality
+    ) WHERE rn = 1
+)
+SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM deduped
+WHERE {hexpoly_sql("md5(concat(doc_id, '#curate'))")} % 100 < 30
+""")
+def q_corpus_curate(spark, sf):
+    """The capstone: a full corpus-curation run as ONE declarative
+    pipeline — normalize text, drop low-quality docs (<50 clean chars
+    or <10 tokens), exact-dedup on the normalized content (keep min
+    doc_id), then take a deterministic 30% hash sample. Every stage is
+    individually oracle-checked elsewhere (q_text_clean,
+    q_text_quality, q_dedup_keep_best, q_sample_hash); this key proves
+    they COMPOSE into the query a training-data team actually ships,
+    still hash-matching DuckDB end to end.
+
+    Scale shape: stages 1-2 are narrow (scan-side projection +
+    filter), stage 3 is the single content-hash shuffle, stage 4 is a
+    narrow filter again — the whole pipeline costs ONE shuffle at any
+    corpus size."""
+    d = load_tables(spark, sf)["documents"]
+    clean = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "))
+    cleaned = d.select("doc_id", "lang", "source", clean.alias("clean"))
+    scored = (
+        cleaned.filter(F.length("clean") >= 50)
+        .withColumn("n_tokens", F.size(F.split("clean", " ")))
+        .filter(F.col("n_tokens") >= 10)
+    )
+    w = Window.partitionBy(F.md5(F.col("clean").cast("binary"))) \
+              .orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    h = F.expr(hexpoly_sql("md5(concat(doc_id, '#curate'))"))
+    return (
+        deduped.filter((h % 100) < 30)
+        .select("doc_id", "lang", "source",
+                F.col("n_tokens").cast("long").alias("n_tokens"))
+    )
