@@ -1,0 +1,114 @@
+"""Scaling self-audit: rebuilds the 10× fixtures and re-measures the
+SCALE.md "Measured scaling" table.
+
+Synthesizes a 10× corpus (50k documents / 20k embeddings, replicated
+from sf0.1 with remapped ids and per-copy text perturbation) and a 10×
+relational fixture (6M-row lineitem / 1.5M-row orders, remapped keys)
+under /tmp, then times representative keys warm (min of 2) at sf0.01,
+sf0.1, and 10×. Prints one JSON line per scale.
+
+Usage: python scale_probe.py [--rebuild]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+OUT = "/tmp/engine_scale_x10"
+BASE = "/root/testdata/sf0.1"
+DOC_KEYS = [
+    "q_dedup_exact", "q_dedup_fuzzy_minhash", "q_dedup_keep_best",
+    "q_corpus_curate", "q_sim_topk", "q_sim_lsh_topk", "q_sim_ivf_topk",
+    "q_tfidf_top", "q_text_stats", "q_ngram_freq",
+]
+REL_KEYS = [
+    "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
+    "q_topk_orders", "q_agg_rollup", "q_join_salted",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{BASE}/documents.parquet")
+    n = d.count()
+    parts = [
+        d.withColumn("doc_id", (F.col("doc_id") + i * n).cast("long"))
+        .withColumn("text", F.when(F.lit(i) == 0, F.col("text"))
+                    .otherwise(F.concat(F.col("text"), F.lit(f" v{i}"))))
+        for i in range(10)
+    ]
+    big = parts[0]
+    for c in parts[1:]:
+        big = big.union(c)
+    big.repartition(32).write.mode("overwrite") \
+        .parquet(f"{OUT}/documents.parquet")
+
+    e = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    m = e.count()
+    eparts = [e.withColumn("vec_id", (F.col("vec_id") + i * m).cast("long"))
+              for i in range(10)]
+    bige = eparts[0]
+    for c in eparts[1:]:
+        bige = bige.union(c)
+    bige.repartition(32).write.mode("overwrite") \
+        .parquet(f"{OUT}/embeddings.parquet")
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    o = spark.read.parquet(f"{BASE}/orders.parquet")
+    shift = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    for name, df, kcol in (("lineitem", li, "l_orderkey"),
+                           ("orders", o, "o_orderkey")):
+        ps = [df.withColumn(kcol, (F.col(kcol) + i * shift).cast("long"))
+              for i in range(10)]
+        bigr = ps[0]
+        for c in ps[1:]:
+            bigr = bigr.union(c)
+        dst = f"{OUT}/{name}.parquet"
+        if os.path.islink(dst):
+            os.unlink(dst)
+        bigr.repartition(32).write.mode("overwrite").parquet(dst)
+
+    # remaining driver tables: symlink the sf0.1 originals
+    for t in ("region", "nation", "customer", "supplier", "part", "events"):
+        dst = f"{OUT}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+
+
+def main() -> None:
+    from engine.io import load_tables
+    from engine.registry import QUERIES, load_all
+    from engine.session import get_spark
+
+    spark = get_spark("scale_probe")
+    load_all()
+    if "--rebuild" in sys.argv or \
+            not os.path.exists(f"{OUT}/documents.parquet"):
+        build(spark)
+
+    for sf in ("/root/testdata/sf0.01", BASE, OUT):
+        t = load_tables(spark, sf)
+        for name in ("documents", "embeddings", "lineitem", "orders"):
+            t[name].cache().count()
+        row = {}
+        for k in DOC_KEYS + REL_KEYS:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[k](spark, sf).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            row[k] = round(best, 2)
+        for name in ("documents", "embeddings", "lineitem", "orders"):
+            t[name].unpersist()
+        print(json.dumps({"scale": sf.rstrip("/").rsplit("/", 1)[-1],
+                          "seconds": row}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
