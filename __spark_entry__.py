@@ -21,9 +21,11 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 # Keys already driver-verified green in CORRECTNESS_r02.json (47 hash-green +
 # 2 rows-only-by-design).  The driver's correctness gate covers the first 50
-# keys in dict order per round, so these rotate to the BACK of the dict and
-# the 43 keys without a driver row yet — plus the re-fixed q_agg_distinct and
-# any newly added keys — fill the front of the window.
+# keys in dict order per round, so driver-verified keys rotate toward the
+# BACK of the dict and keys without a driver row yet fill the front of the
+# window.  Round 4: the ~27 window slots left over after the 23 waiting keys
+# are filled by the OLDEST r2 greens (this list, in order) so they get
+# re-confirmed against silent drift since round 2.
 _R02_GREEN = [
     "q_scan_project", "q_scan_count_all", "q_source_range",
     "q_sink_roundtrip", "q_filter_pred", "q_project_compute",
@@ -43,36 +45,42 @@ _R02_GREEN = [
 ]
 
 
-# Keys added late in round 3 that DEFER to the front of the queue.
-# They sit behind every key still waiting for its first driver row —
-# the 44 keys unverified since round 2 PLUS four early-round-3 keys
-# deliberately kept in the waiting tier (q_dedup_embed_cosine,
-# q_multimodal_frames, and the two *_blocks keys, which the round-2
-# verdict explicitly asked to get driver rows) — so the whole original
-# SURVEY §2.2 checklist verifies first and the rest rotate into later
-# windows.
-_R03_NEW = [
-    "q_dedup_cluster", "q_dedup_resolve", "q_multimodal_resize",
-    "q_dedup_keep_best", "q_sample_stratified", "q_dataset_mix",
-    "q_token_histogram", "q_events_funnel", "q_retention",
-    "q_ngram_freq", "q_join_salted", "q_percentile_cont",
-    "q_source_csv", "q_sink_partitioned", "q_source_json",
-    "q_window_ntile", "q_corr_stats", "q_rollup_time",
-    "q_agg_approx_quantile", "q_text_clean", "q_stream_tumbling",
-    "q_stream_sliding", "q_stream_session", "q_stream_stateful_totals",
-    "q_corpus_curate",
+# Keys with a driver row in CORRECTNESS_r03.json (48 hash-green + 2
+# rows-only-by-design).  These rotate to the very back of the dict —
+# they are the most recently confirmed, so they wait the longest for
+# re-confirmation slots.
+_R03_GREEN = [
+    "q_agg_distinct", "q_array_funcs", "q_explode_unnest",
+    "q_map_funcs", "q_json_funcs", "q_array_setops",
+    "q_struct_funcs", "q_sequence_dates", "q_regexp_funcs",
+    "q_agg_bool", "q_first_last_ignorenulls", "q_bitwise_ops",
+    "q_string_agg", "q_percentile_disc", "q_window_tumbling",
+    "q_window_sliding", "q_window_session", "q_event_dedup_first",
+    "q_dedup_exact", "q_dedup_fuzzy_minhash", "q_dedup_simhash",
+    "q_dedup_ngram_jaccard", "q_sim_topk", "q_dedup_embed_cosine",
+    "q_sim_lsh_topk", "q_knn_centroid", "q_text_tokens",
+    "q_text_stats", "q_tfidf_top", "q_text_langid",
+    "q_text_quality", "q_text_fingerprint", "q_sim_ivf_topk",
+    "q_text_tokens_regex", "q_multimodal_meta", "q_multimodal_frames",
+    "q_grid_gen", "q_affine_field", "q_block_weights",
+    "q_stitch_1d", "q_stitch_3d", "q_stitch_3d_blocks",
+    "q_halo_sum", "q_local_affine_blend", "q_local_affine_blend_blocks",
+    "q_udf_scalar", "q_udaf_weighted_mean", "q_udtf_expand",
+    "q_dedup_cluster", "q_dedup_resolve",
 ]
 
 
 def _rotated(keys) -> list[str]:
     """Waiting-longest-first key order (relative registration order
-    preserved within each tier): round-2-unverified, then round-3
-    additions, then already-green keys."""
-    green, new = set(_R02_GREEN), set(_R03_NEW)
-    waiting = [k for k in keys if k not in green and k not in new]
-    fresh = [k for k in keys if k in new]
-    back = [k for k in keys if k in green]
-    return waiting + fresh + back
+    preserved within each tier): keys with no driver CORRECTNESS row
+    yet (the 23 late-round-3 keys plus anything new this round), then
+    the oldest driver greens (round 2) for re-confirmation, then the
+    freshest greens (round 3) at the back."""
+    r2, r3 = set(_R02_GREEN), set(_R03_GREEN)
+    waiting = [k for k in keys if k not in r2 and k not in r3]
+    back_r2 = [k for k in keys if k in r2]
+    back_r3 = [k for k in keys if k in r3]
+    return waiting + back_r2 + back_r3
 
 
 def entry(spark: SparkSession) -> DataFrame:

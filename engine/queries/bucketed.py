@@ -29,12 +29,14 @@ def prepare_bucketed(spark, sf: str, buckets: int = 8) -> str:
     memo is session-attached — see engine.io.session_cache).
     Returns the table-name suffix used."""
     per_session = session_cache(spark, "_engine_bucket_cache")
-    if sf in per_session:
-        return per_session[sf]
+    # normalized cache key ('dir' and 'dir/' must hit the same memo,
+    # like every other per-sf cache in the engine)
+    full = os.path.abspath(sf.rstrip("/"))
+    if full in per_session:
+        return per_session[full]
     # Tag carries a digest of the FULL path: two sf dirs with the same
     # basename must not share table names, or the second prepare would
     # silently repoint the first's cached tag at wrong-scale data.
-    full = os.path.abspath(sf.rstrip("/"))
     digest = hashlib.md5(full.encode()).hexdigest()[:8]
     tag = f'{os.path.basename(full).replace(".", "_")}_{digest}'
     wh = tempfile.mkdtemp(prefix=f"engine_buckets_{tag}_")
@@ -48,7 +50,7 @@ def prepare_bucketed(spark, sf: str, buckets: int = 8) -> str:
         (df.write.bucketBy(buckets, k).sortBy(k)
            .option("path", f"{wh}/{tbl}")
            .mode("overwrite").saveAsTable(tbl))
-    per_session[sf] = tag
+    per_session[full] = tag
     return tag
 
 

@@ -170,9 +170,11 @@ def q_dedup_cluster(spark, sf):
     dependency): min-label propagation to fixpoint. Each round is one
     edges⋈labels shuffle join plus a groupBy(dst) min; rounds needed =
     component diameter (near-dup clusters are shallow — the fixture
-    converges in ≤4). localCheckpoint cuts lineage each round so the
-    plan stays O(1) across iterations; a cluster deployment would use
-    a reliable HDFS/S3 checkpoint dir instead. At 100 TB the label
+    converges in ≤4). Lineage is cut each round so the plan stays
+    O(1) across iterations: via reliable ``checkpoint()`` when a
+    checkpoint dir is configured (``setCheckpointDir`` — survives
+    executor loss on a real cluster), else ``localCheckpoint`` (fast,
+    executor-local — fine for local mode). At 100 TB the label
     frame is just (doc_id, cluster_id) — tiny next to the corpus —
     and edges stay partitioned on the join key across rounds, so each
     iteration reshuffles only the shrinking label deltas. The oracle
@@ -186,6 +188,17 @@ def q_dedup_cluster(spark, sf):
     per_session = session_cache(spark, "_engine_cluster_cache")
     if sf.rstrip("/") in per_session:
         return per_session[sf.rstrip("/")]
+
+    # reliable checkpoint when the session has a checkpoint dir (set
+    # via spark.sparkContext.setCheckpointDir on a real cluster);
+    # executor-local otherwise
+    if spark.sparkContext.getCheckpointDir() is not None:
+        def cut(df):
+            return df.checkpoint(eager=True)
+    else:
+        def cut(df):
+            return df.localCheckpoint()
+
     pairs = q_dedup_fuzzy_minhash(spark, sf)
     edges = (
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
@@ -199,8 +212,8 @@ def q_dedup_cluster(spark, sf):
         .agg(F.min("dst").alias("nbr"))
         .select(F.col("src").alias("doc_id"),
                 F.least("src", "nbr").alias("cluster_id"))
-        .localCheckpoint()
     )
+    labels = cut(labels)
     # convergence check without a compare-join: labels only ever
     # DECREASE, so sum(cluster_id) strictly decreases until fixpoint —
     # one tiny aggregate per round on the label frame
@@ -218,8 +231,8 @@ def q_dedup_cluster(spark, sf):
                         F.coalesce(prop["nbr"], labels["cluster_id"])
                         ).alias("cluster_id"),
             )
-            .localCheckpoint()
         )
+        new = cut(new)
         new_sum = new.agg(F.sum("cluster_id")).collect()[0][0]
         labels = new
         if new_sum == cur_sum:
@@ -386,7 +399,12 @@ def q_sim_topk(spark, sf):
     # bounded (~1k rows/chunk) instead of growing linearly with n.
     n = table_count(spark, sf, "embeddings")
     C = max(2, -(-n // 1024))
-    v = e.select("vec_id", "embedding", (F.col("vec_id") % C).alias("chunk"))
+    # hash-based chunk id (not vec_id % C): keeps chunk-pair GEMM task
+    # sizes balanced under sparse or range-clustered id spaces; pair
+    # coverage is unaffected — every unordered pair still lands in
+    # exactly one chunk-pair task
+    v = e.select("vec_id", "embedding",
+                 F.pmod(F.xxhash64("vec_id"), F.lit(C)).alias("chunk"))
     chunks = spark.range(C).select(F.col("id").alias("c1"))
     pairs = (
         chunks.crossJoin(spark.range(C).select(F.col("id").alias("c2")))
@@ -482,7 +500,9 @@ def q_dedup_embed_cosine(spark, sf):
     e = load_tables(spark, sf)["embeddings"]
     n = table_count(spark, sf, "embeddings")
     C = max(2, -(-n // 1024))
-    v = e.select("vec_id", "embedding", (F.col("vec_id") % C).alias("chunk"))
+    # hash-based chunk id — same balance rationale as q_sim_topk
+    v = e.select("vec_id", "embedding",
+                 F.pmod(F.xxhash64("vec_id"), F.lit(C)).alias("chunk"))
     pairs = (
         spark.range(C).select(F.col("id").alias("c1"))
         .crossJoin(spark.range(C).select(F.col("id").alias("c2")))
@@ -529,53 +549,81 @@ def q_dedup_embed_cosine(spark, sf):
         kernel, "v1 long, v2 long, cos_sim double")
 
 
+#: OR-amplification width for q_sim_lsh_topk — L independent SRP hash
+#: tables; a candidate pair survives if it collides in ANY table.
+LSH_TABLES = 8
+
+
+def _lsh_planes(nplanes: int):
+    """Deterministic Gaussian hyperplanes for all LSH_TABLES tables,
+    shape (64, LSH_TABLES * nplanes).  Fixed seed ⇒ every executor
+    materializes the identical plane matrix with no broadcast."""
+    import numpy as np
+
+    return np.random.default_rng(0x5EED).standard_normal(
+        (64, LSH_TABLES * nplanes))
+
+
 @query("q_sim_lsh_topk")  # rows-only: LSH recall is engine-defined, not SQL
 def q_sim_lsh_topk(spark, sf):
-    """Scale path for ANN: signed-random-projection LSH. Vectors hash
-    into 2^nplanes buckets; candidate pairs come from a
-    bucket-equality join (shuffle on bucket id), cosine is computed
-    only inside buckets. At 100 TB this replaces the O(n²) crossJoin
-    with an O(n·bucket_size) join.
+    """Scale path for ANN: signed-random-projection LSH with L
+    independent hash tables (OR-amplification).  Each vector hashes to
+    one bucket per table (one numpy GEMM against a (64, L·b) plane
+    matrix in mapInPandas — L rows out per vector); candidates are
+    pairs sharing a bucket in ANY table, scored as one dense GEMM per
+    bucket, then unioned, deduped on (v1, v2) and cut to the global
+    top-k.  At 100 TB this replaces the O(n²) crossJoin with an
+    O(L·n·bucket_size) join.
 
-    The plane count SCALES with the data: nplanes = log2(n / 64), so
-    the expected bucket size stays ~64 and the within-bucket pair join
-    stays linear in n. A fixed plane count is the classic LSH
-    scale-killer — constant bucket count means bucket sizes grow with
-    n and the candidate join quadratically (measured: 10× data took
-    ~5× time before this sizing, ~1.4× after)."""
+    Two knobs, both data-driven:
+      - b = log2(n / 64) planes per table keeps expected bucket size
+        ~64, so per-bucket GEMMs stay constant-size and the candidate
+        join linear in n.  (A fixed plane count is the classic LSH
+        scale-killer — measured 10×-data ~5× time before this sizing.)
+      - L = LSH_TABLES tables: a true neighbor at angle θ collides per
+        table with p = (1 - θ/π)^b; OR-amplified recall is
+        1 - (1-p)^L.  One table misses any pair split by any one of
+        its b hyperplanes; the union makes recall a tunable, and
+        tests/test_llm_quality.py pins measured recall@20 ≥ 0.9
+        against the exact q_sim_topk on the sf0.001 fixture."""
     n = table_count(spark, sf, "embeddings")
-    nplanes = max(8, (max(1, n // 64) - 1).bit_length())
+    nplanes = max(3, (max(1, n // 64) - 1).bit_length())
     nm = _norms(spark, sf)
-    # deterministic pseudo-random hyperplanes: w(p,i) in [-0.5, 0.5)
-    proj = [
-        F.aggregate(
-            F.zip_with(
-                "embedding",
-                F.expr(
-                    "transform(sequence(0, 63), "
-                    f"i -> (CAST((i * 2654435761 + {p} * 40503) % 1000 AS DOUBLE)"
-                    " / 1000.0 - 0.5))"
-                ),
-                lambda x, wgt: x.cast("double") * wgt,
-            ),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-        for p in range(nplanes)
-    ]
-    bucket = None
-    for p, pr in enumerate(proj):
-        term = F.when(pr >= 0, 1 << p).otherwise(0)
-        bucket = term if bucket is None else bucket + term
-    h = nm.select("vec_id", "embedding", "nrm", bucket.alias("bucket"))
-    # within-bucket scoring as ONE dense GEMM per bucket (same kernel
-    # family as q_sim_topk) — a bucket-equality pair join with a
-    # per-pair zip_with fold costs ~d codegen ops per candidate,
-    # measured ~4× slower than the matmul at 10× fixture scale
+
     import numpy as np
     import pandas as pd
 
+    L, b = LSH_TABLES, nplanes
     k = 20
 
+    def assign(batches):
+        planes = _lsh_planes(b)          # (64, L*b)
+        pow2 = 1 << np.arange(b, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+            signs = (M @ planes) >= 0.0  # (rows, L*b)
+            for t in range(L):
+                bits = signs[:, t * b:(t + 1) * b]
+                yield pd.DataFrame({
+                    "t": np.int32(t),
+                    "bucket": bits @ pow2,
+                    "vec_id": pdf.vec_id.to_numpy(),
+                    "nrm": pdf.nrm.to_numpy(),
+                    "embedding": pdf.embedding,
+                })
+
+    h = nm.mapInPandas(
+        assign,
+        "t int, bucket long, vec_id long, nrm double, "
+        "embedding array<float>",
+    )
+
+    # within-bucket scoring as ONE dense GEMM per (table, bucket) —
+    # a bucket-equality pair join with a per-pair zip_with fold costs
+    # ~d codegen ops per candidate, measured ~4× slower than the
+    # matmul at 10× fixture scale
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame(columns=["v1", "v2", "cos_sim"])
@@ -594,9 +642,13 @@ def q_sim_lsh_topk(spark, sf):
         return pd.DataFrame({"v1": ids[ii][order], "v2": ids[jj][order],
                              "cos_sim": vals[order]})
 
+    cand = h.groupBy("t", "bucket").applyInPandas(
+        kernel, "v1 long, v2 long, cos_sim double")
+    # union across tables: dedup pairs seen in >1 table (quantized
+    # score is identical per pair; max() is a tie-safe reducer), then
+    # the global cut.  The dedup shuffle moves ≤ k rows per bucket.
     return (
-        h.groupBy("bucket")
-        .applyInPandas(kernel, "v1 long, v2 long, cos_sim double")
+        cand.groupBy("v1", "v2").agg(F.max("cos_sim").alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "v1", "v2")
         .limit(k)
     )
@@ -794,12 +846,14 @@ def q_text_quality(spark, sf):
     beyond the one broadcast of the learned stopword list."""
     d = load_tables(spark, sf)["documents"]
     ws = F.split("text", " ")
-    stop_win = W.orderBy(F.col("cnt").desc(), "word")
+    # Global top-20 via orderBy+limit → TakeOrderedAndProject (per-partition
+    # 20-row heaps merged on the driver), NOT an unpartitioned window, which
+    # would shuffle the entire distinct-word frame onto a single reducer.
     stop = (
         d.select(F.explode(ws).alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(stop_win))
-        .filter(F.col("rn") <= 20)
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
         .agg(F.collect_list("word").alias("stopwords"))
     )
     t = d.crossJoin(F.broadcast(stop)).select(

@@ -91,7 +91,7 @@ def q_sink_roundtrip(spark, sf):
     if key not in per_session:
         digest = hashlib.md5(os.path.abspath(key).encode()).hexdigest()[:8]
         out = os.path.join(tempfile.gettempdir(),
-                           f"engine_sink_{digest}", "rollup")
+                           f"engine_sink_{digest}_{os.getpid()}", "rollup")
         q_join_inner(spark, sf).write.mode("overwrite").parquet(out)
         per_session[key] = out
     return spark.read.parquet(per_session[key])

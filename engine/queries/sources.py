@@ -32,8 +32,11 @@ def _roundtrip_dir(spark, sf: str, fmt: str) -> str:
     if key in per_session:
         return per_session[key]
     digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    # per-process artifact dir: mode("overwrite") deletes before
+    # rewriting, so a shared path would let two concurrent processes
+    # on the same sf clobber files the other is mid-read
     out = os.path.join(
-        tempfile.gettempdir(), f"engine_src_{fmt}_{digest}")
+        tempfile.gettempdir(), f"engine_src_{fmt}_{digest}_{os.getpid()}")
     t = load_tables(spark, sf)
     if fmt == "csv":
         (t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -87,7 +90,8 @@ def q_sink_partitioned(spark, sf):
     key = (sf.rstrip("/"), "part")
     if key not in per_session:
         digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
-        out = os.path.join(tempfile.gettempdir(), f"engine_sink_part_{digest}")
+        out = os.path.join(tempfile.gettempdir(),
+                           f"engine_sink_part_{digest}_{os.getpid()}")
         (load_tables(spark, sf)["documents"]
          .write.mode("overwrite").partitionBy("lang").parquet(out))
         per_session[key] = out

@@ -36,11 +36,17 @@ from .util import dsum, sql_dsum
 _US_H = 3_600_000_000  # one hour in microseconds
 
 
-def _run_stream(spark, sf: str, kind: str, build) -> str:
+def _run_stream(spark, sf: str, kind: str, build, one_batch: bool = False) -> str:
     """Run a bounded stream to completion once per (session, sf) —
     memory-sink tables live in the session, so the memo is
     session-attached (engine.io.session_cache); returns the table
-    name."""
+    name.
+
+    ``one_batch=True`` replays the whole fixture as a single
+    micro-batch (no maxFilesPerTrigger): required for append-mode
+    keys checked against a batch oracle, where a multi-batch replay
+    of unordered part-files could legitimately drop late rows behind
+    the advancing watermark."""
     per_session = session_cache(spark, "_engine_stream_cache")
     key = (sf.rstrip("/"), kind)
     if key in per_session:
@@ -49,12 +55,25 @@ def _run_stream(spark, sf: str, kind: str, build) -> str:
     name = f"stream_{kind}_{digest}"
     # the file stream source lists a DIRECTORY; stage one holding a
     # symlink to the events parquet (no data copy)
-    src = os.path.join(tempfile.gettempdir(), f"engine_stream_src_{digest}")
+    # per-process staging dir: two engine processes on the same sf must
+    # not race on each other's staged files
+    src = os.path.join(
+        tempfile.gettempdir(), f"engine_stream_src_{digest}_{os.getpid()}")
     os.makedirs(src, exist_ok=True)
     link = os.path.join(src, "events.parquet")
-    if not os.path.exists(link):
+    # lexists, not exists: a dangling symlink (fixture dir recreated
+    # under the same path) must be replaced, not trip FileExistsError
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
         os.symlink(os.path.abspath(f"{sf.rstrip('/')}/events.parquet"), link)
-    events = read_event_stream(spark, src)
+    if one_batch:
+        from ..streaming import RAW_EVENT_SCHEMA, _with_event_time
+
+        events = _with_event_time(
+            spark.readStream.schema(RAW_EVENT_SCHEMA).parquet(src))
+    else:
+        events = read_event_stream(spark, src)
     df, mode = build(events)
     q = (df.writeStream.outputMode(mode)
          .format("memory").queryName(name).start())
@@ -83,6 +102,42 @@ def q_stream_tumbling(spark, sf):
         return agg, "complete"
 
     name = _run_stream(spark, sf, "tumbling", build)
+    return spark.table(name)
+
+
+@query("q_stream_tumbling_append", oracle=f"""
+WITH e AS (SELECT (epoch_ns(ts) // 1000 // {_US_H}) * {_US_H} AS ws_us,
+                  event_type, value
+           FROM events),
+     wm AS (SELECT max(epoch_ns(ts) // 1000) - 600000000 AS wm_us FROM events)
+SELECT ws_us, event_type, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM e WHERE ws_us + {_US_H} <= (SELECT wm_us FROM wm)
+GROUP BY ws_us, event_type
+""")
+def q_stream_tumbling_append(spark, sf):
+    """The unbounded-stream shape: tumbling aggregate under
+    ``withWatermark(ts, '10 minutes')`` in APPEND mode. Unlike the
+    complete-mode keys (which re-emit full state and never exercise
+    eviction), append emits a window exactly once — when the watermark
+    passes its end — and drops its state; this is the only mode whose
+    state store stays bounded on an infinite stream. The replay runs
+    as one micro-batch plus the trailing no-data batch in which the
+    final watermark (max event time − 10 min) closes and flushes every
+    completed window. Oracle: the batch tumbling aggregate restricted
+    to windows with ``window_end ≤ watermark`` — open windows are
+    (correctly) absent from append output."""
+    def build(events):
+        agg = (
+            events.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("value").alias("sum_value"))
+            .select(F.unix_micros("w.start").alias("ws_us"), "event_type",
+                    "n", "sum_value")
+        )
+        return agg, "append"
+
+    name = _run_stream(spark, sf, "tumbling_append", build, one_batch=True)
     return spark.table(name)
 
 

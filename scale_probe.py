@@ -50,8 +50,22 @@ def build(spark) -> None:
 
     e = spark.read.parquet(f"{BASE}/embeddings.parquet")
     m = e.count()
-    eparts = [e.withColumn("vec_id", (F.col("vec_id") + i * m).cast("long"))
-              for i in range(10)]
+    # perturb replicated embeddings (mirrors the text ' v{i}' tweak):
+    # verbatim copies would give a degenerate distribution of exact
+    # duplicate vectors, skewing LSH/IVF bucket occupancy at 10×
+    eparts = [
+        e.withColumn("vec_id", (F.col("vec_id") + i * m).cast("long"))
+        .withColumn(
+            "embedding",
+            F.col("embedding") if i == 0 else F.transform(
+                "embedding",
+                lambda x, j: (x + 0.01 * F.lit(float(i))
+                              * F.sin((j + 1).cast("double")
+                                      * F.lit(float(i)))).cast("float"),
+            ),
+        )
+        for i in range(10)
+    ]
     bige = eparts[0]
     for c in eparts[1:]:
         bige = bige.union(c)

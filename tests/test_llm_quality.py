@@ -1,0 +1,41 @@
+"""Quality (not just shape) pins for the approximate LLM-pipeline
+operators: LSH recall measured against the exact brute-force key.
+
+The driver's gate for q_sim_lsh_topk is rows-only (recall is
+engine-defined, not SQL-expressible), so without this test nothing
+would stop the LSH path from returning 20 arbitrary pairs.  Here we
+compute recall@20 = |LSH top-20 ∩ exact top-20| / 20 on the sf0.001
+fixture and pin it ≥ 0.9 (measured 1.0 with LSH_TABLES=8 tables).
+"""
+
+from __future__ import annotations
+
+from engine.registry import QUERIES, load_all
+
+load_all()
+
+
+def _pairs(df):
+    return {(r.v1, r.v2) for r in df.collect()}
+
+
+def test_lsh_recall_at_20_vs_exact(spark, sf_dir):
+    exact = _pairs(QUERIES["q_sim_topk"](spark, sf_dir))
+    lsh = _pairs(QUERIES["q_sim_lsh_topk"](spark, sf_dir))
+    assert len(exact) == 20 and len(lsh) == 20
+    recall = len(exact & lsh) / 20
+    assert recall >= 0.9, f"LSH recall@20 degraded: {recall}"
+
+
+def test_lsh_scores_match_exact_on_shared_pairs(spark, sf_dir):
+    # for every pair both paths report, the quantized cosine must be
+    # identical — LSH changes WHICH pairs are considered, never the
+    # score of a pair
+    exact = {(r.v1, r.v2): r.cos_sim
+             for r in QUERIES["q_sim_topk"](spark, sf_dir).collect()}
+    lsh = {(r.v1, r.v2): r.cos_sim
+           for r in QUERIES["q_sim_lsh_topk"](spark, sf_dir).collect()}
+    shared = exact.keys() & lsh.keys()
+    assert shared, "no shared pairs — recall collapsed"
+    for p in shared:
+        assert abs(exact[p] - lsh[p]) <= 1e-4, (p, exact[p], lsh[p])

@@ -161,3 +161,25 @@ def test_prepared_state_isolated_per_session(spark, sf_dir):
     other = {tuple(sorted(r.asDict().items())) for r in
              QUERIES["q_join_bucketed"](sib, sf_dir).collect()}
     assert base == other
+
+
+def test_dedup_cluster_reliable_checkpoint_path(spark, sf_dir, tmp_path):
+    # with a checkpoint dir configured the cluster loop must cut
+    # lineage via reliable checkpoint() (survives executor loss) and
+    # produce the identical labeling
+    import os
+
+    from engine.io import session_cache
+
+    baseline = {(r.doc_id, r.cluster_id) for r in
+                QUERIES["q_dedup_cluster"](spark, sf_dir).collect()}
+    session_cache(spark, "_engine_cluster_cache").pop(
+        sf_dir.rstrip("/"), None)
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    got = {(r.doc_id, r.cluster_id) for r in
+           QUERIES["q_dedup_cluster"](spark, sf_dir).collect()}
+    assert got == baseline
+    # the reliable path really ran: checkpoint files exist on disk
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no checkpoint files written under the configured dir"

@@ -116,3 +116,12 @@ def test_no_cartesian_in_checked_joins(spark, sf_dir):
                 "q_join_anti", "q_tfidf_top"):
         plan = final_plan(spark, key, sf_dir)
         assert "CartesianProduct" not in plan, key
+
+
+def test_text_quality_stopwords_not_single_reducer(spark, sf_dir):
+    # the global top-20 stopword pick must plan as TakeOrderedAndProject
+    # (per-partition heaps + driver merge), never an unpartitioned Window
+    # that funnels the whole distinct-word frame through one task
+    plan = final_plan(spark, "q_text_quality", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not re.search(r"Window ", plan), plan

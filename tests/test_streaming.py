@@ -84,3 +84,23 @@ def test_stateful_running_totals(spark, sf_dir):
             .collect()
         }
         assert final == batch
+
+
+def test_append_mode_emits_exactly_closed_windows(spark, sf_dir):
+    # append output must be the complete-mode window table minus the
+    # still-open windows (end > final watermark = max ts - 10 min)
+    from engine.registry import QUERIES, load_all
+
+    load_all()
+    full = {(r.ws_us, r.event_type): (r.n, r.sum_value)
+            for r in QUERIES["q_stream_tumbling"](spark, sf_dir).collect()}
+    app = {(r.ws_us, r.event_type): (r.n, r.sum_value)
+           for r in QUERIES["q_stream_tumbling_append"](spark, sf_dir)
+           .collect()}
+    assert set(app) < set(full)
+    for k, v in app.items():
+        assert full[k] == v, k
+    wm_us = max(ws for ws, _ in full) - 600_000_000  # > every open start
+    open_keys = set(full) - set(app)
+    assert open_keys, "fixture should leave some windows open"
+    assert all(ws + 3_600_000_000 > wm_us for ws, _ in open_keys)
