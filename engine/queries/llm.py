@@ -892,13 +892,21 @@ def q_text_fingerprint(spark, sf):
     )
 
 
+#: Cells probed per vector in q_sim_ivf_topk.  A pair is found iff the
+#: two vectors' probed cell sets intersect, so recall rises steeply in
+#: nprobe while per-cell GEMM cost grows ~nprobe² — measured on the
+#: fixture: nprobe=2 → recall@20 0.65-0.85, nprobe=4 → ≥0.95
+#: (tests/test_llm_quality.py pins it).
+IVF_NPROBE = 4
+
+
 @query("q_sim_ivf_topk")  # rows-only: IVF recall is engine-defined, not SQL
 def q_sim_ivf_topk(spark, sf):
     """IVF-style ANN: a coarse quantizer of nlist ≈ √n centroids
     (one k-means iteration from deterministic Forgy seeds) partitions
-    vectors into cells; each query vector probes its top-2 nearest
-    cells and ranks only those candidates. At 100 TB this is the
-    index-then-probe layout — centroids broadcast, one shuffle on
+    vectors into cells; each query vector probes its IVF_NPROBE
+    nearest cells and ranks only those candidates. At 100 TB this is
+    the index-then-probe layout — centroids broadcast, one shuffle on
     cell id, GEMM per cell — with nlist growing √n so cells stay
     O(√n)-sized, and nprobe trading recall for cost."""
     import numpy as np
@@ -941,15 +949,17 @@ def q_sim_ivf_topk(spark, sf):
     nc = np.sqrt((C * C).sum(1))
     bc = spark.sparkContext.broadcast((C, cl, nc))
 
+    npr = min(IVF_NPROBE, nlist)
+
     def assign(batches):
         C, cl, nc = bc.value
         for pdf in batches:
             M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
             nm = np.sqrt((M * M).sum(1))
             sims = (M @ C.T) / np.outer(nm, nc)
-            top2 = np.argsort(-sims, axis=1)[:, :2]
-            out = pdf.loc[pdf.index.repeat(2)].reset_index(drop=True)
-            out["cell"] = cl[top2.ravel()]
+            top = np.argsort(-sims, axis=1)[:, :npr]
+            out = pdf.loc[pdf.index.repeat(npr)].reset_index(drop=True)
+            out["cell"] = cl[top.ravel()]
             yield out[["vec_id", "embedding", "cell"]]
 
     probed = e.select("vec_id", "embedding").mapInPandas(

@@ -27,6 +27,18 @@ def test_lsh_recall_at_20_vs_exact(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall@20 degraded: {recall}"
 
 
+def test_ivf_recall_at_20_vs_exact(spark, sf_dir):
+    # same pin for the IVF path: with IVF_NPROBE=4 probed cells the
+    # candidate sets of true-neighbor pairs intersect essentially
+    # always (measured 1.0 at sf0.001/0.01/0.1; was 0.65-0.85 at
+    # nprobe=2 before round 4)
+    exact = _pairs(QUERIES["q_sim_topk"](spark, sf_dir))
+    ivf = _pairs(QUERIES["q_sim_ivf_topk"](spark, sf_dir))
+    assert len(exact) == 20 and len(ivf) == 20
+    recall = len(exact & ivf) / 20
+    assert recall >= 0.9, f"IVF recall@20 degraded: {recall}"
+
+
 def test_lsh_scores_match_exact_on_shared_pairs(spark, sf_dir):
     # for every pair both paths report, the quantized cosine must be
     # identical — LSH changes WHICH pairs are considered, never the
