@@ -1022,3 +1022,72 @@ def q_text_tokens_regex(spark, sf):
         rnd(F.col("n_words") / F.col("n_tokens").cast("double"), 6)
             .alias("words_per_token"),
     )
+
+
+_QCLAMP = "greatest(-127.0D, least(127.0D, floor({x} / scale + 0.5D)))"
+
+
+@query("q_embed_quantize", oracle=f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+               / 127.0 AS scale
+      FROM e),
+q AS (SELECT vec_id, scale,
+             list_transform(v, x ->
+                 greatest(-127.0, least(127.0, floor(x/scale + 0.5)))) AS qv,
+             list_max(list_transform(v, x ->
+                 abs(x - greatest(-127.0, least(127.0,
+                     floor(x/scale + 0.5))) * scale))) AS err
+      FROM s)
+SELECT vec_id,
+       CAST(list_min(qv) AS INT) AS qmin,
+       CAST(list_max(qv) AS INT) AS qmax,
+       CAST(list_sum(list_transform(qv, x -> CAST(abs(x) AS BIGINT)))
+            AS BIGINT) AS l1_q,
+       {sql_rnd('scale', 6)} AS scale_r,
+       {sql_rnd('err', 6)} AS max_err
+FROM q
+""")
+def q_embed_quantize(spark, sf):
+    """Symmetric per-vector int8 quantization of the embedding column
+    — the compression step a 100 TB vector corpus applies before
+    ANN indexing (4× smaller than float32, 8× smaller than the
+    float64 GEMM working set; IVF/LSH candidate generation is
+    rank-stable under it, final scoring re-reads full precision).
+    scale = max|x|/127, q = clamp(round(x/scale)); the key audits the
+    codec per vector: quantized range, L1 mass, scale, and max
+    reconstruction error.
+
+    Everything is built-in higher-order functions (transform /
+    aggregate / zip_with) — whole-stage-codegen JVM expressions, no
+    Python in the plan, no shuffle at all: a pure narrow map over the
+    vector table, which is exactly what a 100 TB re-encode job must
+    be. The quantize expression is the shared kernel; a real encode
+    job would write ``qv`` out ``partitionBy`` shard instead of
+    auditing it."""
+    e = load_tables(spark, sf)["embeddings"]
+    qx = _QCLAMP.format(x="x")
+    return (
+        e.select("vec_id",
+                 F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                  .alias("v"))
+        .withColumn("scale",
+                    F.greatest(F.expr("array_max(transform(v, x -> abs(x)))"),
+                               F.lit(1e-12)) / F.lit(127.0))
+        .withColumn("qv", F.expr(f"transform(v, x -> {qx})"))
+        .withColumn("err",
+                    F.expr(f"array_max(transform(v, x ->"
+                           f" abs(x - {qx} * scale)))"))
+        .select(
+            "vec_id",
+            F.expr("CAST(array_min(qv) AS INT)").alias("qmin"),
+            F.expr("CAST(array_max(qv) AS INT)").alias("qmax"),
+            F.expr("aggregate(qv, 0L, (a, x) -> a + CAST(abs(x) AS BIGINT))")
+             .alias("l1_q"),
+            rnd("scale", 6).alias("scale_r"),
+            rnd("err", 6).alias("max_err"),
+        )
+    )

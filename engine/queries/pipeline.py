@@ -367,3 +367,37 @@ def q_corpus_curate(spark, sf):
         .select("doc_id", "lang", "source",
                 F.col("n_tokens").cast("long").alias("n_tokens"))
     )
+
+
+@query("q_split_train", oracle=f"""
+WITH h AS (
+    SELECT n_chars,
+           {hexpoly_sql("md5(concat(doc_id, '#split'))")} % 100 AS b
+    FROM documents
+)
+SELECT CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM h GROUP BY 1
+""")
+def q_split_train(spark, sf):
+    """Deterministic train/val/test split (80/10/10) by content hash
+    of the document id — the split a training run must be able to
+    reproduce years later, on any engine, under any partitioning.
+    TABLESAMPLE/rand() cannot do this (both are partitioning- and
+    seed-dependent); a salted md5 bucket can. The split column is a
+    narrow projection — no shuffle until the per-split audit
+    aggregate, which is 3 rows. At 100 TB the same expression feeds
+    ``partitionBy(split)`` on the sink so each split lands in its own
+    directory tree."""
+    d = load_tables(spark, sf)["documents"]
+    b = F.expr(hexpoly_sql("md5(concat(doc_id, '#split'))")) % 100
+    split = (F.when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").alias("chars"))
+    )

@@ -41,6 +41,10 @@ def _roundtrip_dir(spark, sf: str, fmt: str) -> str:
     if fmt == "csv":
         (t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
          .write.mode("overwrite").option("header", "true").csv(out))
+    elif fmt == "orc":
+        (t["lineitem"].select("l_orderkey", "l_returnflag", "l_quantity",
+                              "l_extendedprice")
+         .write.mode("overwrite").orc(out))
     else:
         (t["events"].select("event_id", "event_type", "value")
          .write.mode("overwrite").json(out))
@@ -118,4 +122,28 @@ def q_source_json(spark, sf):
     return (
         df.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+@query("q_source_orc", oracle=f"""
+SELECT l_returnflag, count(*) AS n,
+       {sql_dsum('l_quantity')} AS qty,
+       {sql_dsum('l_extendedprice')} AS price
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_source_orc(spark, sf):
+    """ORC source/sink connector: parquet → ORC → ``spark.read.orc``
+    → aggregate, hash-matched against the parquet original. Unlike
+    the text formats, ORC is a real columnar alternative at 100 TB —
+    the read-back scan prunes columns and pushes predicates exactly
+    like parquet (both sit behind the same datasource-v2 scan
+    machinery), so this key value-checks the full write→read→compute
+    path through Spark's second columnar format."""
+    path = _roundtrip_dir(spark, sf, "orc")
+    df = spark.read.orc(path)
+    return (
+        df.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("l_quantity").alias("qty"),
+             dsum("l_extendedprice").alias("price"))
     )

@@ -28,7 +28,7 @@ import tempfile
 
 from pyspark.sql import Window as W, functions as F
 
-from ..io import session_cache
+from ..io import load_tables, session_cache
 from ..registry import query
 from ..streaming import read_event_stream
 from .util import dsum, sql_dsum
@@ -138,6 +138,68 @@ def q_stream_tumbling_append(spark, sf):
         return agg, "append"
 
     name = _run_stream(spark, sf, "tumbling_append", build, one_batch=True)
+    return spark.table(name)
+
+
+@query("q_stream_dedup", oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""")
+def q_stream_dedup(spark, sf):
+    """Streaming dedup (exactly-once ingest shape): ``dropDuplicates``
+    over the dedup key in APPEND mode emits each key the first time it
+    is seen and suppresses every later arrival — the state store holds
+    one entry per distinct key. Only the key columns are selected
+    before the dedup, so the emitted row is deterministic regardless
+    of which physical duplicate arrives first. On an unbounded stream
+    the same plan runs with ``dropDuplicatesWithinWatermark`` so state
+    is evicted once a key can no longer recur within the lateness
+    bound (pytest-covered in tests/test_streaming.py); the bounded
+    replay here uses the unbounded-state variant, whose final table
+    is exactly the batch DISTINCT."""
+    def build(events):
+        out = events.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"])
+        return out, "append"
+
+    name = _run_stream(spark, sf, "dedup", build)
+    return spark.table(name)
+
+
+@query("q_stream_join_static", oracle=f"""
+WITH s AS (SELECT event_type,
+                  {sql_dsum('value')} / count(*) AS av
+           FROM events GROUP BY event_type)
+SELECT e.event_type, count(*) AS n_above
+FROM events e JOIN s ON e.event_type = s.event_type
+WHERE e.value > s.av
+GROUP BY e.event_type
+""")
+def q_stream_join_static(spark, sf):
+    """Stream-static join: the stream enriches each event against a
+    BATCH-computed dimension (per-type mean value) via a broadcast
+    hash join — the static side is planned once and shipped to every
+    executor; no stream-side shuffle is added — then counts events
+    above their type's mean in a streaming aggregate. This is the
+    canonical feature-lookup shape (stream ⋈ dimension table) at
+    100 TB: the dimension is small and broadcast, the stream is never
+    repartitioned for the join. The mean is the quantized
+    order-independent sum over count, so both engines derive the
+    identical threshold."""
+    def build(events):
+        static = (
+            load_tables(spark, sf)["events"]
+            .groupBy("event_type")
+            .agg((dsum("value") / F.count(F.lit(1))).alias("av"))
+        )
+        joined = events.join(F.broadcast(static), "event_type")
+        agg = (
+            joined.filter(F.col("value") > F.col("av"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_above"))
+        )
+        return agg, "complete"
+
+    name = _run_stream(spark, sf, "join_static", build)
     return spark.table(name)
 
 

@@ -118,6 +118,15 @@ def test_no_cartesian_in_checked_joins(spark, sf_dir):
         assert "CartesianProduct" not in plan, key
 
 
+def test_embed_quantize_is_narrow(spark, sf_dir):
+    # the int8 re-encode is a pure map over the vector table: no
+    # Exchange (a 100 TB re-encode job must not shuffle) and no Python
+    # in the plan (built-in higher-order functions only)
+    plan = final_plan(spark, "q_embed_quantize", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_text_quality_stopwords_not_single_reducer(spark, sf_dir):
     # the global top-20 stopword pick must plan as TakeOrderedAndProject
     # (per-partition heaps + driver merge), never an unpartitioned Window
