@@ -312,3 +312,53 @@ def q_stream_stateful_totals(spark, sf):
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+@query("q_stream_stream_join", oracle="""
+SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+       a.user_id AS user_id,
+       epoch_ns(b.ts) // 1000 - epoch_ns(a.ts) // 1000 AS delta_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+""")
+def q_stream_stream_join(spark, sf):
+    """Stream-stream inner join (attribution shape): every 'view' is
+    joined to the same user's 'purchase' events arriving within 2
+    hours AFTER it. Both sides carry a watermark and the join
+    condition carries an explicit event-time bound — that pair is
+    what lets Spark compute, per micro-batch, which buffered rows can
+    never match again and evict them: view-side state expires
+    2 h + watermark-delay after its event time, purchase-side at the
+    watermark. Without the time bound a stream-stream join must
+    buffer BOTH streams forever; with it, state is a sliding 2-hour
+    corridor regardless of stream length — the only shape that
+    survives an unbounded stream. Emitted in append mode (the only
+    mode stream-stream joins support); the inner join emits each
+    matched pair exactly once, so the bounded replay's final table is
+    exactly the batch interval self-join the oracle runs."""
+    def build(events):
+        views = (events.filter(F.col("event_type") == "view")
+                 .withWatermark("ts", "10 minutes")
+                 .select(F.col("event_id").alias("view_id"),
+                         F.col("user_id").alias("v_user"),
+                         F.col("ts").alias("v_ts")))
+        buys = (events.filter(F.col("event_type") == "purchase")
+                .withWatermark("ts", "10 minutes")
+                .select(F.col("event_id").alias("purchase_id"),
+                        F.col("user_id").alias("b_user"),
+                        F.col("ts").alias("b_ts")))
+        j = views.join(
+            buys,
+            (F.col("v_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("v_ts"))
+            & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        ).select(
+            "view_id", "purchase_id", F.col("v_user").alias("user_id"),
+            (F.unix_micros("b_ts") - F.unix_micros("v_ts")).alias("delta_us"),
+        )
+        return j, "append"
+
+    name = _run_stream(spark, sf, "ss_join", build, one_batch=True)
+    return spark.table(name)
