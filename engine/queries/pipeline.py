@@ -20,6 +20,7 @@ from pyspark.sql import Window, functions as F
 
 from ..io import load_tables
 from ..registry import query
+from ..layout import z_expr_sql
 from ..skew import salted_join
 from .util import dsum, hexpoly_sql, rnd, sql_dsum, sql_rnd
 
@@ -400,4 +401,48 @@ def q_split_train(spark, sf):
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum("n_chars").alias("chars"))
+    )
+
+
+@query("q_zorder_cells", oracle=f"""
+WITH b AS (
+    SELECT user_id & 127 AS ub,
+           least(127, CAST(floor(value / 4.0) AS BIGINT)) AS vb
+    FROM events
+),
+z AS (SELECT ub, vb,
+             {z_expr_sql('ub', 'vb', duck=True)} AS zval
+      FROM b)
+SELECT zval >> 4 AS zcell, count(*) AS n,
+       min(ub) AS ub_min, max(ub) AS ub_max,
+       min(vb) AS vb_min, max(vb) AS vb_max
+FROM z GROUP BY 1
+""")
+def q_zorder_cells(spark, sf):
+    """Z-order (Morton) clustering kernel, oracle-checked: bucket two
+    event dimensions to 7 bits each, interleave the bits into a
+    14-bit z-value, and audit each 16-value z-cell (count + the
+    bounding box of both dimensions inside the cell). Adjacent
+    z-values differ little in EITHER dimension — the property that
+    makes parquet min/max footer spans tight on both columns at once
+    when files are written in z order. engine/layout.py applies the
+    same kernel as a layout writer (narrow map + one range shuffle);
+    tests/test_layout.py measures the resulting per-file bounding
+    boxes from real parquet footers against a one-column sort. The
+    kernel is shiftleft/shiftright/& integer arithmetic only —
+    whole-stage codegen, bit-identical in DuckDB."""
+    from ..layout import z_col
+
+    ev = load_tables(spark, sf)["events"]
+    b = ev.select(
+        F.col("user_id").bitwiseAND(127).alias("ub"),
+        F.least(F.lit(127),
+                F.floor(F.col("value") / 4.0).cast("long")).alias("vb"),
+    )
+    z = b.withColumn("zval", z_col("ub", "vb"))
+    return (
+        z.groupBy(F.shiftright("zval", 4).alias("zcell"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("ub").alias("ub_min"), F.max("ub").alias("ub_max"),
+             F.min("vb").alias("vb_min"), F.max("vb").alias("vb_max"))
     )
