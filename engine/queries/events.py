@@ -106,3 +106,41 @@ def q_event_dedup_first(spark, sf):
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", rnd("value").alias("value"))
     )
+
+
+@query("q_scd2_history", oracle="""
+WITH e AS (SELECT user_id, event_type, event_id,
+                  epoch_ns(ts) // 1000 AS us
+           FROM events)
+SELECT user_id, event_type, event_id,
+       us AS valid_from_us,
+       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS valid_to_us,
+       CASE WHEN lead(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) IS NULL
+            THEN true ELSE false END AS is_current
+FROM e
+""")
+def q_scd2_history(spark, sf):
+    """Slowly-changing-dimension type 2 build: each user's event
+    stream becomes a validity-interval history — every row carries
+    [valid_from, valid_to) with the successor's timestamp as its end,
+    the latest row left open (``valid_to IS NULL``) and flagged
+    current. This is the canonical warehouse history table a pipeline
+    derives from a change stream before point-in-time ("as of") joins
+    (q_join_asof consumes exactly this shape).
+
+    Plan shape: ONE shuffle on user_id, then a single sorted window
+    pass per partition — at 100 TB the shuffle is hash-balanced on
+    users, no global sort exists, and (ts, event_id) ordering makes
+    the intervals deterministic under any partitioning."""
+    ev = load_tables(spark, sf)["events"]
+    us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy(us, "event_id")
+    nxt = F.lead(us).over(w)
+    return ev.select(
+        "user_id", "event_type", "event_id",
+        us.alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -446,3 +446,74 @@ def q_zorder_cells(spark, sf):
              F.min("ub").alias("ub_min"), F.max("ub").alias("ub_max"),
              F.min("vb").alias("vb_min"), F.max("vb").alias("vb_max"))
     )
+
+
+_UPD_SQL = f"""
+upd AS (
+    SELECT c_custkey, 'UPDATED' AS c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+    FROM customer
+    WHERE {hexpoly_sql("md5(concat(c_custkey, '#upd'))")} % 100 < 10
+    UNION ALL
+    SELECT c_custkey + 10000000, 'NEW', 10.0
+    FROM customer
+    WHERE {hexpoly_sql("md5(concat(c_custkey, '#upd'))")} % 100 >= 95
+)"""
+
+
+@query("q_upsert_merge", oracle=f"""
+WITH {_UPD_SQL}
+SELECT b.c_custkey,
+       coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+       {sql_rnd("coalesce(u.c_acctbal, b.c_acctbal)")} AS acctbal,
+       CASE WHEN u.c_custkey IS NULL THEN 'kept' ELSE 'updated' END AS action
+FROM customer b LEFT JOIN upd u ON b.c_custkey = u.c_custkey
+UNION ALL
+SELECT u.c_custkey, u.c_mktsegment, {sql_rnd('u.c_acctbal')}, 'inserted'
+FROM upd u
+WHERE NOT EXISTS (SELECT 1 FROM customer b WHERE b.c_custkey = u.c_custkey)
+""")
+def q_upsert_merge(spark, sf):
+    """MERGE INTO on plain parquet (SCD-1 upsert): a change set (10%
+    updates + 5% inserts, both derived deterministically by content
+    hash so the oracle replays them) is merged into the customer base
+    — matched rows take the update's values, unmatched updates become
+    inserts, everything else is kept, and each row is tagged with the
+    action taken.
+
+    Spark-first MERGE decomposition: base ``LEFT JOIN broadcast(Δ)``
+    (covers kept + updated — the Δ is small relative to the base, so
+    the base is NEVER shuffled) plus ``Δ LEFT ANTI base`` for the
+    inserts. A monolithic FULL OUTER join — the naive MERGE spelling —
+    cannot use a broadcast side in Spark and would shuffle the whole
+    100 TB base on the merge key; this decomposition is how an
+    engine-level MERGE (Delta/Iceberg) plans the same statement when
+    the change set is broadcastable. The anti-join side shuffles only
+    the tiny Δ."""
+    c = load_tables(spark, sf)["customer"]
+    b = F.expr(hexpoly_sql("md5(concat(c_custkey, '#upd'))")) % 100
+    upd = (
+        c.filter(b < 10).select(
+            "c_custkey", F.lit("UPDATED").alias("u_seg"),
+            (F.col("c_acctbal") + 100.0).alias("u_bal"))
+        .unionAll(
+            c.filter(b >= 95).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit("NEW").alias("u_seg"), F.lit(10.0).alias("u_bal")))
+    )
+    matched = (
+        c.join(F.broadcast(upd), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("u_seg", "c_mktsegment").alias("c_mktsegment"),
+            rnd(F.coalesce("u_bal", "c_acctbal")).alias("acctbal"),
+            F.when(F.col("u_seg").isNull(), "kept")
+             .otherwise("updated").alias("action"),
+        )
+    )
+    inserted = (
+        upd.join(c, "c_custkey", "left_anti")
+        .select("c_custkey", F.col("u_seg").alias("c_mktsegment"),
+                rnd("u_bal").alias("acctbal"),
+                F.lit("inserted").alias("action"))
+    )
+    return matched.unionAll(inserted)

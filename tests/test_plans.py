@@ -118,6 +118,16 @@ def test_no_cartesian_in_checked_joins(spark, sf_dir):
         assert "CartesianProduct" not in plan, key
 
 
+def test_upsert_merge_broadcasts_change_set(spark, sf_dir):
+    # the MERGE decomposition must keep the base un-shuffled: the
+    # matched branch joins against a BROADCAST change set, and no
+    # full-outer sort-merge join (which cannot broadcast and would
+    # shuffle the 100 TB base) may appear
+    plan = final_plan(spark, "q_upsert_merge", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "FullOuter" not in plan, plan
+
+
 def test_embed_quantize_is_narrow(spark, sf_dir):
     # the int8 re-encode is a pure map over the vector table: no
     # Exchange (a 100 TB re-encode job must not shuffle) and no Python
