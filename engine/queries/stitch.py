@@ -260,8 +260,9 @@ def q_stitch_3d(spark, sf):
 @query("q_stitch_3d_blocks", oracle=_STITCH3D_ORACLE)
 def q_stitch_3d_blocks(spark, sf):
     """R3 on the same B2 fixture as q_stitch_3d, but through the Arrow
-    BLOCK path (engine/blocks.py: weight_blocks → keyed-fragment halo
-    shuffle → applyInPandas reassembly → voxel decode) instead of the
+    BLOCK path (engine/blocks.py: fused trapezoid-weight +
+    keyed-fragment halo shuffle → applyInPandas reassembly → voxel
+    decode) instead of the
     voxel SQL — so the scale path itself is oracle-verified, not just
     pytest-equal to the voxel path. Tile payloads are the generating
     function sampled over each chunk-with-halo extent (12³), zeros

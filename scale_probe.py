@@ -23,7 +23,8 @@ BASE = "/root/testdata/sf0.1"
 DOC_KEYS = [
     "q_dedup_exact", "q_dedup_fuzzy_minhash", "q_dedup_keep_best",
     "q_corpus_curate", "q_sim_topk", "q_sim_lsh_topk", "q_sim_ivf_topk",
-    "q_tfidf_top", "q_text_stats", "q_ngram_freq",
+    "q_tfidf_top", "q_text_stats", "q_ngram_freq", "q_embed_quantize",
+    "q_split_train",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

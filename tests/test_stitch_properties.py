@@ -303,3 +303,25 @@ def test_crop_prunes_whole_blocks(spark):
     pruned = local_affines_to_field(spark, aff, bs, o, (1, 1, 1), shape=(3, 4, 4))
     assert full.count() == 3
     assert pruned.count() == 1
+
+
+def test_fused_stitch_equals_unfused_weight_then_merge(spark):
+    # stitch_blocks fuses the trapezoid weighting into the
+    # fragment-emit pass; it must stay bit-identical to the unfused
+    # composition weight_blocks ∘ merge_overlaps
+    from engine.blocks import merge_overlaps, weight_blocks
+
+    bs, o, g = (8, 8, 8), (2, 2, 2), (2, 2, 2)
+    ext = tuple(b + 2 * oo for b, oo in zip(bs, o))
+    rng = np.random.default_rng(7)
+    tiles = {(bx, by, bz): rng.normal(size=ext)
+             for bx in range(2) for by in range(2) for bz in range(2)}
+    df = make_tiles(spark, tiles)
+    fused = {(r.bx, r.by, r.bz): np.frombuffer(r.data, dtype=np.float64)
+             for r in stitch_blocks(df, bs, o, g).collect()}
+    unfused = {(r.bx, r.by, r.bz): np.frombuffer(r.data, dtype=np.float64)
+               for r in merge_overlaps(
+                   weight_blocks(df, bs, o, g), bs, o, g).collect()}
+    assert fused.keys() == unfused.keys()
+    for k in fused:
+        assert np.array_equal(fused[k], unfused[k]), k
