@@ -55,11 +55,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for t in TABLES:
         df = spark.read.parquet(f"{sf}/{t}.parquet")
         if t == "events":
-            # raw column is bigint nanoseconds (legacy.parquet.nanosAsLong);
-            # truncate to microseconds — matches DuckDB epoch_ns(ts)//1000.
-            df = df.withColumn(
-                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-            )
+            # Normalize ts to a session-tz (UTC) µs timestamp. Older
+            # fixtures store bigint nanoseconds (nanosAsLong), newer
+            # ones native timestamp[us] (TIMESTAMP_NTZ); DuckDB's
+            # epoch_ns(ts)//1000 oracle convention matches both.
+            from pyspark.sql.types import LongType
+
+            if isinstance(df.schema["ts"].dataType, LongType):
+                df = df.withColumn(
+                    "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+                )
+            else:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         dfs[t] = df
         df.createOrReplaceTempView(t)
     per_session[sf] = dfs

@@ -68,10 +68,11 @@ def _run_stream(spark, sf: str, kind: str, build, one_batch: bool = False) -> st
     if not os.path.lexists(link):
         os.symlink(os.path.abspath(f"{sf.rstrip('/')}/events.parquet"), link)
     if one_batch:
-        from ..streaming import RAW_EVENT_SCHEMA, _with_event_time
+        from ..streaming import _with_event_time, event_stream_schema
 
         events = _with_event_time(
-            spark.readStream.schema(RAW_EVENT_SCHEMA).parquet(src))
+            spark.readStream.schema(
+                event_stream_schema(spark, src)).parquet(src))
     else:
         events = read_event_stream(spark, src)
     df, mode = build(events)

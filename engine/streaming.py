@@ -15,25 +15,34 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
 
 from .session import configure
 
-RAW_EVENT_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    # raw ts is bigint nanoseconds (nanosAsLong) → microsecond timestamp
-    return df.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    """Normalize ``ts`` to a session-tz (UTC) microsecond timestamp.
+
+    Handles both fixture generations: bigint nanoseconds (read via
+    ``nanosAsLong``) and native parquet ``timestamp[us]`` (read as
+    TIMESTAMP_NTZ). Under the engine's UTC session timezone the two
+    produce identical instants."""
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def event_stream_schema(spark: SparkSession, src_dir: str):
+    """File-stream sources need an explicit schema; infer it from a
+    batch read of the same directory (footer-only, no data scan)."""
+    return spark.read.parquet(src_dir).schema
 
 
 def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     configure(spark)
     raw = (
-        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        spark.readStream.schema(event_stream_schema(spark, src_dir))
         .option("maxFilesPerTrigger", 4)
         .parquet(src_dir)
     )
@@ -109,10 +118,14 @@ def run_replay(
     src = os.path.join(workdir, "stream_src")
     os.makedirs(src, exist_ok=True)
 
-    raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    raw = _with_event_time(
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet"))
     # in-order prefix: everything except the last hour of data, sorted
-    cutoff = raw.agg(F.max("ts")).collect()[0][0] - 3_600_000_000_000
-    ontime = raw.filter(F.col("ts") <= cutoff)
+    import datetime
+
+    cutoff = (raw.agg(F.max("ts")).collect()[0][0]
+              - datetime.timedelta(hours=1))
+    ontime = raw.filter(F.col("ts") <= F.lit(cutoff))
     ontime.repartition(8).write.mode("overwrite").parquet(src)
 
     events = read_event_stream(spark, src)
