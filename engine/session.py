@@ -5,10 +5,13 @@ see SURVEY.md §1.4):
 
 - ``spark.sql.session.timeZone=UTC`` — oracle (DuckDB) timestamps are
   UTC-naive; pinning the session TZ makes epoch arithmetic agree.
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.parquet``
-  stores TIMESTAMP(NANOS) which stock Spark 4 refuses to read; with
-  the flag it arrives as a bigint of nanoseconds which engine.io
-  rebuilds into a microsecond timestamp.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — older fixture
+  generations store ``events.ts`` as TIMESTAMP(NANOS) which stock
+  Spark 4 refuses to read; with the flag it arrives as a bigint of
+  nanoseconds which engine.io rebuilds into a microsecond timestamp.
+  Current fixtures store native ``timestamp[us]`` (read as
+  TIMESTAMP_NTZ, cast to session-tz timestamp); the flag is inert
+  for those files, so it stays on for back-compat.
 - AQE on — runtime shuffle-partition coalescing and skew-join
   splitting; essential at the 100 TB design point and harmless at
   test scale.
