@@ -1,0 +1,413 @@
+"""Corpus curation & warehouse round-4 additions.
+
+Seven operators a 100 TB training-data platform needs beyond the
+reference surface (GFleishman/dask_stitch has no data-selection
+stage at all — its 7 functions, stitch.py:7-121 / local_affine.py,
+assume the corpus is already chosen):
+
+- ``q_join_bloom``     — Catalyst runtime bloom-filter join pruning
+- ``q_snapshot_diff``  — CDC diff of two table snapshots (I/U/D)
+- ``q_text_chunk``     — fixed-width overlapping chunking (RAG shape)
+- ``q_text_redact``    — PII scrub (emails, digit runs) with counts
+- ``q_contamination``  — benchmark-decontamination by shared 8-grams
+- ``q_pagerank``       — fixed-point integer PageRank, 3 iterations
+- ``q_text_repetition``— repeated-word ratio (quality signal)
+
+Every key is oracle-checked; floating aggregates use the engine's
+deterministic quantization (engine/queries/util.py) and PageRank runs
+entirely in scaled-BIGINT arithmetic so both engines are bit-exact.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..io import load_tables, session_cache
+from ..registry import query
+from .util import sql_dsum
+
+
+# --------------------------------------------------------------- bloom join
+_BLOOM_CONFS = {
+    # force the runtime bloom filter at fixture scale: creation side
+    # must look small enough, application side large enough, and the
+    # join must be a shuffle join (broadcast joins skip the filter).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_session(spark):
+    """A config-isolated sibling session (same JVM/context) so the
+    aggressive bloom thresholds never leak into other keys' plans.
+    Catalyst re-optimizes at action time, so restoring confs on the
+    shared session before returning would silently undo the bloom."""
+    cache = session_cache(spark, "_engine_bloom_session")
+    if "s" not in cache:
+        from ..session import configure
+
+        clone = spark.newSession()
+        configure(clone)
+        for k, v in _BLOOM_CONFS.items():
+            clone.conf.set(k, v)
+        cache["s"] = clone
+    return cache["s"]
+
+
+@query("q_join_bloom", oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       {sql_dsum('l_extendedprice')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY o_orderstatus
+""")
+def q_join_bloom(spark, sf):
+    """Selective fact⋈fact join accelerated by Catalyst's RUNTIME
+    BLOOM FILTER (InjectRuntimeFilter): the selective predicate on
+    orders builds a bloom filter that is pushed into the lineitem
+    scan-side as ``might_contain(xxhash64(l_orderkey))``, discarding
+    non-matching rows BEFORE the shuffle. At 100 TB this is the
+    difference between shuffling the full fact table and shuffling
+    only the ~matching fraction — the single biggest lever on
+    selective star joins. The filter is approximate but one-sided
+    (no false negatives) and the join itself is exact, so results
+    hash-match the plain-join oracle. Plan pinned in
+    tests/test_plans_curation.py (``might_contain`` present)."""
+    s = _bloom_session(spark)
+    t = load_tables(s, sf)
+    o = t["orders"].filter(F.col("o_totalprice") > 400000)
+    j = t["lineitem"].join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("l_extendedprice") * 10000.0
+                           + F.lit(0.5)).cast("long")).cast("double")
+             / 10000.0).alias("revenue"),
+        )
+    )
+
+
+# ------------------------------------------------------------ snapshot diff
+_DIFF_NEW_SQL = """
+    SELECT o_orderkey AS k, o_totalprice + 100.0 AS price
+    FROM orders WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey % 10 NOT IN (3, 7)
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_totalprice FROM orders
+    WHERE o_orderkey % 10 = 1
+"""
+
+
+@query("q_snapshot_diff", oracle=f"""
+WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+new AS ({_DIFF_NEW_SQL})
+SELECT coalesce(base.k, new.k) AS k,
+       CASE WHEN base.k IS NULL THEN 'I'
+            WHEN new.k IS NULL THEN 'D'
+            ELSE 'U' END AS action,
+       base.price AS old_price,
+       new.price AS new_price
+FROM base FULL OUTER JOIN new ON base.k = new.k
+WHERE base.k IS NULL OR new.k IS NULL OR base.price <> new.price
+""")
+def q_snapshot_diff(spark, sf):
+    """CDC between two snapshots of a table: emit one row per changed
+    key with action I(nsert)/U(pdate)/D(elete) and old/new values —
+    the change-capture shape feeding incremental downstream rebuilds.
+    The 'new' snapshot is derived deterministically from orders
+    (updates on keys ≡3 mod 10, deletes ≡7, inserts ≡1 remapped).
+
+    One full-outer join on the snapshot key. At 100 TB both snapshots
+    live bucketed by key (engine/queries/bucketed.py pattern), making
+    the diff a zero-shuffle sort-merge; unchanged rows are filtered
+    before any projection so the output is |Δ|, not |table|."""
+    o = load_tables(spark, sf)["orders"]
+    base = o.select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price"))
+    upd = (base.filter(F.col("k") % 10 == 3)
+           .withColumn("price", F.col("price") + 100.0))
+    keep = base.filter(~(F.col("k") % 10).isin(3, 7))
+    ins = (base.filter(F.col("k") % 10 == 1)
+           .withColumn("k", F.col("k") + 10000000))
+    new = upd.unionAll(keep).unionAll(ins)
+    b = base.alias("b")
+    n = new.alias("n")
+    j = b.join(n, F.col("b.k") == F.col("n.k"), "full_outer")
+    return (
+        j.select(
+            F.coalesce(F.col("b.k"), F.col("n.k")).alias("k"),
+            F.when(F.col("b.k").isNull(), "I")
+             .when(F.col("n.k").isNull(), "D")
+             .otherwise("U").alias("action"),
+            F.col("b.price").alias("old_price"),
+            F.col("n.price").alias("new_price"),
+        )
+        .filter(F.col("b.k").isNull() | F.col("n.k").isNull()
+                | (F.col("b.price") != F.col("n.price")))
+    )
+
+
+# ---------------------------------------------------------------- chunking
+@query("q_text_chunk", oracle="""
+SELECT doc_id,
+       s AS chunk_start,
+       length(substr(text, s, 200)) AS chunk_len,
+       md5(substr(text, s, 200)) AS chunk_md5
+FROM documents,
+     unnest(generate_series(1, greatest(length(text), 1), 150)) AS t(s)
+""")
+def q_text_chunk(spark, sf):
+    """Fixed-width overlapping chunker (200-char windows, stride 150
+    → 50-char overlap): the retrieval/RAG preprocessing shape, and the
+    unit-of-work splitter for any length-bounded downstream model.
+    Pure narrow codegen — sequence+explode+substring never shuffles
+    and scales embarrassingly; a 100 TB corpus chunks at scan speed.
+    Chunk identity is (doc_id, chunk_start); md5 gives a content
+    address for downstream dedup of boilerplate chunks."""
+    d = load_tables(spark, sf)["documents"]
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(150))
+    chunk = F.substring(F.col("text"), F.col("s"), 200)
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s").alias("chunk_start"),
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk.cast("binary")).alias("chunk_md5"),
+        )
+    )
+
+
+# --------------------------------------------------------------- redaction
+# documents.text is digit-free, so augment each row with deterministic
+# synthetic PII (same expression in both engines) to give the redactor
+# real work: one email and one dashed phone per doc.
+_AUG_SQL = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+            " || '@example.com or 555-' || CAST(doc_id % 10000 AS VARCHAR)")
+_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+_NUM_RE = "[0-9]+"
+
+
+@query("q_text_redact", oracle=f"""
+WITH a AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents),
+r AS (SELECT doc_id,
+             len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+             regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM a),
+r2 AS (SELECT doc_id, n_emails,
+              len(regexp_extract_all(t1, '{_NUM_RE}')) AS n_nums,
+              regexp_replace(t1, '{_NUM_RE}', '<NUM>', 'g') AS t2
+       FROM r)
+SELECT doc_id, n_emails, n_nums,
+       length(t2) AS redacted_len, md5(t2) AS redacted_md5
+FROM r2
+""")
+def q_text_redact(spark, sf):
+    """PII scrubbing pass: replace emails then digit runs with typed
+    placeholder tokens, reporting per-doc match counts and a content
+    hash of the redacted text. Regexes are restricted to the syntax
+    subset Java regex and RE2 evaluate identically. Narrow map, no
+    shuffle — at 100 TB this runs at scan speed inside whole-stage
+    codegen (regexp_replace/regexp_count are JVM expressions, not
+    Python UDFs)."""
+    d = load_tables(spark, sf)["documents"]
+    aug = F.expr(
+        "concat(text, ' contact user', CAST(doc_id AS STRING),"
+        " '@example.com or 555-', CAST(doc_id % 10000 AS STRING))")
+    t1 = F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, _NUM_RE, "<NUM>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t1, F.lit(_NUM_RE)).alias("n_nums"),
+        F.length(t2).alias("redacted_len"),
+        F.md5(t2.cast("binary")).alias("redacted_md5"),
+    )
+
+
+# ----------------------------------------------------------- contamination
+@query("q_contamination", oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g AS (SELECT doc_id, md5(array_to_string(l[s:s+3], ' ')) AS gh
+      FROM tok, unnest(generate_series(1, len(l) - 3)) AS t(s)
+      WHERE len(l) >= 4),
+hold AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT DISTINCT g.doc_id, g.gh
+         FROM g JOIN hold USING (gh)
+         WHERE g.doc_id % 97 <> 0)
+SELECT doc_id, count(*) AS n_shared FROM hits GROUP BY doc_id
+""")
+def q_contamination(spark, sf):
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with a held-out evaluation set — the standard guard
+    against test-set leakage into training data. Real pipelines use
+    8-13-grams; the fixture corpus is a short random-word synthesis
+    where 4-grams are the largest shingle with any cross-document
+    collisions, so n=4 keeps the driver check non-vacuous. The
+    holdout is the deterministic doc_id ≡ 0 (mod 97) slice.
+
+    Scale shape: the holdout n-gram set is eval-benchmark sized
+    (thousands of docs, not the corpus), so it is BROADCAST and the
+    corpus side streams through a broadcast-hash semi-join with no
+    shuffle of corpus grams; per-doc dedup of matched grams is the
+    only exchange, keyed by doc_id and sized by |hits| ≪ |grams|."""
+    d = load_tables(spark, sf)["documents"]
+    toks = F.split("text", " ")
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 4,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 3),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(toks, i, F.lit(4))),
+                    ),
+                ).otherwise(F.array())
+            ).alias("gram"),
+        )
+        .select("doc_id", F.md5(F.col("gram").cast("binary")).alias("gh"))
+    )
+    hold = (grams.filter(F.col("doc_id") % 97 == 0)
+            .select("gh").distinct())
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    hits = (corpus.join(F.broadcast(hold), "gh")
+            .select("doc_id", "gh").distinct())
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+
+
+# ------------------------------------------------------------------ PageRank
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 3
+
+
+def _pr_oracle() -> str:
+    """Unrolled 3-iteration PageRank in scaled-BIGINT arithmetic:
+    r' = (15·(S//N))//100 + (85·Σ r(src)//deg(src))//100 — every step
+    integer, so DuckDB and Spark agree bit-exactly."""
+    steps = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+r{i} AS (
+    SELECT e.dst AS v,
+           CAST((15 * ({_PR_SCALE} // n.n)) // 100
+                + (85 * sum(p.r // deg.d)) // 100 AS BIGINT) AS r
+    FROM edges e
+    JOIN {prev} p ON p.v = e.src
+    JOIN deg ON deg.v = e.src
+    CROSS JOIN n
+    GROUP BY e.dst, n.n
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+edges AS (
+    SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+           't:' || event_type AS dst FROM ut
+    UNION ALL
+    SELECT 't:' || event_type, 'u:' || CAST(user_id AS VARCHAR) FROM ut
+),
+deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+n AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT v, CAST({_PR_SCALE} AS BIGINT) // n.n AS r
+       FROM deg CROSS JOIN n),
+{",".join(steps)}
+SELECT v AS node, r AS rank_scaled FROM {prev}
+"""
+
+
+@query("q_pagerank", oracle=_pr_oracle())
+def q_pagerank(spark, sf):
+    """Iterative PageRank (damping 0.85, 3 rounds) over the bipartite
+    user↔event_type interaction graph, computed in scaled-BIGINT
+    fixed-point so the result is bit-exact against the unrolled-SQL
+    oracle (float PageRank would hash-differ on summation order).
+
+    Scale shape: edges are the big frame and are shuffled ONCE onto
+    src and reused every round (the per-round join re-keys only the
+    node-sized rank frame, |V| ≪ |E|); degree is precomputed and
+    co-partitioned. The iteration count is fixed, so the lineage is
+    bounded; a convergence-driven variant would add the per-round
+    localCheckpoint/cluster-checkpoint pattern of q_dedup_cluster
+    (engine/queries/llm.py). Every node here has out-degree ≥ 1 (the
+    graph is bidirectional) so no dangling-mass term is needed."""
+    e = load_tables(spark, sf)["events"]
+    ut = e.select("user_id", "event_type").distinct()
+    u = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    t = F.concat(F.lit("t:"), F.col("event_type"))
+    edges = (
+        ut.select(u.alias("src"), t.alias("dst"))
+        .unionAll(ut.select(t.alias("src"), u.alias("dst")))
+        # one shuffle onto src, reused by every iteration's join
+        .repartition("src")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")) \
+               .withColumnRenamed("src", "v")
+    n = deg.count()
+    base = (15 * (_PR_SCALE // n)) // 100
+    ranks = deg.select("v", F.lit(_PR_SCALE // n).cast("long").alias("r"))
+    ed = edges.join(deg.withColumnRenamed("v", "src"), "src")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("v", "src"), "src")
+            .select("dst", F.expr("r div d").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(F.col("dst").alias("v"),
+                    (F.lit(base) + F.expr("85 * s div 100"))
+                    .cast("long").alias("r"))
+        )
+    return ranks.select(F.col("v").alias("node"),
+                        F.col("r").alias("rank_scaled"))
+
+
+# ------------------------------------------------------------- repetition
+@query("q_text_repetition", oracle="""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_words,
+       count(*) AS n_distinct,
+       max(cnt) AS max_word_cnt,
+       (floor((1.0 - 1.0 * count(*) / sum(cnt)) * 10000 + 0.5) / 10000)
+           AS dup_ratio
+FROM c GROUP BY doc_id
+""")
+def q_text_repetition(spark, sf):
+    """Within-document repetition signal (the Gopher/C4 quality-filter
+    family): repeated-word ratio and the dominant word's count per
+    document. Documents dominated by few repeated tokens are
+    boilerplate/spam candidates. Two map-side-combinable aggregations
+    keyed by doc_id — at 100 TB this is one shuffle of (doc_id, word)
+    partial counts, no windows, no joins."""
+    d = load_tables(spark, sf)["documents"]
+    c = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dup = (F.lit(1.0)
+           - F.col("n_distinct").cast("double") / F.col("n_words"))
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("max_word_cnt"),
+        )
+        .select(
+            "doc_id", "n_words", "n_distinct", "max_word_cnt",
+            (F.floor(dup * 10000 + F.lit(0.5)) / 10000).alias("dup_ratio"),
+        )
+    )

@@ -36,6 +36,7 @@ _MODULES = [
     "engine.queries.sources",
     "engine.queries.analytics_extra",
     "engine.queries.streaming_q",
+    "engine.queries.curation",
 ]
 
 _loaded = False
