@@ -1,0 +1,206 @@
+"""Incremental & sketch-assisted analytics (round 4).
+
+- ``q_incr_agg``     — materialized-view delta maintenance: merge a
+                       stored aggregate with the aggregate of new
+                       rows; exact vs full recompute.
+- ``q_heavy_hitters``— exact frequent-items via the two-pass
+                       Misra-Gries shape: per-partition mergeable
+                       sketch → candidate set → exact count of
+                       candidates only. Final answer is exact and
+                       partition-order independent.
+- ``q_gap_fill``     — dense hourly grid per series + forward fill
+                       (the time-series regularization shape).
+
+All three oracle-checked; aggregates use the scaled-BIGINT exact-sum
+convention (engine/queries/util.py) so merge order never changes a
+hash.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from ..io import load_tables
+from ..registry import query
+from .util import sql_dsum
+
+_DELTA_PRED = "l_orderkey % 13 = 0"
+
+
+@query("q_incr_agg", oracle=f"""
+WITH allrows AS (
+    SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice * 1.05
+    FROM lineitem WHERE {_DELTA_PRED}
+)
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM allrows GROUP BY l_returnflag, l_linestatus
+""")
+def q_incr_agg(spark, sf):
+    """Materialized-view maintenance: a stored aggregate (the "MV")
+    is refreshed by aggregating ONLY the delta batch and merging the
+    two partial states — never rescanning the base table. Partial
+    states keep sums as scaled BIGINTs, so state merge is exact
+    integer addition and the refreshed MV hash-matches a full
+    recompute (the oracle) bit-for-bit.
+
+    At 100 TB this is the difference between an O(|Δ|) refresh and an
+    O(|table|) rebuild; the merge input is 2×|groups| rows. count/sum/
+    min/max merge trivially; avg derives from (n, sum) at read time.
+    The delta here is a deterministic re-insert of keys ≡ 0 (mod 13)
+    with a 5% price uplift, standing in for a late-arriving batch."""
+    li = load_tables(spark, sf)["lineitem"]
+
+    def partial(df):
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("l_quantity") * 10000.0 + F.lit(0.5))
+                  .cast("long")).alias("sq"),
+            F.sum(F.floor(F.col("l_extendedprice") * 10000.0 + F.lit(0.5))
+                  .cast("long")).alias("sp"),
+        )
+
+    mv = partial(li)  # the stored MV state (scaled-long partials)
+    delta = li.filter(F.expr(_DELTA_PRED)).withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * 1.05)
+    refreshed = (
+        mv.unionAll(partial(delta))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("n").alias("n"), F.sum("sq").alias("sq"),
+             F.sum("sp").alias("sp"))
+    )
+    return refreshed.select(
+        "l_returnflag", "l_linestatus", "n",
+        (F.col("sq").cast("double") / 10000.0).alias("sum_qty"),
+        (F.col("sp").cast("double") / 10000.0).alias("sum_price"),
+    )
+
+
+_MG_K = 256  # counters per partition → guarantee: superset of words
+#              with global count > n/(K+1)
+
+
+@query("q_heavy_hitters", oracle=f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+t AS (SELECT count(*) // {_MG_K + 1} + 1 AS thr FROM w)
+SELECT word, cnt FROM c, t WHERE cnt >= thr
+""")
+def q_heavy_hitters(spark, sf):
+    """EXACT frequent items without a full-vocabulary shuffle: the
+    production two-pass shape for Zipf-heavy token streams.
+
+    Pass 1 runs a mergeable Misra-Gries summary (K=256 counters)
+    inside each partition via mapInPandas — per-batch value_counts
+    merged into the counter table, clipped by subtracting the
+    (K+1)-largest count (the Berinde et al. mergeable-summary rule),
+    which guarantees every word with partition count > n_p/(K+1)
+    survives. By pigeonhole, any word with GLOBAL count ≥
+    n//(K+1)+1 must exceed that bound in ≥1 partition, so the union
+    of per-partition candidates is a superset of the true answer.
+    Pass 2 exact-counts ONLY the candidate words (broadcast semi
+    join) and applies the threshold — so the result is exact and
+    identical under ANY partitioning, even though the intermediate
+    candidate set is not.
+
+    At 100 TB: the tail vocabulary (billions of hapaxes) never
+    reaches a shuffle — pass 1 moves ≤ K rows per partition, pass 2
+    shuffles only candidate-word partial counts."""
+    d = load_tables(spark, sf)["documents"]
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    total = words.count()
+    thr = total // (_MG_K + 1) + 1
+    return heavy_hitters(words, thr)
+
+
+def mg_candidates(words):
+    """Pass 1: per-partition mergeable Misra-Gries candidate words
+    (≤ ``_MG_K`` rows per partition). The SET depends on partition
+    layout; its superset guarantee does not."""
+    import pandas as pd
+
+    def mg(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["word"].value_counts()
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > _MG_K:
+                clip = counters.nlargest(_MG_K + 1).iloc[-1]
+                counters = counters[counters > clip] - clip
+        yield pd.DataFrame({"word": counters.index})
+
+    return words.mapInPandas(mg, "word string").distinct()
+
+
+def heavy_hitters(words, thr: int):
+    """Pass 2: exact counts restricted to the broadcast candidate
+    set, thresholded — exact under any partitioning of ``words``."""
+    return (
+        words.join(F.broadcast(mg_candidates(words)), "word")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+    )
+
+
+_US_H = 3_600_000_000
+
+
+@query("q_gap_fill", oracle=f"""
+WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us, value
+           FROM events),
+b AS (SELECT event_type, (us // {_US_H}) * {_US_H} AS h,
+             {sql_dsum('value')} AS v
+      FROM e GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(h) AS lo, max(h) AS hi
+           FROM b GROUP BY 1),
+grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, {_US_H})) AS h
+         FROM bounds),
+j AS (SELECT g.event_type, g.h, b.v
+      FROM grid g LEFT JOIN b USING (event_type, h))
+SELECT event_type, h AS hour_us,
+       (v IS NULL) AS was_gap,
+       last_value(v IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM j
+""")
+def q_gap_fill(spark, sf):
+    """Time-series regularization: densify each series onto an hourly
+    grid and forward-fill gaps with the last observed value — the
+    prerequisite for any per-interval model feature or SLA metric
+    over irregular event streams.
+
+    Scale shape: the hourly aggregate is time-bounded (|series| ×
+    |hours| rows — compact no matter how big the raw stream), the
+    grid generates from a |series|-row bounds frame via sequence+
+    explode (no driver loop), and the forward fill is one window
+    per series. The only corpus-sized work is the first aggregation,
+    which map-side combines before its single shuffle."""
+    ev = load_tables(spark, sf)["events"]
+    b = (
+        ev.select(
+            "event_type",
+            ((F.unix_micros("ts") / _US_H).cast("long") * _US_H).alias("h"),
+            "value")
+        .groupBy("event_type", "h")
+        .agg((F.sum(F.floor(F.col("value") * 10000.0 + F.lit(0.5))
+                    .cast("long")).cast("double") / 10000.0).alias("v"))
+    )
+    bounds = b.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(_US_H))).alias("h"))
+    j = grid.join(b, ["event_type", "h"], "left")
+    w = (W.partitionBy("event_type").orderBy("h")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return j.select(
+        "event_type", F.col("h").alias("hour_us"),
+        F.col("v").isNull().alias("was_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("filled"),
+    )

@@ -37,6 +37,7 @@ _MODULES = [
     "engine.queries.analytics_extra",
     "engine.queries.streaming_q",
     "engine.queries.curation",
+    "engine.queries.incremental",
 ]
 
 _loaded = False

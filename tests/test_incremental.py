@@ -1,0 +1,84 @@
+"""Engine-side properties of the incremental/sketch operators that
+the DuckDB oracle can't see: partition invariance of the two-pass
+heavy hitters, the Misra-Gries superset guarantee, and plan shapes.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.queries.incremental import _MG_K, heavy_hitters, mg_candidates
+from engine.registry import QUERIES, load_all
+
+from test_plans import final_plan, n_shuffles
+
+load_all()
+
+
+def _words(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(F.explode(F.split("text", " ")).alias("word"))
+
+
+def test_heavy_hitters_partition_invariant(spark, sf_dir):
+    """The intermediate candidate set depends on partition layout;
+    the thresholded exact result must not."""
+    w = _words(spark, sf_dir)
+    thr = w.count() // (_MG_K + 1) + 1
+    a = {tuple(r) for r in heavy_hitters(w.repartition(2), thr).collect()}
+    b = {tuple(r) for r in heavy_hitters(w.repartition(23), thr).collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_mg_superset_guarantee(spark, sf_dir):
+    """Every word with global count ≥ n//(K+1)+1 must appear among
+    the per-partition candidates — the pigeonhole bound the exact
+    pass relies on."""
+    w = _words(spark, sf_dir).repartition(7)
+    n = w.count()
+    thr = n // (_MG_K + 1) + 1
+    truth = {
+        r["word"]
+        for r in w.groupBy("word").count()
+        .filter(F.col("count") >= thr).collect()
+    }
+    cand = {r["word"] for r in mg_candidates(w).collect()}
+    assert truth <= cand
+
+
+def test_incr_agg_two_agg_levels(spark, sf_dir):
+    # partial MV state + delta state merged by a groups-sized re-agg
+    plan = final_plan(spark, "q_incr_agg", sf_dir)
+    assert plan.count("HashAggregate") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
+    plan = final_plan(spark, "q_heavy_hitters", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gap_fill_emits_dense_grid(spark, sf_dir):
+    df = QUERIES["q_gap_fill"](spark, sf_dir)
+    rows = df.collect()
+    # dense hourly grid: per series, count == (hi-lo)/hour + 1, and
+    # forward fill leaves no nulls after the first observation
+    from collections import defaultdict
+    by = defaultdict(list)
+    for r in rows:
+        by[r["event_type"]].append(r)
+    for srs in by.values():
+        srs.sort(key=lambda r: r["hour_us"])
+        span = (srs[-1]["hour_us"] - srs[0]["hour_us"]) // 3_600_000_000 + 1
+        assert len(srs) == span
+        assert srs[0]["filled"] is not None  # lo comes from an observation
+        assert all(r["filled"] is not None for r in srs)
+        assert any(r["was_gap"] for r in srs) or span == len(
+            [r for r in srs if not r["was_gap"]])
+
+
+def test_gap_fill_plan_no_cartesian(spark, sf_dir):
+    plan = final_plan(spark, "q_gap_fill", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert n_shuffles(plan) <= 4, plan
