@@ -40,6 +40,15 @@ HEADLINE = [
     "q_text_stats",
     "q_stitch_3d",
     "q_local_affine_blend",
+    # round-4 additions: bloom-pruned join, exact sketch pass,
+    # fixed-point graph iteration, decontamination, MV refresh,
+    # series densification
+    "q_join_bloom",
+    "q_heavy_hitters",
+    "q_pagerank",
+    "q_contamination",
+    "q_incr_agg",
+    "q_gap_fill",
 ]
 
 
@@ -110,7 +119,10 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
             assert n >= 0
         timings[key] = round(best, 3)
-    timings["stitch_block_path_128cube"] = _bench_block_path(spark)
+    # same min-of-2 convention as the headline keys: the first pass
+    # pays mapInPandas/applyInPandas codegen + Arrow writer warmup
+    timings["stitch_block_path_128cube"] = min(
+        _bench_block_path(spark) for _ in range(2))
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_seconds",

@@ -411,3 +411,71 @@ def q_text_repetition(spark, sf):
             (F.floor(dup * 10000 + F.lit(0.5)) / 10000).alias("dup_ratio"),
         )
     )
+
+
+@query("q_word_pmi", oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bg AS (SELECT l[s] AS w1, l[s+1] AS w2
+       FROM tok, unnest(generate_series(1, len(l) - 1)) AS t(s)
+       WHERE len(l) >= 2),
+pc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2),
+uc AS (SELECT w1 AS w, count(*) AS n FROM bg GROUP BY w1),
+tot AS (SELECT count(*) AS n FROM bg)
+SELECT pc.w1, pc.w2, pc.n_ab,
+       CAST((pc.n_ab * tot.n * 10000) // (a.n * b.n) AS BIGINT)
+           AS pmi_ratio_scaled
+FROM pc
+JOIN uc a ON a.w = pc.w1
+JOIN uc b ON b.w = pc.w2
+CROSS JOIN tot
+WHERE pc.n_ab >= 5
+""")
+def q_word_pmi(spark, sf):
+    """Collocation mining: pointwise-mutual-information score for
+    adjacent word pairs, reported as the scaled INTEGER ratio
+    n_ab·N·10⁴ ÷ (n_a·n_b) — the monotone transform of PMI
+    (PMI = log of ratio/10⁴) kept in exact BIGINT arithmetic so both
+    engines agree bit-for-bit (a float log would differ in ulps).
+    Unigram marginals use first-position counts so the denominator is
+    over the same bigram population as n_ab.
+
+    Scale shape: bigram and unigram counts both map-side combine;
+    the two marginal joins are keyed by word (Zipf-skewed heads are
+    handled by AQE skew-join, pinned on for the engine). Support
+    pruning (n_ab ≥ 5) happens before the joins, cutting the pair
+    frame to the interesting tail. At web scale the marginal frame
+    is vocabulary-sized — still join-able, or broadcastable after
+    the same support prune."""
+    d = load_tables(spark, sf)["documents"]
+    toks = F.split("text", " ")
+    bg = (
+        d.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.struct(
+                            F.element_at(toks, i).alias("w1"),
+                            F.element_at(toks, i + 1).alias("w2")),
+                    ),
+                ).otherwise(F.array())
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    pc = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+          .filter(F.col("n_ab") >= 5))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n"))
+    tot = bg.count()
+    a = uc.withColumnRenamed("w1", "wa").withColumnRenamed("n", "na")
+    b = uc.withColumnRenamed("w1", "wb").withColumnRenamed("n", "nb")
+    return (
+        pc.join(a, pc.w1 == a.wa)
+        .join(b, pc.w2 == b.wb)
+        .select(
+            "w1", "w2", "n_ab",
+            F.expr(f"CAST(n_ab * {tot}L * 10000 div (na * nb) AS BIGINT)")
+            .alias("pmi_ratio_scaled"),
+        )
+    )

@@ -204,3 +204,53 @@ def q_gap_fill(spark, sf):
         F.col("v").isNull().alias("was_gap"),
         F.last("v", ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@query("q_anomaly_iqr", oracle=f"""
+WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us, value
+           FROM events),
+b AS (SELECT event_type, (us // {_US_H}) * {_US_H} AS h,
+             {sql_dsum('value')} AS v
+      FROM e GROUP BY 1, 2),
+f AS (SELECT event_type,
+             quantile_disc(v, 0.25) AS q25,
+             quantile_disc(v, 0.75) AS q75
+      FROM b GROUP BY event_type)
+SELECT b.event_type, b.h AS hour_us, b.v,
+       f.q75 + 1.5 * (f.q75 - f.q25) AS fence_hi
+FROM b JOIN f USING (event_type)
+WHERE b.v > f.q75 + 1.5 * (f.q75 - f.q25)
+""")
+def q_anomaly_iqr(spark, sf):
+    """Per-series anomaly detection with the Tukey IQR fence: hourly
+    value sums per event_type, flagging hours above q75 + 1.5·IQR.
+    DISCRETE quantiles (an actual element of the exactly-quantized
+    hourly grid, no interpolation) keep the fence bit-identical in
+    both engines, so even the boundary comparison is deterministic —
+    a z-score variant would hinge on float stddev accumulation order.
+
+    Scale shape: the hourly aggregate is time-bounded and compact;
+    the per-series fence frame is |series|-sized and broadcast back.
+    Nothing corpus-sized is sorted — quantiles run per series over
+    the compact hourly frame."""
+    ev = load_tables(spark, sf)["events"]
+    b = (
+        ev.select(
+            "event_type",
+            ((F.unix_micros("ts") / _US_H).cast("long") * _US_H).alias("h"),
+            "value")
+        .groupBy("event_type", "h")
+        .agg((F.sum(F.floor(F.col("value") * 10000.0 + F.lit(0.5))
+                    .cast("long")).cast("double") / 10000.0).alias("v"))
+    )
+    f = b.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").alias("q25"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").alias("q75"),
+    )
+    fence = F.col("q75") + 1.5 * (F.col("q75") - F.col("q25"))
+    return (
+        b.join(F.broadcast(f), "event_type")
+        .filter(F.col("v") > fence)
+        .select("event_type", F.col("h").alias("hour_us"), "v",
+                fence.alias("fence_hi"))
+    )

@@ -25,10 +25,16 @@ DOC_KEYS = [
     "q_corpus_curate", "q_sim_topk", "q_sim_lsh_topk", "q_sim_ivf_topk",
     "q_tfidf_top", "q_text_stats", "q_ngram_freq", "q_embed_quantize",
     "q_split_train",
+    # round-4 curation/sketch additions
+    "q_heavy_hitters", "q_contamination", "q_text_chunk", "q_text_redact",
+    "q_word_pmi",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
     "q_topk_orders", "q_agg_rollup", "q_join_salted",
+    # round-4: bloom-pruned join, MV refresh, CDC diff, graph, series
+    "q_join_bloom", "q_incr_agg", "q_snapshot_diff",
+    "q_pagerank", "q_gap_fill", "q_anomaly_iqr",
 ]
 
 
@@ -88,8 +94,27 @@ def build(spark) -> None:
             os.unlink(dst)
         bigr.repartition(32).write.mode("overwrite").parquet(dst)
 
+    # events: replicate with remapped event ids AND user ids so the
+    # user↔event_type graph (q_pagerank) and per-user series grow 10×
+    # rather than densifying the same users
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    ne = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    nu = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    evp = [
+        ev.withColumn("event_id", (F.col("event_id") + i * ne).cast("long"))
+        .withColumn("user_id", (F.col("user_id") + i * nu).cast("long"))
+        for i in range(10)
+    ]
+    bige2 = evp[0]
+    for c in evp[1:]:
+        bige2 = bige2.union(c)
+    dst = f"{OUT}/events.parquet"
+    if os.path.islink(dst):
+        os.unlink(dst)
+    bige2.repartition(32).write.mode("overwrite").parquet(dst)
+
     # remaining driver tables: symlink the sf0.1 originals
-    for t in ("region", "nation", "customer", "supplier", "part", "events"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         dst = f"{OUT}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{BASE}/{t}.parquet", dst)

@@ -82,3 +82,16 @@ def test_gap_fill_plan_no_cartesian(spark, sf_dir):
     plan = final_plan(spark, "q_gap_fill", sf_dir)
     assert "CartesianProduct" not in plan, plan
     assert n_shuffles(plan) <= 4, plan
+
+
+def test_anomaly_fence_broadcast(spark, sf_dir):
+    plan = final_plan(spark, "q_anomaly_iqr", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_word_pmi_support_prune_before_joins(spark, sf_dir):
+    # the n_ab >= 5 filter must cut the pair frame before the
+    # marginal joins, and nothing may degenerate to a cartesian
+    plan = final_plan(spark, "q_word_pmi", sf_dir)
+    assert "CartesianProduct" not in plan, plan
