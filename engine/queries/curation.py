@@ -347,27 +347,38 @@ def q_pagerank(spark, sf):
     edges = (
         ut.select(u.alias("src"), t.alias("dst"))
         .unionAll(ut.select(t.alias("src"), u.alias("dst")))
-        # one shuffle onto src, reused by every iteration's join
         .repartition("src")
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")) \
                .withColumnRenamed("src", "v")
+    # degree-annotated edges: built (and shuffled onto src) ONCE,
+    # persisted, and reused by every iteration's join — without the
+    # persist each round would re-derive the edge frame from the scan
+    ed = edges.join(deg.withColumnRenamed("v", "src"), "src").persist()
     n = deg.count()
     base = (15 * (_PR_SCALE // n)) // 100
+    # same checkpoint discipline as q_dedup_cluster: cut lineage per
+    # round (reliable checkpoint on a cluster with a checkpoint dir)
+    if spark.sparkContext.getCheckpointDir() is not None:
+        def cut(df):
+            return df.checkpoint(eager=True)
+    else:
+        def cut(df):
+            return df.localCheckpoint()
     ranks = deg.select("v", F.lit(_PR_SCALE // n).cast("long").alias("r"))
-    ed = edges.join(deg.withColumnRenamed("v", "src"), "src")
     for _ in range(_PR_ITERS):
         contrib = (
             ed.join(ranks.withColumnRenamed("v", "src"), "src")
             .select("dst", F.expr("r div d").alias("c"))
         )
-        ranks = (
+        ranks = cut(
             contrib.groupBy("dst")
             .agg(F.sum("c").alias("s"))
             .select(F.col("dst").alias("v"),
                     (F.lit(base) + F.expr("85 * s div 100"))
                     .cast("long").alias("r"))
         )
+    ed.unpersist()  # final ranks are checkpointed — safe to drop
     return ranks.select(F.col("v").alias("node"),
                         F.col("r").alias("rank_scaled"))
 
