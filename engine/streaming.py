@@ -161,3 +161,39 @@ def run_replay(
         "n_before": n_before,
         "n_after_late": n_after,
     }
+
+
+def attribution_left_join(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER join with state eviction: every 'view'
+    emits exactly one row — matched to same-user 'purchase' events
+    within 2 h after it, or null-padded once the watermark proves no
+    match can arrive. The outer side is the harder shape: the null
+    row is emitted only in the micro-batch AFTER the view's join
+    state expires (event time + 2 h + watermark delay), and the
+    governing watermark is the MIN across both branches'
+    EventTimeWatermark nodes (multipleWatermarkPolicy=min) — each
+    branch advances only on rows surviving its own filter, so a
+    quiet purchase stream holds back view-side eviction. The replay
+    test drives this with per-side sentinel batches. State stays a
+    sliding 2-hour corridor regardless of stream length, same as the
+    inner variant."""
+    views = (events.filter(F.col("event_type") == "view")
+             .withWatermark("ts", "10 minutes")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("v_ts")))
+    buys = (events.filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "10 minutes")
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("b_user"),
+                    F.col("ts").alias("b_ts")))
+    return views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left_outer",
+    ).select(
+        "view_id", "purchase_id", F.col("v_user").alias("user_id"),
+        (F.unix_micros("b_ts") - F.unix_micros("v_ts")).alias("delta_us"),
+    )

@@ -22,6 +22,14 @@ KEYS = [
     "q_ngram_freq",            # top-k with count/bigram tiebreak
     "q_join_salted",           # salt spread must not leak into values
     "q_events_funnel",         # conditional-min aggregation
+    # round-4 curation/incremental operators
+    "q_heavy_hitters",         # MG candidate set varies; exact pass must not
+    "q_pagerank",              # integer fixed-point iteration
+    "q_incr_agg",              # scaled-BIGINT state merge
+    "q_word_pmi",              # integer ratio + support prune
+    "q_anomaly_iqr",           # discrete-quantile fence comparison
+    "q_contamination",         # gram-set semi join
+    "q_snapshot_diff",         # full-outer CDC diff
 ]
 
 

@@ -104,3 +104,88 @@ def test_append_mode_emits_exactly_closed_windows(spark, sf_dir):
     open_keys = set(full) - set(app)
     assert open_keys, "fixture should leave some windows open"
     assert all(ws + 3_600_000_000 > wm_us for ws, _ in open_keys)
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir):
+    """Outer stream-stream join: matched pairs equal the batch left
+    join, and unmatched views emit exactly one null-padded row once a
+    sentinel batch advances the watermark past their eviction time."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from engine.streaming import (_with_event_time, attribution_left_join,
+                                  event_stream_schema)
+
+    with tempfile.TemporaryDirectory() as wd:
+        src = f"{wd}/src"
+        raw = _with_event_time(
+            spark.read.parquet(f"{sf_dir}/events.parquet"))
+        raw.repartition(4).write.mode("overwrite").parquet(src)
+
+        # ingest the real data as ONE micro-batch (no maxFilesPerTrigger):
+        # a multi-batch replay of unordered part-files would drop
+        # early-timestamped views behind the advancing watermark —
+        # legitimate streaming semantics, but not the batch oracle
+        events = _with_event_time(
+            spark.readStream.schema(
+                event_stream_schema(spark, src)).parquet(src))
+        q = (
+            attribution_left_join(events)
+            .writeStream.outputMode("append")
+            .format("memory").queryName("t_ss_left").start()
+        )
+        q.processAllAvailable()
+        # Sentinels far past every real event, one per JOIN SIDE: each
+        # branch's watermark only advances on rows that SURVIVE its
+        # filter, and the global watermark is the MIN across both
+        # EventTimeWatermark nodes (multipleWatermarkPolicy=min) — a
+        # row filtered from both branches would advance nothing. Two
+        # rounds because state evicted by a watermark advance is
+        # null-emitted in the NEXT micro-batch.
+        hi = raw.agg(F.max("ts")).collect()[0][0]
+        for i in range(2):
+            sentinel = raw.limit(1).select(
+                F.lit(10 ** 9 + 2 * i).alias("event_id"),
+                F.lit(hi + datetime.timedelta(hours=12 + i)).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("view").alias("event_type"),
+                F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+            ).unionAll(raw.limit(1).select(
+                F.lit(10 ** 9 + 2 * i + 1).alias("event_id"),
+                F.lit(hi + datetime.timedelta(hours=12 + i)).alias("ts"),
+                F.lit(-2).cast("long").alias("user_id"),
+                F.lit("purchase").alias("event_type"),
+                F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+            ))
+            sentinel.write.mode("append").parquet(src)
+            q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r["view_id"], r["purchase_id"])
+            for r in spark.sql(
+                "SELECT * FROM t_ss_left WHERE view_id < 1000000000"
+            ).collect()
+        }
+        views = raw.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("u"), F.col("ts").alias("v_ts"))
+        buys = raw.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("bu"), F.col("ts").alias("b_ts"))
+        exp = {
+            (r["view_id"], r["purchase_id"])
+            for r in views.join(
+                buys,
+                (F.col("u") == F.col("bu"))
+                & (F.col("b_ts") >= F.col("v_ts"))
+                & (F.col("b_ts") <= F.col("v_ts")
+                   + F.expr("INTERVAL 2 HOURS")),
+                "left_outer").collect()
+        }
+        assert got == exp
+        # every view appears at least once (outer semantics)
+        n_views = views.count()
+        assert len({v for v, _ in got}) == n_views
