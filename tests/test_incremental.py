@@ -95,3 +95,24 @@ def test_word_pmi_support_prune_before_joins(spark, sf_dir):
     # marginal joins, and nothing may degenerate to a cartesian
     plan = final_plan(spark, "q_word_pmi", sf_dir)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_honors_checkpoint_dir(spark, sf_dir, tmp_path):
+    """With a checkpoint dir configured the iteration uses reliable
+    checkpoints (executor-loss safe); results must be identical."""
+    import os
+
+    baseline = {(r["node"], r["rank_scaled"]) for r in
+                QUERIES["q_pagerank"](spark, sf_dir).collect()}
+    ckpt = str(tmp_path / "ckpt_pr")
+    old = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        got = {(r["node"], r["rank_scaled"]) for r in
+               QUERIES["q_pagerank"](spark, sf_dir).collect()}
+    finally:
+        if old is not None:
+            spark.sparkContext.setCheckpointDir(old)
+    assert got == baseline
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no checkpoint files written under the configured dir"
