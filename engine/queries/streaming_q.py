@@ -363,3 +363,84 @@ def q_stream_stream_join(spark, sf):
 
     name = _run_stream(spark, sf, "ss_join", build, one_batch=True)
     return spark.table(name)
+
+
+@query("q_stream_stream_left_join", oracle="""
+SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+       a.user_id AS user_id,
+       epoch_ns(b.ts) // 1000 - epoch_ns(a.ts) // 1000 AS delta_us
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+WHERE a.event_type = 'view'
+""")
+def q_stream_stream_left_join(spark, sf):
+    """Stream-stream LEFT OUTER join with watermark-driven state
+    eviction — the hardest stateful-join shape: matched pairs stream
+    out as in the inner variant, while an unmatched 'view' emits ONE
+    null-padded row only after the global watermark proves no
+    purchase can still arrive (view state expires at ts + 2 h +
+    watermark delay, null rows surface one micro-batch later).
+
+    The bounded replay makes this hash-checkable against the plain
+    batch left join: the real data ingests as a single micro-batch,
+    then two rounds of per-side far-future sentinel rows advance BOTH
+    branches' watermarks (the governing watermark is the min across
+    the two EventTimeWatermark nodes; each advances only on rows
+    surviving its own filter) so every real view either matched or
+    null-emitted. Sentinel rows are excluded from the result. On a
+    real cluster state remains a sliding 2-hour corridor regardless
+    of stream length — the only outer-join shape that survives an
+    unbounded stream."""
+    import datetime
+
+    from ..streaming import (_with_event_time, attribution_left_join,
+                             event_stream_schema)
+
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "ss_left")
+    if key in per_session:
+        return spark.table(per_session[key])
+    digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    name = f"stream_ss_left_{digest}"
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"engine_stream_ssl_{digest}_{os.getpid()}")
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(
+            os.path.abspath(f"{sf.rstrip('/')}/events.parquet"), link)
+
+    raw = _with_event_time(spark.read.parquet(link))
+    hi = raw.agg(F.max("ts")).collect()[0][0]
+    events = _with_event_time(
+        spark.readStream.schema(event_stream_schema(spark, src))
+        .parquet(src))
+    q = (attribution_left_join(events)
+         .writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    # two sentinel rounds, one row per join side each (see docstring)
+    for i in range(2):
+        sent = raw.limit(1).select(
+            F.lit(10 ** 9 + 2 * i).alias("event_id"),
+            F.lit(hi + datetime.timedelta(hours=12 + i)).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+        ).unionAll(raw.limit(1).select(
+            F.lit(10 ** 9 + 2 * i + 1).alias("event_id"),
+            F.lit(hi + datetime.timedelta(hours=12 + i)).alias("ts"),
+            F.lit(-2).cast("long").alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+        ))
+        sent.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    q.stop()
+    per_session[key] = name
+    return spark.table(name).filter(F.col("view_id") < 10 ** 9)
