@@ -109,31 +109,80 @@ def q_heavy_hitters(spark, sf):
 
     At 100 TB: the tail vocabulary (billions of hapaxes) never
     reaches a shuffle — pass 1 moves ≤ K rows per partition, pass 2
-    shuffles only candidate-word partial counts."""
-    d = load_tables(spark, sf)["documents"]
+    shuffles only candidate-word partial counts. Exactly two corpus
+    scans total: the summary pass also emits per-partition word
+    totals, so no separate count() scan is needed, and the tiny
+    summary frame is checkpointed so the Python pass runs once."""
+    spark_ = spark
+    d = load_tables(spark_, sf)["documents"]
     words = d.select(F.explode(F.split("text", " ")).alias("word"))
-    total = words.count()
+    summary = mg_summary(words)
+    if spark_.sparkContext.getCheckpointDir() is not None:
+        summary = summary.checkpoint(eager=True)
+    else:
+        summary = summary.localCheckpoint()
+    total = summary.agg(F.sum("n")).collect()[0][0]
     thr = total // (_MG_K + 1) + 1
-    return heavy_hitters(words, thr)
+    cand = summary.filter(F.col("word").isNotNull()) \
+                  .select("word").distinct()
+    return (
+        words.join(F.broadcast(cand), "word")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+    )
+
+
+# lazy-clip limit: exact counts accumulate until the table exceeds
+# this, then one clip (subtract the (K+1)-largest, drop ≤0) shrinks it
+# to ≤ K entries. Clipping lazily preserves the MG bound — each clip
+# value c has ≥ K+1 entries ≥ c, so Σ clips ≤ n_p/(K+1) — while doing
+# the O(vocab) work once per ~LIMIT distinct words, not per batch.
+_MG_LIMIT = 8192
+
+
+def mg_summary(words):
+    """Pass 1 over Arrow batches (no pandas conversion): per-partition
+    Misra-Gries candidates plus one (NULL, partition_word_count) row,
+    so callers get candidates AND the corpus total from one scan. The
+    candidate SET depends on partition layout; its superset guarantee
+    does not."""
+    import heapq
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def mg(batches):
+        counters: Counter = Counter()
+        seen = 0
+        for rb in batches:
+            col = rb.column(0)
+            seen += len(col)
+            vc = pc.value_counts(col)
+            counters.update(dict(zip(
+                vc.field("values").to_pylist(),
+                (v.as_py() for v in vc.field("counts")))))
+            if len(counters) > _MG_LIMIT:
+                clip = heapq.nlargest(_MG_K + 1, counters.values())[-1]
+                counters = Counter(
+                    {w: c - clip for w, c in counters.items() if c > clip})
+        if len(counters) > _MG_K:
+            clip = heapq.nlargest(_MG_K + 1, counters.values())[-1]
+            counters = Counter(
+                {w: c - clip for w, c in counters.items() if c > clip})
+        keys = list(counters.keys()) + [None]
+        ns = [0] * (len(keys) - 1) + [seen]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(keys, type=pa.string()),
+             pa.array(ns, type=pa.int64())], ["word", "n"])
+
+    return words.mapInArrow(mg, "word string, n long")
 
 
 def mg_candidates(words):
-    """Pass 1: per-partition mergeable Misra-Gries candidate words
-    (≤ ``_MG_K`` rows per partition). The SET depends on partition
-    layout; its superset guarantee does not."""
-    import pandas as pd
-
-    def mg(batches):
-        counters = pd.Series(dtype="int64")
-        for pdf in batches:
-            vc = pdf["word"].value_counts()
-            counters = counters.add(vc, fill_value=0)
-            if len(counters) > _MG_K:
-                clip = counters.nlargest(_MG_K + 1).iloc[-1]
-                counters = counters[counters > clip] - clip
-        yield pd.DataFrame({"word": counters.index})
-
-    return words.mapInPandas(mg, "word string").distinct()
+    """Candidate words only (compatibility wrapper over mg_summary)."""
+    return (mg_summary(words).filter(F.col("word").isNotNull())
+            .select("word").distinct())
 
 
 def heavy_hitters(words, thr: int):

@@ -120,6 +120,66 @@ def build(spark) -> None:
             os.symlink(f"{BASE}/{t}.parquet", dst)
 
 
+OUT100 = "/tmp/engine_scale_x100"
+# three-decade claim for the linear text/curation ops: 5k → 50k → 500k
+# docs. Quadratic/ANN ops are excluded by design (their scale paths
+# are the banded/bucketed keys measured at 10×).
+X100_KEYS = [
+    "q_dedup_exact", "q_dedup_keep_best", "q_heavy_hitters",
+    "q_text_chunk", "q_text_redact", "q_contamination", "q_text_stats",
+    "q_split_train", "q_tfidf_top", "q_text_repetition", "q_word_pmi",
+]
+
+
+def build_x100(spark) -> None:
+    """100× documents (500k rows) from the 10× fixture; every other
+    table symlinks the 10× build (document-driven keys only)."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{OUT}/documents.parquet")
+    n = d.count()
+    parts = [
+        d.withColumn("doc_id", (F.col("doc_id") + i * n).cast("long"))
+        .withColumn("text", F.when(F.lit(i) == 0, F.col("text"))
+                    .otherwise(F.concat(F.col("text"), F.lit(f" w{i}"))))
+        for i in range(10)
+    ]
+    big = parts[0]
+    for c in parts[1:]:
+        big = big.union(c)
+    os.makedirs(OUT100, exist_ok=True)
+    big.repartition(64).write.mode("overwrite") \
+        .parquet(f"{OUT100}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "lineitem", "orders", "embeddings"):
+        dst = f"{OUT100}/{t}.parquet"
+        if not os.path.lexists(dst):
+            os.symlink(f"{OUT}/{t}.parquet", dst)
+
+
+def run_x100(spark) -> None:
+    import time as _t
+
+    from engine.io import load_tables
+    from engine.registry import QUERIES
+
+    if not os.path.exists(f"{OUT100}/documents.parquet"):
+        build_x100(spark)
+    t = load_tables(spark, OUT100)
+    t["documents"].cache().count()
+    row = {}
+    for k in X100_KEYS:
+        best = None
+        for _ in range(2):
+            t0 = _t.time()
+            QUERIES[k](spark, OUT100).count()
+            dt = _t.time() - t0
+            best = dt if best is None else min(best, dt)
+        row[k] = round(best, 2)
+    t["documents"].unpersist()
+    print(json.dumps({"scale": "x100", "seconds": row}), flush=True)
+
+
 def main() -> None:
     from engine.io import load_tables
     from engine.registry import QUERIES, load_all
@@ -130,6 +190,9 @@ def main() -> None:
     if "--rebuild" in sys.argv or \
             not os.path.exists(f"{OUT}/documents.parquet"):
         build(spark)
+    if "--x100" in sys.argv:
+        run_x100(spark)
+        return
 
     for sf in ("/root/testdata/sf0.01", BASE, OUT):
         t = load_tables(spark, sf)
