@@ -844,8 +844,12 @@ def q_text_quality(spark, sf):
     """Document quality scoring: length/stopword/long-word features
     combined into one score — all array folds, zero extra shuffles
     beyond the one broadcast of the learned stopword list."""
-    d = load_tables(spark, sf)["documents"]
-    ws = F.split("text", " ")
+    d0 = load_tables(spark, sf)["documents"]
+    # materialize the token array once: the four feature expressions
+    # below each take the array as input, and a named column splits
+    # once per row instead of once per expression
+    d = d0.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
     # Global top-20 via orderBy+limit → TakeOrderedAndProject (per-partition
     # 20-row heaps merged on the driver), NOT an unpartitioned window, which
     # would shuffle the entire distinct-word frame onto a single reducer.
