@@ -50,6 +50,10 @@ def _bloom_session(spark):
 
         clone = spark.newSession()
         configure(clone)
+        # inherit the caller's shuffle sizing (newSession starts from
+        # context defaults, not the caller's tuned value)
+        clone.conf.set("spark.sql.shuffle.partitions",
+                       spark.conf.get("spark.sql.shuffle.partitions"))
         for k, v in _BLOOM_CONFS.items():
             clone.conf.set(k, v)
         cache["s"] = clone

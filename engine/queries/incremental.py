@@ -11,9 +11,13 @@
 - ``q_gap_fill``     — dense hourly grid per series + forward fill
                        (the time-series regularization shape).
 
-All three oracle-checked; aggregates use the scaled-BIGINT exact-sum
+All oracle-checked; aggregates use the scaled-BIGINT exact-sum
 convention (engine/queries/util.py) so merge order never changes a
-hash.
+hash. These generalize beyond the reference surface
+(GFleishman/dask_stitch stitch.py:7-121 computes a fixed stencil
+pipeline; it has no incremental-refresh, frequency-sketch, or
+time-series stage) — they are the operators the same data platform
+needs once corpora update continuously.
 """
 from __future__ import annotations
 
