@@ -160,3 +160,36 @@ def q_null_handling(spark, sf):
         rnd(F.avg(F.when(F.col("o_orderpriority") != "3-MEDIUM",
                          F.col("o_totalprice")))).alias("avg_other_price"),
     )
+
+
+@query("q_cte_recursive", oracle="""
+WITH RECURSIVE chain(k, cur, depth) AS (
+    SELECT o_orderkey, o_orderkey, 0 FROM orders
+    UNION ALL
+    SELECT k, cur // 10, depth + 1 FROM chain WHERE cur > 0
+)
+SELECT k, max(depth) AS depth FROM chain GROUP BY k
+""")
+def q_cte_recursive(spark, sf):
+    """RECURSIVE CTE (new in Spark 4): walk the synthetic parent
+    chain k → k div 10 until the root, then report each key's chain
+    depth — the hierarchy/bill-of-materials traversal shape. The
+    recursion is bounded (≤ log₁₀(max key) + 1 steps, ~7 here) and
+    acyclic by construction, so UNION ALL recursion terminates in
+    both engines with identical frontiers.
+
+    Catalyst executes this as an iterative union of frontier plans —
+    each step is a narrow projection+filter over the previous
+    frontier, so at 100 TB the cost is (depth × one pass over the
+    live frontier), which SHRINKS as chains terminate; no shuffle
+    until the final aggregate. The same shape expresses org
+    hierarchies, thread ancestry, and category trees."""
+    load_tables(spark, sf)  # registers the `orders` temp view
+    return spark.sql("""
+WITH RECURSIVE chain(k, cur, depth) AS (
+    SELECT o_orderkey, o_orderkey, 0 FROM orders
+    UNION ALL
+    SELECT k, cur DIV 10, depth + 1 FROM chain WHERE cur > 0
+)
+SELECT k, max(depth) AS depth FROM chain GROUP BY k
+""")
