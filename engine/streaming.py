@@ -197,3 +197,63 @@ def attribution_left_join(events: DataFrame) -> DataFrame:
         "view_id", "purchase_id", F.col("v_user").alias("user_id"),
         (F.unix_micros("b_ts") - F.unix_micros("v_ts")).alias("delta_us"),
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The Spark 4 successor to applyInPandasWithState:
+    ``transformWithStateInPandas`` with a typed ValueState. Same
+    semantics as :func:`running_user_totals` (per-user running count
+    and value total, one row per user per micro-batch), but on the
+    new StatefulProcessor API — composable named state, timers, and
+    TTL on a per-state basis, the long-term home for custom stateful
+    operators. Kept alongside the old operator so both state APIs
+    stay covered.
+
+    Environment note: executing this plan needs the RocksDB state
+    store provider AND the ``google.protobuf`` package (the
+    transformWithState state-server protocol); in containers without
+    protobuf the plan builds but the stream fails at start — the
+    pytest gates on ``tws_available()``."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (self._totals.get() if self._totals.exists()
+                        else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "total_value": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=(
+                "user_id long, n_events long, total_value double"),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def tws_available() -> bool:
+    """True when the transformWithState runtime deps (protobuf-based
+    state-server protocol) are importable in this environment."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False

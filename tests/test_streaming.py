@@ -189,3 +189,81 @@ def test_stream_stream_left_outer_join(spark, sf_dir):
         # every view appears at least once (outer semantics)
         n_views = views.count()
         assert len({v for v, _ in got}) == n_views
+
+
+def test_transform_with_state_plan_builds(spark, sf_dir, tmp_path):
+    """The transformWithStateInPandas plan must always BUILD (API
+    wiring, schemas, processor class) even where the runtime deps for
+    executing it are absent."""
+    from engine.streaming import read_event_stream, running_user_totals_tws
+
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .limit(10).write.parquet(src)
+    df = running_user_totals_tws(read_event_stream(spark, src))
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "n_events", "total_value"]
+    assert df.isStreaming
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas: final per-user totals from
+    the new StatefulProcessor API equal the batch aggregates (same
+    contract as the applyInPandasWithState operator). Skipped where
+    the state-server protocol deps (google.protobuf) are missing."""
+    import tempfile
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from engine.streaming import (read_event_stream,
+                                  running_user_totals_tws, tws_available)
+
+    if not tws_available():
+        pytest.skip("transformWithState runtime needs google.protobuf, "
+                    "absent in this container")
+
+    # transformWithState requires the RocksDB state store provider
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        with tempfile.TemporaryDirectory() as wd:
+            src = f"{wd}/src"
+            raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+            raw.repartition(6).write.mode("overwrite").parquet(src)
+            q = (
+                running_user_totals_tws(read_event_stream(spark, src))
+                .writeStream.outputMode("update")
+                .format("memory").queryName("t_tws").start()
+            )
+            q.processAllAvailable()
+            q.stop()
+    finally:
+        if old_prov is not None:
+            spark.conf.set(prov_key, old_prov)
+        else:
+            spark.conf.unset(prov_key)
+        # last update per user == batch totals
+        final = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+            for r in spark.sql("""
+                SELECT user_id, n_events, total_value FROM (
+                  SELECT *, row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_events DESC) rn FROM t_tws
+                ) WHERE rn = 1""").collect()
+        }
+        batch = {
+            r["user_id"]: (r["n"], round(r["t"], 6))
+            for r in raw.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("t")).collect()
+        }
+        assert set(final) == set(batch)
+        for u in batch:
+            assert final[u][0] == batch[u][0]
+            assert abs(final[u][1] - batch[u][1]) < 1e-6
