@@ -49,6 +49,11 @@ HEADLINE = [
     "q_contamination",
     "q_incr_agg",
     "q_gap_fill",
+    "q_word_pmi",
+    "q_snapshot_diff",
+    "q_text_chunk",
+    "q_anomaly_iqr",
+    "q_cte_recursive",
 ]
 
 

@@ -116,3 +116,30 @@ def test_pagerank_honors_checkpoint_dir(spark, sf_dir, tmp_path):
     assert got == baseline
     found = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert found, "no checkpoint files written under the configured dir"
+
+
+def test_mg_superset_on_zipf_skew(spark):
+    """Adversarial MG check: a seeded Zipf-like distribution (heavy
+    head, long hapax tail) across many partitions — every word at or
+    above the global threshold must survive the per-partition clip."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    words = []
+    for rank in range(1, 40):          # head: word_r appears ~4000/r times
+        words += [f"head{rank}"] * (4000 // rank)
+    words += [f"tail{i}" for i in range(30000)]   # hapax tail
+    rng.shuffle(words)
+    w = spark.createDataFrame(
+        [(x,) for x in words], "word string").repartition(13)
+    n = len(words)
+    thr = n // (_MG_K + 1) + 1
+    truth = {
+        r["word"] for r in w.groupBy("word").count()
+        .filter(F.col("count") >= thr).collect()
+    }
+    cand = {r["word"] for r in mg_candidates(w).collect()}
+    assert truth, "fixture should have heavy hitters"
+    assert truth <= cand
