@@ -70,17 +70,61 @@ _R03_GREEN = [
 ]
 
 
+def _driver_green() -> dict[str, int]:
+    """key → latest round with a PASSING driver CORRECTNESS row
+    (hash-green, or a completed rows-only check for no-oracle keys),
+    read from the driver's own CORRECTNESS_r*.json artifacts. A key
+    whose most recent driver row FAILED is treated as having no row
+    at all, so it rotates back to the front of the window."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    status: dict[str, bool] = {}
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for k, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            ok = (v.get("hash_match") is True
+                  or (v.get("err") == "no_oracle"
+                      and v.get("spark_rows") is not None))
+            if rnd >= latest.get(k, 0):
+                latest[k] = rnd
+                status[k] = ok
+    return {k: r for k, r in latest.items() if status.get(k)}
+
+
 def _rotated(keys) -> list[str]:
     """Waiting-longest-first key order (relative registration order
-    preserved within each tier): keys with no driver CORRECTNESS row
-    yet (the 23 late-round-3 keys plus anything new this round), then
-    the oldest driver greens (round 2) for re-confirmation, then the
-    freshest greens (round 3) at the back."""
-    r2, r3 = set(_R02_GREEN), set(_R03_GREEN)
-    waiting = [k for k in keys if k not in r2 and k not in r3]
-    back_r2 = [k for k in keys if k in r2]
-    back_r3 = [k for k in keys if k in r3]
-    return waiting + back_r2 + back_r3
+    preserved within each tier): keys with no passing driver
+    CORRECTNESS row yet, then driver greens ordered oldest-round
+    first (so long-unconfirmed keys are re-confirmed before fresh
+    ones). Derived from the driver artifacts each call — no manual
+    list maintenance between rounds; the static _R0N_GREEN lists
+    remain only as documentation of earlier rounds."""
+    green = _driver_green()
+    if not green:  # artifacts missing (fresh checkout): static fallback
+        r2, r3 = set(_R02_GREEN), set(_R03_GREEN)
+        waiting = [k for k in keys if k not in r2 and k not in r3]
+        return (waiting + [k for k in keys if k in r2]
+                + [k for k in keys if k in r3])
+    waiting = [k for k in keys if k not in green]
+    seen = sorted((k for k in keys if k in green),
+                  key=lambda k: green[k])  # stable: registry order within a round
+    return waiting + seen
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,49 @@
+"""The correctness-window rotation must put driver-unverified keys
+first (inside the driver's 50-key window) and order verified keys
+oldest-confirmation-first, deriving all of it from the driver's own
+CORRECTNESS_r*.json artifacts."""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+from engine import registry  # noqa: E402
+
+registry.load_all()
+
+
+def test_waiting_keys_lead_the_window():
+    q = list(entry._rotated(registry.QUERIES))
+    green = entry._driver_green()
+    waiting = [k for k in q if k not in green]
+    # every key without a passing driver row sits in the first 50
+    assert all(k in set(q[:50]) for k in waiting), (
+        f"{len(waiting)} waiting keys must fit the 50-key window")
+
+
+def test_green_tiers_ordered_oldest_first():
+    q = list(entry._rotated(registry.QUERIES))
+    green = entry._driver_green()
+    rounds = [green[k] for k in q if k in green]
+    assert rounds == sorted(rounds)
+
+
+def test_failed_driver_row_rotates_to_front(tmp_path, monkeypatch):
+    """A key whose LATEST driver row failed must be re-queued as
+    waiting even if an older round had it green."""
+    here = str(tmp_path)
+    with open(os.path.join(here, "CORRECTNESS_r01.json"), "w") as f:
+        json.dump({"q_x": {"hash_match": True, "err": None,
+                           "spark_rows": 1}}, f)
+    with open(os.path.join(here, "CORRECTNESS_r02.json"), "w") as f:
+        json.dump({"q_x": {"hash_match": False, "err": None,
+                           "spark_rows": 1},
+                   "q_y": {"hash_match": None, "err": "no_oracle",
+                           "spark_rows": 5}}, f)
+    monkeypatch.setattr(os.path, "dirname", lambda p: here)
+    green = entry._driver_green()
+    assert "q_x" not in green          # latest row failed
+    assert green.get("q_y") == 2       # rows-only completed counts
