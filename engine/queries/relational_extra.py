@@ -193,3 +193,70 @@ WITH RECURSIVE chain(k, cur, depth) AS (
 )
 SELECT k, max(depth) AS depth FROM chain GROUP BY k
 """)
+
+
+@query("q_grouped_topk_agg", oracle="""
+WITH r AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey)
+               AS rn
+    FROM orders)
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+FROM r WHERE rn <= 3
+""")
+def q_grouped_topk_agg(spark, sf):
+    """Top-k per group WITHOUT a window: one aggregation holding a
+    bounded k-item buffer per group (collect sorted structs, slice
+    k), then explode. Same result as the rank-window formulation (the
+    oracle), but the execution profile differs where it matters at
+    100 TB: a window must SORT every group's full row set after the
+    shuffle, while this aggregate map-side combines and only ever
+    shuffles ≤ |groups|·k candidate rows once partial aggregation
+    kicks in. The sort key is struct(-price, key) so ascending
+    sort_array gives price-desc with a deterministic ascending-key
+    tie-break."""
+    o = load_tables(spark, sf)["orders"]
+    item = F.struct(
+        (-F.col("o_totalprice")).alias("negp"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+    )
+    top = (
+        o.groupBy("o_orderpriority")
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, 3).alias("t"))
+        .select("o_orderpriority", F.posexplode("t").alias("pos", "e"))
+    )
+    return top.select(
+        "o_orderpriority",
+        F.col("e.k").alias("o_orderkey"),
+        F.col("e.p").alias("o_totalprice"),
+        (F.col("pos") + 1).alias("rn"),
+    )
+
+
+@query("q_histogram", oracle="""
+SELECT l_returnflag,
+       least(CAST(floor(l_quantity / 3) AS BIGINT), 16) AS bucket,
+       count(*) AS n,
+       min(l_quantity) AS lo,
+       max(l_quantity) AS hi
+FROM lineitem
+GROUP BY 1, 2
+""")
+def q_histogram(spark, sf):
+    """Equi-width histogram per group (17 buckets of width 3, last
+    bucket open-ended): the profiling primitive behind optimizer
+    statistics, data-quality dashboards, and drift monitors. Pure
+    map-side-combinable aggregation — the histogram frame is
+    |groups|×|buckets| regardless of table size, so at 100 TB this
+    is one scan plus a tiny shuffle."""
+    li = load_tables(spark, sf)["lineitem"]
+    bucket = F.least(F.floor(F.col("l_quantity") / 3).cast("long"),
+                     F.lit(16))
+    return (
+        li.groupBy("l_returnflag", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("l_quantity").alias("lo"),
+             F.max("l_quantity").alias("hi"))
+    )

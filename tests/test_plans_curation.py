@@ -69,3 +69,16 @@ def test_bloom_confs_do_not_leak(spark, sf_dir):
     # caller's session must keep its broadcast threshold
     QUERIES["q_join_bloom"](spark, sf_dir).collect()
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_grouped_topk_agg_has_no_window(spark, sf_dir):
+    # the whole point: bounded-buffer aggregation, not a rank window
+    plan = final_plan(spark, "q_grouped_topk_agg", sf_dir)
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2, plan
+
+
+def test_histogram_partial_final(spark, sf_dir):
+    plan = final_plan(spark, "q_histogram", sf_dir)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert n_shuffles(plan) == 1, plan
