@@ -30,6 +30,9 @@ KEYS = [
     "q_anomaly_iqr",           # discrete-quantile fence comparison
     "q_contamination",         # gram-set semi join
     "q_snapshot_diff",         # full-outer CDC diff
+    "q_grouped_topk_agg",      # collect_list order must not leak (sorted)
+    "q_histogram",             # bucket arithmetic
+    "q_cte_recursive",         # iterative-union frontier
 ]
 
 
