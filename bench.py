@@ -54,6 +54,8 @@ HEADLINE = [
     "q_text_chunk",
     "q_anomaly_iqr",
     "q_cte_recursive",
+    "q_grouped_topk_agg",
+    "q_histogram",
 ]
 
 
