@@ -38,6 +38,7 @@ _MODULES = [
     "engine.queries.streaming_q",
     "engine.queries.curation",
     "engine.queries.incremental",
+    "engine.queries.geo",
 ]
 
 _loaded = False

@@ -33,6 +33,9 @@ KEYS = [
     "q_grouped_topk_agg",      # collect_list order must not leak (sorted)
     "q_histogram",             # bucket arithmetic
     "q_cte_recursive",         # iterative-union frontier
+    # round-5 geo operators
+    "q_geo_cell_join",         # cell-ring candidate join + IEEE predicate
+    "q_geo_knn",               # distance-ranked window with key tiebreak
 ]
 
 
