@@ -285,3 +285,32 @@ def q_histogram(spark, sf):
              F.min("l_quantity").alias("lo"),
              F.max("l_quantity").alias("hi"))
     )
+
+
+@query("q_join_lateral", oracle="""
+SELECT c_custkey, c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2) o
+""")
+def q_join_lateral(spark, sf):
+    """Correlated LATERAL subquery join: top-2 orders per customer,
+    written as the SQL-standard lateral form (the per-row subquery a
+    user would write) rather than a hand-rolled window. Catalyst
+    DECORRELATES it (DecorrelateInnerQuery): the per-customer limit
+    becomes a partitioned rank filter over ONE shuffled join — no
+    per-row subquery execution ever happens, which is exactly why the
+    lateral form is safe at 100 TB while a driver-side loop is not.
+    The executed plan is pinned to a single decorrelated join in
+    tests/test_plans_graph.py."""
+    load_tables(spark, sf)
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) o
+    """)

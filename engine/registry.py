@@ -39,6 +39,7 @@ _MODULES = [
     "engine.queries.curation",
     "engine.queries.incremental",
     "engine.queries.geo",
+    "engine.queries.graph",
 ]
 
 _loaded = False

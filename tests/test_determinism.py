@@ -36,6 +36,8 @@ KEYS = [
     # round-5 geo operators
     "q_geo_cell_join",         # cell-ring candidate join + IEEE predicate
     "q_geo_knn",               # distance-ranked window with key tiebreak
+    "q_graph_triangles",       # oriented wedge join, exact integers
+    "q_join_lateral",          # decorrelated per-group limit
 ]
 
 
