@@ -131,13 +131,27 @@ def main() -> None:
     timings["stitch_block_path_128cube"] = min(
         _bench_block_path(spark) for _ in range(2))
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-    }))
+    }
+    # attach the committed scaling evidence (scale_probe.py
+    # --emit-json) so the per-round BENCH artifact records measured
+    # 10x growth factors, not just absolute times at one scale
+    scale_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALE.json")
+    if os.path.exists(scale_path):
+        with open(scale_path) as f:
+            art = json.load(f)
+        out["scale_probe"] = {
+            "growth_10x": art.get("growth_10x"),
+            "worst_growth_10x": art.get("worst_growth_10x"),
+            "superlinear_keys": art.get("superlinear_keys"),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

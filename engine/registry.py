@@ -40,6 +40,7 @@ _MODULES = [
     "engine.queries.incremental",
     "engine.queries.geo",
     "engine.queries.graph",
+    "engine.queries.ml",
 ]
 
 _loaded = False

