@@ -1,0 +1,169 @@
+"""Embedding-column vector operators (round 5).
+
+Feature-engineering ops every embedding-bearing training pipeline
+runs between ingest and ANN/dedup:
+
+- ``q_feature_scale``  — per-dimension z-score standardization of the
+                         embedding column (the scaler fitted on the
+                         corpus, applied as a narrow map).
+- ``q_embed_meanpool`` — per-label mean vector (class centroids /
+                         label prototypes — the pooled representation
+                         the kNN-centroid and IVF keys consume).
+
+The reference (GFleishman/dask_stitch) has no vector surface; the
+design reuses its one broadcast idiom (local_affine.py:124 ships the
+small affines array to every task) — fitted statistics are
+index-sized (d rows) and travel to executors as literals, the data
+never shuffles for the transform.
+
+Determinism: per-dimension sums accumulate over scaled BIGINTs
+(floor(val*1e6+0.5) — engine/queries/util.py convention), so the
+fitted statistics are exact integers identical under any partitioning
+and both engines derive mu/sigma from them with the same IEEE double
+expression. Accumulators stay < 2^53 through the fixture scales
+(~5e5 scaled units, squared 2.8e11, x rows); at real corpus scale
+promote to DECIMAL(38,0) — same plan shape.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_tables
+from ..registry import query
+from .util import rnd, sql_rnd
+
+_S = 1_000_000  # fixed-point scale for embedding values
+
+# zip-unnest: DuckDB zips parallel unnests positionally, giving
+# (value, 1-based ordinal) without generate_subscripts
+_UNNEST_SQL = """
+SELECT vec_id, label,
+       unnest(embedding) AS val,
+       unnest(range(0, len(embedding))) AS ord
+FROM embeddings
+"""
+
+_MU_SQL = "(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)"
+_SIG_SQL = (
+    "sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0"
+    f" - {_MU_SQL} * {_MU_SQL})"
+)
+
+
+@query("q_feature_scale", oracle=f"""
+WITH x AS ({_UNNEST_SQL}),
+s AS (
+  SELECT ord, count(*) AS n,
+         sum(CAST(floor(CAST(val AS DOUBLE) * {_S} + 0.5) AS BIGINT))
+             AS sv,
+         sum(CAST(floor(CAST(val AS DOUBLE) * {_S} + 0.5) AS BIGINT)
+             * CAST(floor(CAST(val AS DOUBLE) * {_S} + 0.5) AS BIGINT))
+             AS sq
+  FROM x GROUP BY ord),
+z AS (
+  SELECT vec_id, ord,
+         {sql_rnd(f'(CAST(val AS DOUBLE) - {_MU_SQL}) / {_SIG_SQL}', 4)}
+             AS zval
+  FROM x JOIN s USING (ord))
+SELECT vec_id, CAST(ord AS INT) AS pos, zval FROM z
+""")
+def q_feature_scale(spark, sf):
+    """Z-score standardization of the embedding column: fit
+    per-dimension mean/std on the corpus, apply as a zero-shuffle
+    narrow map.
+
+    Fit: posexplode -> groupBy(dimension) with scaled-BIGINT sums —
+    the shuffle carries |partitions| x d partial rows (map-side
+    combine), the result is d rows. Those d rows are collected (the
+    ONLY driver materialization — index-sized, like the IVF codebook)
+    and re-enter the plan as literal arrays, i.e. broadcast-by-plan:
+    the transform touches every vector exactly once where it already
+    lives. The oracle joins the stats frame instead — bit-identical
+    because both engines derive mu/sigma from the same exact integer
+    sums with the same double expression.
+
+    The scaled vector is built as an array (the pipeline's working
+    shape) and posexploded to (vec_id, pos, zval) rows only for the
+    driver compare — array columns have no proven wire-hash parity
+    with DuckDB's DOUBLE[], scalars do."""
+    e = load_tables(spark, sf)["embeddings"]
+    sv = F.floor(F.col("val").cast("double") * _S + F.lit(0.5)) \
+        .cast("long")
+    # fit: one groupBy on the dimension index
+    ex = e.select(F.posexplode("embedding").alias("pos", "val"))
+    stats = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sv).alias("sv"),
+        F.sum(sv * sv).alias("sq"),
+    ).orderBy("pos").collect()
+    import math
+    mus, sigs = [], []
+    for r in stats:
+        mu = r.sv / r.n / 1000000.0
+        sigs.append(math.sqrt(r.sq / r.n / 1000000000000.0 - mu * mu))
+        mus.append(mu)
+    mu_arr = F.array(*[F.lit(m) for m in mus])
+    sig_arr = F.array(*[F.lit(s) for s in sigs])
+    scaled = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: rnd((x.cast("double")
+                              - F.element_at(mu_arr, i + 1))
+                             / F.element_at(sig_arr, i + 1), 4),
+        ).alias("zvec"),
+    )
+    return scaled.select(
+        "vec_id", F.posexplode("zvec").alias("pos", "zval"))
+
+
+@query("q_embed_meanpool", oracle=f"""
+WITH x AS ({_UNNEST_SQL}),
+g AS (
+  SELECT label, ord, count(*) AS n,
+         sum(CAST(floor(CAST(val AS DOUBLE) * {_S} + 0.5) AS BIGINT))
+             AS sv
+  FROM x GROUP BY label, ord)
+SELECT label, n AS n_vecs, CAST(ord AS INT) AS pos,
+       {sql_rnd(_MU_SQL, 6)} AS mval
+FROM g
+""")
+def q_embed_meanpool(spark, sf):
+    """Per-label mean embedding (class centroids): posexplode ->
+    groupBy(label, dimension) scaled-BIGINT sums -> reassemble the
+    d-vector ordered by dimension.
+
+    Scale: the only shuffle is the (label x d)-keyed aggregate with
+    map-side combine — |partitions| x |labels| x d partial rows; the
+    reassembly groups |labels| x d rows into |labels| rows
+    (sort_array over structs — deterministic, no window). This is the
+    training shape for prototype/centroid models and the IVF codebook
+    seed; the output is labels-sized, broadcastable downstream."""
+    e = load_tables(spark, sf)["embeddings"]
+    sv = F.floor(F.col("val").cast("double") * _S + F.lit(0.5)) \
+        .cast("long")
+    g = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(sv).alias("sv"))
+    )
+    m = g.select(
+        "label", "n", "pos",
+        rnd(F.col("sv").cast("double") / F.col("n").cast("double")
+            / 1000000.0, 6).alias("mval"),
+    )
+    # reassemble the per-label d-vector (the pipeline's working shape:
+    # a labels-sized broadcastable centroid frame) ...
+    pooled = (
+        m.groupBy("label")
+        .agg(F.max("n").alias("n_vecs"),
+             F.sort_array(F.collect_list(F.struct("pos", "mval")))
+             .alias("a"))
+        .select("label", "n_vecs",
+                F.transform("a", lambda s: s.mval).alias("mean_vec"))
+    )
+    # ... then posexplode to scalar rows for the driver compare
+    # (array wire-hash parity with DuckDB DOUBLE[] is unproven)
+    return pooled.select(
+        "label", "n_vecs",
+        F.posexplode("mean_vec").alias("pos", "mval"))

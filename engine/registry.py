@@ -41,6 +41,8 @@ _MODULES = [
     "engine.queries.geo",
     "engine.queries.graph",
     "engine.queries.ml",
+    "engine.queries.profiling",
+    "engine.queries.vectors",
 ]
 
 _loaded = False
