@@ -147,3 +147,91 @@ def q_source_orc(spark, sf):
              dsum("l_quantity").alias("qty"),
              dsum("l_extendedprice").alias("price"))
     )
+
+
+@query("q_source_text", oracle="""
+SELECT doc_id % 10 AS bucket, count(*) AS n,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM documents GROUP BY doc_id % 10
+""")
+def q_source_text(spark, sf):
+    """Line-delimited text source (``spark.read.text``) — the raw
+    ingest format of every web-scale corpus (one record per line;
+    WET/plain-text dumps). Documents are written as
+    ``doc_id<TAB>text`` lines, read back as raw strings, re-parsed
+    with ``substring_index``/JVM string ops, and aggregated —
+    hash-matched against the parquet original, so the parse path
+    itself is value-checked.
+
+    At 100 TB the text scan splits per line block like any source but
+    prunes nothing; the parse stays whole-stage-codegen (no Python).
+    The fixture text is tab/newline-free (record framing is the
+    LOADER's contract — documents with embedded newlines belong in
+    parquet/JSON, not line files)."""
+    per_session = session_cache(spark, "_engine_source_cache")
+    key = (sf.rstrip("/"), "text")
+    if key not in per_session:
+        digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(),
+                           f"engine_src_text_{digest}_{os.getpid()}")
+        (load_tables(spark, sf)["documents"]
+         .select(F.concat_ws("\t", F.col("doc_id").cast("string"),
+                             F.col("text")).alias("value"))
+         .write.mode("overwrite").text(out))
+        per_session[key] = out
+    lines = spark.read.text(per_session[key])
+    parsed = lines.select(
+        F.substring_index("value", "\t", 1).cast("long").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return (
+        parsed.groupBy((F.col("doc_id") % 10).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.length("text")).alias("chars"))
+    )
+
+
+@query("q_compaction", oracle=f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       {sql_dsum('l_extendedprice')} AS price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def q_compaction(spark, sf):
+    """Small-file compaction — the table-maintenance op every
+    streaming-ingested 100 TB table needs: a fragmented write (64
+    files here, standing in for per-micro-batch files) is rewritten
+    into size-targeted files via a round-robin ``repartition(n)``,
+    and the compacted table is read back and aggregated,
+    hash-matched against the original — proving the rewrite is
+    content-preserving.
+
+    n = ceil(bytes / 128 MB target): at scale this is computed from
+    the source footer sizes exactly as here, the rewrite is one
+    round-robin shuffle (no skew by construction), and readers go
+    from footer-bound (thousands of file opens per scan) to
+    bandwidth-bound. The file-count drop is pinned in
+    tests/test_sources_extra.py."""
+    per_session = session_cache(spark, "_engine_source_cache")
+    key = (sf.rstrip("/"), "compact")
+    if key not in per_session:
+        digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+        frag = os.path.join(tempfile.gettempdir(),
+                            f"engine_frag_{digest}_{os.getpid()}")
+        comp = os.path.join(tempfile.gettempdir(),
+                            f"engine_compact_{digest}_{os.getpid()}")
+        li = load_tables(spark, sf)["lineitem"].select(
+            "l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice")
+        li.repartition(64).write.mode("overwrite").parquet(frag)
+        fragmented = spark.read.parquet(frag)
+        nbytes = sum(
+            os.path.getsize(os.path.join(frag, f))
+            for f in os.listdir(frag) if f.endswith(".parquet"))
+        target = max(1, -(-nbytes // (128 * 1024 * 1024)))
+        fragmented.repartition(target).write.mode("overwrite").parquet(comp)
+        per_session[key] = comp
+    df = spark.read.parquet(per_session[key])
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("l_extendedprice").alias("price"))
+    )
