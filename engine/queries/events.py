@@ -144,3 +144,40 @@ def q_scd2_history(spark, sf):
         nxt.alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query("q_event_transitions", oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""")
+def q_event_transitions(spark, sf):
+    """First-order Markov transition counts over per-user event
+    streams (the product-analytics "path analysis" shape): lag the
+    event type within each user's time-ordered stream, then count
+    (prev -> next) pairs.
+
+    Scale: ONE shuffle partitions by user_id (per-user streams are
+    bounded; a pathological power user is still one partition's
+    sort), and the transition matrix is |event_types|^2 rows —
+    constant-size output regardless of corpus. The follow-up
+    aggregate's map side combines into that constant frame before
+    the second (tiny) exchange. Tie order within a timestamp is
+    fixed by event_id so the lag is deterministic cross-engine."""
+    ev = load_tables(spark, sf)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        s.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -197,3 +197,52 @@ def q_join_interval(spark, sf):
         .groupBy("interval_id")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
     )
+
+
+@query("q_mjoin_topk", oracle=f"""
+SELECT l_orderkey,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q_mjoin_topk(spark, sf):
+    """TPC-H-Q3-shaped multi-join analytics composite: dimension
+    filter -> two-fact join -> grouped revenue -> global top-10.
+    This is the plan-quality showcase: the c_mktsegment and date
+    predicates push into the scans, the customer side broadcasts
+    under AQE, orders⋈lineitem shuffles BOTH sides on the SAME key
+    (o_orderkey = l_orderkey) so the revenue groupBy that follows
+    reuses the lineitem-side partitioning instead of re-shuffling,
+    and the top-10 is TakeOrderedAndProject (per-partition heap,
+    10-row driver merge — never a global sort). Revenue accumulates
+    via the scaled-BIGINT exact-sum convention. At 100 TB both fact
+    sides grow; the shape survives because every data-sized exchange
+    is keyed by the join/group key and AQE coalesces/splits the
+    post-shuffle partitions."""
+    t = load_tables(spark, sf)
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING") \
+        .select("c_custkey")
+    orders = t["orders"].where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = t["lineitem"].where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+                 "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+    )

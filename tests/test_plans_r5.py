@@ -1,0 +1,36 @@
+"""Plan pins for the round-5 composite keys: the Q3-shaped
+multi-join must broadcast the filtered dimension, keep the grouped
+top-10 as TakeOrderedAndProject (never a global sort), and push the
+date/segment predicates into the scans; the transition matrix is a
+window over one user-keyed shuffle with no join.
+"""
+from __future__ import annotations
+
+import re
+
+from engine.registry import load_all
+
+from test_plans import final_plan, formatted, n_shuffles
+
+load_all()
+
+
+def test_mjoin_topk_plan_shape(spark, sf_dir):
+    plan = final_plan(spark, "q_mjoin_topk", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mjoin_topk_predicates_reach_scans(spark, sf_dir):
+    f = formatted(spark, "q_mjoin_topk", sf_dir)
+    # both fact-side date filters and the segment filter appear as
+    # parquet pushed filters
+    assert len(re.findall(r"PushedFilters: \[[^\]]*(GreaterThan|LessThan|EqualTo)", f)) >= 2, f
+
+
+def test_event_transitions_one_user_shuffle_no_join(spark, sf_dir):
+    plan = final_plan(spark, "q_event_transitions", sf_dir)
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert n_shuffles(plan) <= 2, plan
