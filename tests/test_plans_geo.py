@@ -21,12 +21,14 @@ def test_geo_cell_join_broadcasts_ring(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_geo_knn_broadcast_nested_loop_only(spark, sf_dir):
-    # exact kNN against a broadcast dimension: the candidate build is
-    # a broadcast nested loop; the only exchange is the per-point
-    # window partitioning (one hashpartitioning on c_custkey)
+def test_geo_knn_is_arrow_map_over_points(spark, sf_dir):
+    # exact kNN against a collected site dimension: an Arrow batch
+    # map over the point side — no join, no window, no per-pair rows;
+    # the only exchange is the round-robin spread of the point rows
     plan = final_plan(spark, "q_geo_knn", sf_dir)
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
     assert n_shuffles(plan) <= 1, plan
 
 
