@@ -56,6 +56,19 @@ HEADLINE = [
     "q_cte_recursive",
     "q_grouped_topk_agg",
     "q_histogram",
+    # round-5 additions: spatial bucket join, broadcast kNN,
+    # triangle counting, Lloyd clustering, profiling/DQ audit,
+    # exact OLS, vector standardization
+    "q_geo_cell_join",
+    "q_geo_knn",
+    "q_graph_triangles",
+    "q_cluster_kmeans",
+    "q_profile_columns",
+    "q_dq_audit",
+    "q_linreg_group",
+    "q_feature_scale",
+    "q_mjoin_topk",
+    "q_event_transitions",
 ]
 
 

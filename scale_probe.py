@@ -28,6 +28,8 @@ DOC_KEYS = [
     # round-4 curation/sketch additions
     "q_heavy_hitters", "q_contamination", "q_text_chunk", "q_text_redact",
     "q_word_pmi",
+    # round-5: vector standardization + label centroids + clustering
+    "q_feature_scale", "q_embed_meanpool", "q_cluster_kmeans",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -35,6 +37,9 @@ REL_KEYS = [
     # round-4: bloom-pruned join, MV refresh, CDC diff, graph, series
     "q_join_bloom", "q_incr_agg", "q_snapshot_diff",
     "q_pagerank", "q_gap_fill", "q_anomaly_iqr",
+    # round-5: triangles (10x event graph), profiling, DQ audit, OLS
+    "q_graph_triangles", "q_join_lateral",
+    "q_profile_columns", "q_dq_audit", "q_linreg_group",
 ]
 
 
