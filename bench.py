@@ -69,6 +69,7 @@ HEADLINE = [
     "q_feature_scale",
     "q_mjoin_topk",
     "q_event_transitions",
+    "q_quantile_bins",
 ]
 
 

@@ -115,3 +115,53 @@ def q_text_clean(spark, sf):
             " +", " ")),
         1, 60)
     return d.select("doc_id", clean.alias("clean"))
+
+
+_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@query("q_quantile_bins", oracle=f"""
+WITH b AS (
+  SELECT quantile_disc(l_extendedprice,
+                       {_DECILES}) AS bs
+  FROM lineitem)
+SELECT len(list_filter(bs, x -> l_extendedprice > x)) + 1 AS bin,
+       count(*) AS n,
+       {{lo}} AS lo, {{hi}} AS hi
+FROM lineitem, b
+GROUP BY 1
+""".format(lo="(floor((min(l_extendedprice)) * 10000 + 0.5) / 10000)",
+           hi="(floor((max(l_extendedprice)) * 10000 + 0.5) / 10000)"))
+def q_quantile_bins(spark, sf):
+    """Equal-frequency (decile) binning of a numeric feature — the
+    feature-discretization shape in every training pipeline: exact
+    decile boundaries fitted once, rows assigned to bins with a
+    broadcast comparison, per-bin profiles emitted.
+
+    Scale: the naive form (ntile over a global ORDER BY) is a
+    single-reducer total sort — a scale-killer. Here the ONLY
+    order-dependent work is the 9-value discrete-percentile
+    aggregate (at 100 TB swap in approx_percentile for boundary
+    fitting; the assignment plan is unchanged), the 1-row boundary
+    array broadcasts to every task, and the bin id is a codegen
+    ``size(filter(...))`` over 9 literals — the big side is never
+    sorted or shuffled until the final |bins|-row aggregate.
+    Boundaries are DATA VALUES (percentile_disc), so the > 
+    comparisons are exact cross-engine."""
+    li = load_tables(spark, sf)["lineitem"]
+    bnd = li.agg(F.array(*[
+        F.expr(f"percentile_disc({p}) WITHIN GROUP "
+               "(ORDER BY l_extendedprice)")
+        for p in _DECILES
+    ]).alias("bs"))
+    x = F.col("l_extendedprice")
+    return (
+        li.crossJoin(F.broadcast(bnd))
+        .select(
+            (F.size(F.filter("bs", lambda b: x > b)) + 1).alias("bin"),
+            x.alias("v"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"),
+             rnd(F.min("v")).alias("lo"),
+             rnd(F.max("v")).alias("hi"))
+    )

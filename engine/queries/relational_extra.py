@@ -314,3 +314,43 @@ def q_join_lateral(spark, sf):
           ORDER BY o_totalprice DESC, o_orderkey
           LIMIT 2) o
     """)
+
+
+@query("q_union_evolution", oracle="""
+WITH a AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0),
+b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 1),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT o_orderstatus,
+       count(*) AS n,
+       count(o_totalprice) AS with_price,
+       count(o_orderpriority) AS with_prio
+FROM u GROUP BY o_orderstatus
+""")
+def q_union_evolution(spark, sf):
+    """Schema-evolution union: two snapshots of the same logical
+    table written under DIFFERENT schema versions (an old file
+    without o_orderpriority, a new file without o_totalprice) are
+    combined with ``unionByName(allowMissingColumns=True)`` — Spark
+    aligns columns by NAME and null-fills the gaps, which is how a
+    100 TB table whose schema drifted across ingest epochs is read
+    as one relation. Per-column presence counts prove the alignment.
+    Scale: a union is plan-level concatenation — zero data movement
+    before the final small aggregate; each snapshot's scan prunes to
+    its own columns."""
+    o = load_tables(spark, sf)["orders"]
+    a = o.where("o_orderkey % 3 = 0").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    b = o.where("o_orderkey % 3 = 1").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("with_price"),
+        F.count("o_orderpriority").alias("with_prio"),
+    )

@@ -34,3 +34,13 @@ def test_event_transitions_one_user_shuffle_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
     assert n_shuffles(plan) <= 2, plan
+
+
+def test_quantile_bins_no_global_sort(spark, sf_dir):
+    # equal-frequency binning must not total-sort the table: no
+    # range partitioning anywhere; assignment is a broadcast of the
+    # 1-row boundary array
+    plan = final_plan(spark, "q_quantile_bins", sf_dir)
+    assert "rangepartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
