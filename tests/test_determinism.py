@@ -38,6 +38,16 @@ KEYS = [
     "q_geo_knn",               # distance-ranked window with key tiebreak
     "q_graph_triangles",       # oriented wedge join, exact integers
     "q_join_lateral",          # decorrelated per-group limit
+    # round-5 profiling / vector / composite operators
+    "q_profile_columns",       # multi-distinct Expand must not leak
+    "q_dq_audit",              # five independent rule aggregates
+    "q_linreg_group",          # scaled-BIGINT sufficient statistics
+    "q_feature_scale",         # fitted stats from exact integer sums
+    "q_embed_meanpool",        # label-dim partial sums
+    "q_quantile_bins",         # percentile_disc boundary fit
+    "q_mjoin_topk",            # multi-join + TakeOrdered tiebreak
+    "q_event_transitions",     # lag window with event_id tiebreak
+    "q_union_evolution",       # by-name union null alignment
 ]
 
 
