@@ -307,3 +307,38 @@ def q_anomaly_iqr(spark, sf):
         .select("event_type", F.col("h").alias("hour_us"), "v",
                 fence.alias("fence_hi"))
     )
+
+
+@query("q_hll_rollup")  # rows-only by design: HLL estimates are
+#                         engine-defined (like the ANN keys); the
+#                         estimate-vs-exact bound is pinned in
+#                         tests/test_incremental.py
+def q_hll_rollup(spark, sf):
+    """Mergeable-sketch rollup — the hypertable/OLAP-cube pattern for
+    distinct counts at 100 TB: per-day HLL sketches of the user set
+    are built once (``hll_sketch_agg``), stored at the fine grain,
+    and any coarser rollup (here per event_type across all days)
+    UNIONS the sketches (``hll_union_agg``) instead of rescanning raw
+    events — distinct-count rollups become O(|days| x |sketch|) merges
+    of ~KB-sized binaries rather than O(|events|) rescans, and late
+    data only rebuilds its own day.
+
+    Exact distinct (q_agg_distinct) needs the full value set per
+    group and cannot pre-aggregate across grains; the sketch trades
+    ~2% error for mergeability. Both aggregation levels are ordinary
+    partial+final hash aggregates; nothing about the plan changes on
+    a cluster."""
+    ev = load_tables(spark, sf)["events"]
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+             .alias("est_users"),
+             F.sum("n_events").alias("n_events"),
+             F.count(F.lit(1)).alias("n_days"))
+        .select("event_type", "est_users", "n_events", "n_days")
+    )

@@ -143,3 +143,22 @@ def test_mg_superset_on_zipf_skew(spark):
     cand = {r["word"] for r in mg_candidates(w).collect()}
     assert truth, "fixture should have heavy hitters"
     assert truth <= cand
+
+
+def test_hll_rollup_estimate_close_to_exact(spark, sf_dir):
+    """The merged-sketch distinct estimate must land within HLL's
+    expected error band of the exact per-type distinct user count."""
+    from pyspark.sql import functions as F
+
+    from engine.io import load_tables
+    from engine.registry import QUERIES
+
+    est = {r.event_type: r.est_users
+           for r in QUERIES["q_hll_rollup"](spark, sf_dir).collect()}
+    exact = {r.event_type: r.n
+             for r in load_tables(spark, sf_dir)["events"]
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(3, 0.05 * n), (t, est[t], n)
