@@ -198,6 +198,9 @@ def main() -> None:
     if "--x100" in sys.argv:
         run_x100(spark)
         return
+    if "--x100rel" in sys.argv:
+        run_x100rel(spark)
+        return
 
     rows: dict[str, dict[str, float]] = {}
     for sf in ("/root/testdata/sf0.01", BASE, OUT):
@@ -257,6 +260,70 @@ def emit_artifact(rows: dict[str, dict[str, float]],
     print(json.dumps({"artifact": path,
                       "worst_growth_10x": art["worst_growth_10x"]}),
           flush=True)
+
+
+
+
+
+OUTREL = "/tmp/engine_scale_rel100"
+# three-decade claim for the relational core: 0.6M -> 6M -> 60M
+# lineitem rows (sf0.1 -> x10 -> x100). Dimensions stay sf0.1-sized
+# (they are dimensions); documents/embeddings symlink the 10x build.
+REL100_KEYS = [
+    "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
+    "q_topk_orders", "q_agg_rollup", "q_join_bloom", "q_incr_agg",
+    "q_snapshot_diff", "q_mjoin_topk", "q_quantile_bins",
+    "q_linreg_group", "q_profile_columns", "q_dq_audit",
+]
+
+
+def build_x100rel(spark) -> None:
+    """100x lineitem/orders (60M / 15M rows) from the 10x fixture."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{OUT}/lineitem.parquet")
+    o = spark.read.parquet(f"{OUT}/orders.parquet")
+    shift = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    os.makedirs(OUTREL, exist_ok=True)
+    for name, df, kcol in (("lineitem", li, "l_orderkey"),
+                           ("orders", o, "o_orderkey")):
+        ps = [df.withColumn(kcol, (F.col(kcol) + i * shift).cast("long"))
+              for i in range(10)]
+        big = ps[0]
+        for c in ps[1:]:
+            big = big.union(c)
+        big.repartition(64).write.mode("overwrite") \
+            .parquet(f"{OUTREL}/{name}.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        dst = f"{OUTREL}/{t}.parquet"
+        if not os.path.lexists(dst):
+            os.symlink(f"{OUT}/{t}.parquet", dst)
+
+
+def run_x100rel(spark) -> None:
+    import time as _t
+
+    from engine.io import load_tables
+    from engine.registry import QUERIES
+
+    if not os.path.exists(f"{OUTREL}/lineitem.parquet"):
+        build_x100rel(spark)
+    t = load_tables(spark, OUTREL)
+    for name in ("lineitem", "orders"):
+        t[name].cache().count()
+    row = {}
+    for k in REL100_KEYS:
+        best = None
+        for _ in range(2):
+            t0 = _t.time()
+            QUERIES[k](spark, OUTREL).count()
+            dt = _t.time() - t0
+            best = dt if best is None else min(best, dt)
+        row[k] = round(best, 2)
+    for name in ("lineitem", "orders"):
+        t[name].unpersist()
+    print(json.dumps({"scale": "x100rel", "seconds": row}), flush=True)
 
 
 if __name__ == "__main__":
