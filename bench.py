@@ -70,6 +70,7 @@ HEADLINE = [
     "q_mjoin_topk",
     "q_event_transitions",
     "q_quantile_bins",
+    "q_join_time_range",
 ]
 
 

@@ -246,3 +246,56 @@ def q_mjoin_topk(spark, sf):
         .limit(10)
         .select("l_orderkey", "revenue", "odate", "o_orderpriority")
     )
+
+
+_W_US = 60_000_000  # 1-minute co-occurrence window
+
+
+@query("q_join_time_range", oracle=f"""
+WITH e AS (SELECT event_id, user_id, event_type,
+                  epoch_ns(ts) // 1000 AS us FROM events)
+SELECT a.event_type, count(*) AS n_pairs
+FROM e a JOIN e b
+  ON a.event_type = b.event_type
+ AND a.event_id < b.event_id
+ AND a.user_id <> b.user_id
+ AND abs(a.us - b.us) <= {_W_US}
+GROUP BY a.event_type
+""")
+def q_join_time_range(spark, sf):
+    """Large-to-large range self-join: count cross-user event pairs
+    of the same type within a 1-minute window (the co-occurrence /
+    burst-correlation shape). This is the 1-D twin of the geo cell
+    join: time is discretized into window-sized cells, one side is
+    emitted into its 3-cell neighborhood, and the join runs on
+    (event_type, cell) — so candidate pairs are generated by bucket
+    CO-LOCATION, never by a nested-loop range predicate over two
+    unbounded sides. The exact |Δt| predicate then prunes the ring,
+    and each true pair matches exactly one of the three cell copies
+    (cells differ by at most 1 when |Δt| ≤ W, and the copies are
+    distinct cells). Both sides shuffle once on the same compound
+    key; a hot (type, minute) burst is AQE-split. The oracle is the
+    brute inequality self-join — identical pairs, identical counts.
+    Pair totals are density-quadratic by definition; the bucketing
+    keeps the JOIN's work proportional to the true pair count."""
+    ev = load_tables(spark, sf)["events"]
+    e = ev.select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+    ).withColumn("cell", F.floor(F.col("us") / _W_US).cast("long"))
+    a = e.select(
+        F.col("event_id").alias("a_id"), F.col("user_id").alias("a_user"),
+        "event_type", F.col("us").alias("a_us"), "cell")
+    b = e.select(
+        F.col("event_id").alias("b_id"), F.col("user_id").alias("b_user"),
+        "event_type", F.col("us").alias("b_us"),
+        F.explode(F.array(F.col("cell") - 1, F.col("cell"),
+                          F.col("cell") + 1)).alias("cell"))
+    return (
+        a.join(b, ["event_type", "cell"])
+        .where((F.col("a_id") < F.col("b_id"))
+               & (F.col("a_user") != F.col("b_user"))
+               & (F.abs(F.col("a_us") - F.col("b_us")) <= F.lit(_W_US)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -22,7 +22,8 @@ from ..io import load_tables
 from ..registry import query
 from ..layout import z_expr_sql
 from ..skew import salted_join
-from .util import dsum, hexpoly_sql, rnd, sql_dsum, sql_rnd
+from .util import (dsum, hex32_sql, hexpoly_col, hexpoly_sql, rnd,
+                   sql_dsum, sql_rnd)
 
 
 @query("q_dedup_keep_best", oracle="""
@@ -517,3 +518,37 @@ def q_upsert_merge(spark, sf):
                 F.lit("inserted").alias("action"))
     )
     return matched.unionAll(inserted)
+
+
+@query("q_sample_weighted", oracle=f"""
+WITH s AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t,
+                  count(*) AS n FROM documents)
+SELECT doc_id, n_chars
+FROM documents, s
+WHERE ({hex32_sql("concat('wsamp#', doc_id)")} % 10000) * t
+      < 2000 * n_chars * n
+""")
+def q_sample_weighted(spark, sf):
+    """Weight-proportional deterministic sampling: each document is
+    kept with probability 0.2 * n_chars / avg_chars (longer documents
+    over-sampled — the quality-weighted curation draw), decided by a
+    PURE INTEGER comparison of its md5 draw against its scaled
+    weight, so membership is bit-stable across engines, runs, and
+    partitionings (TABLESAMPLE and rand() are neither).
+
+    Scale: the weight normalizer is a single 1-row aggregate
+    broadcast back (the q_dataset_mix shape); the draw is one md5 per
+    row in codegen; no shuffle touches the corpus. The integer
+    products stay < 2^63 through ~1e9 rows x 1e4-char docs; widen to
+    DECIMAL beyond."""
+    d = load_tables(spark, sf)["documents"]
+    stats = d.agg(F.sum("n_chars").alias("t"),
+                  F.count(F.lit(1)).alias("n"))
+    h = hexpoly_col(F.md5(F.concat(F.lit("wsamp#"),
+                                   F.col("doc_id").cast("string"))))
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .where((h % 10000) * F.col("t")
+               < 2000 * F.col("n_chars") * F.col("n"))
+        .select("doc_id", "n_chars")
+    )

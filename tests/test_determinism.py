@@ -48,6 +48,8 @@ KEYS = [
     "q_mjoin_topk",            # multi-join + TakeOrdered tiebreak
     "q_event_transitions",     # lag window with event_id tiebreak
     "q_union_evolution",       # by-name union null alignment
+    "q_sample_weighted",       # integer draw-vs-weight comparison
+    "q_join_time_range",       # bucketed range self-join pair counts
 ]
 
 

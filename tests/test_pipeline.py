@@ -183,3 +183,18 @@ def test_dedup_cluster_reliable_checkpoint_path(spark, sf_dir, tmp_path):
     # the reliable path really ran: checkpoint files exist on disk
     found = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert found, "no checkpoint files written under the configured dir"
+
+
+def test_weighted_sample_overrepresents_long_docs(spark, sf_dir):
+    """The weight-proportional draw must bias toward longer
+    documents: the sample's mean n_chars exceeds the corpus mean,
+    and the overall rate lands near the configured 20%."""
+    from engine.io import load_tables
+    from engine.registry import QUERIES
+
+    d = load_tables(spark, sf_dir)["documents"]
+    n, mean_all = d.selectExpr("count(*)", "avg(n_chars)").first()
+    s = QUERIES["q_sample_weighted"](spark, sf_dir)
+    ns, mean_s = s.selectExpr("count(*)", "avg(n_chars)").first()
+    assert 0.1 * n < ns < 0.35 * n, (ns, n)
+    assert mean_s > mean_all, (mean_s, mean_all)

@@ -44,3 +44,13 @@ def test_quantile_bins_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_time_range_join_is_bucketed_not_nested_loop(spark, sf_dir):
+    # large-large range join must run as an equi-join on the
+    # (event_type, cell) bucket key — never a nested-loop range scan
+    plan = final_plan(spark, "q_join_time_range", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
