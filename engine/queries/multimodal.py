@@ -85,3 +85,71 @@ def q_multimodal_resize(spark, sf):
     q_multimodal_meta)."""
     d = load_tables(spark, sf)["documents"]
     return resize_pool(attach_payload(d), buckets=16)
+
+
+@query("q_multimodal_audio", oracle="""
+WITH w AS (
+  SELECT doc_id,
+         unnest([0, 1, 2, 3]) AS win,
+         unnest([md5('aud#' || CAST(doc_id AS VARCHAR) || '#0'),
+                 md5('aud#' || CAST(doc_id AS VARCHAR) || '#1'),
+                 md5('aud#' || CAST(doc_id AS VARCHAR) || '#2'),
+                 md5('aud#' || CAST(doc_id AS VARCHAR) || '#3')]) AS h
+  FROM documents),
+b AS (
+  SELECT doc_id, win, i,
+         (instr('0123456789abcdef', substr(h, 2 * i + 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(h, 2 * i + 2, 1)) - 1)
+             AS byte
+  FROM w, unnest(range(16)) AS t(i))
+SELECT doc_id, CAST(win AS INT) AS win,
+       CAST(sum(byte * byte) AS BIGINT) AS energy,
+       CAST(max(byte) AS BIGINT) AS peak
+FROM b GROUP BY doc_id, win
+""")
+def q_multimodal_audio(spark, sf):
+    """Audio-modality DSP path, value-checked end to end: a 64-byte
+    PCM-like clip per document (synthesized deterministically —
+    md5-digest bytes standing in for samples, the public-clean stand-
+    in for a real decoder), windowed into four 16-sample frames, with
+    per-window energy (sum of squared samples) and peak computed in
+    VECTORIZED numpy over Arrow batches. Integer-exact, so the whole
+    binary pipeline — JVM unhex -> Arrow transfer -> np.frombuffer ->
+    per-window reduction — hash-matches an oracle that re-derives the
+    same bytes from hex arithmetic.
+
+    Scale: one narrow mapInPandas over the clip-bearing table, output
+    4 rows per clip; real audio swaps the synthesizer for a codec
+    read and the 16-sample window for frame-rate windows — the
+    partitioning, batch shape, and reduction are unchanged. No
+    shuffle anywhere (the groupBy lives inside each numpy batch)."""
+    import numpy as np
+    import pandas as pd
+
+    d = load_tables(spark, sf)["documents"].select("doc_id")
+    clip = F.unhex(F.concat(*[
+        F.md5(F.concat(F.lit("aud#"), F.col("doc_id").cast("string"),
+                       F.lit(f"#{w}")))
+        for w in range(4)
+    ]))
+    src = d.select("doc_id", clip.alias("clip"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.frombuffer(
+                b"".join(pdf["clip"]), dtype=np.uint8).astype(np.int64)
+            x = raw.reshape(len(pdf), 4, 16)
+            energy = (x * x).sum(axis=2)
+            peak = x.max(axis=2)
+            n = len(pdf)
+            yield pd.DataFrame({
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), 4),
+                "win": np.tile(np.arange(4, dtype=np.int32), n),
+                "energy": energy.ravel(),
+                "peak": peak.ravel(),
+            })
+
+    return src.mapInPandas(
+        gen, "doc_id long, win int, energy long, peak long")

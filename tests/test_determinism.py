@@ -50,6 +50,7 @@ KEYS = [
     "q_union_evolution",       # by-name union null alignment
     "q_sample_weighted",       # integer draw-vs-weight comparison
     "q_join_time_range",       # bucketed range self-join pair counts
+    "q_multimodal_audio",      # Arrow batch boundaries must not leak
 ]
 
 
