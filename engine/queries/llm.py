@@ -1095,3 +1095,41 @@ def q_embed_quantize(spark, sf):
             rnd("err", 6).alias("max_err"),
         )
     )
+
+
+@query("q_fuzzy_match", oracle="""
+WITH probes AS (
+  SELECT replace(c_name, '#', '-') || 'x' AS probe
+  FROM customer WHERE c_custkey % 293 = 0)
+SELECT probe, c_custkey, c_name,
+       levenshtein(probe, c_name) AS dist
+FROM customer, probes
+WHERE levenshtein(probe, c_name) <= 3
+""")
+def q_fuzzy_match(spark, sf):
+    """Entity resolution by edit distance: a dirty probe list (names
+    with a mangled separator and a trailing stray character) is
+    matched against the customer master with levenshtein <= 3 — the
+    fuzzy-lookup shape of every record-linkage pipeline. Both engines
+    run the classic Wagner-Fischer DP, so distances are identical
+    integers.
+
+    Scale: the probe side is dimension-sized and BROADCAST — the
+    master table is scanned once, never shuffled, and the quadratic
+    DP runs only |master| x |probes| times. For probe lists too large
+    to broadcast, block first (shared prefix / phonetic key / q-gram
+    LSH — the engine's MinHash machinery) and run the DP inside
+    buckets; the all-pairs form here is correct because one side is
+    small, the same argument as q_geo_knn."""
+    c = load_tables(spark, sf)["customer"]
+    probes = (
+        c.where("c_custkey % 293 = 0")
+        .select(F.concat(F.regexp_replace("c_name", "#", "-"),
+                         F.lit("x")).alias("probe"))
+    )
+    d = F.levenshtein("probe", "c_name")
+    return (
+        c.crossJoin(F.broadcast(probes))
+        .where(d <= 3)
+        .select("probe", "c_custkey", "c_name", d.alias("dist"))
+    )

@@ -51,6 +51,7 @@ KEYS = [
     "q_sample_weighted",       # integer draw-vs-weight comparison
     "q_join_time_range",       # bucketed range self-join pair counts
     "q_multimodal_audio",      # Arrow batch boundaries must not leak
+    "q_fuzzy_match",           # broadcast DP distances
 ]
 
 
