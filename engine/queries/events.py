@@ -181,3 +181,69 @@ def q_event_transitions(spark, sf):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_SPAN_US = 300_000_000  # each event covers [ts, ts + 5 minutes)
+
+
+@query("q_interval_union", oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS s,
+         epoch_ns(ts) // 1000 + {_SPAN_US} AS f
+  FROM events),
+m AS (
+  SELECT user_id, s, f,
+         max(f) OVER (PARTITION BY user_id ORDER BY s, f
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM e),
+g AS (
+  SELECT user_id, s, f,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, f
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM m)
+SELECT user_id,
+       count(DISTINCT island) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS covered_us
+FROM (
+  SELECT user_id, island, max(f) - min(s) AS cov
+  FROM g GROUP BY user_id, island)
+GROUP BY user_id
+""")
+def q_interval_union(spark, sf):
+    """Interval-union coverage (gaps-and-islands): each event covers
+    a 5-minute span; overlapping spans per user merge into islands,
+    and the operator reports islands and total covered time — the
+    'active minutes' / SLA-coverage shape that naive sum-of-spans
+    double-counts.
+
+    Scale: ONE shuffle partitions by user_id; both window passes
+    (running max-end to detect gaps, running sum to number islands)
+    and the island rollup reuse that partitioning — Catalyst plans a
+    single Exchange for all three. Output is user-sized. Ties are
+    ordered (s, f) so the running max is deterministic."""
+    ev = load_tables(spark, sf)["events"]
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_SPAN_US)).alias("f"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "f")
+    m = e.withColumn(
+        "prev_max", F.max("f").over(w.rowsBetween(W.unboundedPreceding, -1)))
+    g = m.withColumn(
+        "island",
+        F.sum(F.when(F.col("prev_max").isNull()
+                     | (F.col("s") > F.col("prev_max")), 1)
+              .otherwise(0)).over(w.rowsBetween(W.unboundedPreceding, 0)))
+    isl = (
+        g.groupBy("user_id", "island")
+        .agg((F.max("f") - F.min("s")).alias("cov"))
+    )
+    return (
+        isl.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_islands"),
+             F.sum("cov").alias("covered_us"))
+    )

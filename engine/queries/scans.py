@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..io import TABLES, load_tables
 from ..registry import query
-from .util import hex32_sql, hexpoly_sql, rnd, sql_dsum, sql_rnd
+from .util import hex32_sql, hexpoly_col, hexpoly_sql, rnd, sql_dsum, sql_rnd
 
 
 @query("q_scan_project", oracle=f"""
@@ -154,3 +154,37 @@ def q_sample_hash(spark, sf):
         .filter(F.col("_h") % 100 < 10)
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@query("q_table_checksum", oracle=f"""
+SELECT count(*) AS n_rows,
+       CAST(sum({hex32_sql(
+           "concat(l_orderkey, '|', l_linenumber, '|', l_returnflag,"
+           " '|', CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))")})
+            AS BIGINT) AS checksum
+FROM lineitem
+""")
+def q_table_checksum(spark, sf):
+    """Order-independent table fingerprint — the replication /
+    migration verification op: every row contributes an md5-derived
+    32-bit digest of its key columns and exact-cents price, and the
+    fingerprint is the SUM (commutative, overflow-free: 2^32 x rows
+    stays under 2^63 through ~2^31 rows). Two replicas with equal
+    (n_rows, checksum) agree row-for-row with overwhelming
+    probability; any single-row corruption shifts the sum.
+
+    Scale: one scan, one partial+final aggregate — the cheapest
+    possible full-table integrity pass, and the per-partition
+    partials ARE the incremental per-shard checksums a storage layer
+    would persist. md5-derived, never engine-native hash()."""
+    li = load_tables(spark, sf)["lineitem"]
+    digest = hexpoly_col(F.md5(F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long").cast("string"))))
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(digest).alias("checksum"))

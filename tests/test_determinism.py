@@ -52,6 +52,8 @@ KEYS = [
     "q_join_time_range",       # bucketed range self-join pair counts
     "q_multimodal_audio",      # Arrow batch boundaries must not leak
     "q_fuzzy_match",           # broadcast DP distances
+    "q_interval_union",        # island numbering via running max
+    "q_table_checksum",        # commutative digest sum
 ]
 
 

@@ -54,3 +54,18 @@ def test_time_range_join_is_bucketed_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan), plan
+
+
+def test_interval_union_single_user_exchange(spark, sf_dir):
+    # both window passes and the island rollup must reuse ONE
+    # user-keyed exchange (plus the final user rollup which Catalyst
+    # may satisfy from the same partitioning)
+    plan = final_plan(spark, "q_interval_union", sf_dir)
+    assert "Join" not in plan, plan
+    assert n_shuffles(plan) <= 1, plan
+
+
+def test_table_checksum_one_scan_partial_final(spark, sf_dir):
+    plan = final_plan(spark, "q_table_checksum", sf_dir)
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
