@@ -71,6 +71,11 @@ HEADLINE = [
     "q_event_transitions",
     "q_quantile_bins",
     "q_join_time_range",
+    "q_fuzzy_match",
+    "q_interval_union",
+    "q_multimodal_audio",
+    "q_table_checksum",
+    "q_sample_weighted",
 ]
 
 

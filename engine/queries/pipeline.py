@@ -552,3 +552,39 @@ def q_sample_weighted(spark, sf):
                < 2000 * F.col("n_chars") * F.col("n"))
         .select("doc_id", "n_chars")
     )
+
+
+@query("q_group_sample_k", oracle=f"""
+WITH r AS (
+  SELECT lang, source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY {hex32_sql("concat('gsamp#', doc_id)")}, doc_id)
+             AS rk
+  FROM documents)
+SELECT lang, source, doc_id, n_chars, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 3
+""")
+def q_group_sample_k(spark, sf):
+    """Deterministic k-per-group sample (k=3 per (lang, source)
+    stratum): rows ranked inside each stratum by their md5 draw —
+    reproducible across engines, runs, and partitionings, giving
+    every stratum equal representation regardless of its size (the
+    eval-set construction shape; fraction-based sampling
+    under-serves small strata).
+
+    Scale: one shuffle on the stratum key; the per-group sort is
+    bounded by stratum size, and for mega-strata the bounded
+    grouped-top-k aggregate (q_grouped_topk_agg) replaces the window
+    with a k-bounded shuffle — documented trade, same result. Ties
+    cannot occur (doc_id is the final key)."""
+    d = load_tables(spark, sf)["documents"]
+    w = Window.partitionBy("lang", "source").orderBy(
+        hexpoly_col(F.md5(F.concat(F.lit("gsamp#"),
+                                   F.col("doc_id").cast("string")))),
+        "doc_id")
+    return (
+        d.select("lang", "source", "doc_id", "n_chars",
+                 F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+    )

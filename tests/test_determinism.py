@@ -54,6 +54,7 @@ KEYS = [
     "q_fuzzy_match",           # broadcast DP distances
     "q_interval_union",        # island numbering via running max
     "q_table_checksum",        # commutative digest sum
+    "q_group_sample_k",        # md5-rank stratum sample
 ]
 
 
