@@ -76,6 +76,7 @@ HEADLINE = [
     "q_multimodal_audio",
     "q_table_checksum",
     "q_sample_weighted",
+    "q_graph_bfs",
 ]
 
 

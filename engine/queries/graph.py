@@ -113,3 +113,73 @@ def q_graph_triangles(spark, sf):
         rnd(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
         .alias("clustering")))
     return out
+
+
+_BFS_H_US = 3_600_000_000  # co-presence cell: one hour
+
+
+@query("q_graph_bfs", oracle=f"""
+WITH cells AS (
+  SELECT DISTINCT user_id, event_type,
+         epoch_ns(ts) // 1000 // {_BFS_H_US} AS h
+  FROM events),
+ed AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM cells a JOIN cells b USING (event_type, h)
+  WHERE a.user_id <> b.user_id),
+s AS (SELECT min(user_id) AS seed FROM events),
+d1 AS (SELECT DISTINCT v FROM ed, s WHERE u = seed),
+d2 AS (SELECT DISTINCT e.v FROM ed e JOIN d1 ON e.u = d1.v),
+d3 AS (SELECT DISTINCT e.v FROM ed e JOIN d2 ON e.u = d2.v),
+lv AS (
+  SELECT seed AS user_id, 0 AS dist FROM s
+  UNION ALL SELECT v, 1 FROM d1
+  UNION ALL SELECT v, 2 FROM d2
+  UNION ALL SELECT v, 3 FROM d3)
+SELECT user_id, CAST(min(dist) AS INT) AS dist
+FROM lv GROUP BY user_id
+""")
+def q_graph_bfs(spark, sf):
+    """Bounded breadth-first search: hop distance (<= 3) from a seed
+    user over the co-presence graph (users sharing an (event_type,
+    hour) cell) — the blast-radius / influence-propagation shape.
+
+    Scale design: the edge list is built once from a DISTINCT
+    (user, type, hour) projection (bounded by activity, not raw
+    events) and REUSED across rounds via cache — exactly the
+    persisted-edges discipline of q_pagerank. Each round is one join
+    of the edge list against the current frontier (frontier-sized,
+    not graph-sized) followed by a distinct; taking min(dist) at the
+    end makes the result independent of visit order, so no per-round
+    anti-join bookkeeping is needed for a bounded depth. On a real
+    cluster the edge list is bucketed by u so every round's join is
+    shuffle-free on the edge side. Depth is fixed (3), hence the
+    whole computation is deterministic and oracle-checkable as three
+    unrolled joins."""
+    ev = load_tables(spark, sf)["events"]
+    cells = ev.select(
+        "user_id", "event_type",
+        (F.unix_micros("ts") / F.lit(_BFS_H_US)).cast("long").alias("h"),
+    ).distinct()
+    a = cells.select(F.col("user_id").alias("u"), "event_type", "h")
+    b = cells.select(F.col("user_id").alias("v"), "event_type", "h")
+    ed = (
+        a.join(b, ["event_type", "h"])
+        .where(F.col("u") != F.col("v"))
+        .select("u", "v").distinct()
+        .cache()
+    )
+    seed = ev.agg(F.min("user_id")).collect()[0][0]
+    levels = [spark.createDataFrame([(seed, 0)], "user_id long, dist int")]
+    frontier = levels[0].select(F.col("user_id").alias("v"))
+    for depth in (1, 2, 3):
+        frontier = (
+            ed.join(frontier.select(F.col("v").alias("u")), "u")
+            .select("v").distinct()
+        )
+        levels.append(frontier.select(
+            F.col("v").alias("user_id"), F.lit(depth).alias("dist")))
+    lv = levels[0]
+    for l in levels[1:]:
+        lv = lv.unionAll(l)
+    return lv.groupBy("user_id").agg(F.min("dist").alias("dist"))

@@ -55,6 +55,7 @@ KEYS = [
     "q_interval_union",        # island numbering via running max
     "q_table_checksum",        # commutative digest sum
     "q_group_sample_k",        # md5-rank stratum sample
+    "q_graph_bfs",             # frontier joins; min(dist) order-free
 ]
 
 
