@@ -107,14 +107,32 @@ def _driver_green() -> dict[str, int]:
     return {k: r for k, r in latest.items() if status.get(k)}
 
 
+# Keys first registered in round 5. The waiting tier orders
+# waited-longest-first, and driver artifacts cannot date a key that
+# has never had a row — so round-5 newcomers are explicitly demoted
+# behind keys that have been waiting since round 3/4 (which would
+# otherwise be queue-jumped by a newcomer registered in an
+# early-loading module, e.g. q_table_checksum in scans.py).
+_R05_NEW = {
+    "q_profile_columns", "q_dq_audit", "q_linreg_group",
+    "q_feature_scale", "q_embed_meanpool", "q_source_text",
+    "q_compaction", "q_mjoin_topk", "q_event_transitions",
+    "q_quantile_bins", "q_union_evolution", "q_hll_rollup",
+    "q_sample_weighted", "q_join_time_range", "q_multimodal_audio",
+    "q_fuzzy_match", "q_interval_union", "q_table_checksum",
+    "q_group_sample_k", "q_graph_bfs",
+}
+
+
 def _rotated(keys) -> list[str]:
     """Waiting-longest-first key order (relative registration order
     preserved within each tier): keys with no passing driver
-    CORRECTNESS row yet, then driver greens ordered oldest-round
-    first (so long-unconfirmed keys are re-confirmed before fresh
-    ones). Derived from the driver artifacts each call — no manual
-    list maintenance between rounds; the static _R0N_GREEN lists
-    remain only as documentation of earlier rounds."""
+    CORRECTNESS row yet (pre-round-5 keys before round-5 newcomers),
+    then driver greens ordered oldest-round first (so long-
+    unconfirmed keys are re-confirmed before fresh ones). Derived
+    from the driver artifacts each call — no manual list maintenance
+    between rounds; the static _R0N_GREEN lists remain only as
+    documentation of earlier rounds."""
     green = _driver_green()
     if not green:  # artifacts missing (fresh checkout): static fallback
         r2, r3 = set(_R02_GREEN), set(_R03_GREEN)
@@ -122,6 +140,8 @@ def _rotated(keys) -> list[str]:
         return (waiting + [k for k in keys if k in r2]
                 + [k for k in keys if k in r3])
     waiting = [k for k in keys if k not in green]
+    waiting = ([k for k in waiting if k not in _R05_NEW]
+               + [k for k in waiting if k in _R05_NEW])
     seen = sorted((k for k in keys if k in green),
                   key=lambda k: green[k])  # stable: registry order within a round
     return waiting + seen

@@ -52,3 +52,18 @@ def test_failed_driver_row_rotates_to_front(tmp_path, monkeypatch):
     green = entry._driver_green()
     assert "q_x" not in green          # latest row failed
     assert green.get("q_y") == 2       # rows-only completed counts
+
+
+def test_round5_newcomers_wait_behind_older_keys():
+    """A key that has waited since round 3/4 must get a driver row
+    before any round-5 newcomer (artifacts cannot date never-rowed
+    keys, so the newcomer set is explicit)."""
+    q = list(entry._rotated(registry.QUERIES))
+    green = entry._driver_green()
+    waiting = [k for k in q if k not in green]
+    seen_new = False
+    for k in waiting:
+        if k in entry._R05_NEW:
+            seen_new = True
+        else:
+            assert not seen_new, f"old waiting key {k} after a newcomer"
