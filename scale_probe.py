@@ -28,8 +28,10 @@ DOC_KEYS = [
     # round-4 curation/sketch additions
     "q_heavy_hitters", "q_contamination", "q_text_chunk", "q_text_redact",
     "q_word_pmi",
-    # round-5: vector standardization + label centroids + clustering
+    # round-5: vector standardization + label centroids + clustering,
+    # sampling, multimodal DSP
     "q_feature_scale", "q_embed_meanpool", "q_cluster_kmeans",
+    "q_sample_weighted", "q_group_sample_k", "q_multimodal_audio",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -40,6 +42,8 @@ REL_KEYS = [
     # round-5: triangles (10x event graph), profiling, DQ audit, OLS
     "q_graph_triangles", "q_join_lateral",
     "q_profile_columns", "q_dq_audit", "q_linreg_group",
+    "q_join_time_range", "q_interval_union", "q_graph_bfs",
+    "q_table_checksum", "q_mjoin_topk",
 ]
 
 
