@@ -116,6 +116,15 @@ def q_graph_triangles(spark, sf):
 
 
 _BFS_H_US = 3_600_000_000  # co-presence cell: one hour
+# anchor cap: inside each cell, members connect only to the cell's
+# K lowest-id "anchor" members (both directions) instead of all
+# pairs. Edges per cell become members x K — LINEAR in cell density
+# — while any two members stay within 2 hops via an anchor. The
+# all-pairs clique emit was quadratic in density: the 10x fixture
+# (10x users -> 10x per-cell density) measured 22.7x time for 10x
+# data; the anchored build is 10x-linear. Same bounded-fanout
+# rationale as the stop-shingle guard in q_dedup_ngram_jaccard.
+_BFS_K_ANCHOR = 8
 
 
 @query("q_graph_bfs", oracle=f"""
@@ -123,10 +132,21 @@ WITH cells AS (
   SELECT DISTINCT user_id, event_type,
          epoch_ns(ts) // 1000 // {_BFS_H_US} AS h
   FROM events),
+anchors AS (
+  SELECT event_type, h, user_id FROM (
+    SELECT event_type, h, user_id,
+           row_number() OVER (PARTITION BY event_type, h
+                              ORDER BY user_id) AS rk
+    FROM cells)
+  WHERE rk <= {_BFS_K_ANCHOR}),
 ed AS (
-  SELECT DISTINCT a.user_id AS u, b.user_id AS v
-  FROM cells a JOIN cells b USING (event_type, h)
-  WHERE a.user_id <> b.user_id),
+  SELECT DISTINCT u, v FROM (
+    SELECT a.user_id AS u, b.user_id AS v
+    FROM cells a JOIN anchors b USING (event_type, h)
+    UNION ALL
+    SELECT b.user_id AS u, a.user_id AS v
+    FROM cells a JOIN anchors b USING (event_type, h))
+  WHERE u <> v),
 s AS (SELECT min(user_id) AS seed FROM events),
 d1 AS (SELECT DISTINCT v FROM ed, s WHERE u = seed),
 d2 AS (SELECT DISTINCT e.v FROM ed e JOIN d1 ON e.u = d1.v),
@@ -142,7 +162,8 @@ FROM lv GROUP BY user_id
 def q_graph_bfs(spark, sf):
     """Bounded breadth-first search: hop distance (<= 3) from a seed
     user over the co-presence graph (users sharing an (event_type,
-    hour) cell) — the blast-radius / influence-propagation shape.
+    hour) cell through its K=8 lowest-id anchor members) — the
+    blast-radius / influence-propagation shape.
 
     Scale design: the edge list is built once from a DISTINCT
     (user, type, hour) projection (bounded by activity, not raw
@@ -156,17 +177,28 @@ def q_graph_bfs(spark, sf):
     shuffle-free on the edge side. Depth is fixed (3), hence the
     whole computation is deterministic and oracle-checkable as three
     unrolled joins."""
+    from pyspark.sql import Window as W
+
     ev = load_tables(spark, sf)["events"]
     cells = ev.select(
         "user_id", "event_type",
         (F.unix_micros("ts") / F.lit(_BFS_H_US)).cast("long").alias("h"),
     ).distinct()
-    a = cells.select(F.col("user_id").alias("u"), "event_type", "h")
-    b = cells.select(F.col("user_id").alias("v"), "event_type", "h")
+    wa = W.partitionBy("event_type", "h").orderBy("user_id")
+    anchors = (
+        cells.withColumn("rk", F.row_number().over(wa))
+        .where(F.col("rk") <= _BFS_K_ANCHOR)
+        .select(F.col("user_id").alias("anchor"), "event_type", "h")
+    )
+    half = (
+        cells.join(anchors, ["event_type", "h"])
+        .select(F.col("user_id").alias("u"), F.col("anchor").alias("v"))
+    )
     ed = (
-        a.join(b, ["event_type", "h"])
+        half.unionAll(half.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
-        .select("u", "v").distinct()
+        .distinct()
         .cache()
     )
     seed = ev.agg(F.min("user_id")).collect()[0][0]
