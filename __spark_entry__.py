@@ -120,7 +120,7 @@ _R05_NEW = {
     "q_quantile_bins", "q_union_evolution", "q_hll_rollup",
     "q_sample_weighted", "q_join_time_range", "q_multimodal_audio",
     "q_fuzzy_match", "q_interval_union", "q_table_checksum",
-    "q_group_sample_k", "q_graph_bfs",
+    "q_group_sample_k", "q_graph_bfs", "q_session_capped",
 }
 
 

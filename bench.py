@@ -77,6 +77,7 @@ HEADLINE = [
     "q_table_checksum",
     "q_sample_weighted",
     "q_graph_bfs",
+    "q_session_capped",
 ]
 
 

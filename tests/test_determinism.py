@@ -56,6 +56,7 @@ KEYS = [
     "q_table_checksum",        # commutative digest sum
     "q_group_sample_k",        # md5-rank stratum sample
     "q_graph_bfs",             # frontier joins; min(dist) order-free
+    "q_session_capped",        # cross-batch scan state per user
 ]
 
 
