@@ -123,6 +123,14 @@ _R05_NEW = {
     "q_group_sample_k", "q_graph_bfs", "q_session_capped",
 }
 
+# Keys first registered in round 5's BUILD phase (after the r05
+# rotation plan was fixed): demoted behind even the _R05_NEW tier so
+# they never displace keys that have been waiting longer.
+_R06_NEW = {
+    "q_merge_idempotent", "q_cdc_apply", "q_text_entropy",
+    "q_embed_gram", "q_stream_interval_union",
+}
+
 
 def _rotated(keys) -> list[str]:
     """Waiting-longest-first key order (relative registration order
@@ -137,11 +145,19 @@ def _rotated(keys) -> list[str]:
     if not green:  # artifacts missing (fresh checkout): static fallback
         r2, r3 = set(_R02_GREEN), set(_R03_GREEN)
         waiting = [k for k in keys if k not in r2 and k not in r3]
+        # Same tiered demotion as the artifact path: newer rounds'
+        # newcomers must not queue-jump keys waiting since r3/r4.
+        waiting = ([k for k in waiting
+                    if k not in _R05_NEW and k not in _R06_NEW]
+                   + [k for k in waiting if k in _R05_NEW]
+                   + [k for k in waiting if k in _R06_NEW])
         return (waiting + [k for k in keys if k in r2]
                 + [k for k in keys if k in r3])
     waiting = [k for k in keys if k not in green]
-    waiting = ([k for k in waiting if k not in _R05_NEW]
-               + [k for k in waiting if k in _R05_NEW])
+    waiting = ([k for k in waiting
+                if k not in _R05_NEW and k not in _R06_NEW]
+               + [k for k in waiting if k in _R05_NEW]
+               + [k for k in waiting if k in _R06_NEW])
     seen = sorted((k for k in keys if k in green),
                   key=lambda k: green[k])  # stable: registry order within a round
     return waiting + seen

@@ -149,15 +149,45 @@ def q_quantile_bins(spark, sf):
     boundary array broadcasts to every task, and the bin id is a
     codegen ``size(filter(...))`` over 9 literals — the big side is
     never sorted or shuffled until the final |bins|-row aggregate.
-    Both engines interpolate identically at the fixture scales and
-    boundaries are quantized to the 1e-4 grid before any comparison,
-    so a sub-ulp interpolation delta can never flip a bin."""
+    Cross-engine determinism: boundaries are quantized to the 1e-4
+    grid before any comparison. For 2-decimal prices and decile p's
+    the exact boundary*1e4 is an integer (the interpolation fraction
+    has one decimal digit and hi-lo is a multiple of 0.01, so their
+    product*1e4 is integral), so engines whose interpolation
+    expressions differ by an ulp still quantize identically — UNLESS
+    a boundary ever lands within an epsilon of a .5 grid edge, which
+    the in-plan ``assert_true`` guard band turns into a loud failure
+    instead of a silent hash flip.
+
+    At-scale twin: set ``spark.engine.quantileBins.approx=true`` to
+    fit boundaries with ``approx_percentile`` (mergeable sketch,
+    map-side combine — the 100 TB path, where the exact counts-map
+    buffer is value-cardinality-sized). Only the 9-literal fit
+    aggregate changes; the broadcast + codegen bin ASSIGNMENT plan
+    is identical (pinned in tests/test_plans_r5.py)."""
     li = load_tables(spark, sf)["lineitem"]
     ps = ", ".join(str(p) for p in _DECILES)
-    bnd = li.agg(F.transform(
-        F.expr(f"percentile(l_extendedprice, array({ps}))"),
-        lambda b: F.floor(b * 10000 + F.lit(0.5)) / 10000,
-    ).alias("bs"))
+    approx = (str(spark.conf.get(
+        "spark.engine.quantileBins.approx", "false")).lower() == "true")
+    fit = (f"approx_percentile(l_extendedprice, array({ps}), 100000)"
+           if approx else f"percentile(l_extendedprice, array({ps}))")
+    # fit ONCE (a second reference to the aggregate expression would
+    # make Catalyst evaluate the whole percentile buffer twice —
+    # measured 2x the key's wall time), then guard + quantize in a
+    # projection over the 1-row result.
+    raw = F.col("raw")
+    # guard band: every pre-quantization boundary must sit > 1e-6 grid
+    # units from a .5 rounding edge; when() forces the assert to be
+    # evaluated inside the projection so Catalyst cannot prune it.
+    guarded = F.when(
+        F.assert_true(
+            F.forall(raw, lambda b: F.abs(
+                (b * 10000 - F.floor(b * 10000)) - 0.5) > F.lit(1e-6)),
+            F.lit("quantile boundary inside quantization guard band"),
+        ).isNull(),
+        F.transform(raw, lambda b: F.floor(b * 10000 + F.lit(0.5)) / 10000),
+    )
+    bnd = li.agg(F.expr(fit).alias("raw")).select(guarded.alias("bs"))
     x = F.col("l_extendedprice")
     return (
         li.crossJoin(F.broadcast(bnd))

@@ -495,3 +495,60 @@ def q_word_pmi(spark, sf):
             .alias("pmi_ratio_scaled"),
         )
     )
+
+
+@query("q_text_entropy", oracle="""
+SELECT d.doc_id, length(d.text) AS n_chars,
+       (floor(entropy(c.ch) * 10000 + 0.5) / 10000) AS ent
+FROM documents d, unnest(string_split(d.text, '')) AS c(ch)
+WHERE length(d.text) > 0
+GROUP BY d.doc_id, d.text
+""")
+def q_text_entropy(spark, sf):
+    """Per-document Shannon character entropy (bits/char) — the
+    classic gibberish / repetition / binary-junk signal in corpus
+    quality filtering (low entropy = repeated runs, high ~ random
+    noise). Defined on the UTF-8 byte distribution, which equals the
+    character distribution on an ASCII corpus (the fixture invariant
+    the oracle's character-level ``entropy()`` relies on).
+
+    Scale: a narrow Arrow kernel — the relational spelling (explode
+    one row per character, then a (doc, char) groupBy) would shuffle
+    |corpus| rows; this mapInPandas kernel keeps the whole counting
+    local via ONE vectorized np.bincount over (row << 8 | byte) keys
+    per batch (the same batched-numpy discipline as
+    engine/multimodal.py), emitting one float per document. Zero
+    shuffles, zero Python per-row work."""
+    import numpy as np
+    import pandas as pd
+
+    d = (load_tables(spark, sf)["documents"]
+         .select("doc_id", "text").filter(F.length("text") > 0))
+
+    def fn(batches):
+        cols = ["doc_id", "n_chars", "ent"]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            texts = [t.encode("utf-8") for t in pdf["text"]]
+            lens = np.fromiter((len(t) for t in texts), np.int64,
+                               count=len(texts))
+            big = np.frombuffer(b"".join(texts), dtype=np.uint8)
+            rowidx = np.repeat(
+                np.arange(len(texts), dtype=np.int64), lens)
+            counts = np.bincount(
+                (rowidx << 8) | big,
+                minlength=len(texts) * 256).reshape(-1, 256)
+            n = lens.astype(np.float64)
+            clogc = np.where(
+                counts > 0,
+                counts * np.log2(np.maximum(counts, 1)), 0.0).sum(axis=1)
+            ent = np.log2(n) - clogc / n
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_chars": lens,
+                "ent": np.floor(ent * 1e4 + 0.5) / 1e4,
+            })
+
+    return d.mapInPandas(fn, "doc_id long, n_chars long, ent double")

@@ -13,7 +13,7 @@ from pyspark.sql import Window as W, functions as F
 
 from ..io import load_tables
 from ..registry import query
-from .util import dsum, sql_dsum, sql_rnd, rnd
+from .util import dsum, hexpoly_col, hexpoly_sql, sql_dsum, sql_rnd, rnd
 
 _US_H = 3_600_000_000  # one hour in microseconds
 
@@ -369,3 +369,93 @@ def q_session_capped(spark, sf):
         sessionize,
         "user_id long, sess_idx int, n_events long, "
         "start_us long, end_us long")
+
+
+@query("q_cdc_apply", oracle=f"""
+WITH params AS (SELECT count(*) AS nc FROM customer),
+log AS (
+  SELECT (user_id * 13) % (nc + nc // 2) AS k,
+         epoch_ns(ts) // 1000 AS us, event_id, value,
+         CASE WHEN {hexpoly_sql("md5(concat(event_id, '#cdc'))")} % 10 < 2
+                THEN 'D'
+              WHEN {hexpoly_sql("md5(concat(event_id, '#cdc'))")} % 10 < 5
+                THEN 'I'
+              ELSE 'U' END AS op
+  FROM events, params),
+last AS (
+  SELECT k, op, value, n_ops FROM (
+    SELECT k, op, value,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY us DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY k) AS n_ops
+    FROM log) WHERE rn = 1)
+SELECT b.c_custkey, l.k IS NOT NULL AS from_log,
+       CASE WHEN l.k IS NULL THEN b.c_acctbal ELSE l.value END AS bal,
+       CASE WHEN l.k IS NULL THEN 'kept' ELSE 'updated' END AS action,
+       coalesce(l.n_ops, 0) AS n_ops
+FROM customer b LEFT JOIN last l ON b.c_custkey = l.k
+WHERE l.k IS NULL OR l.op <> 'D'
+UNION ALL
+SELECT l.k, TRUE, l.value, 'inserted', l.n_ops
+FROM last l
+WHERE l.op <> 'D'
+  AND NOT EXISTS (SELECT 1 FROM customer b WHERE b.c_custkey = l.k)
+""")
+def q_cdc_apply(spark, sf):
+    """CDC change-log application (the Debezium/materialize shape): an
+    ordered insert/update/delete log is compacted to its LAST
+    operation per key, then merged into a base snapshot — deletes
+    drop rows, updates/inserts carry the log's value, untouched rows
+    survive. The log here is synthesized deterministically from the
+    events table (op from a content hash, key folded into 1.5x the
+    customer key space so every branch — kept / updated / deleted /
+    inserted — is exercised) so the DuckDB oracle replays it exactly.
+
+    Scale: compaction is ONE groupBy(key) with a struct-max (partial
+    aggregate, no window sort) — the log shuffles only (key, 30-byte
+    struct). The compacted log is change-sized, so it broadcasts into
+    the snapshot join and the 100 TB base is NEVER shuffled; the
+    anti-join for inserts again moves only the compacted log. Same
+    plan discipline as q_upsert_merge / q_merge_idempotent."""
+    from ..io import table_count
+
+    t = load_tables(spark, sf)
+    ev, c = t["events"], t["customer"]
+    nc = table_count(spark, sf, "customer")
+    span = nc + nc // 2
+    opn = hexpoly_col(F.md5(F.concat(
+        F.col("event_id").cast("string"), F.lit("#cdc")))) % 10
+    log = ev.select(
+        ((F.col("user_id") * 13) % span).alias("k"),
+        F.unix_micros("ts").alias("us"), "event_id", "value",
+        F.when(opn < 2, "D").when(opn < 5, "I").otherwise("U").alias("op"),
+    )
+    last = (
+        log.groupBy("k")
+        .agg(F.max(F.struct("us", "event_id", "op", "value")).alias("m"),
+             F.count(F.lit(1)).alias("n_ops"))
+        .select("k", F.col("m.op").alias("op"),
+                F.col("m.value").alias("value"), "n_ops")
+    )
+    applied = (
+        c.join(F.broadcast(last), c.c_custkey == last.k, "left")
+        .filter(F.col("k").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            F.col("k").isNotNull().alias("from_log"),
+            F.when(F.col("k").isNull(), F.col("c_acctbal"))
+             .otherwise(F.col("value")).alias("bal"),
+            F.when(F.col("k").isNull(), "kept")
+             .otherwise("updated").alias("action"),
+            F.coalesce("n_ops", F.lit(0).cast("long")).alias("n_ops"),
+        )
+    )
+    inserted = (
+        last.filter(F.col("op") != "D")
+        .join(c, last.k == c.c_custkey, "left_anti")
+        .select(F.col("k").alias("c_custkey"),
+                F.lit(True).alias("from_log"),
+                F.col("value").alias("bal"),
+                F.lit("inserted").alias("action"), "n_ops")
+    )
+    return applied.unionAll(inserted)

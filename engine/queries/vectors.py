@@ -167,3 +167,74 @@ def q_embed_meanpool(spark, sf):
     return pooled.select(
         "label", "n_vecs",
         F.posexplode("mean_vec").alias("pos", "mval"))
+
+
+@query("q_embed_gram", oracle="""
+WITH p AS (
+  SELECT i.i, j.j,
+         CAST(floor(CAST(e.embedding[i.i] AS DOUBLE)
+                    * CAST(e.embedding[j.j] AS DOUBLE)
+                    * 100000000 + 0.5) AS BIGINT) AS sp
+  FROM embeddings e,
+       range(1, 65) i(i),
+       range(1, 65) j(j)
+  WHERE j.j >= i.i AND e.embedding IS NOT NULL)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(sum(sp) AS BIGINT) / 100000000 AS g
+FROM p GROUP BY i, j
+""")
+def q_embed_gram(spark, sf):
+    """Distributed Gram matrix G = XᵀX of the embedding column — the
+    covariance/PCA/whitening precursor every representation-analysis
+    pipeline computes. Each task reduces its Arrow batches to ONE
+    local d x d partial (a numpy GEMM-shaped reduction, emitted once
+    per partition as d(d+1)/2 upper-triangle rows), and the shuffle
+    carries only n_partitions * 2080 tiny rows to the final (i, j)
+    sum — the map-side-combine discipline of a 100 TB GEMM; the n x d
+    data itself never shuffles.
+
+    Determinism: each product of float32 values is EXACT in float64
+    (24-bit mantissas), and partials accumulate the scaled BIGINT
+    floor(prod * 1e8 + 0.5) — order-independent integer addition, so
+    both engines agree bit-for-bit with no quantization guard needed
+    (engine/queries/util.py convention). Accumulators stay < 2^53
+    at fixture scales; at real corpus scale the same plan promotes
+    the partial to DECIMAL(38,0)."""
+    import numpy as np
+    import pandas as pd
+
+    e = (load_tables(spark, sf)["embeddings"]
+         .select("embedding").filter(F.col("embedding").isNotNull()))
+
+    def fn(batches):
+        G = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if G is None:
+                G = np.zeros((X.shape[1], X.shape[1]), dtype=np.int64)
+            # chunked so the (chunk, d, d) scaled-product tensor stays
+            # ~30 MB; the floor() per pair is what makes the partial
+            # an exact integer (GEMM would round-then-sum instead)
+            for lo in range(0, len(X), 1024):
+                C = X[lo:lo + 1024]
+                P = np.floor(C[:, :, None] * C[:, None, :] * 1e8 + 0.5)
+                G += P.sum(axis=0).astype(np.int64)
+        if G is None:
+            return
+        d = G.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame({
+            "i": (iu + 1).astype(np.int32),
+            "j": (ju + 1).astype(np.int32),
+            "gs": G[iu, ju],
+        })
+
+    partials = e.mapInPandas(fn, "i int, j int, gs long")
+    # one tiny shuffle: n_partitions x 2080 scaled-integer partials
+    # merge to the global upper triangle, then the exact final divide
+    return (
+        partials.groupBy("i", "j")
+        .agg((F.sum("gs") / F.lit(1e8)).alias("g"))
+    )

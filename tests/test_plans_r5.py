@@ -69,3 +69,61 @@ def test_table_checksum_one_scan_partial_final(spark, sf_dir):
     plan = final_plan(spark, "q_table_checksum", sf_dir)
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def _node_sequence(plan: str) -> list[str]:
+    """Operator node names in order, expressions stripped — the plan
+    SHAPE, invariant to which aggregate function fits the boundaries."""
+    return re.findall(
+        r"\b(HashAggregate|ObjectHashAggregate|SortAggregate|"
+        r"Exchange hashpartitioning|Exchange SinglePartition|"
+        r"BroadcastNestedLoopJoin|BroadcastExchange|Project|Filter|"
+        r"ColumnarToRow|Scan parquet)", plan)
+
+
+def test_quantile_bins_approx_twin_same_bins_same_assignment_plan(
+        spark, sf_dir):
+    """The at-scale approx_percentile fit must (a) produce identical
+    bins on the fixture (accuracy 1e5 >> fixture n, so the sketch is
+    exact there) and (b) leave the bin-assignment plan shape
+    untouched — only the fit aggregate's expression may differ."""
+    from engine.registry import QUERIES
+
+    key = "spark.engine.quantileBins.approx"
+    exact_rows = sorted(
+        QUERIES["q_quantile_bins"](spark, sf_dir).collect())
+    exact_plan = final_plan(spark, "q_quantile_bins", sf_dir)
+    spark.conf.set(key, "true")
+    try:
+        approx_df = QUERIES["q_quantile_bins"](spark, sf_dir)
+        approx_rows = sorted(approx_df.collect())
+        approx_plan = final_plan(spark, "q_quantile_bins", sf_dir)
+    finally:
+        spark.conf.unset(key)
+    assert approx_rows == exact_rows
+    assert "approx_percentile" in approx_plan, approx_plan
+    assert "approx_percentile" not in exact_plan, exact_plan
+    assert _node_sequence(approx_plan) == _node_sequence(exact_plan)
+
+
+def test_quantile_bins_guard_band_fails_loud(spark):
+    """A boundary within epsilon of a .5 quantization edge must raise
+    (assert_true), never silently flip a bin hash."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    # two-point set whose median interpolates to x.x5 exactly:
+    # percentile([1.00005], p=.5) -> frac(b*10000) == .5
+    df = spark.createDataFrame(
+        [(0.0001,), (0.0002,)], "l_extendedprice double")
+    raw = F.expr("percentile(l_extendedprice, array(0.5))")
+    guarded = F.when(
+        F.assert_true(
+            F.forall(raw, lambda b: F.abs(
+                (b * 10000 - F.floor(b * 10000)) - 0.5) > F.lit(1e-6)),
+            F.lit("quantile boundary inside quantization guard band"),
+        ).isNull(),
+        F.transform(raw, lambda b: F.floor(b * 10000 + F.lit(0.5)) / 10000),
+    )
+    with pytest.raises(Exception, match="guard band"):
+        df.agg(guarded.alias("bs")).collect()
