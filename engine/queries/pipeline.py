@@ -346,16 +346,17 @@ def q_corpus_curate(spark, sf):
 
     Scale shape: stages 1-2 are narrow (scan-side projection +
     filter), stage 3 is the single content-hash shuffle, stage 4 is a
-    narrow filter again — the whole pipeline costs ONE content-hash
-    shuffle at any corpus size, and that exchange carries ONLY
-    (16-byte md5, doc_id, lang, source, n_tokens): the cleaned text
-    is reduced to its hash BEFORE the exchange, so no document body
-    ever crosses the network. (An earlier shape used
-    ``row_number() OVER (PARTITION BY md5(clean))``, which shuffled
-    the full cleaned text to sort groups of expected size ~1 — the
-    engine's worst 10× scale point at growth_10x = 6.4. The
-    groupBy-min + semi-join shape below is the same plan
-    q_dedup_exact uses and keeps the exchange width constant.)"""
+    narrow filter again — the whole pipeline costs ONE shuffle at any
+    corpus size, and that exchange carries ONLY (16-byte md5, doc_id,
+    lang, source, n_tokens): the cleaned text is reduced to its hash
+    BEFORE the exchange, so no document body ever crosses the
+    network, and the regexp-heavy clean expression is evaluated
+    exactly ONCE. (Two earlier shapes both lost at 10x: a
+    ``row_number() OVER (PARTITION BY md5(clean))`` window shuffled
+    the full cleaned text — growth_10x 6.4 — and a
+    groupBy-min + semi-join rewrite kept the exchange thin but
+    re-evaluated the clean/regexp subtree on BOTH join sides,
+    measured 15.7 s at 10x vs 7-ish for one pass.)"""
     d = load_tables(spark, sf)["documents"]
     clean = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "))
@@ -367,8 +368,11 @@ def q_corpus_curate(spark, sf):
         .select("doc_id", "lang", "source", "n_tokens",
                 F.md5(F.col("clean").cast("binary")).alias("h"))
     )
-    keepers = scored.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    deduped = scored.join(keepers, ["h", "doc_id"], "left_semi")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
     hs = F.expr(hexpoly_sql("md5(concat(doc_id, '#curate'))"))
     return (
         deduped.filter((hs % 100) < 30)

@@ -236,6 +236,14 @@ def main() -> None:
         emit_artifact(rows)
 
 
+# Keys whose measured shape is quadratic ON PURPOSE: brute-force
+# baselines kept only as the oracle-checkable reference point for
+# their banded/bucketed scale-path siblings (q_sim_lsh_topk /
+# q_sim_ivf_topk). They are reported separately so the headline
+# "no unplanned superlinear key" claim stays honest.
+_QUADRATIC_BY_DESIGN = {"q_sim_topk"}
+
+
 def emit_artifact(rows: dict[str, dict[str, float]],
                   path: str = "SCALE.json") -> None:
     """Write the driver/judge-visible scaling artifact: raw measured
@@ -263,7 +271,11 @@ def emit_artifact(rows: dict[str, dict[str, float]],
         "worst_growth_10x": {"key": worst[0], "factor": worst[1]}
         if worst else None,
         "superlinear_keys": sorted(
-            k for k, g in growth.items() if g > 10.0),
+            k for k, g in growth.items()
+            if g > 10.0 and k not in _QUADRATIC_BY_DESIGN),
+        "superlinear_by_design": sorted(
+            k for k, g in growth.items()
+            if g > 10.0 and k in _QUADRATIC_BY_DESIGN),
     }
     with open(os.path.join(here, path), "w") as f:
         json.dump(art, f, indent=1, sort_keys=True)

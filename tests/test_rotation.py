@@ -55,15 +55,23 @@ def test_failed_driver_row_rotates_to_front(tmp_path, monkeypatch):
 
 
 def test_round5_newcomers_wait_behind_older_keys():
-    """A key that has waited since round 3/4 must get a driver row
-    before any round-5 newcomer (artifacts cannot date never-rowed
-    keys, so the newcomer set is explicit)."""
+    """Waiting keys must be served oldest-cohort-first: keys waiting
+    since round 3/4, then the round-5 rotation-plan newcomers
+    (_R05_NEW), then the round-5 build-phase newcomers (_R06_NEW) —
+    artifacts cannot date never-rowed keys, so the cohort sets are
+    explicit."""
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
     waiting = [k for k in q if k not in green]
-    seen_new = False
-    for k in waiting:
+
+    def tier(k):
+        if k in entry._R06_NEW:
+            return 2
         if k in entry._R05_NEW:
-            seen_new = True
-        else:
-            assert not seen_new, f"old waiting key {k} after a newcomer"
+            return 1
+        return 0
+
+    tiers = [tier(k) for k in waiting]
+    assert tiers == sorted(tiers), (
+        f"waiting keys out of cohort order: "
+        f"{[(k, tier(k)) for k in waiting]}")
