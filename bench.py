@@ -84,6 +84,10 @@ HEADLINE = [
     "q_cdc_apply",
     "q_text_entropy",
     "q_embed_gram",
+    "q_ts_ohlc",
+    "q_variant_funcs",
+    "q_source_python_ds",
+    "q_embed_pca",
 ]
 
 

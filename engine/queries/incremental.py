@@ -342,3 +342,65 @@ def q_hll_rollup(spark, sf):
              F.count(F.lit(1)).alias("n_days"))
         .select("event_type", "est_users", "n_events", "n_days")
     )
+
+
+_OHLC_H_US = 3_600_000_000  # 1-hour candles
+
+
+@query("q_ts_ohlc", oracle=f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000 // {_OHLC_H_US}) * {_OHLC_H_US} AS ws_us,
+         epoch_ns(ts) // 1000 AS us, event_id, value
+  FROM events),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, ws_us
+                            ORDER BY us, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, ws_us
+                            ORDER BY us DESC, event_id DESC) AS rd
+  FROM e)
+SELECT event_type, ws_us,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       count(*) AS n_ticks,
+       {sql_dsum('value')} AS volume
+FROM r GROUP BY event_type, ws_us
+""")
+def q_ts_ohlc(spark, sf):
+    """OHLC candle resampling (the financial/hypertable downsample):
+    per (series, hour) emit open (first value by event time), high,
+    low, close (last value), tick count, and exact volume.
+
+    Scale: ONE partial-aggregable groupBy — open/close are
+    ``min_by``/``max_by`` over a (time, id) struct, so every candle
+    reduces map-side to a constant-size state (first/last/min/max/
+    count/scaled-sum) and the shuffle carries |series|x|candles|
+    aggregate rows, never ticks. The window-sort spelling (the
+    oracle's row_number) would shuffle and sort every tick; at 100 TB
+    of tick data the struct-argmax aggregate is the difference
+    between a candle table refresh and a full re-sort. Ties are
+    impossible by construction ((us, event_id) is unique), so both
+    engines pick the same open/close deterministically. Volume uses
+    the engine's scaled-BIGINT sum convention."""
+    from .util import dsum
+
+    ev = load_tables(spark, sf)["events"]
+    us = F.unix_micros("ts")
+    e = ev.select(
+        "event_type",
+        ((us / F.lit(_OHLC_H_US)).cast("long") * _OHLC_H_US).alias("ws_us"),
+        us.alias("us"), "event_id", "value",
+    )
+    key = F.struct("us", "event_id")
+    return (
+        e.groupBy("event_type", "ws_us")
+        .agg(F.min_by("value", key).alias("open"),
+             F.max("value").alias("high"),
+             F.min("value").alias("low"),
+             F.max_by("value", key).alias("close"),
+             F.count(F.lit(1)).alias("n_ticks"),
+             dsum("value").alias("volume"))
+    )

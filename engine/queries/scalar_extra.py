@@ -8,7 +8,7 @@ from pyspark.sql import Window as W, functions as F
 
 from ..io import load_tables
 from ..registry import query
-from .util import rnd, sql_rnd
+from .util import dsum, rnd, sql_dsum, sql_rnd
 
 
 @query("q_array_setops", oracle="""
@@ -220,4 +220,54 @@ def q_percentile_disc(spark, sf):
             .alias("q75"),
         rnd(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"))
             .alias("med_price"),
+    )
+
+
+@query("q_variant_funcs", oracle=f"""
+SELECT l_returnflag AS flag,
+       count(*) AS n,
+       {sql_dsum('l_quantity')} AS qty,
+       max(l_linestatus) AS top_status,
+       count(*) AS n_missing
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_variant_funcs(spark, sf):
+    """Semi-structured VARIANT column round-trip (Spark 4's variant
+    type — the open-schema ingestion shape: JSON events parsed ONCE
+    into a binary variant, fields extracted lazily with typed paths).
+    Each lineitem row is serialized to a nested JSON document,
+    parsed with ``parse_json``, and every downstream value is pulled
+    back out of the variant with ``variant_get`` typed paths (nested
+    object access, array indexing, a ``try_variant_get`` miss
+    returning NULL); the oracle aggregates the same values straight
+    from the base columns, so a hash match proves the
+    serialize→parse→extract pipeline is value-exact, doubles
+    included (shortest-repr JSON round-trip).
+
+    Scale: variant parse/extract is a narrow per-row JVM expression
+    (no Python, no shuffle before the final aggregate); at 100 TB
+    the variant binary encoding is the columnar-friendly answer to
+    schemaless ingestion — parse once at the edge, push typed
+    ``variant_get`` projections down to each consumer instead of
+    re-parsing JSON text per query."""
+    li = load_tables(spark, sf)["lineitem"]
+    j = F.to_json(F.struct(
+        F.col("l_quantity").alias("qty"),
+        F.struct(F.col("l_returnflag").alias("flag"),
+                 F.col("l_linestatus").alias("status")).alias("meta"),
+        F.array("l_extendedprice", "l_discount").alias("arr"),
+    ))
+    parsed = li.withColumn("v", F.parse_json(j)).select(
+        F.expr("variant_get(v, '$.meta.flag', 'string')").alias("flag"),
+        F.expr("variant_get(v, '$.qty', 'double')").alias("qty_v"),
+        F.expr("variant_get(v, '$.meta.status', 'string')").alias("status_v"),
+        F.expr("try_variant_get(v, '$.absent', 'double')").alias("miss"),
+    )
+    return (
+        parsed.groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("qty_v").alias("qty"),
+             F.max("status_v").alias("top_status"),
+             F.count(F.when(F.col("miss").isNull(), 1)).alias("n_missing"))
     )

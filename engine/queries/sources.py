@@ -240,3 +240,41 @@ def q_compaction(spark, sf):
         .agg(F.count(F.lit(1)).alias("n"),
              dsum("l_extendedprice").alias("price"))
     )
+
+
+@query("q_source_python_ds", oracle="""
+WITH s AS (
+  SELECT i AS id, (i * i) % 97 AS bucket, CAST(i % 7 AS DOUBLE) / 2.0 AS reading
+  FROM generate_series(0, 1999) t(i))
+SELECT bucket, count(*) AS n,
+       CAST(sum(CAST(floor(reading * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS total
+FROM s
+WHERE id % 3 != 1
+GROUP BY bucket
+""")
+def q_source_python_ds(spark, sf):
+    """Custom PARALLEL source via Spark 4's Python DataSource API
+    (engine/pyds.py): the planner asks the source for its
+    ``InputPartition`` list and schedules one task per split — the
+    contract that makes an arbitrary external system (sensor feed,
+    REST paginator, bespoke format) scale like a parquet scan. The
+    source generates a deterministic series, so the DuckDB oracle
+    replays it with ``generate_series`` and a hash match proves the
+    whole partition-planning + per-task read path end to end (2000
+    rows over 8 splits; a filter and aggregate run on top to show
+    the source composes with ordinary relational plans).
+
+    At 100 TB: a real implementation maps shards/byte-ranges to
+    InputPartitions and switches the reader to Arrow batches
+    (DataSourceArrowReader) — the plan shape is identical."""
+    from ..pyds import register
+
+    register(spark)
+    df = (spark.read.format("synthetic_series")
+          .option("rows", 2000).option("parts", 8).load())
+    return (
+        df.filter(F.col("id") % 3 != 1)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("reading").alias("total"))
+    )

@@ -508,3 +508,56 @@ def q_stream_interval_union(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_islands"),
              F.sum(F.col("e_us") - F.col("s_us")).alias("covered_us"))
     )
+
+
+@query("q_stream_ohlc", oracle=f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000 // {_US_H}) * {_US_H} AS ws_us,
+         epoch_ns(ts) // 1000 AS us, event_id, value
+  FROM events),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, ws_us
+                            ORDER BY us, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, ws_us
+                            ORDER BY us DESC, event_id DESC) AS rd
+  FROM e)
+SELECT event_type, ws_us,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       count(*) AS n_ticks,
+       {sql_dsum('value')} AS volume
+FROM r GROUP BY event_type, ws_us
+""")
+def q_stream_ohlc(spark, sf):
+    """Streaming OHLC candles — the live-ticker twin of q_ts_ohlc
+    (same oracle): per (series, hour) open/high/low/close/volume
+    maintained as streaming state. open/close are ``min_by``/
+    ``max_by`` over a (event-time, id) struct, which Spark keeps as
+    constant-size per-candle state merged across micro-batches —
+    first/last are therefore correct under ANY replay order, not just
+    time-ordered arrival (the property a naive ``first()`` aggregate
+    lacks). Complete mode emits the final candle table; volume uses
+    the scaled-BIGINT sum so candle totals are bit-exact under any
+    micro-batch split."""
+    def build(events):
+        us = F.unix_micros("ts")
+        key = F.struct(us.alias("us"), F.col("event_id"))
+        agg = (
+            events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.min_by("value", key).alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", key).alias("close"),
+                 F.count(F.lit(1)).alias("n_ticks"),
+                 dsum("value").alias("volume"))
+            .select("event_type", F.unix_micros("w.start").alias("ws_us"),
+                    "open", "high", "low", "close", "n_ticks", "volume")
+        )
+        return agg, "complete"
+
+    name = _run_stream(spark, sf, "ohlc", build)
+    return spark.table(name)

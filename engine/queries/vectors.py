@@ -238,3 +238,75 @@ def q_embed_gram(spark, sf):
         partials.groupBy("i", "j")
         .agg((F.sum("gs") / F.lit(1e8)).alias("g"))
     )
+
+
+def _gram_matrix(spark, sf):
+    """Exact integer-scaled Gram matrix collected to the driver —
+    d x d = 64 x 64 doubles (the INDEX size of PCA, not the data
+    size), computed by the q_embed_gram distributed partial plan and
+    memoized per (session, sf)."""
+    import numpy as np
+
+    from ..io import session_cache
+
+    cache = session_cache(spark, "_engine_vec_cache")
+    key = (sf.rstrip("/"), "gram")
+    if key not in cache:
+        from ..registry import QUERIES
+
+        rows = QUERIES["q_embed_gram"](spark, sf).collect()
+        d = max(r["j"] for r in rows)
+        G = np.zeros((d, d))
+        for r in rows:
+            G[r["i"] - 1, r["j"] - 1] = r["g"]
+            G[r["j"] - 1, r["i"] - 1] = r["g"]
+        cache[key] = G
+    return cache[key]
+
+
+@query("q_embed_pca")  # rows-only: eigendecomposition has no SQL oracle
+def q_embed_pca(spark, sf, k: int = 8):
+    """PCA projection of the embedding column onto its top-k principal
+    directions — the dimensionality-reduction step before clustering /
+    visualization / cheap ANN. Composition of already-verified parts:
+    the covariance structure comes from the DISTRIBUTED q_embed_gram
+    plan (per-partition integer partials, driver sees only the d x d
+    matrix), the eigendecomposition runs driver-side on that 64 x 64
+    index (LAPACK, microseconds), and the projection ships the (d, k)
+    component matrix to executors as a literal-broadcast numpy array
+    inside one narrow Arrow map — the corpus never shuffles.
+
+    Sign convention: each component is oriented so its
+    largest-magnitude coordinate is positive (eigenvector sign is
+    otherwise arbitrary), making the output deterministic across
+    LAPACK builds. Rows-only check by design; variance-ordering,
+    orthonormality, and monotone reconstruction error are pinned in
+    tests/test_ml.py."""
+    import numpy as np
+    import pandas as pd
+
+    G = _gram_matrix(spark, sf)
+    w, V = np.linalg.eigh(G)            # ascending eigenvalues
+    comps = V[:, ::-1][:, :k]           # top-k directions, (d, k)
+    flips = np.sign(comps[np.abs(comps).argmax(axis=0),
+                          np.arange(comps.shape[1])])
+    comps = comps * flips               # deterministic orientation
+    W = comps.copy()
+
+    e = (load_tables(spark, sf)["embeddings"]
+         .select("vec_id", "embedding")
+         .filter(F.col("embedding").isNotNull()))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": [], "proj": []})
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            P = X @ W                   # (n, k)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "proj": [np.floor(row * 1e6 + 0.5) / 1e6 for row in P],
+            })
+
+    return e.mapInPandas(fn, "vec_id long, proj array<double>")

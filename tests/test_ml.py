@@ -50,3 +50,38 @@ def test_kmeans_partition_invariance(spark):
     # fixed-point accumulation makes the whole trajectory exact:
     # same clusters, same inertia, regardless of partitioning
     assert _rows(spark, 5) == _rows(spark, 32)
+
+
+def test_embed_pca_variance_ordering_and_determinism(spark, sf_dir):
+    """Projected variance must be (weakly) decreasing across the top-k
+    components (eigenvalue order), and the projection must equal a
+    locally recomputed eigh of the same integer-exact Gram matrix —
+    pinning the distributed-partials -> driver-eigh -> broadcast-map
+    composition end to end."""
+    import numpy as np
+
+    from engine.queries.vectors import _gram_matrix, q_embed_pca
+
+    rows = q_embed_pca(spark, sf_dir).collect()
+    n = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .filter("embedding IS NOT NULL").count())
+    assert len(rows) == n
+    P = np.stack([np.array(r["proj"]) for r in rows])
+    assert P.shape[1] == 8
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1))
+
+    # local twin: same Gram -> same components -> same quantized rows
+    G = _gram_matrix(spark, sf_dir)
+    w, V = np.linalg.eigh(G)
+    comps = V[:, ::-1][:, :8]
+    flips = np.sign(comps[np.abs(comps).argmax(axis=0),
+                          np.arange(comps.shape[1])])
+    comps = comps * flips
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(
+               f"{sf_dir}/embeddings.parquet").collect()
+           if r["embedding"] is not None}
+    for r in rows[:25]:
+        want = np.floor(emb[r["vec_id"]] @ comps * 1e6 + 0.5) / 1e6
+        assert np.array_equal(np.array(r["proj"]), want)

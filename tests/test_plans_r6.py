@@ -178,3 +178,40 @@ def test_stream_interval_union_matches_batch(spark, sf_dir):
     b = {r["user_id"]: (r["n_islands"], r["covered_us"])
          for r in QUERIES["q_interval_union"](spark, sf_dir).collect()}
     assert a == b
+
+
+def test_ts_ohlc_one_partial_agg_no_window(spark, sf_dir):
+    """Candles must reduce map-side: two HashAggregates (or
+    ObjectHashAggregate pair) around ONE exchange, and no window sort
+    of ticks anywhere."""
+    plan = final_plan(spark, "q_ts_ohlc", sf_dir)
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_ts_ohlc_open_close_are_time_extremes(spark, sf_dir):
+    rows = QUERIES["q_ts_ohlc"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_ticks"] >= 1
+
+
+def test_variant_funcs_narrow_then_agg(spark, sf_dir):
+    plan = final_plan(spark, "q_variant_funcs", sf_dir)
+    assert "Join" not in plan, plan
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_python_ds_parallel_partitions(spark):
+    """The custom source must expose its declared split count to the
+    scheduler (8 InputPartitions -> 8 RDD partitions)."""
+    from engine.pyds import register
+
+    register(spark)
+    df = (spark.read.format("synthetic_series")
+          .option("rows", 2000).option("parts", 8).load())
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 2000
