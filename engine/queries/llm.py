@@ -1127,9 +1127,14 @@ def q_fuzzy_match(spark, sf):
         .select(F.concat(F.regexp_replace("c_name", "#", "-"),
                          F.lit("x")).alias("probe"))
     )
-    d = F.levenshtein("probe", "c_name")
+    # banded DP: |len(a)-len(b)| > 3 implies dist > 3 (free codegen
+    # prune), and the THRESHOLDED levenshtein early-exits any pair
+    # whose distance exceeds 3 instead of filling the full DP table
+    # (returns -1 above the bound) — same integers for survivors.
+    d3 = F.levenshtein("probe", "c_name", 3)
     return (
         c.crossJoin(F.broadcast(probes))
-        .where(d <= 3)
-        .select("probe", "c_custkey", "c_name", d.alias("dist"))
+        .where(F.abs(F.length("probe") - F.length("c_name")) <= 3)
+        .where(d3 >= 0)
+        .select("probe", "c_custkey", "c_name", d3.alias("dist"))
     )

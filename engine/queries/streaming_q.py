@@ -31,7 +31,7 @@ from pyspark.sql import Window as W, functions as F
 from ..io import load_tables, session_cache
 from ..registry import query
 from ..streaming import read_event_stream
-from .util import dsum, sql_dsum
+from .util import dsum, hexpoly_sql, sql_dsum
 
 _US_H = 3_600_000_000  # one hour in microseconds
 
@@ -560,4 +560,68 @@ def q_stream_ohlc(spark, sf):
         return agg, "complete"
 
     name = _run_stream(spark, sf, "ohlc", build)
+    return spark.table(name)
+
+
+@query("q_stream_cdc_compact", oracle=f"""
+WITH params AS (SELECT count(*) AS nc FROM customer),
+log AS (
+  SELECT (user_id * 13) % (nc + nc // 2) AS k,
+         epoch_ns(ts) // 1000 AS us, event_id, value,
+         CASE WHEN {hexpoly_sql("md5(concat(event_id, '#cdc'))")} % 10 < 2
+                THEN 'D'
+              WHEN {hexpoly_sql("md5(concat(event_id, '#cdc'))")} % 10 < 5
+                THEN 'I'
+              ELSE 'U' END AS op
+  FROM events, params)
+SELECT k, op, value, n_ops FROM (
+  SELECT k, op, value,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY us DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY k) AS n_ops
+  FROM log) WHERE rn = 1
+""")
+def q_stream_cdc_compact(spark, sf):
+    """Streaming CDC compaction — the live half of q_cdc_apply (same
+    synthesized I/U/D log, same compaction oracle): the stream
+    maintains, per key, the LAST operation by event time plus the op
+    count, as ``max_by`` over a (time, id) struct in streaming
+    aggregate state. Because the argmax key is (event-time, id) —
+    not arrival order — the compacted table is correct under ANY
+    micro-batch replay of the log, which is precisely the property a
+    changelog consumer needs after a backfill or out-of-order
+    redelivery. Complete mode emits the final compacted changelog;
+    a downstream batch MERGE (q_cdc_apply's apply step) turns it
+    into the materialized snapshot.
+
+    Scale: state is one constant-size struct per live key; the
+    shuffle carries (key, struct) with map-side partial merge — the
+    same candle-state shape as q_stream_ohlc."""
+    from ..io import table_count
+    from .util import hexpoly_col
+
+    nc = table_count(spark, sf, "customer")
+    span = nc + nc // 2
+
+    def build(events):
+        opn = hexpoly_col(F.md5(F.concat(
+            F.col("event_id").cast("string"), F.lit("#cdc")))) % 10
+        us = F.unix_micros("ts")
+        log = events.select(
+            ((F.col("user_id") * 13) % span).alias("k"),
+            us.alias("us"), "event_id", "value",
+            F.when(opn < 2, "D").when(opn < 5, "I")
+             .otherwise("U").alias("op"),
+        )
+        agg = (
+            log.groupBy("k")
+            .agg(F.max_by(F.struct("op", "value"),
+                          F.struct("us", "event_id")).alias("m"),
+                 F.count(F.lit(1)).alias("n_ops"))
+            .select("k", F.col("m.op").alias("op"),
+                    F.col("m.value").alias("value"), "n_ops")
+        )
+        return agg, "complete"
+
+    name = _run_stream(spark, sf, "cdc_compact", build)
     return spark.table(name)

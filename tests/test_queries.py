@@ -29,7 +29,7 @@ def test_every_key_has_oracle_or_reason():
     # whose internals are engine-specific by design
     assert no_oracle == [
         "q_agg_approx_distinct", "q_agg_approx_quantile",
-        "q_cluster_kmeans", "q_hll_rollup",
+        "q_cluster_kmeans", "q_embed_pca", "q_hll_rollup",
         "q_sim_ivf_topk", "q_sim_lsh_topk",
     ]
 
@@ -61,9 +61,13 @@ _HASH_SAFE_TYPES = {"bigint", "int", "smallint", "double", "string", "boolean"}
 
 @pytest.mark.parametrize("key", sorted(QUERIES))
 def test_output_types_hash_safe(spark, sf_dir, key):
-    """Every declared output column is a primitive type that Spark and
+    """Every ORACLE-CHECKED column is a primitive type that Spark and
     DuckDB stringify identically — decimals, timestamps, and nested
-    types never reach the driver's value hash."""
+    types never reach the driver's value hash. Rows-only keys (no
+    oracle; the driver only counts rows) may carry arrays — e.g.
+    q_embed_pca's projection vector."""
+    if key not in ORACLE:
+        pytest.skip("rows-only key: never value-hashed")
     df = QUERIES[key](spark, sf_dir)
     odd = [(c, t) for c, t in df.dtypes if t not in _HASH_SAFE_TYPES]
     assert not odd, f"{key}: non-primitive output columns {odd}"
