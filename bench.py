@@ -203,10 +203,19 @@ def main() -> None:
         compact["worst_growth_10x"] = worst_growth
         compact["n_superlinear"] = n_superlinear
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # last resort: drop the shared q_ prefix
+    if len(line) > 1900:  # fallback 1: drop the shared q_ prefix
         compact["queries"] = {
             k.removeprefix("q_"): v for k, v in compact["queries"].items()}
         compact["key_prefix_stripped"] = "q_"
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900 and compact["queries"]:
+        # fallback 2 (loud, never silent truncation): drop the
+        # FASTEST entries until the line fits — the gate-relevant
+        # worst keys and the suite total always survive intact.
+        drop = min(compact["queries"], key=compact["queries"].get)
+        compact["queries"].pop(drop)
+        compact["n_omitted_fastest"] = compact.get(
+            "n_omitted_fastest", 0) + 1
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

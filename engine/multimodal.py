@@ -221,7 +221,6 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
             # masked remainder gather) — ~20x faster here than either
             # an element cumsum or a bincount scatter.
             big, starts, lens, plens = _concat_payloads(pdf, g=dim)
-            nrows = len(pdf)
             X = big[:len(big) // dim * dim].reshape(-1, dim)
             bs = np.concatenate((starts // dim,
                                  [int(plens.sum()) // dim]))

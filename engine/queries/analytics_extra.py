@@ -156,7 +156,11 @@ def _exact_quantiles_distributed(li, col: str, probs):
 
     from pyspark.sql import Window
 
-    D = (li.groupBy(F.col(col).alias("v"))
+    # percentile semantics ignore NULLs; without this filter a NULL
+    # group would sort first under range partitioning and shift every
+    # rank.
+    D = (li.where(F.col(col).isNotNull())
+         .groupBy(F.col(col).alias("v"))
          .agg(F.count(F.lit(1)).alias("c")))
     Dp = (D.repartitionByRange(32, "v")
           .withColumn("pid", F.spark_partition_id()))
@@ -166,6 +170,9 @@ def _exact_quantiles_distributed(li, col: str, probs):
         tot = {r["pid"]: r["t"] for r in
                Dc.groupBy("pid").agg(F.max("cum_in").alias("t")).collect()}
         n = sum(tot.values())
+        if n == 0:
+            raise ValueError(
+                f"exact quantiles of empty/all-NULL column {col!r}")
         offs, acc = {}, 0
         for pid in sorted(tot):          # range order == pid order
             offs[pid] = acc

@@ -189,12 +189,30 @@ def q_graph_bfs(spark, sf):
             "user_id", "event_type",
             (F.unix_micros("ts") / F.lit(_BFS_H_US)).cast("long").alias("h"),
         ).distinct()
-        # per-cell anchors via ONE partial-aggregable groupBy (the
-        # row_number window this replaces resorted every cell:
-        # measured 4.9 s -> 0.8 s edge build at sf0.1)
+        # per-cell anchors via BOUNDED two-level min-K (the
+        # q_grouped_topk_agg discipline): each Arrow batch emits at
+        # most K candidate ids per cell, and the global merge's
+        # collect_list buffer holds <= contributing-batches x K
+        # entries per cell — NEVER the full cell membership (a plain
+        # collect_list would re-introduce the unbounded per-cell
+        # buffer the anchor cap exists to avoid; the row_number
+        # window this replaces was bounded but resorted every cell:
+        # 4.9 s vs 0.8 s edge build at sf0.1).
+        def _local_min_k(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                yield (pdf.sort_values("user_id")
+                       .groupby(["event_type", "h"], sort=False)
+                       .head(_BFS_K_ANCHOR)
+                       .groupby(["event_type", "h"], sort=False)["user_id"]
+                       .apply(list).reset_index(name="a"))
+
+        local = cells.mapInPandas(
+            _local_min_k, "event_type string, h long, a array<long>")
         anchors = (
-            cells.groupBy("event_type", "h")
-            .agg(F.slice(F.array_sort(F.collect_list("user_id")),
+            local.groupBy("event_type", "h")
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("a"))),
                          1, _BFS_K_ANCHOR).alias("a"))
             .select("event_type", "h", F.explode("a").alias("anchor"))
         )

@@ -262,7 +262,12 @@ def emit_artifact(rows: dict[str, dict[str, float]],
         k: round(x10[k] / base[k], 2)
         for k in x10 if base.get(k) and x10[k] > 0
     }
-    worst = max(growth.items(), key=lambda kv: kv[1]) if growth else None
+    planned = {k: g for k, g in growth.items()
+               if k not in _QUADRATIC_BY_DESIGN}
+    worst = max(planned.items(), key=lambda kv: kv[1]) if planned else None
+    worst_bd = max(((k, g) for k, g in growth.items()
+                    if k in _QUADRATIC_BY_DESIGN),
+                   key=lambda kv: kv[1], default=None)
     art = {
         "generated_by": "scale_probe.py --emit-json",
         "fixture": {"sf0.1": "/root/testdata/sf0.1 (50k docs, 600k lineitem)",
@@ -271,6 +276,9 @@ def emit_artifact(rows: dict[str, dict[str, float]],
         "growth_10x": growth,
         "worst_growth_10x": {"key": worst[0], "factor": worst[1]}
         if worst else None,
+        "worst_growth_10x_by_design": {"key": worst_bd[0],
+                                       "factor": worst_bd[1]}
+        if worst_bd else None,
         "superlinear_keys": sorted(
             k for k, g in growth.items()
             if g > 10.0 and k not in _QUADRATIC_BY_DESIGN),
