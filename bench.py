@@ -88,6 +88,7 @@ HEADLINE = [
     "q_variant_funcs",
     "q_source_python_ds",
     "q_embed_pca",
+    "q_time_travel",
 ]
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_tables, session_cache
 from ..registry import query
-from .util import dsum, sql_dsum
+from .util import dsum, hexpoly_sql, sql_dsum
 
 
 def _roundtrip_dir(spark, sf: str, fmt: str) -> str:
@@ -277,4 +277,76 @@ def q_source_python_ds(spark, sf):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"),
              dsum("reading").alias("total"))
+    )
+
+
+@query("q_time_travel", oracle=f"""
+WITH v0 AS (
+  SELECT c_custkey, c_acctbal AS bal FROM customer),
+v1 AS (
+  SELECT c_custkey,
+         CASE WHEN {hexpoly_sql("md5(concat(c_custkey, '#tt1'))")} % 100 < 20
+              THEN bal + 50.0 ELSE bal END AS bal
+  FROM v0),
+v2 AS (
+  SELECT c_custkey,
+         CASE WHEN {hexpoly_sql("md5(concat(c_custkey, '#tt2'))")} % 100 >= 95
+              THEN bal + 25.0 ELSE bal END AS bal
+  FROM v1
+  WHERE {hexpoly_sql("md5(concat(c_custkey, '#tt2'))")} % 100 >= 5),
+hist AS (
+  SELECT 0 AS version, bal FROM v0
+  UNION ALL SELECT 1, bal FROM v1
+  UNION ALL SELECT 2, bal FROM v2)
+SELECT version, count(*) AS n_rows, {sql_dsum('bal')} AS total_bal
+FROM hist GROUP BY version
+""")
+def q_time_travel(spark, sf):
+    """Snapshot time travel (the Delta/Iceberg `VERSION AS OF` read):
+    a table evolves through three committed versions (v0 base, v1 =
+    20% balance updates, v2 = 5% deletes + 5% more updates), each
+    version is COMMITTED TO STORAGE as its own snapshot (copy-on-
+    write, the manifest being the version-keyed directory layout),
+    and the query reads ALL THREE versions back FROM DISK to produce
+    the per-version audit. The oracle recomputes every version from
+    lineage, so a hash match proves the storage round-trip of each
+    historical snapshot — the property time travel actually
+    guarantees (reads of version k are repeatable forever, no matter
+    what later commits did, including deletes).
+
+    Scale: a production table-format manifest lists files per
+    snapshot so an `AS OF` read scans exactly one version's files —
+    this key models that with one directory per version (the
+    partition-pruning machinery of q_sink_partitioned applies
+    unchanged to a version= layout); history audits like this one
+    scan only the versions they name. Diffs are derived by content
+    hash so the oracle can replay them deterministically."""
+    per_session = session_cache(spark, "_engine_source_cache")
+    key = (sf.rstrip("/"), "timetravel")
+    if key not in per_session:
+        digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+        root = os.path.join(tempfile.gettempdir(),
+                            f"engine_tt_{digest}_{os.getpid()}")
+        c = load_tables(spark, sf)["customer"]
+        h1 = F.expr(hexpoly_sql("md5(concat(c_custkey, '#tt1'))")) % 100
+        h2 = F.expr(hexpoly_sql("md5(concat(c_custkey, '#tt2'))")) % 100
+        v0 = c.select("c_custkey", F.col("c_acctbal").alias("bal"))
+        v1 = v0.select(
+            "c_custkey",
+            F.when(h1 < 20, F.col("bal") + 50.0)
+             .otherwise(F.col("bal")).alias("bal"))
+        v2 = (v1.filter(h2 >= 5)
+              .select("c_custkey",
+                      F.when(h2 >= 95, F.col("bal") + 25.0)
+                       .otherwise(F.col("bal")).alias("bal")))
+        for ver, df in ((0, v0), (1, v1), (2, v2)):
+            df.write.mode("overwrite").parquet(
+                os.path.join(root, f"version={ver}"))
+        per_session[key] = root
+    hist = spark.read.option("basePath", per_session[key]).parquet(
+        *[os.path.join(per_session[key], f"version={v}") for v in (0, 1, 2)])
+    return (
+        hist.groupBy("version")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             dsum("bal").alias("total_bal"))
     )
