@@ -89,6 +89,7 @@ HEADLINE = [
     "q_source_python_ds",
     "q_embed_pca",
     "q_time_travel",
+    "q_agg_mode",
 ]
 
 

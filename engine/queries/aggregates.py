@@ -193,3 +193,36 @@ def q_agg_stats(spark, sf):
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
+
+
+@query("q_agg_mode", oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_quantity AS v, count(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_quantity),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY cnt DESC, v DESC) AS rn
+  FROM c)
+SELECT l_returnflag, v AS mode_qty, cnt AS mode_n
+FROM r WHERE rn = 1
+""")
+def q_agg_mode(spark, sf):
+    """Deterministic per-group mode (most frequent value): value
+    counts first, then one struct-argmax keyed (count, value) — ties
+    on count resolve to the LARGEST value by definition, so both
+    engines agree exactly (a bare ``mode()`` returns an arbitrary
+    tied value and can never hash-match across engines; Spark's and
+    DuckDB's tie choices differ by implementation).
+
+    Scale: two partial-aggregable groupBys — the first shuffles
+    (group, value) pairs with map-side combine (bounded by value
+    cardinality per group, not rows), the second reduces each group
+    to one struct. No sort, no window, no collect."""
+    li = load_tables(spark, sf)["lineitem"]
+    c = (li.groupBy("l_returnflag", F.col("l_quantity").alias("v"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    return (
+        c.groupBy("l_returnflag")
+        .agg(F.max_by("v", F.struct("cnt", "v")).alias("mode_qty"),
+             F.max("cnt").alias("mode_n"))
+    )

@@ -625,3 +625,75 @@ def q_stream_cdc_compact(spark, sf):
 
     name = _run_stream(spark, sf, "cdc_compact", build)
     return spark.table(name)
+
+
+@query("q_stream_sink_idempotent", oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY event_type
+""")
+def q_stream_sink_idempotent(spark, sf):
+    """Exactly-once streaming SINK via idempotent batch commits — the
+    foreachBatch pattern every production pipeline uses to make a
+    non-transactional store safe: each micro-batch writes to a
+    staging path and atomically renames it to its ``batch_id=N``
+    commit directory, and a batch whose commit directory already
+    exists is SKIPPED. The whole bounded stream is then run TWICE
+    (the second run modeling a restarted job replaying its source
+    from scratch); because batch ids replay identically, the second
+    run's writes are all absorbed by the guard. The key reads the
+    sink back and hash-matches the plain batch aggregate — any
+    duplicate delivery would double the counts and fail the gate.
+
+    Scale: commit-by-rename is O(1) per batch regardless of data
+    size; the guard reads only directory metadata (the txn-log idea
+    of Delta/Iceberg expressed in filesystem terms, and the streaming
+    sibling of q_merge_idempotent's last_batch watermark)."""
+    import shutil
+
+    from ..streaming import _with_event_time, event_stream_schema
+
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "sink_idem")
+    if key not in per_session:
+        digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+        src = os.path.join(
+            tempfile.gettempdir(),
+            f"engine_stream_src_{digest}_{os.getpid()}")
+        os.makedirs(src, exist_ok=True)
+        link = os.path.join(src, "events.parquet")
+        if os.path.lexists(link) and not os.path.exists(link):
+            os.unlink(link)
+        if not os.path.lexists(link):
+            os.symlink(os.path.abspath(
+                f"{sf.rstrip('/')}/events.parquet"), link)
+        sink = os.path.join(
+            tempfile.gettempdir(),
+            f"engine_sink_idem_{digest}_{os.getpid()}")
+        os.makedirs(sink, exist_ok=True)
+
+        def commit_batch(bdf, bid):
+            dst = os.path.join(sink, f"batch_id={bid}")
+            if os.path.exists(dst):      # replayed batch: absorbed
+                return
+            staging = dst + ".inprogress"
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
+            (bdf.select("event_id", "event_type", "value")
+             .write.mode("overwrite").parquet(staging))
+            os.rename(staging, dst)      # atomic commit
+
+        for _attempt in (1, 2):          # run, then restart-replay
+            events = _with_event_time(
+                spark.readStream.schema(
+                    event_stream_schema(spark, src)).parquet(src))
+            q = (events.writeStream.foreachBatch(commit_batch)
+                 .outputMode("append").start())
+            q.processAllAvailable()
+            q.stop()
+        per_session[key] = sink
+    df = spark.read.parquet(per_session[key])
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("value").alias("sum_value"))
+    )

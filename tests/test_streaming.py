@@ -315,3 +315,25 @@ def test_stream_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == n2
     exp = {r["event_id"] for r in raw.select("event_id").collect()}
     assert {r["event_id"] for r in got.collect()} == exp
+
+
+def test_stream_sink_idempotent_replay_absorbed(spark, sf_dir):
+    """The foreachBatch sink ran the bounded stream twice by
+    construction; the committed batch directories must hold exactly
+    one copy of the source (no .inprogress leftovers, row count ==
+    |events|)."""
+    import os
+
+    from engine.io import session_cache
+    from engine.registry import QUERIES, load_all
+
+    load_all()
+    QUERIES["q_stream_sink_idempotent"](spark, sf_dir).collect()
+    sink = session_cache(spark, "_engine_stream_cache")[
+        (sf_dir.rstrip("/"), "sink_idem")]
+    entries = os.listdir(sink)
+    assert all(e.startswith("batch_id=") for e in entries), entries
+    assert not any(e.endswith(".inprogress") for e in entries), entries
+    n_sink = spark.read.parquet(sink).count()
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n_sink == n_src
