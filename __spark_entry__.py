@@ -132,6 +132,7 @@ _R06_NEW = {
     "q_ts_ohlc", "q_variant_funcs", "q_source_python_ds",
     "q_stream_ohlc", "q_embed_pca", "q_stream_cdc_compact",
     "q_time_travel", "q_agg_mode", "q_stream_sink_idempotent",
+    "q_embed_whiten",
 }
 
 

@@ -310,3 +310,48 @@ def q_embed_pca(spark, sf, k: int = 8):
             })
 
     return e.mapInPandas(fn, "vec_id long, proj array<double>")
+
+
+@query("q_embed_whiten")  # rows-only: eigendecomposition has no SQL oracle
+def q_embed_whiten(spark, sf):
+    """Second-moment whitening of the embedding column: Y = X·V·
+    diag((lambda/n)^(-1/2)), so the whitened Gram Y'Y/n is the
+    identity — the decorrelation step before metric learning /
+    Mahalanobis ANN / feature hashing. Same composition discipline as
+    q_embed_pca: the d x d second-moment matrix comes from the
+    DISTRIBUTED q_embed_gram partials (driver sees only the index-
+    sized matrix), the eigh and scaling run driver-side in
+    microseconds, and the whitening transform ships to executors as
+    one broadcast (d, d) literal inside a narrow Arrow map — the
+    corpus never shuffles. Near-null directions (lambda/n < 1e-12)
+    are clipped rather than exploded. Identity-covariance of the
+    output is pinned in tests/test_ml.py."""
+    import numpy as np
+    import pandas as pd
+
+    from ..io import table_count
+
+    G = _gram_matrix(spark, sf)
+    n = table_count(spark, sf, "embeddings")
+    w, V = np.linalg.eigh(G / n)
+    w = np.maximum(w, 1e-12)
+    flips = np.sign(V[np.abs(V).argmax(axis=0), np.arange(V.shape[1])])
+    W = (V * flips) @ np.diag(w ** -0.5)
+
+    e = (load_tables(spark, sf)["embeddings"]
+         .select("vec_id", "embedding")
+         .filter(F.col("embedding").isNotNull()))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": [], "white": []})
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Y = X @ W
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "white": [np.floor(row * 1e6 + 0.5) / 1e6 for row in Y],
+            })
+
+    return e.mapInPandas(fn, "vec_id long, white array<double>")

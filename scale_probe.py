@@ -51,6 +51,7 @@ REL_KEYS = [
     # round-5 build phase: CDC apply + restart-safe MERGE + candles
     # + variant round-trip
     "q_cdc_apply", "q_merge_idempotent", "q_ts_ohlc", "q_variant_funcs",
+    "q_agg_mode", "q_time_travel",
 ]
 
 

@@ -85,3 +85,18 @@ def test_embed_pca_variance_ordering_and_determinism(spark, sf_dir):
     for r in rows[:25]:
         want = np.floor(emb[r["vec_id"]] @ comps * 1e6 + 0.5) / 1e6
         assert np.array_equal(np.array(r["proj"]), want)
+
+
+def test_embed_whiten_identity_covariance(spark, sf_dir):
+    """Whitened output must have (uncentered) covariance ~ identity:
+    diagonals ~ 1, off-diagonals ~ 0 — the defining property."""
+    import numpy as np
+
+    from engine.queries.vectors import q_embed_whiten
+
+    rows = q_embed_whiten(spark, sf_dir).collect()
+    Y = np.stack([np.array(r["white"]) for r in rows])
+    C = Y.T @ Y / len(Y)
+    assert np.abs(np.diag(C) - 1.0).max() < 1e-3
+    off = C - np.diag(np.diag(C))
+    assert np.abs(off).max() < 1e-3

@@ -145,3 +145,37 @@ def test_quantile_bins_distributed_fit_matches_builtin(spark, sf_dir):
     assert len(got) == len(want) == 9
     for g, w in zip(got, want):
         assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (g, w)
+
+
+def test_quantile_distributed_fit_property(spark):
+    """Random multisets (duplicates, skew, negatives): the
+    distributed fit equals the builtin exact percentile for arbitrary
+    probability vectors."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from engine.queries.analytics_extra import _exact_quantiles_distributed
+
+    rng = random.Random(7)
+    for trial in range(3):
+        vals = [round(rng.choice([rng.uniform(-5, 5), float(rng.randint(0, 9))]), 2)
+                for _ in range(rng.randint(3, 400))]
+        probs = sorted(rng.uniform(0, 1) for _ in range(5))
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = _exact_quantiles_distributed(df, "x", probs)
+        ps = ", ".join(repr(p) for p in probs)
+        want = df.agg(F.expr(f"percentile(x, array({ps}))").alias("r")
+                      ).collect()[0]["r"]
+        for g, w in zip(got, want):
+            assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (trial, g, w)
+
+
+def test_quantile_distributed_fit_nulls_ignored(spark):
+    """NULLs must not shift ranks (percentile semantics)."""
+    from engine.queries.analytics_extra import _exact_quantiles_distributed
+
+    df = spark.createDataFrame(
+        [(None,), (1.0,), (None,), (2.0,), (3.0,)], "x double")
+    got = _exact_quantiles_distributed(df, "x", [0.5])
+    assert got == [2.0]
