@@ -9,6 +9,7 @@ environment) behind a deterministic fake and a clearly marked
 """
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -117,8 +118,6 @@ def sample_frames(df: DataFrame, frame_bytes: int = 48,
     prefix sums, with the zero padding absorbing end-of-row overrun.
     All frames of all rows in a batch are emitted by pure ndarray
     ops; no per-row Python loop."""
-    import math
-
     g = math.gcd(stride, frame_bytes)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

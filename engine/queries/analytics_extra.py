@@ -177,8 +177,9 @@ def _exact_quantiles_distributed(li, col: str, probs):
         for pid in sorted(tot):          # range order == pid order
             offs[pid] = acc
             acc += tot[pid]
-        npid = (max(tot) + 1) if tot else 1
-        off_arr = F.array(*[F.lit(offs.get(p, 0)) for p in range(npid)])
+        # tot is non-empty past the n==0 raise (every group count >= 1)
+        off_arr = F.array(*[F.lit(offs.get(p, 0))
+                            for p in range(max(tot) + 1)])
         abs_cum = F.col("cum_in") + F.element_at(off_arr, F.col("pid") + 1)
 
         pts, ranks = [], set()

@@ -508,9 +508,18 @@ def q_text_entropy(spark, sf):
     """Per-document Shannon character entropy (bits/char) — the
     classic gibberish / repetition / binary-junk signal in corpus
     quality filtering (low entropy = repeated runs, high ~ random
-    noise). Defined on the UTF-8 byte distribution, which equals the
+    noise); :func:`text_entropy` applied to the documents table."""
+    return text_entropy(load_tables(spark, sf)["documents"]
+                        .select("doc_id", "text"))
+
+
+def text_entropy(d: DataFrame) -> DataFrame:
+    """Frame-level entropy operator over any (doc_id, text) frame.
+    Defined on the UTF-8 byte distribution, which equals the
     character distribution on an ASCII corpus (the fixture invariant
-    the oracle's character-level ``entropy()`` relies on).
+    the oracle's character-level ``entropy()`` relies on); empty
+    texts are dropped (entropy of an empty multiset is undefined in
+    both engines).
 
     Scale: a narrow Arrow kernel — the relational spelling (explode
     one row per character, then a (doc, char) groupBy) would shuffle
@@ -522,8 +531,7 @@ def q_text_entropy(spark, sf):
     import numpy as np
     import pandas as pd
 
-    d = (load_tables(spark, sf)["documents"]
-         .select("doc_id", "text").filter(F.length("text") > 0))
+    d = d.filter(F.length("text") > 0)
 
     def fn(batches):
         cols = ["doc_id", "n_chars", "ent"]

@@ -371,8 +371,11 @@ def q_session_capped(spark, sf):
         "start_us long, end_us long")
 
 
-@query("q_cdc_apply", oracle=f"""
-WITH params AS (SELECT count(*) AS nc FROM customer),
+# Synthesized I/U/D change log, shared by the batch apply
+# (q_cdc_apply) and the streaming compaction oracle
+# (q_stream_cdc_compact): op from a content hash, key folded into
+# 1.5x the customer key space so every branch is exercised.
+CDC_LOG_SQL = f"""params AS (SELECT count(*) AS nc FROM customer),
 log AS (
   SELECT (user_id * 13) % (nc + nc // 2) AS k,
          epoch_ns(ts) // 1000 AS us, event_id, value,
@@ -381,7 +384,11 @@ log AS (
               WHEN {hexpoly_sql("md5(concat(event_id, '#cdc'))")} % 10 < 5
                 THEN 'I'
               ELSE 'U' END AS op
-  FROM events, params),
+  FROM events, params)"""
+
+
+@query("q_cdc_apply", oracle=f"""
+WITH {CDC_LOG_SQL},
 last AS (
   SELECT k, op, value, n_ops FROM (
     SELECT k, op, value,

@@ -31,9 +31,29 @@ from pyspark.sql import Window as W, functions as F
 from ..io import load_tables, session_cache
 from ..registry import query
 from ..streaming import read_event_stream
-from .util import dsum, hexpoly_sql, sql_dsum
+from .events import CDC_LOG_SQL
+from .util import dsum, sql_dsum
 
 _US_H = 3_600_000_000  # one hour in microseconds
+
+
+def _stage_source(sf: str) -> str:
+    """Per-process staging directory holding a symlink to the events
+    parquet (the file stream source lists a DIRECTORY; no data copy).
+    Two engine processes on the same sf must not race on each other's
+    staged files, hence the pid suffix."""
+    digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    src = os.path.join(
+        tempfile.gettempdir(), f"engine_stream_src_{digest}_{os.getpid()}")
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    # lexists, not exists: a dangling symlink (fixture dir recreated
+    # under the same path) must be replaced, not trip FileExistsError
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(os.path.abspath(f"{sf.rstrip('/')}/events.parquet"), link)
+    return src
 
 
 def _run_stream(spark, sf: str, kind: str, build, one_batch: bool = False) -> str:
@@ -53,20 +73,7 @@ def _run_stream(spark, sf: str, kind: str, build, one_batch: bool = False) -> st
         return per_session[key]
     digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
     name = f"stream_{kind}_{digest}"
-    # the file stream source lists a DIRECTORY; stage one holding a
-    # symlink to the events parquet (no data copy)
-    # per-process staging dir: two engine processes on the same sf must
-    # not race on each other's staged files
-    src = os.path.join(
-        tempfile.gettempdir(), f"engine_stream_src_{digest}_{os.getpid()}")
-    os.makedirs(src, exist_ok=True)
-    link = os.path.join(src, "events.parquet")
-    # lexists, not exists: a dangling symlink (fixture dir recreated
-    # under the same path) must be replaced, not trip FileExistsError
-    if os.path.lexists(link) and not os.path.exists(link):
-        os.unlink(link)
-    if not os.path.lexists(link):
-        os.symlink(os.path.abspath(f"{sf.rstrip('/')}/events.parquet"), link)
+    src = _stage_source(sf)
     if one_batch:
         from ..streaming import _with_event_time, event_stream_schema
 
@@ -564,16 +571,7 @@ def q_stream_ohlc(spark, sf):
 
 
 @query("q_stream_cdc_compact", oracle=f"""
-WITH params AS (SELECT count(*) AS nc FROM customer),
-log AS (
-  SELECT (user_id * 13) % (nc + nc // 2) AS k,
-         epoch_ns(ts) // 1000 AS us, event_id, value,
-         CASE WHEN {hexpoly_sql("md5(concat(event_id, '#cdc'))")} % 10 < 2
-                THEN 'D'
-              WHEN {hexpoly_sql("md5(concat(event_id, '#cdc'))")} % 10 < 5
-                THEN 'I'
-              ELSE 'U' END AS op
-  FROM events, params)
+WITH {CDC_LOG_SQL}
 SELECT k, op, value, n_ops FROM (
   SELECT k, op, value,
          row_number() OVER (PARTITION BY k
@@ -656,16 +654,7 @@ def q_stream_sink_idempotent(spark, sf):
     key = (sf.rstrip("/"), "sink_idem")
     if key not in per_session:
         digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
-        src = os.path.join(
-            tempfile.gettempdir(),
-            f"engine_stream_src_{digest}_{os.getpid()}")
-        os.makedirs(src, exist_ok=True)
-        link = os.path.join(src, "events.parquet")
-        if os.path.lexists(link) and not os.path.exists(link):
-            os.unlink(link)
-        if not os.path.lexists(link):
-            os.symlink(os.path.abspath(
-                f"{sf.rstrip('/')}/events.parquet"), link)
+        src = _stage_source(sf)
         sink = os.path.join(
             tempfile.gettempdir(),
             f"engine_sink_idem_{digest}_{os.getpid()}")

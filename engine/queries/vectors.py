@@ -200,11 +200,24 @@ def q_embed_gram(spark, sf):
     (engine/queries/util.py convention). Accumulators stay < 2^53
     at fixture scales; at real corpus scale the same plan promotes
     the partial to DECIMAL(38,0)."""
-    import numpy as np
-    import pandas as pd
-
     e = (load_tables(spark, sf)["embeddings"]
          .select("embedding").filter(F.col("embedding").isNotNull()))
+    # one tiny shuffle: n_partitions x 2080 scaled-integer partials
+    # merge to the global upper triangle, then the exact final divide
+    return (
+        gram_partials(e).groupBy("i", "j")
+        .agg((F.sum("gs") / F.lit(1e8)).alias("g"))
+    )
+
+
+def gram_partials(e):
+    """Frame-level Gram partials over any (embedding) frame: each
+    task reduces its Arrow batches to ONE local d x d integer partial
+    and emits it as d(d+1)/2 upper-triangle (i, j, gs) rows — the
+    caller merges partials with a groupBy sum (partition-count-
+    invariance pinned in tests/test_plans_r6.py)."""
+    import numpy as np
+    import pandas as pd
 
     def fn(batches):
         G = None
@@ -223,21 +236,14 @@ def q_embed_gram(spark, sf):
                 G += P.sum(axis=0).astype(np.int64)
         if G is None:
             return
-        d = G.shape[0]
-        iu, ju = np.triu_indices(d)
+        iu, ju = np.triu_indices(G.shape[0])
         yield pd.DataFrame({
             "i": (iu + 1).astype(np.int32),
             "j": (ju + 1).astype(np.int32),
             "gs": G[iu, ju],
         })
 
-    partials = e.mapInPandas(fn, "i int, j int, gs long")
-    # one tiny shuffle: n_partitions x 2080 scaled-integer partials
-    # merge to the global upper triangle, then the exact final divide
-    return (
-        partials.groupBy("i", "j")
-        .agg((F.sum("gs") / F.lit(1e8)).alias("g"))
-    )
+    return e.mapInPandas(fn, "i int, j int, gs long")
 
 
 def _gram_matrix(spark, sf):

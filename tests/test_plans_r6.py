@@ -71,54 +71,18 @@ def test_text_entropy_zero_shuffle_narrow(spark, sf_dir):
 def test_text_entropy_values(spark):
     """'aabb' → 1 bit; uniform 4-char alphabet → 2 bits; single char
     → 0; matches the closed form on a hand fixture."""
+    from engine.queries.curation import text_entropy
+
     df = spark.createDataFrame(
-        [(1, "aabb"), (2, "abcd"), (3, "zzzz"), (4, "aab")],
+        [(1, "aabb"), (2, "abcd"), (3, "zzzz"), (4, "aab"), (5, "")],
         "doc_id long, text string")
-    import engine.queries.curation  # noqa: F401 (registers key)
-    from engine.io import load_tables  # noqa: F401
-
-    # drive the kernel directly through the registered builder by
-    # monkey-free means: replicate via mapInPandas path on this df
-    from engine.queries.curation import q_text_entropy  # noqa: F401
-
-    # small inline twin of the kernel math for the fixture:
-    out = {r["doc_id"]: r["ent"] for r in _entropy_on(spark, df).collect()}
+    out = {r["doc_id"]: r["ent"] for r in text_entropy(df).collect()}
     assert out[1] == 1.0
     assert out[2] == 2.0
     assert out[3] == 0.0
     h3 = -(2 / 3) * np.log2(2 / 3) - (1 / 3) * np.log2(1 / 3)
     assert abs(out[4] - np.floor(h3 * 1e4 + 0.5) / 1e4) < 1e-12
-
-
-def _entropy_on(spark, d):
-    """Run the q_text_entropy Arrow kernel on an arbitrary (doc_id,
-    text) frame (the registered key binds the documents table)."""
-    import pandas as pd
-
-    def fn(batches):
-        cols = ["doc_id", "n_chars", "ent"]
-        for pdf in batches:
-            if not len(pdf):
-                yield pd.DataFrame(columns=cols)
-                continue
-            texts = [t.encode("utf-8") for t in pdf["text"]]
-            lens = np.fromiter((len(t) for t in texts), np.int64,
-                               count=len(texts))
-            big = np.frombuffer(b"".join(texts), dtype=np.uint8)
-            rowidx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
-            counts = np.bincount((rowidx << 8) | big,
-                                 minlength=len(texts) * 256).reshape(-1, 256)
-            n = lens.astype(np.float64)
-            clogc = np.where(counts > 0,
-                             counts * np.log2(np.maximum(counts, 1)),
-                             0.0).sum(axis=1)
-            ent = np.log2(n) - clogc / n
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
-                                "n_chars": lens,
-                                "ent": np.floor(ent * 1e4 + 0.5) / 1e4})
-
-    return d.filter(F.length("text") > 0).mapInPandas(
-        fn, "doc_id long, n_chars long, ent double")
+    assert 5 not in out    # empty text dropped, matching the oracle
 
 
 def test_embed_gram_partition_invariant(spark, sf_dir):
@@ -126,38 +90,18 @@ def test_embed_gram_partition_invariant(spark, sf_dir):
     input partitions must give the identical matrix (this is the
     failure mode a per-partition emit without the final groupBy
     would have)."""
+    from engine.queries.vectors import gram_partials
+
     base = QUERIES["q_embed_gram"](spark, sf_dir)
     rows1 = {(r["i"], r["j"]): r["g"] for r in base.collect()}
     assert len(rows1) == 64 * 65 // 2
 
     # same kernel, input scattered over 13 partitions
-    import pandas as pd
-
     e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
          .select("embedding").filter(F.col("embedding").isNotNull())
          .repartition(13))
-
-    def fn(batches):
-        G = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            if G is None:
-                G = np.zeros((X.shape[1], X.shape[1]), dtype=np.int64)
-            for lo in range(0, len(X), 1024):
-                C = X[lo:lo + 1024]
-                P = np.floor(C[:, :, None] * C[:, None, :] * 1e8 + 0.5)
-                G += P.sum(axis=0).astype(np.int64)
-        if G is None:
-            return
-        iu, ju = np.triu_indices(G.shape[0])
-        yield pd.DataFrame({"i": (iu + 1).astype(np.int32),
-                            "j": (ju + 1).astype(np.int32),
-                            "gs": G[iu, ju]})
-
     scattered = (
-        e.mapInPandas(fn, "i int, j int, gs long")
+        gram_partials(e)
         .groupBy("i", "j").agg((F.sum("gs") / F.lit(1e8)).alias("g"))
     )
     rows2 = {(r["i"], r["j"]): r["g"] for r in scattered.collect()}
