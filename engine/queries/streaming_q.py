@@ -658,6 +658,14 @@ def q_stream_sink_idempotent(spark, sf):
         sink = os.path.join(
             tempfile.gettempdir(),
             f"engine_sink_idem_{digest}_{os.getpid()}")
+        # a session-cache miss means THIS session is about to run the
+        # stream from scratch — stale commit dirs from a previous
+        # session (possibly over a regenerated fixture at the same
+        # path) would absorb every new batch and serve old data, so
+        # start from an empty sink. The idempotence under test is the
+        # within-run restart replay below, which the guard still
+        # absorbs.
+        shutil.rmtree(sink, ignore_errors=True)
         os.makedirs(sink, exist_ok=True)
 
         def commit_batch(bdf, bid):

@@ -335,10 +335,19 @@ def q_embed_whiten(spark, sf):
     import numpy as np
     import pandas as pd
 
-    from ..io import table_count
+    from ..io import session_cache
 
     G = _gram_matrix(spark, sf)
-    n = table_count(spark, sf, "embeddings")
+    # normalize by the NON-NULL row count — the Gram excludes NULL
+    # embeddings, so dividing by the raw table count would scale the
+    # output covariance by n_total/n_nonnull instead of 1 (memoized
+    # beside the gram, same index-sized discipline).
+    cache = session_cache(spark, "_engine_vec_cache")
+    nkey = (sf.rstrip("/"), "gram_n")
+    if nkey not in cache:
+        cache[nkey] = (load_tables(spark, sf)["embeddings"]
+                       .filter(F.col("embedding").isNotNull()).count())
+    n = cache[nkey]
     w, V = np.linalg.eigh(G / n)
     w = np.maximum(w, 1e-12)
     flips = np.sign(V[np.abs(V).argmax(axis=0), np.arange(V.shape[1])])
