@@ -287,7 +287,14 @@ def q_embed_pca(spark, sf, k: int = 8):
     otherwise arbitrary), making the output deterministic across
     LAPACK builds. Rows-only check by design; variance-ordering,
     orthonormality, and monotone reconstruction error are pinned in
-    tests/test_ml.py."""
+    tests/test_ml.py.
+
+    Output shape: the projection is posexploded to scalar
+    (vec_id, pos, pval) rows for the driver compare — the repo
+    convention (q_feature_scale, vectors.py:116-117): the driver's
+    canonicalizer cannot factorize list columns, so top-level array
+    columns are banned from registry outputs (pinned in
+    tests/test_contract_meta.py)."""
     import numpy as np
     import pandas as pd
 
@@ -315,7 +322,8 @@ def q_embed_pca(spark, sf, k: int = 8):
                 "proj": [np.floor(row * 1e6 + 0.5) / 1e6 for row in P],
             })
 
-    return e.mapInPandas(fn, "vec_id long, proj array<double>")
+    return (e.mapInPandas(fn, "vec_id long, proj array<double>")
+            .select("vec_id", F.posexplode("proj").alias("pos", "pval")))
 
 
 @query("q_embed_whiten")  # rows-only: eigendecomposition has no SQL oracle
@@ -331,7 +339,11 @@ def q_embed_whiten(spark, sf):
     one broadcast (d, d) literal inside a narrow Arrow map — the
     corpus never shuffles. Near-null directions (lambda/n < 1e-12)
     are clipped rather than exploded. Identity-covariance of the
-    output is pinned in tests/test_ml.py."""
+    output is pinned in tests/test_ml.py.
+
+    Output shape: posexploded to scalar (vec_id, pos, wval) rows for
+    the driver compare (same convention and rationale as
+    q_embed_pca / q_feature_scale — no top-level array columns)."""
     import numpy as np
     import pandas as pd
 
@@ -369,4 +381,5 @@ def q_embed_whiten(spark, sf):
                 "white": [np.floor(row * 1e6 + 0.5) / 1e6 for row in Y],
             })
 
-    return e.mapInPandas(fn, "vec_id long, white array<double>")
+    return (e.mapInPandas(fn, "vec_id long, white array<double>")
+            .select("vec_id", F.posexplode("white").alias("pos", "wval")))

@@ -65,9 +65,13 @@ def test_embed_pca_variance_ordering_and_determinism(spark, sf_dir):
     rows = q_embed_pca(spark, sf_dir).collect()
     n = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
          .filter("embedding IS NOT NULL").count())
-    assert len(rows) == n
-    P = np.stack([np.array(r["proj"]) for r in rows])
-    assert P.shape[1] == 8
+    # scalar (vec_id, pos, pval) rows — the driver-compare shape
+    assert len(rows) == n * 8
+    proj = {}
+    for r in rows:
+        proj.setdefault(r["vec_id"], [0.0] * 8)[r["pos"]] = r["pval"]
+    P = np.stack([np.array(v) for v in proj.values()])
+    assert P.shape == (n, 8)
     var = P.var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1))
 
@@ -82,9 +86,9 @@ def test_embed_pca_variance_ordering_and_determinism(spark, sf_dir):
            for r in spark.read.parquet(
                f"{sf_dir}/embeddings.parquet").collect()
            if r["embedding"] is not None}
-    for r in rows[:25]:
-        want = np.floor(emb[r["vec_id"]] @ comps * 1e6 + 0.5) / 1e6
-        assert np.array_equal(np.array(r["proj"]), want)
+    for vid in list(proj)[:25]:
+        want = np.floor(emb[vid] @ comps * 1e6 + 0.5) / 1e6
+        assert np.array_equal(np.array(proj[vid]), want)
 
 
 def test_embed_whiten_identity_covariance(spark, sf_dir):
@@ -95,7 +99,10 @@ def test_embed_whiten_identity_covariance(spark, sf_dir):
     from engine.queries.vectors import q_embed_whiten
 
     rows = q_embed_whiten(spark, sf_dir).collect()
-    Y = np.stack([np.array(r["white"]) for r in rows])
+    white = {}
+    for r in rows:
+        white.setdefault(r["vec_id"], [0.0] * 64)[r["pos"]] = r["wval"]
+    Y = np.stack([np.array(v) for v in white.values()])
     C = Y.T @ Y / len(Y)
     assert np.abs(np.diag(C) - 1.0).max() < 1e-3
     off = C - np.diag(np.diag(C))

@@ -63,11 +63,22 @@ _HASH_SAFE_TYPES = {"bigint", "int", "smallint", "double", "string", "boolean"}
 def test_output_types_hash_safe(spark, sf_dir, key):
     """Every ORACLE-CHECKED column is a primitive type that Spark and
     DuckDB stringify identically — decimals, timestamps, and nested
-    types never reach the driver's value hash. Rows-only keys (no
-    oracle; the driver only counts rows) may carry arrays — e.g.
-    q_embed_pca's projection vector."""
-    if key not in ORACLE:
-        pytest.skip("rows-only key: never value-hashed")
+    types never reach the driver's value hash. ROWS-ONLY keys are NOT
+    exempt from the shape rule: the driver's rows-only canonicalizer
+    still sorts the frame in pandas, and a top-level array/map/struct
+    column crashes it (``unhashable type: 'list'`` — the r5 failure
+    mode of q_embed_pca/q_embed_whiten). So: oracle keys must be
+    hash-safe primitives; rows-only keys must at minimum be free of
+    nested types (posexplode arrays to scalar rows — the
+    q_feature_scale convention, engine/queries/vectors.py)."""
     df = QUERIES[key](spark, sf_dir)
-    odd = [(c, t) for c, t in df.dtypes if t not in _HASH_SAFE_TYPES]
-    assert not odd, f"{key}: non-primitive output columns {odd}"
+    if key in ORACLE:
+        odd = [(c, t) for c, t in df.dtypes
+               if t not in _HASH_SAFE_TYPES]
+        assert not odd, f"{key}: non-primitive output columns {odd}"
+    else:
+        nested = [(c, t) for c, t in df.dtypes
+                  if t.startswith(("array<", "map<", "struct<"))]
+        assert not nested, (
+            f"{key}: nested output columns crash the driver's "
+            f"rows-only canonicalizer {nested}")
