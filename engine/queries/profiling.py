@@ -71,17 +71,29 @@ def q_profile_columns(spark, sf):
 
     Scale: one scan, no joins. The n exact count(distinct)s expand
     the aggregate n-fold (Spark's Expand node) — the deliberate
-    exactness trade; at 100 TB swap in approx_count_distinct (HLL,
-    q_agg_approx_distinct is the engine's sketch key) or run one
-    column family per pass. Null counts ride the same partial
-    aggregate for free. The result is |columns| rows — driver-sized
-    regardless of data scale."""
+    exactness trade at fixture scale. Null counts ride the same
+    partial aggregate for free. The result is |columns| rows —
+    driver-sized regardless of data scale.
+
+    At-scale twin (the q_quantile_bins twin discipline): with
+    ``spark.engine.profile.approx=true`` the distinct counts come
+    from ``approx_count_distinct`` (HyperLogLog++, rsd=0.01) — ONE
+    mergeable sketch per column in a single partial aggregate, NO
+    Expand node (pinned in tests/test_plans_profiling.py), so at
+    100 TB the profile costs one scan + |columns| sketches instead of
+    an n-fold row expansion. Null counts and min/max are identical in
+    both modes; the approx distincts are within the HLL rsd bound of
+    exact (equality-within-bound pinned in the same test file)."""
     li = load_tables(spark, sf)["lineitem"]
+    approx = (str(spark.conf.get(
+        "spark.engine.profile.approx", "false")).lower() == "true")
     aggs = []
     for c in _PROF_NUM + _PROF_CAT:
+        nd = (F.approx_count_distinct(c, rsd=0.01) if approx
+              else F.countDistinct(c))
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
+            nd.alias(f"nd_{c}"),
         ]
     for c in _PROF_NUM:
         aggs += [rnd(F.min(c), 4).alias(f"mn_{c}"),

@@ -20,6 +20,35 @@ def test_profile_columns_single_scan_no_join(spark, sf_dir):
     assert "Expand" in plan, plan  # the multi-distinct expansion
 
 
+def test_profile_columns_approx_twin_no_expand(spark, sf_dir):
+    """The at-scale twin replaces the n-fold Expand with per-column
+    HLL sketches: same single scan, no join, NO Expand node — and its
+    distinct counts land within the rsd=0.01 HLL bound of the exact
+    profile while every other metric is bit-identical."""
+    from engine.registry import QUERIES
+
+    exact = {r["col_name"]: r for r in
+             QUERIES["q_profile_columns"](spark, sf_dir).collect()}
+    spark.conf.set("spark.engine.profile.approx", "true")
+    try:
+        plan = final_plan(spark, "q_profile_columns", sf_dir)
+        assert "Join" not in plan, plan
+        assert "Expand" not in plan, plan  # the point of the twin
+        rows = QUERIES["q_profile_columns"](spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.engine.profile.approx", "false")
+    assert set(r["col_name"] for r in rows) == set(exact)
+    for r in rows:
+        e = exact[r["col_name"]]
+        assert r["n_null"] == e["n_null"]
+        assert r["min_val"] == e["min_val"]
+        assert r["max_val"] == e["max_val"]
+        # HLL++ rsd=0.01: allow 5 sigma plus slack for tiny counts
+        tol = max(3, 0.05 * e["n_distinct"])
+        assert abs(r["n_distinct"] - e["n_distinct"]) <= tol, (
+            r["col_name"], r["n_distinct"], e["n_distinct"])
+
+
 def test_dq_audit_orphan_check_is_broadcast_anti(spark, sf_dir):
     plan = final_plan(spark, "q_dq_audit", sf_dir)
     assert "LeftAnti" in plan, plan
