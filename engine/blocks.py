@@ -68,11 +68,19 @@ def merge_axis_weights(b: int, grid: int, bs: int, o: int) -> np.ndarray:
     return np.minimum(lw, rw)
 
 
-def weight_blocks(df: DataFrame, blocksize, overlap, grid) -> DataFrame:
+def weight_blocks(df: DataFrame, blocksize, overlap, grid,
+                  ncomp: int = 1) -> DataFrame:
     """R1: multiply every chunk-with-halo tile by its separable
-    trapezoid weight (map_blocks analogue — narrow, no shuffle)."""
+    trapezoid weight (map_blocks analogue — narrow, no shuffle).
+
+    ``ncomp > 1`` handles the reference's vector-field tiles
+    (stitch.py:100-102 promotes a trailing length-3 axis; the weight
+    broadcasts over it, stitch.py:42-46): payloads are C-order
+    (ext0, ext1, ext2, ncomp) float64, the 3-D weight applies
+    identically to every component."""
     bs, o, g = tuple(blocksize), tuple(overlap), tuple(grid)
     ext = tuple(bs[a] + 2 * o[a] for a in range(3))
+    tail = (ncomp,) if ncomp > 1 else ()
 
     def fn(batches):
         # The trapezoid depends on a block index only through "is this
@@ -91,8 +99,11 @@ def weight_blocks(df: DataFrame, blocksize, overlap, grid) -> DataFrame:
                         * axis_weights(row.by, g[1], bs[1], o[1])[None, :, None]
                         * axis_weights(row.bz, g[2], bs[2], o[2])[None, None, :]
                     )
+                    if tail:  # broadcast over the component axis
+                        w = w[..., None]
                     cache[key] = w
-                arr = np.frombuffer(row.data, dtype=np.float64).reshape(ext)
+                arr = np.frombuffer(row.data, dtype=np.float64).reshape(
+                    ext + tail)
                 out.append((row.bx, row.by, row.bz,
                             (arr * cache[key]).tobytes()))
             yield pd.DataFrame(out, columns=["bx", "by", "bz", "data"])
@@ -101,7 +112,7 @@ def weight_blocks(df: DataFrame, blocksize, overlap, grid) -> DataFrame:
 
 
 def merge_overlaps(df: DataFrame, blocksize, overlap, grid,
-                   pre=None) -> DataFrame:
+                   pre=None, ncomp: int = 1) -> DataFrame:
     """R2: halo-sum via keyed fragments + one shuffle + reassembly
     (map_overlap analogue, reference stitch.py:49-91,113-121).
 
@@ -110,16 +121,24 @@ def merge_overlaps(df: DataFrame, blocksize, overlap, grid,
     trapezoid weighting here so weight+emit run as ONE Python/Arrow
     crossing — a separate weighting mapInPandas would move every tile
     JVM→Python→JVM an extra round trip (measured ~15% of the 128³
-    block-path wall time)."""
+    block-path wall time).
+
+    ``ncomp > 1`` (vector-field tiles, reference stitch.py:100-102):
+    the slab slicing is purely spatial — the trailing component axis
+    rides inside every fragment payload untouched, and the reassembly
+    accumulator grows a trailing axis. Fragment (sx, sy, sz) stay the
+    spatial shape; payload bytes are sx*sy*sz*ncomp doubles."""
     bs, o, g = tuple(blocksize), tuple(overlap), tuple(grid)
     ext = tuple(bs[a] + 2 * o[a] for a in range(3))
+    tail = (ncomp,) if ncomp > 1 else ()
 
     def emit(batches):
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 b = (row.bx, row.by, row.bz)
-                arr = np.frombuffer(row.data, dtype=np.float64).reshape(ext)
+                arr = np.frombuffer(row.data, dtype=np.float64).reshape(
+                    ext + tail)
                 if pre is not None:
                     arr = pre(arr, b)
                 for d in product((-1, 0, 1), repeat=3):
@@ -150,11 +169,12 @@ def merge_overlaps(df: DataFrame, blocksize, overlap, grid,
     frags = df.mapInPandas(emit, FRAG_SCHEMA)
 
     def assemble(key, pdf):
-        acc = np.zeros(bs, dtype=np.float64)
+        acc = np.zeros(bs + tail, dtype=np.float64)
         for row in pdf.itertuples(index=False):
             shp = (row.sx, row.sy, row.sz)
             sl = tuple(slice(p, p + s) for p, s in zip((row.px, row.py, row.pz), shp))
-            acc[sl] += np.frombuffer(row.payload, dtype=np.float64).reshape(shp)
+            acc[sl] += np.frombuffer(row.payload, dtype=np.float64).reshape(
+                shp + tail)
         return pd.DataFrame(
             [(key[0], key[1], key[2], acc.tobytes())],
             columns=["bx", "by", "bz", "data"])
@@ -162,12 +182,19 @@ def merge_overlaps(df: DataFrame, blocksize, overlap, grid,
     return frags.groupBy("tbx", "tby", "tbz").applyInPandas(assemble, BLOCK_SCHEMA)
 
 
-def stitch_blocks(df: DataFrame, blocksize, overlap, grid) -> DataFrame:
+def stitch_blocks(df: DataFrame, blocksize, overlap, grid,
+                  ncomp: int = 1) -> DataFrame:
     """R3 (reference stitch.py:94-121): weight ∘ halo-merge, fused so
     the weighting runs inside the fragment-emit Python pass (one Arrow
     crossing for the tile data, not two). Input tiles have
     chunk-with-halo extent blocksize+2·overlap (the sizing contract of
-    SURVEY.md §3.3); output blocks have extent blocksize."""
+    SURVEY.md §3.3); output blocks have extent blocksize.
+
+    ``ncomp=3`` is the reference's primary use case (README.md:2 —
+    blending per-tile registration/displacement fields; stitch.py:
+    100-102 promotes the trailing length-3 axis): the scalar trapezoid
+    weights every component identically and the halo sum carries the
+    component axis through the fragment shuffle."""
     bs, o, g = tuple(blocksize), tuple(overlap), tuple(grid)
     cache: dict[tuple, np.ndarray] = {}
 
@@ -175,14 +202,15 @@ def stitch_blocks(df: DataFrame, blocksize, overlap, grid) -> DataFrame:
         # same boundary-class cache as weight_blocks (≤27 entries)
         key = tuple((b[a] == 0, b[a] == g[a] - 1) for a in range(3))
         if key not in cache:
-            cache[key] = (
+            w = (
                 axis_weights(b[0], g[0], bs[0], o[0])[:, None, None]
                 * axis_weights(b[1], g[1], bs[1], o[1])[None, :, None]
                 * axis_weights(b[2], g[2], bs[2], o[2])[None, None, :]
             )
+            cache[key] = w[..., None] if ncomp > 1 else w
         return arr * cache[key]
 
-    return merge_overlaps(df, bs, o, g, pre=weight)
+    return merge_overlaps(df, bs, o, g, pre=weight, ncomp=ncomp)
 
 
 def local_affines_to_field(

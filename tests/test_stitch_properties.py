@@ -92,6 +92,74 @@ def test_stitch_roundtrip(roundtrip):
     assert np.abs(arr - rebuilt).max() < 1e-12
 
 
+def _tiles_from_field(field, grid, bs, o):
+    """Vector-field variant of _tiles_from_array: pad the three
+    spatial axes only — the trailing component axis is never padded
+    or sliced (reference stitch.py:100-102 promotes blocksize/overlap
+    with a zero-overlap trailing entry for exactly this reason)."""
+    padded = np.pad(field, [(oo, oo) for oo in o] + [(0, 0)])
+    tiles = {}
+    for bx in range(grid[0]):
+        for by in range(grid[1]):
+            for bz in range(grid[2]):
+                sl = tuple(
+                    slice(b * s, b * s + s + 2 * oo)
+                    for b, s, oo in zip((bx, by, bz), bs, o))
+                tiles[(bx, by, bz)] = padded[sl]
+    return tiles
+
+
+def test_stitch_roundtrip_vector_field(spark):
+    """SURVEY §5.2-2 for the reference's PRIMARY use case (README.md:2
+    — blending per-tile displacement fields; stitch.py:100-102):
+    a random (X, Y, Z, 3) vector field cut into chunk-with-halo tiles
+    round-trips through the ncomp=3 block path exactly, and each
+    component equals its own independent scalar stitch (the weight is
+    purely spatial, so components never mix)."""
+    rng = np.random.default_rng(7)
+    grid, bs, o = (2, 2, 1), (6, 4, 6), (2, 1, 2)
+    shape = tuple(g * b for g, b in zip(grid, bs))
+    field = rng.normal(size=shape + (3,))
+    df = make_tiles(spark, _tiles_from_field(field, grid, bs, o))
+    rebuilt = np.zeros(shape + (3,))
+    for row in stitch_blocks(df, bs, o, grid, ncomp=3).collect():
+        sl = tuple(slice(b * s, (b + 1) * s)
+                   for b, s in zip((row.bx, row.by, row.bz), bs))
+        rebuilt[sl] = np.frombuffer(
+            row.data, dtype=np.float64).reshape(bs + (3,))
+    assert np.abs(field - rebuilt).max() < 1e-12
+
+    # component independence: ncomp=3 ≡ three scalar stitches
+    c = 1
+    dfc = make_tiles(
+        spark, _tiles_from_array(field[..., c], grid, bs, o))
+    scalar = np.zeros(shape)
+    for row in stitch_blocks(dfc, bs, o, grid).collect():
+        sl = tuple(slice(b * s, (b + 1) * s)
+                   for b, s in zip((row.bx, row.by, row.bz), bs))
+        scalar[sl] = np.frombuffer(row.data, dtype=np.float64).reshape(bs)
+    assert np.abs(rebuilt[..., c] - scalar).max() < 1e-12
+
+
+def test_weight_blocks_vector_broadcasts_spatial_weight(spark):
+    """weight_blocks(ncomp=3) multiplies every component by the SAME
+    spatial trapezoid — pinned against the scalar kernel."""
+    from engine.blocks import weight_blocks
+
+    grid, bs, o = (2, 1, 1), (4, 4, 4), (1, 1, 1)
+    rng = np.random.default_rng(3)
+    ext = tuple(b + 2 * oo for b, oo in zip(bs, o))
+    tiles = {(bx, 0, 0): rng.normal(size=ext + (3,)) for bx in range(2)}
+    df = make_tiles(spark, tiles)
+    for row in weight_blocks(df, bs, o, grid, ncomp=3).collect():
+        got = np.frombuffer(row.data, dtype=np.float64).reshape(ext + (3,))
+        w = (axis_weights(row.bx, 2, 4, 1)[:, None, None]
+             * axis_weights(0, 1, 4, 1)[None, :, None]
+             * axis_weights(0, 1, 4, 1)[None, None, :])
+        want = tiles[(row.bx, 0, 0)] * w[..., None]
+        assert np.abs(got - want).max() < 1e-12
+
+
 def test_stitch_constant_invariance(spark):
     grid, bs, o = (2, 1, 1), (4, 4, 4), (1, 1, 1)
     tiles = _tiles_from_array(
