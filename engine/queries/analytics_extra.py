@@ -147,11 +147,21 @@ def _exact_quantiles_distributed(li, col: str, probs):
     codegen partial+final agg, shuffle = |distinct| rows; (2) range-
     repartition the distinct frame and take a per-range prefix sum
     (parallel windows keyed by partition id — never a single-
-    partition window); (3) per-range totals (an index-sized collect)
-    convert local prefixes to absolute ranks; (4) one bracketing
-    filter fetches only the <= 2*|probs| rows that straddle the
-    target ranks. Interpolation at rank (n-1)p runs on the driver
-    over those few rows — the same math as SQL percentile_cont."""
+    partition window); (3) per-range totals become running offsets
+    INSIDE the bracket job (broadcast-joined back on pid), so local
+    prefixes and absolute ranks are derived from ONE materialization;
+    (4) one bracketing filter fetches only the <= 2*|probs| rows that
+    straddle the target ranks. Interpolation at rank (n-1)p runs on
+    the driver over those few rows — the same math as SQL
+    percentile_cont.
+
+    Consistency: repartitionByRange samples its boundaries at
+    execution time, so two separate jobs over the frame could observe
+    DIFFERENT pid layouts if the shuffle is ever recomputed (executor
+    loss). The only value crossing jobs here is the total count n —
+    partition-layout-invariant — while the pid-dependent offsets are
+    computed in the same job (same shuffle materialization) as the
+    rows they offset."""
     import math
 
     from pyspark.sql import Window
@@ -167,20 +177,11 @@ def _exact_quantiles_distributed(li, col: str, probs):
     w = Window.partitionBy("pid").orderBy("v")
     Dc = Dp.withColumn("cum_in", F.sum("c").over(w)).persist()
     try:
-        tot = {r["pid"]: r["t"] for r in
-               Dc.groupBy("pid").agg(F.max("cum_in").alias("t")).collect()}
-        n = sum(tot.values())
-        if n == 0:
+        # job 1: total count only — invariant under any partitioning
+        n = Dc.agg(F.sum("c")).collect()[0][0]
+        if not n:
             raise ValueError(
                 f"exact quantiles of empty/all-NULL column {col!r}")
-        offs, acc = {}, 0
-        for pid in sorted(tot):          # range order == pid order
-            offs[pid] = acc
-            acc += tot[pid]
-        # tot is non-empty past the n==0 raise (every group count >= 1)
-        off_arr = F.array(*[F.lit(offs.get(p, 0))
-                            for p in range(max(tot) + 1)])
-        abs_cum = F.col("cum_in") + F.element_at(off_arr, F.col("pid") + 1)
 
         pts, ranks = [], set()
         for p in probs:
@@ -189,12 +190,24 @@ def _exact_quantiles_distributed(li, col: str, probs):
             hi = min(lo + 1, n - 1)
             pts.append((pos, lo, hi))
             ranks.update((lo, hi))
+
+        # pid -> running offset, derived in the SAME job as the
+        # bracket fetch. The unpartitioned window is index-sized
+        # (<= 32 per-range totals), never data-sized.
+        tot = Dc.groupBy("pid").agg(F.max("cum_in").alias("t"))
+        wo = (Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1))
+        offs = tot.select(
+            "pid",
+            F.coalesce(F.sum("t").over(wo), F.lit(0)).alias("off"))
+        abs_cum = F.col("cum_in") + F.col("off")
         cond = None
         for r in sorted(ranks):
             c = ((abs_cum - F.col("c") <= F.lit(r))
                  & (F.lit(r) < abs_cum))
             cond = c if cond is None else (cond | c)
-        rows = (Dc.withColumn("ac", abs_cum).filter(cond)
+        rows = (Dc.join(F.broadcast(offs), "pid")
+                .withColumn("ac", abs_cum).filter(cond)
                 .select("v", (F.col("ac") - F.col("c")).alias("cp"), "ac")
                 .collect())
     finally:

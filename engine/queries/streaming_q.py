@@ -668,6 +668,8 @@ def q_stream_sink_idempotent(spark, sf):
         shutil.rmtree(sink, ignore_errors=True)
         os.makedirs(sink, exist_ok=True)
 
+        committed = []                   # dirs actually written per run
+
         def commit_batch(bdf, bid):
             dst = os.path.join(sink, f"batch_id={bid}")
             if os.path.exists(dst):      # replayed batch: absorbed
@@ -678,8 +680,10 @@ def q_stream_sink_idempotent(spark, sf):
             (bdf.select("event_id", "event_type", "value")
              .write.mode("overwrite").parquet(staging))
             os.rename(staging, dst)      # atomic commit
+            committed.append(dst)
 
-        for _attempt in (1, 2):          # run, then restart-replay
+        for attempt in (1, 2):           # run, then restart-replay
+            committed.clear()
             events = _with_event_time(
                 spark.readStream.schema(
                     event_stream_schema(spark, src)).parquet(src))
@@ -687,6 +691,22 @@ def q_stream_sink_idempotent(spark, sf):
                  .outputMode("append").start())
             q.processAllAvailable()
             q.stop()
+            if attempt == 1:
+                # the replay-absorption model assumes both runs split
+                # the source into IDENTICAL batch ids; that holds
+                # because the file source drains all staged files in
+                # one batch. Fail loudly the day the staging or
+                # trigger config changes that, instead of silently
+                # duplicating/dropping data past the guard.
+                assert len(committed) == 1, (
+                    f"sink_idem expected exactly one micro-batch, "
+                    f"got {len(committed)}: replay ids no longer "
+                    f"guaranteed to match")
+            else:
+                # the guard must absorb EVERY replayed batch
+                assert not committed, (
+                    f"restart replay leaked past the idempotence "
+                    f"guard: {committed}")
         per_session[key] = sink
     df = spark.read.parquet(per_session[key])
     return (

@@ -337,3 +337,31 @@ def test_stream_sink_idempotent_replay_absorbed(spark, sf_dir):
     n_sink = spark.read.parquet(sink).count()
     n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n_sink == n_src
+
+
+def test_fixture_has_no_exact_300s_session_gaps():
+    """q_stream_interval_union's session_window is half-open (a gap of
+    EXACTLY 300s starts a new session) while its batch oracle merges
+    at s == prev_f — safe only while no consecutive per-user event
+    pair is exactly 300s apart. Pin that fixture property at every
+    committed scale so a regenerated fixture fails HERE, not in the
+    driver's correctness window (ADVICE r5)."""
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(p):
+            continue
+        n = duckdb.sql(f"""
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS gap_us
+              FROM '{p}')
+            SELECT count(*) FROM g WHERE gap_us = 300 * 1000000
+        """).fetchone()[0]
+        assert n == 0, (
+            f"{sf}: {n} exact-300s consecutive gaps — the "
+            f"session_window/oracle boundary convention now diverges")
