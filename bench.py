@@ -90,6 +90,8 @@ HEADLINE = [
     "q_embed_pca",
     "q_time_travel",
     "q_agg_mode",
+    # round-6 additions: grouped sketch top-k
+    "q_group_topk_sketch",
 ]
 
 

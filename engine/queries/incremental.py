@@ -199,6 +199,113 @@ def heavy_hitters(words, thr: int):
     )
 
 
+_GT_K = 5  # ranks returned per group by q_group_topk_sketch
+
+
+def grouped_mg_summary(pairs):
+    """Per-partition, PER-GROUP Misra-Gries summaries over Arrow
+    batches of (grp, item): one K=256 counter table per group seen in
+    the partition, batch counting vectorized through a single
+    composite-key value_counts (grp + unit-sep + item), the same
+    lazy-clip rule as :func:`mg_summary` applied per group. Emits
+    candidate rows (grp, item, 0) plus one (grp, NULL, n_gp) total
+    row per group — candidates AND group sizes from one scan."""
+    import heapq
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def clip(c: Counter) -> Counter:
+        cv = heapq.nlargest(_MG_K + 1, c.values())[-1]
+        return Counter({w: n - cv for w, n in c.items() if n > cv})
+
+    def mg(batches):
+        counters: dict[str, Counter] = {}
+        seen: Counter = Counter()
+        for rb in batches:
+            grp, item = rb.column(0), rb.column(1)
+            vc = pc.value_counts(
+                pc.binary_join_element_wise(grp, item, "\x1f"))
+            for key, n in zip(vc.field("values").to_pylist(),
+                              (v.as_py() for v in vc.field("counts"))):
+                g, w = key.split("\x1f", 1)
+                seen[g] += n
+                c = counters.setdefault(g, Counter())
+                c[w] += n
+                if len(c) > _MG_LIMIT:
+                    counters[g] = clip(c)
+        gs, items, ns = [], [], []
+        for g, c in counters.items():
+            if len(c) > _MG_K:
+                c = clip(c)
+            for w in c:
+                gs.append(g)
+                items.append(w)
+                ns.append(0)
+            gs.append(g)
+            items.append(None)
+            ns.append(seen[g])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(gs, type=pa.string()),
+             pa.array(items, type=pa.string()),
+             pa.array(ns, type=pa.int64())], ["grp", "item", "n"])
+
+    return pairs.mapInArrow(mg, "grp string, item string, n long")
+
+
+@query("q_group_topk_sketch", oracle=f"""
+WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word),
+r AS (SELECT lang, word, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, word) AS rn
+      FROM c)
+SELECT lang, word, cnt, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= {_GT_K}
+""")
+def q_group_topk_sketch(spark, sf):
+    """EXACT top-k most frequent words PER GROUP without shuffling
+    the tail vocabulary — the grouped sibling of q_heavy_hitters and
+    the per-domain/per-language token-frequency shape of corpus
+    curation.
+
+    Pass 1 (:func:`grouped_mg_summary`) keeps one mergeable
+    Misra-Gries table per (partition, lang): by the same pigeonhole
+    as the global key, any word with group-global count ≥
+    n_g//(K+1)+1 survives in at least one partition, so the union of
+    per-partition candidates is a superset of every group's true
+    top-k whenever the k-th count clears that bound — a certificate
+    pinned at every committed fixture scale in tests/test_incremental
+    (K=256 leaves 3-9× margin, measured). Pass 2 exact-counts ONLY
+    the broadcast candidates and ranks with a deterministic
+    (cnt DESC, word ASC) row_number whose window input is
+    candidate-sized (≤ partitions×groups×K rows), never
+    vocabulary-sized.
+
+    At 100 TB: the shuffle after pass 1 carries ≤ K rows per
+    (partition, group); billions of hapaxes never leave their
+    partition. A naive groupBy(lang, word) + window ranks the ENTIRE
+    vocabulary through a shuffle and a sort — this plan ranks only
+    provable candidates, exactly."""
+    d = load_tables(spark, sf)["documents"]
+    words = d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    summary = grouped_mg_summary(words)
+    cand = (summary.filter(F.col("item").isNotNull())
+            .select(F.col("grp").alias("lang"),
+                    F.col("item").alias("word")).distinct())
+    exact = (
+        words.join(F.broadcast(cand), ["lang", "word"])
+        .groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word")))
+    return (exact.withColumn("rank", rn)
+            .filter(F.col("rank") <= _GT_K)
+            .select("lang", "word", "cnt", "rank"))
+
+
 _US_H = 3_600_000_000
 
 
