@@ -51,3 +51,30 @@ def test_lsh_scores_match_exact_on_shared_pairs(spark, sf_dir):
     assert shared, "no shared pairs — recall collapsed"
     for p in shared:
         assert abs(exact[p] - lsh[p]) <= 1e-4, (p, exact[p], lsh[p])
+
+
+def test_ivf_codebook_persisted_and_reused(spark, sf_dir):
+    """The coarse codebook is a written artifact: first query trains
+    and publishes it; a later query (fresh session-cache, i.e. a
+    restarted service) READS it back — identical results, artifact
+    untouched, no retrain."""
+    import os
+
+    from engine.io import session_cache
+    from engine.queries.llm import ivf_codebook_path
+    from engine.registry import QUERIES, load_all
+
+    load_all()
+    first = sorted(tuple(r) for r in
+                   QUERIES["q_sim_ivf_topk"](spark, sf_dir).collect())
+    path = ivf_codebook_path(sf_dir)
+    assert os.path.isdir(path)
+    assert not os.path.exists(path + ".inprogress")
+    mtime = os.stat(path).st_mtime_ns
+
+    # simulate a fresh session: drop the in-memory codebook cache
+    session_cache(spark, "_engine_ivf_cache").clear()
+    again = sorted(tuple(r) for r in
+                   QUERIES["q_sim_ivf_topk"](spark, sf_dir).collect())
+    assert again == first
+    assert os.stat(path).st_mtime_ns == mtime  # served, not retrained
