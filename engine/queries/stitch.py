@@ -289,6 +289,77 @@ def q_stitch_3d_blocks(spark, sf):
     return out.select("x", "y", "z", rnd(F.col("v"), 6).alias("stitched"))
 
 
+# per-component generating functions of the vector-field fixture:
+# three cyclic rotations of the scalar B2 function, so every
+# component has a distinct value at every voxel (component mixing
+# could never cancel out silently)
+_V3D_C = (
+    "CASE c WHEN 0 THEN (x + 1) * 1e0 + (y + 1) * 0.1e0 + (z + 1) * 0.01e0 "
+    "WHEN 1 THEN (x + 1) * 0.01e0 + (y + 1) * 1e0 + (z + 1) * 0.1e0 "
+    "ELSE (x + 1) * 0.1e0 + (y + 1) * 0.01e0 + (z + 1) * 1e0 END")
+
+
+@query("q_stitch_3d_vec_blocks", oracle=f"""
+WITH t AS (
+    SELECT bx * 8 + ix - 2 AS x, by * 8 + iy - 2 AS y, bz * 8 + iz - 2 AS z,
+           c,
+           ({w1d_sql('bx', 'ix', 2, 8, 2)})
+         * ({w1d_sql('by', 'iy', 2, 8, 2)})
+         * ({w1d_sql('bz', 'iz', 2, 8, 2)}) AS w
+    FROM generate_series(0, 1) AS t1(bx), generate_series(0, 1) AS t2(by),
+         generate_series(0, 1) AS t3(bz), generate_series(0, 11) AS t4(ix),
+         generate_series(0, 11) AS t5(iy), generate_series(0, 11) AS t6(iz),
+         generate_series(0, 2) AS t7(c)),
+v AS (SELECT x, y, z, c, w,
+             CASE WHEN x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15
+                       AND z BETWEEN 0 AND 15
+                  THEN {_V3D_C} ELSE 0e0 END AS v
+      FROM t)
+SELECT x, y, z, CAST(c AS INT) AS c, {sql_rnd('sum(w * v)', 6)} AS stitched
+FROM v
+WHERE x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15 AND z BETWEEN 0 AND 15
+GROUP BY x, y, z, c
+""")
+def q_stitch_3d_vec_blocks(spark, sf):
+    """R3 over a 3-VECTOR field through the Arrow block path — the
+    reference's PRIMARY use case (README.md:2: blending per-tile
+    registration/displacement fields; stitch.py:100-102 promotes the
+    trailing length-3 axis, stitch.py:42-46 broadcasts the scalar
+    weight over it). Same B2 geometry as q_stitch_3d_blocks but each
+    tile payload is (12, 12, 12, 3): the three components are cyclic
+    rotations of the scalar fixture function, so the oracle verifies
+    per-component values at every voxel — any component mixing or
+    axis transposition in the ncomp plumbing hash-fails. The halo
+    shuffle carries 3× the scalar payload bytes in the SAME number of
+    fragments (slab slicing is purely spatial)."""
+    import numpy as np
+
+    from ..blocks import field_to_voxels, make_tiles, stitch_blocks
+
+    bs, o, g = (8, 8, 8), (2, 2, 2), (2, 2, 2)
+    tiles = {}
+    for b in ((bx, by, bz) for bx in range(2) for by in range(2)
+              for bz in range(2)):
+        ax = [np.arange(b[a] * 8 - 2, b[a] * 8 + 10, dtype=np.float64)
+              for a in range(3)]
+        gx, gy, gz = np.meshgrid(*ax, indexing="ij")
+        # same float64 op order as the SQL fixture expression _V3D_C
+        comps = [
+            (gx + 1) * 1.0 + (gy + 1) * 0.1 + (gz + 1) * 0.01,
+            (gx + 1) * 0.01 + (gy + 1) * 1.0 + (gz + 1) * 0.1,
+            (gx + 1) * 0.1 + (gy + 1) * 0.01 + (gz + 1) * 1.0,
+        ]
+        inside = ((gx >= 0) & (gx <= 15) & (gy >= 0) & (gy <= 15)
+                  & (gz >= 0) & (gz <= 15))
+        tiles[b] = np.stack(
+            [np.where(inside, v, 0.0) for v in comps], axis=-1)
+    df = make_tiles(spark, tiles)
+    out = field_to_voxels(stitch_blocks(df, bs, o, g, ncomp=3),
+                          bs, ncomp=3)
+    return out.select("x", "y", "z", "c",
+                      rnd(F.col("v"), 6).alias("stitched"))
+
+
 # ---------------------------------------------------------------- halo shuffle
 
 @query("q_halo_sum", oracle="""
