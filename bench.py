@@ -90,8 +90,11 @@ HEADLINE = [
     "q_embed_pca",
     "q_time_travel",
     "q_agg_mode",
-    # round-6 additions: grouped sketch top-k
+    # round-6 additions: grouped sketch top-k, vector-field block
+    # stitch, tokenizer-coverage gate
     "q_group_topk_sketch",
+    "q_stitch_3d_vec_blocks",
+    "q_vocab_coverage",
 ]
 
 

@@ -560,3 +560,63 @@ def text_entropy(d: DataFrame) -> DataFrame:
             })
 
     return d.mapInPandas(fn, "doc_id long, n_chars long, ent double")
+
+
+_VOCAB_V = 16  # fitted vocabulary size for q_vocab_coverage
+
+
+@query("q_vocab_coverage", oracle=f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE length(text) > 0),
+v AS (SELECT word FROM (
+        SELECT word, row_number() OVER (ORDER BY count(*) DESC, word)
+               AS rn
+        FROM w GROUP BY word) WHERE rn <= {_VOCAB_V}),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE length(text) > 0),
+a AS (SELECT doc_id, count(*) AS n_tokens,
+             count(*) FILTER (tok NOT IN (SELECT word FROM v))
+                 AS n_oov
+      FROM t GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_oov,
+       floor(CAST(n_oov AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000
+           AS oov_ratio
+FROM a
+""")
+def q_vocab_coverage(spark, sf):
+    """Tokenizer-vocabulary coverage gate: fit the top-V corpus
+    vocabulary once (count DESC, word ASC — fully deterministic),
+    then score every document's out-of-vocabulary token ratio — the
+    "will the tokenizer shred this document into unknowns" filter a
+    training pipeline runs before paying for tokenization proper.
+
+    Scale (the q_quantile_bins fit/apply discipline): the FIT is one
+    token-count aggregate (map-side combine; the shuffle carries
+    per-partition word partials, vocabulary-sized not corpus-sized)
+    plus an index-sized collect of V rows, memoized per (session,
+    sf). The APPLY re-enters the plan as a LITERAL array — a
+    zero-shuffle, fully-codegen narrow map: n_oov =
+    size(filter(split(text), t -> !array_contains(vocab, t))). At
+    100 TB a real 50k-token vocab rides a broadcast variable instead
+    of a literal — same plan shape, no join either way."""
+    li = load_tables(spark, sf)["documents"].filter(F.length("text") > 0)
+    cache = session_cache(spark, "_engine_vocab_cache")
+    ckey = (sf.rstrip("/"), _VOCAB_V)
+    if ckey not in cache:
+        cache[ckey] = [
+            r["word"] for r in
+            li.select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("word")).limit(_VOCAB_V)
+            .collect()
+        ]
+    vocab = F.array(*[F.lit(w) for w in cache[ckey]])
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("long")
+    n_oov = F.size(F.filter(
+        toks, lambda t: ~F.array_contains(vocab, t))).cast("long")
+    return li.select(
+        "doc_id", n_tok.alias("n_tokens"), n_oov.alias("n_oov"),
+        (F.floor(n_oov.cast("double") / n_tok * 10000 + F.lit(0.5))
+         / 10000).alias("oov_ratio"),
+    )

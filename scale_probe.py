@@ -36,8 +36,9 @@ DOC_KEYS = [
     "q_multimodal_frames", "q_multimodal_resize",
     # round-5 build phase: entropy kernel + Gram partials + PCA
     "q_text_entropy", "q_embed_gram", "q_embed_pca",
-    # round-6: grouped sketch top-k (candidate-bounded shuffle)
-    "q_group_topk_sketch",
+    # round-6: grouped sketch top-k (candidate-bounded shuffle),
+    # tokenizer-coverage gate (fit-once literal apply)
+    "q_group_topk_sketch", "q_vocab_coverage",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

@@ -82,3 +82,12 @@ def test_histogram_partial_final(spark, sf_dir):
     plan = final_plan(spark, "q_histogram", sf_dir)
     assert plan.count("HashAggregate") >= 2, plan
     assert n_shuffles(plan) == 1, plan
+
+
+def test_vocab_coverage_apply_is_zero_shuffle(spark, sf_dir):
+    # fit folded in as a literal array: the returned transform plan is
+    # scan -> codegen project/filter, no exchange, no join, no Python
+    plan = final_plan(spark, "q_vocab_coverage", sf_dir)
+    assert n_shuffles(plan) == 0, plan
+    assert "Join" not in plan, plan
+    assert "InMemoryTableScan" in plan or "Scan parquet" in plan, plan
