@@ -91,10 +91,11 @@ HEADLINE = [
     "q_time_travel",
     "q_agg_mode",
     # round-6 additions: grouped sketch top-k, vector-field block
-    # stitch, tokenizer-coverage gate
+    # stitch, tokenizer-coverage gate, incremental corpus dedup
     "q_group_topk_sketch",
     "q_stitch_3d_vec_blocks",
     "q_vocab_coverage",
+    "q_dedup_incremental",
 ]
 
 

@@ -1202,3 +1202,51 @@ def q_fuzzy_match(spark, sf):
         .where(d3 >= 0)
         .select("probe", "c_custkey", "c_name", d3.alias("dist"))
     )
+
+
+@query("q_dedup_incremental", oracle="""
+WITH base AS (
+  SELECT md5(text) AS h, min(doc_id) AS first_doc
+  FROM documents WHERE doc_id % 10 <> 0 GROUP BY md5(text)),
+delta AS (
+  SELECT doc_id, md5(text) AS h
+  FROM documents WHERE doc_id % 10 = 0),
+hit AS (SELECT d.doc_id, d.h, b.first_doc
+        FROM delta d LEFT JOIN base b USING (h))
+SELECT doc_id, h,
+       first_doc IS NOT NULL AS is_dup,
+       coalesce(first_doc, -1) AS dup_of
+FROM hit
+""")
+def q_dedup_incremental(spark, sf):
+    """Incremental corpus dedup — the PRODUCTION dedup shape: a new
+    document batch (the delta) is checked against the EXISTING
+    corpus's content-hash index instead of re-deduplicating the whole
+    corpus. Each delta doc is marked duplicate-of-first-seen or
+    novel; the novel hashes are exactly what a real pipeline appends
+    back to the index (the q_incr_agg O(Δ) discipline applied to
+    dedup).
+
+    Scale: the base side reduces to its (hash, first_doc) index
+    BEFORE the join — the join input is |distinct base hashes|, and
+    the join key is the md5 itself, so both sides co-partition on it
+    with map-side-combined partials; the full base TEXT never
+    shuffles, and at 100 TB the index is a maintained table (the
+    persisted-artifact shape of the IVF codebook) rather than
+    recomputed. Delta-vs-index is a hash-equi LEFT join — AQE
+    broadcasts it whenever a day's delta index fits, and falls back
+    to shuffle cleanly when it doesn't."""
+    d = load_tables(spark, sf)["documents"]
+    h = F.md5(F.col("text").cast("binary")).alias("h")
+    base = (d.filter(F.col("doc_id") % 10 != 0)
+            .select(h, "doc_id")
+            .groupBy("h").agg(F.min("doc_id").alias("first_doc")))
+    delta = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", h)
+    return (
+        delta.join(base, "h", "left")
+        .select(
+            "doc_id", "h",
+            F.col("first_doc").isNotNull().alias("is_dup"),
+            F.coalesce("first_doc", F.lit(-1)).alias("dup_of"),
+        )
+    )

@@ -37,8 +37,9 @@ DOC_KEYS = [
     # round-5 build phase: entropy kernel + Gram partials + PCA
     "q_text_entropy", "q_embed_gram", "q_embed_pca",
     # round-6: grouped sketch top-k (candidate-bounded shuffle),
-    # tokenizer-coverage gate (fit-once literal apply)
-    "q_group_topk_sketch", "q_vocab_coverage",
+    # tokenizer-coverage gate (fit-once literal apply), O(Δ)
+    # delta-vs-index dedup
+    "q_group_topk_sketch", "q_vocab_coverage", "q_dedup_incremental",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
