@@ -96,6 +96,7 @@ HEADLINE = [
     "q_stitch_3d_vec_blocks",
     "q_vocab_coverage",
     "q_dedup_incremental",
+    "q_embed_pq",
 ]
 
 

@@ -383,3 +383,181 @@ def q_embed_whiten(spark, sf):
 
     return (e.mapInPandas(fn, "vec_id long, white array<double>")
             .select("vec_id", F.posexplode("white").alias("pos", "wval")))
+
+
+# Product-quantization geometry: d=64 split into PQ_M subspaces of
+# d/PQ_M dims, PQ_K centroids per subspace (codes fit in 4 bits).
+PQ_M = 8
+PQ_K = 16
+
+
+def pq_codebook_path(sf: str) -> str:
+    """Stable artifact location for the PQ codebook — same
+    fixture-digest staleness guard as ivf_codebook_path."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(os.path.abspath(sf), "embeddings.parquet")
+    st = os.stat(p)
+    digest = hashlib.md5(
+        f"{p}|{st.st_size}|{st.st_mtime_ns}|pq{PQ_M}x{PQ_K}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"engine_pq_codebook_{digest}")
+
+
+def _pq_codebook(spark, sf):
+    """Fit-or-load the product-quantization codebook: per subspace,
+    PQ_K Forgy seeds (the sub-vectors of the PQ_K lowest vec_ids)
+    refined by ONE distributed Lloyd step. The Lloyd statistics are
+    per-partition partials — each task reduces its Arrow batches to
+    one (PQ_M, PQ_K, sub_d) scaled-BIGINT sum tensor plus counts and
+    emits it as PQ_M*PQ_K*sub_d tiny rows (the q_embed_gram partial
+    discipline), so centroids are EXACT integer ratios, identical
+    under any partitioning, and the corpus never shuffles. The fitted
+    codebook is a persisted parquet artifact (staging + atomic
+    rename, the _ivf_codebook idiom) read back as PQ_M*PQ_K rows on
+    every later query. Returns C: (PQ_M, PQ_K, sub_d) float64."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from ..io import session_cache
+
+    cache = session_cache(spark, "_engine_pq_cache")
+    ckey = (sf.rstrip("/"), "codebook")
+    if ckey in cache:
+        return cache[ckey]
+
+    path = pq_codebook_path(sf)
+    if not os.path.exists(path):
+        e = (load_tables(spark, sf)["embeddings"]
+             .select("vec_id", "embedding")
+             .filter(F.col("embedding").isNotNull()))
+        seed_rows = (e.orderBy("vec_id").limit(PQ_K)
+                     .select("embedding").collect())
+        d = len(seed_rows[0]["embedding"])
+        sub_d = d // PQ_M
+        # (PQ_M, PQ_K, sub_d): subspace s of seed j
+        seeds = np.stack([
+            np.asarray(r["embedding"], dtype=np.float64)
+            .reshape(PQ_M, sub_d) for r in seed_rows
+        ]).transpose(1, 0, 2)
+        sb = spark.sparkContext.broadcast(seeds)
+
+        def partial(batches):
+            S = np.zeros((PQ_M, PQ_K, sub_d), dtype=np.int64)
+            N = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+            Cb = sb.value
+            got = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                got = True
+                X = (np.stack(pdf["embedding"].to_numpy())
+                     .astype(np.float64).reshape(-1, PQ_M, sub_d))
+                # squared distance to every seed, per subspace
+                D = ((X[:, :, None, :] - Cb[None, :, :, :]) ** 2).sum(-1)
+                code = D.argmin(axis=2)                # (n, PQ_M)
+                Xs = np.floor(X * 1e6 + 0.5).astype(np.int64)
+                for s in range(PQ_M):
+                    np.add.at(S[s], code[:, s], Xs[:, s, :])
+                    np.add.at(N[s], code[:, s], 1)
+            if not got:
+                return
+            sub, cod, dim = np.meshgrid(
+                np.arange(PQ_M), np.arange(PQ_K), np.arange(sub_d),
+                indexing="ij")
+            yield pd.DataFrame({
+                "sub": sub.ravel().astype(np.int32),
+                "code": cod.ravel().astype(np.int32),
+                "dim": dim.ravel().astype(np.int32),
+                "s": S.ravel(),
+                "cnt": np.repeat(N.ravel(), sub_d),
+            })
+
+        merged = (
+            e.select("embedding")
+            .mapInPandas(partial,
+                         "sub int, code int, dim int, s long, cnt long")
+            .groupBy("sub", "code", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+        )
+        rows = merged.collect()          # PQ_M*PQ_K*sub_d tiny rows
+        C = seeds.copy()                 # empty cells keep their seed
+        for r in rows:
+            if r["cnt"]:
+                C[r["sub"], r["code"], r["dim"]] = (
+                    r["s"] / r["cnt"] / 1e6)
+        cb = pd.DataFrame({
+            "sub": np.repeat(np.arange(PQ_M), PQ_K).astype("int32"),
+            "code": np.tile(np.arange(PQ_K), PQ_M).astype("int32"),
+            "centroid": [C[s, j].tolist()
+                         for s in range(PQ_M) for j in range(PQ_K)],
+        })
+        staging = path + ".inprogress"
+        shutil.rmtree(staging, ignore_errors=True)
+        (spark.createDataFrame(cb).write.mode("overwrite")
+         .parquet(staging))
+        try:
+            os.rename(staging, path)     # atomic publish
+        except OSError:                  # concurrent trainer won
+            shutil.rmtree(staging, ignore_errors=True)
+
+    rows = spark.read.parquet(path).collect()
+    sub_d = len(rows[0]["centroid"])
+    C = np.zeros((PQ_M, PQ_K, sub_d))
+    for r in rows:
+        C[r["sub"], r["code"]] = np.asarray(r["centroid"])
+    cache[ckey] = C
+    return C
+
+
+@query("q_embed_pq")  # rows-only: k-means codebooks have no SQL oracle
+def q_embed_pq(spark, sf):
+    """Product quantization of the embedding column — the memory
+    layout of billion-scale ANN (FAISS-style IVF+PQ): each vector is
+    stored as PQ_M 4-bit codes (64 floats → 8 nibbles, 64× smaller),
+    each code indexing a per-subspace centroid fitted by
+    :func:`_pq_codebook` (distributed exact-integer Lloyd partials,
+    persisted artifact). The apply is one narrow Arrow map with the
+    (PQ_M, PQ_K, sub_d) codebook broadcast — the corpus never
+    shuffles — emitting scalar rows (vec_id, sub, code, sq_err) where
+    sq_err is the per-subspace reconstruction error (the quantity PQ
+    recall tuning monitors). Monotonicity vs the seed codebook and
+    partition invariance are pinned in tests/test_ml.py."""
+    import numpy as np
+    import pandas as pd
+
+    C = _pq_codebook(spark, sf)
+    sub_d = C.shape[2]
+    bc = spark.sparkContext.broadcast(C)
+
+    e = (load_tables(spark, sf)["embeddings"]
+         .select("vec_id", "embedding")
+         .filter(F.col("embedding").isNotNull()))
+
+    def assign(batches):
+        Cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = (np.stack(pdf["embedding"].to_numpy())
+                 .astype(np.float64).reshape(-1, PQ_M, sub_d))
+            D = ((X[:, :, None, :] - Cb[None, :, :, :]) ** 2).sum(-1)
+            code = D.argmin(axis=2)                    # (n, PQ_M)
+            err = np.take_along_axis(
+                D, code[:, :, None], axis=2)[:, :, 0]  # (n, PQ_M)
+            n = len(X)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), PQ_M),
+                "sub": np.tile(np.arange(PQ_M, dtype=np.int32), n),
+                "code": code.ravel().astype(np.int32),
+                "sq_err": np.floor(err.ravel() * 1e6 + 0.5) / 1e6,
+            })
+
+    return e.mapInPandas(
+        assign, "vec_id long, sub int, code int, sq_err double")

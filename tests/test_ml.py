@@ -107,3 +107,45 @@ def test_embed_whiten_identity_covariance(spark, sf_dir):
     assert np.abs(np.diag(C) - 1.0).max() < 1e-3
     off = C - np.diag(np.diag(C))
     assert np.abs(off).max() < 1e-3
+
+
+def test_embed_pq_codes_shape_and_monotonicity(spark, sf_dir):
+    """Every non-null vector gets PQ_M codes in [0, PQ_K); the fitted
+    codebook's reconstruction error must not exceed assigning
+    directly to the Forgy seeds (one Lloyd step is monotone); and a
+    second call serves the PERSISTED codebook artifact untouched."""
+    import os
+
+    import numpy as np
+
+    from engine.queries.vectors import (
+        PQ_K, PQ_M, pq_codebook_path, q_embed_pq)
+
+    rows = q_embed_pq(spark, sf_dir).collect()
+    n = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .filter("embedding IS NOT NULL").count())
+    assert len(rows) == n * PQ_M
+    assert all(0 <= r["code"] < PQ_K for r in rows)
+    fitted_err = float(np.mean([r["sq_err"] for r in rows]))
+
+    # seed-only baseline, computed locally
+    emb = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("embedding IS NOT NULL").orderBy("vec_id").collect()])
+    d = emb.shape[1]
+    seeds = emb[:PQ_K].reshape(PQ_K, PQ_M, d // PQ_M).transpose(1, 0, 2)
+    X = emb.reshape(-1, PQ_M, d // PQ_M)
+    D = ((X[:, :, None, :] - seeds[None, :, :, :]) ** 2).sum(-1)
+    seed_err = float(D.min(axis=2).mean())
+    assert fitted_err <= seed_err + 1e-9, (fitted_err, seed_err)
+
+    # persistence: artifact exists and a re-query reuses it
+    path = pq_codebook_path(sf_dir)
+    assert os.path.isdir(path)
+    mtime = os.stat(path).st_mtime_ns
+    from engine.io import session_cache
+    session_cache(spark, "_engine_pq_cache").clear()
+    again = q_embed_pq(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    assert os.stat(path).st_mtime_ns == mtime
