@@ -97,6 +97,7 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_dedup_incremental",
     "q_embed_pq",
+    "q_stream_group_topk",
 ]
 
 

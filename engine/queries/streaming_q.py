@@ -37,22 +37,25 @@ from .util import dsum, sql_dsum
 _US_H = 3_600_000_000  # one hour in microseconds
 
 
-def _stage_source(sf: str) -> str:
-    """Per-process staging directory holding a symlink to the events
-    parquet (the file stream source lists a DIRECTORY; no data copy).
-    Two engine processes on the same sf must not race on each other's
-    staged files, hence the pid suffix."""
-    digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+def _stage_source(sf: str, table: str = "events") -> str:
+    """Per-process staging directory holding a symlink to one
+    fixture table's parquet (the file stream source lists a
+    DIRECTORY; no data copy). Two engine processes on the same sf
+    must not race on each other's staged files, hence the pid
+    suffix."""
+    digest = hashlib.md5(
+        f"{os.path.abspath(sf)}|{table}".encode()).hexdigest()[:8]
     src = os.path.join(
         tempfile.gettempdir(), f"engine_stream_src_{digest}_{os.getpid()}")
     os.makedirs(src, exist_ok=True)
-    link = os.path.join(src, "events.parquet")
+    link = os.path.join(src, f"{table}.parquet")
     # lexists, not exists: a dangling symlink (fixture dir recreated
     # under the same path) must be replaced, not trip FileExistsError
     if os.path.lexists(link) and not os.path.exists(link):
         os.unlink(link)
     if not os.path.lexists(link):
-        os.symlink(os.path.abspath(f"{sf.rstrip('/')}/events.parquet"), link)
+        os.symlink(
+            os.path.abspath(f"{sf.rstrip('/')}/{table}.parquet"), link)
     return src
 
 
@@ -714,3 +717,119 @@ def q_stream_sink_idempotent(spark, sf):
         .agg(F.count(F.lit(1)).alias("n"),
              dsum("value").alias("sum_value"))
     )
+
+
+@query("q_stream_group_topk", oracle=f"""
+WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word),
+r AS (SELECT lang, word, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, word) AS rn
+      FROM c)
+SELECT lang, word, cnt, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 5
+""")
+def q_stream_group_topk(spark, sf):
+    """Streaming twin of q_group_topk_sketch — the speed-layer /
+    batch-verify split of a production frequent-items service: the
+    documents table replays as a file STREAM, a per-language
+    Misra-Gries summary lives as ``applyInPandasWithState`` state
+    (two parallel arrays + a seen counter; each micro-batch merges
+    its word counts and lazily clips — the sequential-MG guarantee,
+    STRONGER than the batch path's partition-union: any word with
+    group count > n_g/(K+1) survives regardless of how the stream
+    was split into batches), and each update emits the current
+    clipped candidate set tagged with the monotone seen-count so the
+    LAST emission per language is identifiable without reading state.
+    The exact recount + deterministic rank then run in batch over
+    the broadcast candidates — identical final answer (and oracle)
+    to the batch twin, so the stream's sketch state is hash-verified
+    end to end.
+
+    Scale: state per language is ≤ _MG_LIMIT counters, emissions are
+    ≤ K+1-ish candidate rows per (batch, language); the vocabulary
+    tail never enters state, the corpus never shuffles for the
+    sketch."""
+    from .incremental import _GT_K, _MG_K, _MG_LIMIT
+
+    def build_stream():
+        import heapq
+        from collections import Counter
+
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def clip(c, cap):
+            cv = heapq.nlargest(cap + 1, c.values())[-1]
+            return Counter(
+                {w: n - cv for w, n in c.items() if n > cv})
+
+        def fn(key, pdfs, state):
+            ws, ns, seen = (state.get if state.exists
+                            else ([], [], 0))
+            c = Counter(dict(zip(ws, ns)))
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                seen += len(pdf)
+                c.update(pdf["word"].value_counts().to_dict())
+                if len(c) > _MG_LIMIT:
+                    c = clip(c, _MG_K)
+            state.update((list(c.keys()),
+                          [int(v) for v in c.values()], seen))
+            emit = clip(c, _MG_K) if len(c) > _MG_K else c
+            yield pd.DataFrame({
+                "lang": key[0],
+                "seen": seen,
+                "word": list(emit.keys()) or [None],
+            })
+
+        src = _stage_source(sf, table="documents")
+        docs = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        words = docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("word"))
+        out = words.groupBy("lang").applyInPandasWithState(
+            fn,
+            outputStructType="lang string, seen long, word string",
+            stateStructType=("words array<string>, ns array<long>, "
+                             "seen long"),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return out, "update"
+
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "group_topk")
+    if key not in per_session:
+        name = f"stream_gtopk_{hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]}"
+        df, mode = build_stream()
+        q = (df.writeStream.outputMode(mode)
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    name = per_session[key]
+
+    # last emission per language = the final MG state's candidates
+    emitted = spark.table(name)
+    cand = (
+        emitted.withColumn(
+            "mx", F.max("seen").over(W.partitionBy("lang")))
+        .filter((F.col("seen") == F.col("mx"))
+                & F.col("word").isNotNull())
+        .select("lang", "word").distinct()
+    )
+    docs = load_tables(spark, sf)["documents"]
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word"))
+    exact = (
+        words.join(F.broadcast(cand), ["lang", "word"])
+        .groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word")))
+    return (exact.withColumn("rank", rn)
+            .filter(F.col("rank") <= _GT_K)
+            .select("lang", "word", "cnt", "rank"))
