@@ -98,6 +98,7 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_embed_pq",
     "q_stream_group_topk",
+    "q_sim_ivfpq_topk",
 ]
 
 

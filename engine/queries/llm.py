@@ -1250,3 +1250,160 @@ def q_dedup_incremental(spark, sf):
             F.coalesce("first_doc", F.lit(-1)).alias("dup_of"),
         )
     )
+
+
+@query("q_sim_ivfpq_topk")  # rows-only: ANN internals are engine-defined
+def q_sim_ivfpq_topk(spark, sf):
+    """IVF+PQ+refine ANN — the billion-scale serving layout (FAISS
+    IVFADC with a refinement stage): the PERSISTED coarse index
+    (:func:`_ivf_codebook`) routes vectors to cells, the PERSISTED
+    product-quantization codebook
+    (engine.queries.vectors._pq_codebook) compresses every INDEXED
+    vector to PQ_M 4-bit codes, stage-1 ranking inside each probed
+    cell uses asymmetric distance computation (the query stays
+    full-precision, per-subspace inner-product tables q_sub · C_pq
+    built once per batch, each candidate a table LOOKUP by its codes
+    — no decompression), and stage 2 re-ranks the per-query ADC
+    shortlist by EXACT cosine, fetching raw vectors for shortlisted
+    pairs only.
+
+    Why this is the 100 TB shape: the cell shuffle carries the index
+    side as (vec_id, 8 codes) — 32× smaller than raw float32
+    vectors — so the dominant data movement of ANN serving shrinks by
+    the PQ ratio; the refine stage reads n·shortlist raw vectors from
+    a vec_id-partitioned store instead of every cell member; the two
+    codebooks are index-sized broadcast artifacts trained once.
+    Recall@20 vs the exact brute-force top-k is pinned in
+    tests/test_queries.py next to the LSH/IVF pins (on random
+    near-uniform vectors — PQ's adversarial case — the shortlist
+    stage is what keeps recall near the IVF ceiling)."""
+    import numpy as np
+    import pandas as pd
+
+    from .vectors import PQ_M, _pq_codebook
+
+    e = (load_tables(spark, sf)["embeddings"]
+         .select("vec_id", "embedding")
+         .filter(F.col("embedding").isNotNull()))
+    C, cl, nc = _ivf_codebook(spark, sf)
+    Cpq = _pq_codebook(spark, sf)          # (PQ_M, PQ_K, sub_d)
+    sub_d = Cpq.shape[2]
+    bc = spark.sparkContext.broadcast((C, cl, nc, Cpq))
+    nlist = len(cl)
+    npr = min(IVF_NPROBE, nlist)
+
+    def index_side(batches):
+        """(vec_id, cell, codes, norm2_approx): each vector stored
+        once, in its nearest cell, as PQ codes + the code-derived
+        squared norm (full-precision floats never travel)."""
+        Ci, cli, nci, Cq = bc.value
+        cn2 = (Cq * Cq).sum(-1)            # (PQ_M, PQ_K)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+            nm = np.sqrt((M * M).sum(1))
+            cell = np.argmax((M @ Ci.T) / np.outer(nm, nci), axis=1)
+            X = M.reshape(-1, PQ_M, sub_d)
+            D = ((X[:, :, None, :] - Cq[None, :, :, :]) ** 2).sum(-1)
+            code = D.argmin(axis=2)        # (n, PQ_M)
+            n2 = np.take_along_axis(
+                cn2[None, :, :].repeat(len(M), 0), code[:, :, None],
+                axis=2)[:, :, 0].sum(1)    # approx ||y||^2
+            yield pd.DataFrame({
+                "vec_id": pdf.vec_id.to_numpy(),
+                "cell": cli[cell],
+                "codes": list(code.astype(np.int32)),
+                "n2": n2,
+            })
+
+    def probe_side(batches):
+        Ci, cli, nci, _ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+            nm = np.sqrt((M * M).sum(1))
+            sims = (M @ Ci.T) / np.outer(nm, nci)
+            top = np.argsort(-sims, axis=1)[:, :npr]
+            out = pdf.loc[pdf.index.repeat(npr)].reset_index(drop=True)
+            out["cell"] = cli[top.ravel()]
+            yield out[["vec_id", "embedding", "cell"]]
+
+    indexed = e.mapInPandas(
+        index_side,
+        "vec_id long, cell int, codes array<int>, n2 double")
+    probed = e.mapInPandas(
+        probe_side, "vec_id long, embedding array<float>, cell int")
+
+    k = 20
+    shortlist = 50  # ADC candidates per query kept for exact refine
+
+    def adc_topk(key, qpdf, ipdf):
+        _, _, _, Cq = bc.value
+        cols = ["v1", "v2"]
+        if not len(qpdf) or not len(ipdf):
+            return pd.DataFrame(columns=cols)
+        qpdf = qpdf.drop_duplicates("vec_id").sort_values("vec_id")
+        ipdf = ipdf.sort_values("vec_id")
+        Q = np.stack(qpdf.embedding.to_numpy()).astype(np.float64)
+        qn = np.sqrt((Q * Q).sum(1))
+        codes = np.stack(ipdf.codes.to_numpy())      # (ni, PQ_M)
+        in_ = np.sqrt(np.maximum(ipdf.n2.to_numpy(), 1e-12))
+        # ADC tables: T[q, s, j] = q_s . c_{s,j}; candidate IP is a
+        # per-subspace gather-sum over its codes — no decompression.
+        # The gather uses one fancy index over (ni, PQ_M) codes so the
+        # whole cell ranks in a single vectorized lookup.
+        T = np.einsum("qsd,sjd->qsj",
+                      Q.reshape(-1, PQ_M, sub_d), Cq)
+        ip = T[:, np.arange(PQ_M), codes].sum(-1)     # (nq, ni)
+        S = ip / np.outer(qn, in_)
+        qid = qpdf.vec_id.to_numpy()
+        iid = ipdf.vec_id.to_numpy()
+        out = []
+        for r in range(len(qid)):
+            srow = S[r]
+            order = np.argsort(-srow)[:shortlist + 1]
+            for j in order:
+                if iid[j] == qid[r]:
+                    continue
+                v1, v2 = ((qid[r], iid[j]) if qid[r] < iid[j]
+                          else (iid[j], qid[r]))
+                out.append((v1, v2))
+        return pd.DataFrame(out, columns=cols)
+
+    cand_pairs = (
+        probed.groupBy("cell").cogroup(indexed.groupBy("cell"))
+        .applyInPandas(adc_topk, "v1 long, v2 long")
+        .distinct()
+    )
+
+    # Stage 2 — REFINE: fetch raw vectors for the shortlisted pairs
+    # only (two vec_id equi-joins, shortlist-sized — at 100 TB this
+    # is n·shortlist rows against a vec_id-partitioned store, the
+    # standard IVFADC+refine read pattern) and re-rank by EXACT
+    # cosine, JVM-side: zip_with product + aggregate sum, no Python.
+    ev1 = e.select(F.col("vec_id").alias("v1"),
+                   F.col("embedding").alias("e1"))
+    ev2 = e.select(F.col("vec_id").alias("v2"),
+                   F.col("embedding").alias("e2"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y:
+                       x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    exact = (
+        cand_pairs.join(ev1, "v1").join(ev2, "v2")
+        .select(
+            "v1", "v2",
+            (F.floor(dot(F.col("e1"), F.col("e2"))
+                     / F.sqrt(dot(F.col("e1"), F.col("e1")))
+                     / F.sqrt(dot(F.col("e2"), F.col("e2")))
+                     * 10000 + F.lit(0.5)) / 10000).alias("cos_sim"))
+    )
+    return (
+        exact.orderBy(F.col("cos_sim").desc(), "v1", "v2")
+        .limit(k)
+    )

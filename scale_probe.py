@@ -38,9 +38,9 @@ DOC_KEYS = [
     "q_text_entropy", "q_embed_gram", "q_embed_pca",
     # round-6: grouped sketch top-k (candidate-bounded shuffle),
     # tokenizer-coverage gate (fit-once literal apply), O(Δ)
-    # delta-vs-index dedup, product quantization
+    # delta-vs-index dedup, product quantization, IVFADC+refine ANN
     "q_group_topk_sketch", "q_vocab_coverage", "q_dedup_incremental",
-    "q_embed_pq",
+    "q_embed_pq", "q_sim_ivfpq_topk",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
