@@ -201,62 +201,14 @@ def heavy_hitters(words, thr: int):
 
 _GT_K = 5  # ranks returned per group by q_group_topk_sketch
 
-
-def grouped_mg_summary(pairs):
-    """Per-partition, PER-GROUP Misra-Gries summaries over Arrow
-    batches of (grp, item): one K=256 counter table per group seen in
-    the partition, batch counting vectorized through a single
-    composite-key value_counts (grp + unit-sep + item), the same
-    lazy-clip rule as :func:`mg_summary` applied per group. Emits
-    candidate rows (grp, item, 0) plus one (grp, NULL, n_gp) total
-    row per group — candidates AND group sizes from one scan."""
-    import heapq
-    from collections import Counter
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def clip(c: Counter) -> Counter:
-        cv = heapq.nlargest(_MG_K + 1, c.values())[-1]
-        return Counter({w: n - cv for w, n in c.items() if n > cv})
-
-    def mg(batches):
-        counters: dict[str, Counter] = {}
-        seen: Counter = Counter()
-        for rb in batches:
-            grp, item = rb.column(0), rb.column(1)
-            vc = pc.value_counts(
-                pc.binary_join_element_wise(grp, item, "\x1f"))
-            for key, n in zip(vc.field("values").to_pylist(),
-                              (v.as_py() for v in vc.field("counts"))):
-                g, w = key.split("\x1f", 1)
-                seen[g] += n
-                c = counters.setdefault(g, Counter())
-                c[w] += n
-                if len(c) > _MG_LIMIT:
-                    counters[g] = clip(c)
-        gs, items, ns = [], [], []
-        for g, c in counters.items():
-            if len(c) > _MG_K:
-                c = clip(c)
-            for w in c:
-                gs.append(g)
-                items.append(w)
-                ns.append(0)
-            gs.append(g)
-            items.append(None)
-            ns.append(seen[g])
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(gs, type=pa.string()),
-             pa.array(items, type=pa.string()),
-             pa.array(ns, type=pa.int64())], ["grp", "item", "n"])
-
-    return pairs.mapInArrow(mg, "grp string, item string, n long")
-
-
-@query("q_group_topk_sketch", oracle=f"""
+# ONE oracle for both the batch key and its streaming twin
+# (q_stream_group_topk) — built from the same _GT_K so the two can
+# never silently diverge on k. NULL-lang docs are excluded on both
+# sides symmetrically (a null group can't be a join-recount
+# candidate anyway).
+GROUP_TOPK_ORACLE = f"""
 WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
-           FROM documents),
+           FROM documents WHERE lang IS NOT NULL),
 c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word),
 r AS (SELECT lang, word, cnt,
              row_number() OVER (PARTITION BY lang
@@ -264,7 +216,55 @@ r AS (SELECT lang, word, cnt,
       FROM c)
 SELECT lang, word, cnt, CAST(rn AS INT) AS rank
 FROM r WHERE rn <= {_GT_K}
-""")
+"""
+
+
+def grouped_mg_summary(pairs):
+    """Per-partition, PER-GROUP Misra-Gries summaries over Arrow
+    batches of (grp, item): one K=256 counter table per group seen in
+    the partition, batch counting via a two-column pandas groupby
+    (no composite-key string concatenation — group or item values
+    containing any separator byte, and null groups, cannot corrupt
+    the counts; null groups are dropped), the same lazy-clip rule as
+    :func:`mg_summary` applied per group. Emits candidate rows
+    (grp, item) only — callers that need group totals count them in
+    their own exact pass."""
+    import heapq
+    from collections import Counter
+
+    import pyarrow as pa
+
+    def clip(c: Counter) -> Counter:
+        cv = heapq.nlargest(_MG_K + 1, c.values())[-1]
+        return Counter({w: n - cv for w, n in c.items() if n > cv})
+
+    def mg(batches):
+        counters: dict[str, Counter] = {}
+        for rb in batches:
+            pdf = rb.to_pandas()
+            gcol, icol = pdf.columns[0], pdf.columns[1]
+            vc = pdf.groupby([gcol, icol], sort=False,
+                             dropna=True).size()
+            for (g, w), n in vc.items():
+                c = counters.setdefault(g, Counter())
+                c[w] += int(n)
+                if len(c) > _MG_LIMIT:
+                    counters[g] = clip(c)
+        gs, items = [], []
+        for g, c in counters.items():
+            if len(c) > _MG_K:
+                c = clip(c)
+            for w in c:
+                gs.append(g)
+                items.append(w)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(gs, type=pa.string()),
+             pa.array(items, type=pa.string())], ["grp", "item"])
+
+    return pairs.mapInArrow(mg, "grp string, item string")
+
+
+@query("q_group_topk_sketch", oracle=GROUP_TOPK_ORACLE)
 def q_group_topk_sketch(spark, sf):
     """EXACT top-k most frequent words PER GROUP without shuffling
     the tail vocabulary — the grouped sibling of q_heavy_hitters and
@@ -289,12 +289,12 @@ def q_group_topk_sketch(spark, sf):
     partition. A naive groupBy(lang, word) + window ranks the ENTIRE
     vocabulary through a shuffle and a sort — this plan ranks only
     provable candidates, exactly."""
-    d = load_tables(spark, sf)["documents"]
+    d = (load_tables(spark, sf)["documents"]
+         .filter(F.col("lang").isNotNull()))
     words = d.select("lang", F.explode(F.split("text", " ")).alias("word"))
     summary = grouped_mg_summary(words)
-    cand = (summary.filter(F.col("item").isNotNull())
-            .select(F.col("grp").alias("lang"),
-                    F.col("item").alias("word")).distinct())
+    cand = (summary.select(F.col("grp").alias("lang"),
+                           F.col("item").alias("word")).distinct())
     exact = (
         words.join(F.broadcast(cand), ["lang", "word"])
         .groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))

@@ -945,7 +945,8 @@ def _ivf_codebook(spark, sf):
 
     path = ivf_codebook_path(sf)
     if not os.path.exists(path):
-        e = load_tables(spark, sf)["embeddings"]
+        e = (load_tables(spark, sf)["embeddings"]
+             .filter(F.col("embedding").isNotNull()))
         n = table_count(spark, sf, "embeddings")
         nlist = max(4, int(n ** 0.5 / 2))
         # Forgy seeds: the nlist lowest vec_ids (deterministic); then
@@ -981,7 +982,11 @@ def _ivf_codebook(spark, sf):
             .select("cell0",
                     F.expr("transform(sc, s -> s.c)").alias("centroid"))
         )
-        staging = path + ".inprogress"
+        # per-PROCESS staging dir: two engine processes training the
+        # same fixture concurrently (bench + probe, parallel pytest)
+        # must never write into each other's in-flight Spark job —
+        # only the atomic rename races, and the loser cleans up.
+        staging = f"{path}.inprogress.{os.getpid()}"
         shutil.rmtree(staging, ignore_errors=True)
         cents.write.mode("overwrite").parquet(staging)
         try:
@@ -1210,7 +1215,10 @@ WITH base AS (
   FROM documents WHERE doc_id % 10 <> 0 GROUP BY md5(text)),
 delta AS (
   SELECT doc_id, md5(text) AS h
-  FROM documents WHERE doc_id % 10 = 0),
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000000, md5(text)
+  FROM documents WHERE doc_id % 7 = 0),
 hit AS (SELECT d.doc_id, d.h, b.first_doc
         FROM delta d LEFT JOIN base b USING (h))
 SELECT doc_id, h,
@@ -1222,10 +1230,15 @@ def q_dedup_incremental(spark, sf):
     """Incremental corpus dedup — the PRODUCTION dedup shape: a new
     document batch (the delta) is checked against the EXISTING
     corpus's content-hash index instead of re-deduplicating the whole
-    corpus. Each delta doc is marked duplicate-of-first-seen or
-    novel; the novel hashes are exactly what a real pipeline appends
-    back to the index (the q_incr_agg O(Δ) discipline applied to
-    dedup).
+    corpus. The delta models both real ingest cases: genuinely new
+    docs (the doc_id%10 slice held out of the base) AND re-crawled
+    docs (the doc_id%7 slice re-submitted under fresh ids) — so the
+    duplicate branch is EXERCISED at every fixture scale, not just
+    declared (most %7 docs sit in the base, guaranteeing hits; a
+    pytest pins both branches non-empty). Each delta doc is marked
+    duplicate-of-first-seen or novel; the novel hashes are exactly
+    what a real pipeline appends back to the index (the q_incr_agg
+    O(Δ) discipline applied to dedup).
 
     Scale: the base side reduces to its (hash, first_doc) index
     BEFORE the join — the join input is |distinct base hashes|, and
@@ -1241,7 +1254,12 @@ def q_dedup_incremental(spark, sf):
     base = (d.filter(F.col("doc_id") % 10 != 0)
             .select(h, "doc_id")
             .groupBy("h").agg(F.min("doc_id").alias("first_doc")))
-    delta = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", h)
+    delta = (
+        d.filter(F.col("doc_id") % 10 == 0).select("doc_id", h)
+        .unionAll(
+            d.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 1000000000).alias("doc_id"), h))
+    )
     return (
         delta.join(base, "h", "left")
         .select(
@@ -1383,24 +1401,29 @@ def q_sim_ivfpq_topk(spark, sf):
     # is n·shortlist rows against a vec_id-partitioned store, the
     # standard IVFADC+refine read pattern) and re-rank by EXACT
     # cosine, JVM-side: zip_with product + aggregate sum, no Python.
-    ev1 = e.select(F.col("vec_id").alias("v1"),
-                   F.col("embedding").alias("e1"))
-    ev2 = e.select(F.col("vec_id").alias("v2"),
-                   F.col("embedding").alias("e2"))
-
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y:
                        x.cast("double") * y.cast("double")),
             F.lit(0.0), lambda acc, x: acc + x)
 
+    # self-norms computed ONCE per vector (n rows) in the projections,
+    # not per shortlisted pair (n·shortlist evaluations)
+    ev1 = e.select(F.col("vec_id").alias("v1"),
+                   F.col("embedding").alias("e1"),
+                   F.sqrt(dot(F.col("embedding"),
+                              F.col("embedding"))).alias("n1"))
+    ev2 = e.select(F.col("vec_id").alias("v2"),
+                   F.col("embedding").alias("e2"),
+                   F.sqrt(dot(F.col("embedding"),
+                              F.col("embedding"))).alias("n2"))
+
     exact = (
         cand_pairs.join(ev1, "v1").join(ev2, "v2")
         .select(
             "v1", "v2",
             (F.floor(dot(F.col("e1"), F.col("e2"))
-                     / F.sqrt(dot(F.col("e1"), F.col("e1")))
-                     / F.sqrt(dot(F.col("e2"), F.col("e2")))
+                     / F.col("n1") / F.col("n2")
                      * 10000 + F.lit(0.5)) / 10000).alias("cos_sim"))
     )
     return (

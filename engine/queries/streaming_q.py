@@ -32,6 +32,7 @@ from ..io import load_tables, session_cache
 from ..registry import query
 from ..streaming import read_event_stream
 from .events import CDC_LOG_SQL
+from .incremental import GROUP_TOPK_ORACLE
 from .util import dsum, sql_dsum
 
 _US_H = 3_600_000_000  # one hour in microseconds
@@ -719,17 +720,7 @@ def q_stream_sink_idempotent(spark, sf):
     )
 
 
-@query("q_stream_group_topk", oracle=f"""
-WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
-           FROM documents),
-c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word),
-r AS (SELECT lang, word, cnt,
-             row_number() OVER (PARTITION BY lang
-                                ORDER BY cnt DESC, word) AS rn
-      FROM c)
-SELECT lang, word, cnt, CAST(rn AS INT) AS rank
-FROM r WHERE rn <= 5
-""")
+@query("q_stream_group_topk", oracle=GROUP_TOPK_ORACLE)
 def q_stream_group_topk(spark, sf):
     """Streaming twin of q_group_topk_sketch — the speed-layer /
     batch-verify split of a production frequent-items service: the
@@ -788,7 +779,10 @@ def q_stream_group_topk(spark, sf):
         src = _stage_source(sf, table="documents")
         docs = spark.readStream.schema(
             spark.read.parquet(src).schema).parquet(src)
-        words = docs.select(
+        # NULL-lang docs excluded symmetrically with the shared
+        # oracle (a null group key can't be recounted by the batch
+        # join anyway)
+        words = docs.filter(F.col("lang").isNotNull()).select(
             "lang", F.explode(F.split("text", " ")).alias("word"))
         out = words.groupBy("lang").applyInPandasWithState(
             fn,

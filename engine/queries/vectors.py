@@ -498,7 +498,10 @@ def _pq_codebook(spark, sf):
             "centroid": [C[s, j].tolist()
                          for s in range(PQ_M) for j in range(PQ_K)],
         })
-        staging = path + ".inprogress"
+        # per-PROCESS staging dir (see _ivf_codebook): concurrent
+        # trainers race only on the atomic rename, never on the
+        # in-flight Spark write.
+        staging = f"{path}.inprogress.{os.getpid()}"
         shutil.rmtree(staging, ignore_errors=True)
         (spark.createDataFrame(cb).write.mode("overwrite")
          .parquet(staging))

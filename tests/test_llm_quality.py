@@ -69,7 +69,8 @@ def test_ivf_codebook_persisted_and_reused(spark, sf_dir):
                    QUERIES["q_sim_ivf_topk"](spark, sf_dir).collect())
     path = ivf_codebook_path(sf_dir)
     assert os.path.isdir(path)
-    assert not os.path.exists(path + ".inprogress")
+    import glob
+    assert not glob.glob(path + ".inprogress*")  # no staging leftovers
     mtime = os.stat(path).st_mtime_ns
 
     # simulate a fresh session: drop the in-memory codebook cache
@@ -78,3 +79,21 @@ def test_ivf_codebook_persisted_and_reused(spark, sf_dir):
                    QUERIES["q_sim_ivf_topk"](spark, sf_dir).collect())
     assert again == first
     assert os.stat(path).st_mtime_ns == mtime  # served, not retrained
+
+
+def test_dedup_incremental_exercises_both_branches(spark, sf_dir):
+    """The review found the original delta slice shared zero hashes
+    with the base at every fixture scale, making the dup branch dead
+    code the oracle vacuously confirmed. The re-crawl slice fixes
+    that: both branches must be non-empty, and every dup must point
+    at a base doc whose hash matches."""
+    from engine.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+    dups = [r for r in rows if r.is_dup]
+    novel = [r for r in rows if not r.is_dup]
+    assert dups, "duplicate branch never exercised"
+    assert novel, "novel branch never exercised"
+    assert all(r.dup_of >= 0 for r in dups)
+    assert all(r.dup_of == -1 for r in novel)
