@@ -1355,7 +1355,10 @@ def q_sim_ivfpq_topk(spark, sf):
         probe_side, "vec_id long, embedding array<float>, cell int")
 
     k = 20
-    shortlist = 50  # ADC candidates per query kept for exact refine
+    shortlist = 50  # total ADC candidates per query kept for refine
+    # per-(cell, query) cap: a query probes npr cells, so its global
+    # shortlist is split across them (plus slack for uneven cells)
+    cell_cap = max(8, shortlist // npr + 5)
 
     def adc_topk(key, qpdf, ipdf):
         _, _, _, Cq = bc.value
@@ -1378,17 +1381,18 @@ def q_sim_ivfpq_topk(spark, sf):
         S = ip / np.outer(qn, in_)
         qid = qpdf.vec_id.to_numpy()
         iid = ipdf.vec_id.to_numpy()
-        out = []
-        for r in range(len(qid)):
-            srow = S[r]
-            order = np.argsort(-srow)[:shortlist + 1]
-            for j in order:
-                if iid[j] == qid[r]:
-                    continue
-                v1, v2 = ((qid[r], iid[j]) if qid[r] < iid[j]
-                          else (iid[j], qid[r]))
-                out.append((v1, v2))
-        return pd.DataFrame(out, columns=cols)
+        # fully vectorized shortlist emission (no per-query Python
+        # loop): argpartition the top cell_cap+1 per row, mask self
+        cap = min(cell_cap + 1, S.shape[1])
+        top = np.argpartition(-S, cap - 1, axis=1)[:, :cap]
+        qrep = np.repeat(qid, cap)
+        irep = iid[top.ravel()]
+        keep = qrep != irep
+        qrep, irep = qrep[keep], irep[keep]
+        return pd.DataFrame({
+            "v1": np.minimum(qrep, irep),
+            "v2": np.maximum(qrep, irep),
+        })
 
     cand_pairs = (
         probed.groupBy("cell").cogroup(indexed.groupBy("cell"))
@@ -1401,30 +1405,34 @@ def q_sim_ivfpq_topk(spark, sf):
     # is n·shortlist rows against a vec_id-partitioned store, the
     # standard IVFADC+refine read pattern) and re-rank by EXACT
     # cosine, JVM-side: zip_with product + aggregate sum, no Python.
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y:
-                       x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    # self-norms computed ONCE per vector (n rows) in the projections,
-    # not per shortlisted pair (n·shortlist evaluations)
     ev1 = e.select(F.col("vec_id").alias("v1"),
-                   F.col("embedding").alias("e1"),
-                   F.sqrt(dot(F.col("embedding"),
-                              F.col("embedding"))).alias("n1"))
+                   F.col("embedding").alias("e1"))
     ev2 = e.select(F.col("vec_id").alias("v2"),
-                   F.col("embedding").alias("e2"),
-                   F.sqrt(dot(F.col("embedding"),
-                              F.col("embedding"))).alias("n2"))
+                   F.col("embedding").alias("e2"))
+
+    def refine(batches):
+        """Exact cosine for the shortlisted pairs, one vectorized
+        einsum per Arrow batch — no per-element lambda evaluation
+        (measured ~2 s slower as zip_with/aggregate HOFs over 350k
+        pairs at sf0.1)."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf.e1.to_numpy()).astype(np.float64)
+            B = np.stack(pdf.e2.to_numpy()).astype(np.float64)
+            ipd = np.einsum("ij,ij->i", A, B)
+            na = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+            yield pd.DataFrame({
+                "v1": pdf.v1.to_numpy(),
+                "v2": pdf.v2.to_numpy(),
+                "cos_sim": np.floor(
+                    ipd / na / nb * 10000 + 0.5) / 10000,
+            })
 
     exact = (
         cand_pairs.join(ev1, "v1").join(ev2, "v2")
-        .select(
-            "v1", "v2",
-            (F.floor(dot(F.col("e1"), F.col("e2"))
-                     / F.col("n1") / F.col("n2")
-                     * 10000 + F.lit(0.5)) / 10000).alias("cos_sim"))
+        .mapInPandas(refine, "v1 long, v2 long, cos_sim double")
     )
     return (
         exact.orderBy(F.col("cos_sim").desc(), "v1", "v2")
