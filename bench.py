@@ -101,6 +101,7 @@ HEADLINE = [
     "q_sim_ivfpq_topk",
     "q_bm25_score",
     "q_k_anonymity",
+    "q_text_perplexity",
 ]
 
 

@@ -1534,3 +1534,69 @@ def q_bm25_score(spark, sf):
                      for i in range(len(_BM25_TERMS))) > 0)
         .select("doc_id", "dl", rnd(score, 4).alias("bm25"))
     )
+
+
+@query("q_text_perplexity", oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+uni AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+tot AS (SELECT count(*) AS total FROM tok),
+lp AS (SELECT w, CAST(floor(ln(CAST(cnt AS DOUBLE)
+                               / (SELECT total FROM tot)) * 1000000
+                            - 0.5) + 1 AS BIGINT) AS lp6
+       FROM uni),
+d AS (SELECT t.doc_id,
+             sum(t.tf) AS dl,
+             sum(t.tf * lp.lp6) AS slp6
+      FROM tf t JOIN lp ON t.w = lp.w
+      GROUP BY t.doc_id)
+SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+       floor(CAST(-slp6 AS DOUBLE) / dl / 100.0 + 0.5) / 10000
+           AS nll_per_token
+FROM d
+""")
+def q_text_perplexity(spark, sf):
+    """Unigram-LM negative log-likelihood per token — the classic
+    perplexity-style corpus quality filter (docs whose tokens are
+    improbable under the corpus's own unigram distribution are
+    gibberish/outliers; low-NLL docs are repetitive boilerplate).
+
+    Determinism (the scaled-BIGINT discipline applied to LOGS): each
+    distinct token's ln p(t) is computed ONCE from exact integer
+    (count, total) — both engines evaluate the same IEEE expression —
+    then ceil-quantized to a 1e-6-scaled BIGINT, so the per-document
+    sum Σ tf_t · lp6_t is pure integer arithmetic, identical under
+    ANY aggregation order; floats reappear only in the final rounded
+    division. A raw sum of doubles would be order-dependent and
+    hash-unstable across engines.
+
+    Scale: two aggregates over the token stream (per-(doc, token) tf
+    and the unigram model — both map-side combinable) and one join
+    of tf against the |vocab|-sized model, broadcastable up to
+    million-token vocabularies; nothing driver-sized. In a training
+    pipeline the unigram model is a persistable artifact like the
+    IVF/PQ codebooks."""
+    d = load_tables(spark, sf)["documents"]
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.count()  # one scalar — same exact integer both sides
+    # ceil-quantize: floor(x*1e6 - 0.5) + 1 == ceil at half-grid,
+    # mirrored exactly in the oracle so the int is bit-identical
+    lp = uni.select(
+        "w",
+        (F.floor(F.log(F.col("cnt").cast("double") / F.lit(float(total)))
+                 * 1000000 - F.lit(0.5)) + 1).cast("long").alias("lp6"))
+    agg = (
+        tf.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"),
+             F.sum(F.col("tf") * F.col("lp6")).alias("slp6"))
+    )
+    return agg.select(
+        "doc_id", F.col("dl").cast("long").alias("n_tokens"),
+        (F.floor((-F.col("slp6")).cast("double") / F.col("dl")
+                 / 100.0 + F.lit(0.5)) / 10000).alias("nll_per_token"),
+    )

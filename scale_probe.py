@@ -40,7 +40,8 @@ DOC_KEYS = [
     # tokenizer-coverage gate (fit-once literal apply), O(Δ)
     # delta-vs-index dedup, product quantization, IVFADC+refine ANN
     "q_group_topk_sketch", "q_vocab_coverage", "q_dedup_incremental",
-    "q_embed_pq", "q_sim_ivfpq_topk",
+    "q_embed_pq", "q_sim_ivfpq_topk", "q_bm25_score",
+    "q_text_perplexity",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
