@@ -102,6 +102,7 @@ HEADLINE = [
     "q_bm25_score",
     "q_k_anonymity",
     "q_text_perplexity",
+    "q_basket_rules",
 ]
 
 

@@ -694,3 +694,83 @@ def q_group_sample_k(spark, sf):
                  F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= 3)
     )
+
+
+_BASKET_MINSUP = 25   # orders containing a part for it to be frequent
+_BASKET_MINPAIR = 2   # co-occurrences for a rule to be emitted
+
+
+@query("q_basket_rules", oracle=f"""
+WITH pf AS (
+  SELECT l_partkey, count(DISTINCT l_orderkey) AS nord
+  FROM lineitem GROUP BY l_partkey
+  HAVING count(DISTINCT l_orderkey) >= {_BASKET_MINSUP}),
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       WHERE l_partkey IN (SELECT l_partkey FROM pf)),
+no AS (SELECT count(*) AS n_orders FROM orders),
+pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_both
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2
+       HAVING count(*) >= {_BASKET_MINPAIR})
+SELECT p1, p2, n_both, f1.nord AS n_p1, f2.nord AS n_p2,
+       floor(CAST(n_both AS DOUBLE) / n_orders * 1000000 + 0.5)
+           / 1000000 AS support,
+       floor(CAST(n_both AS DOUBLE) / f1.nord * 1000000 + 0.5)
+           / 1000000 AS confidence,
+       floor(CAST(n_both AS DOUBLE) * n_orders
+             / (CAST(f1.nord AS DOUBLE) * f2.nord) * 1000000 + 0.5)
+           / 1000000 AS lift
+FROM pr JOIN pf f1 ON pr.p1 = f1.l_partkey
+        JOIN pf f2 ON pr.p2 = f2.l_partkey, no
+""")
+def q_basket_rules(spark, sf):
+    """Market-basket association rules (apriori-pruned pair mining):
+    which parts co-occur in the same order more than chance —
+    support, confidence, and lift per pair, from exact integer
+    counts.
+
+    Scale (the apriori discipline): items below minsup are pruned
+    BEFORE the pair join, so the self-join input is the frequent
+    (order, item) incidence only; the join is co-partitioned on
+    l_orderkey (no cartesian — pairs form within an order), and the
+    frequent-item table is broadcast for the final stats join
+    (small BY CONSTRUCTION: minsup bounds it by n_orders·avg_basket
+    / minsup). Metrics are single-rounded divisions of exact BIGINT
+    counts — hash-stable by the engine's quantization convention."""
+    from ..io import table_count
+
+    t = load_tables(spark, sf)
+    li = t["lineitem"]
+    n_orders = table_count(spark, sf, "orders")
+    pf = (li.groupBy("l_partkey")
+          .agg(F.countDistinct("l_orderkey").alias("nord"))
+          .filter(F.col("nord") >= _BASKET_MINSUP))
+    inc = (li.join(F.broadcast(pf.select("l_partkey")), "l_partkey")
+           .select("l_orderkey", "l_partkey").distinct())
+    a = inc.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p1"))
+    b = inc.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p2"))
+    pr = (a.join(b, ["o"])
+          .filter(F.col("p1") < F.col("p2"))
+          .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_both"))
+          .filter(F.col("n_both") >= _BASKET_MINPAIR))
+    f1 = pf.select(F.col("l_partkey").alias("p1"),
+                   F.col("nord").alias("n_p1"))
+    f2 = pf.select(F.col("l_partkey").alias("p2"),
+                   F.col("nord").alias("n_p2"))
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+    return (
+        pr.join(F.broadcast(f1), "p1").join(F.broadcast(f2), "p2")
+        .select(
+            "p1", "p2", "n_both", "n_p1", "n_p2",
+            q6(F.col("n_both").cast("double") / n_orders)
+                .alias("support"),
+            q6(F.col("n_both").cast("double") / F.col("n_p1"))
+                .alias("confidence"),
+            q6(F.col("n_both").cast("double") * n_orders
+               / (F.col("n_p1").cast("double") * F.col("n_p2")))
+                .alias("lift"),
+        )
+    )

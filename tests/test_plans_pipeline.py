@@ -89,3 +89,12 @@ def test_salted_join_no_broadcast_of_big_sides(spark, sf_dir):
     # would make the salt pointless)
     plan = final_plan(spark, "q_join_salted", sf_dir)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_basket_rules_no_cartesian_broadcast_stats(spark, sf_dir):
+    """Apriori shape: the pair join is a co-partitioned equi-join on
+    the order key (never cartesian) and the frequent-item stats
+    joins are broadcasts."""
+    plan = final_plan(spark, "q_basket_rules", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
