@@ -103,6 +103,8 @@ HEADLINE = [
     "q_k_anonymity",
     "q_text_perplexity",
     "q_basket_rules",
+    "q_attribution",
+    "q_dedup_containment",
 ]
 
 

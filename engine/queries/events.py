@@ -471,3 +471,63 @@ def q_cdc_apply(spark, sf):
                 F.lit("inserted").alias("action"), "n_ops")
     )
     return applied.unionAll(inserted)
+
+
+@query("q_attribution", oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS touch_id,
+         first_value(CASE WHEN event_type IN ('view', 'click')
+                          THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS first_touch_id
+  FROM events)
+SELECT user_id, event_id AS purchase_id, touch_id AS last_touch_id,
+       first_touch_id,
+       floor(value * 10000 + 0.5) / 10000 AS value
+FROM tagged
+WHERE event_type = 'purchase' AND touch_id IS NOT NULL
+""")
+def q_attribution(spark, sf):
+    """First-/last-touch marketing attribution: every purchase is
+    credited to the user's most recent and very first preceding
+    touch event (view/click), the canonical funnel-credit shape of
+    growth analytics.
+
+    One window over (user, time) does both lookups — last_value and
+    first_value with IGNORE NULLS over the preceding frame — so the
+    plan is a single sort within user partitions, no self-join (the
+    naive formulation joins purchases against touches and re-ranks:
+    two shuffles and a skew hazard on busy users). Ties on ts break
+    by event_id in BOTH engines, making the credited touch
+    deterministic. At 100 TB: one shuffle on user_id; AQE splits
+    skewed users; the frame is running state, not a buffered
+    window."""
+    from pyspark.sql import Window as W
+
+    e = load_tables(spark, sf)["events"]
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_id"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    tagged = e.select(
+        "user_id", "event_id", "event_type", "value", "ts",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_id"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch_id"),
+    )
+    return (
+        tagged.filter((F.col("event_type") == "purchase")
+                      & F.col("touch_id").isNotNull())
+        .select(
+            "user_id", F.col("event_id").alias("purchase_id"),
+            F.col("touch_id").alias("last_touch_id"), "first_touch_id",
+            (F.floor(F.col("value") * 10000 + F.lit(0.5)) / 10000)
+                .alias("value"))
+    )

@@ -1600,3 +1600,84 @@ def q_text_perplexity(spark, sf):
         (F.floor((-F.col("slp6")).cast("double") / F.col("dl")
                  / 100.0 + F.lit(0.5)) / 10000).alias("nll_per_token"),
     )
+
+
+@query("q_dedup_containment", oracle=f"""
+WITH {_MINHASH_CTES},
+pairs AS (
+    SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+    FROM b x JOIN b y ON x.band_id = y.band_id AND x.bh = y.bh
+    WHERE x.doc_id < y.doc_id
+),
+shd AS (SELECT DISTINCT doc_id, h FROM hv),
+sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+    SELECT p.d1, p.d2, count(*) AS n_shared
+    FROM pairs p
+    JOIN shd a ON a.doc_id = p.d1
+    JOIN shd b2 ON b2.doc_id = p.d2 AND b2.h = a.h
+    GROUP BY p.d1, p.d2)
+SELECT i.d1, i.d2, i.n_shared, s1.n AS n1, s2.n AS n2,
+       floor(CAST(i.n_shared AS DOUBLE) / least(s1.n, s2.n)
+             * 10000 + 0.5) / 10000 AS containment
+FROM inter i JOIN sz s1 ON i.d1 = s1.doc_id
+             JOIN sz s2 ON i.d2 = s2.doc_id
+""")
+def q_dedup_containment(spark, sf):
+    """Containment (asymmetric Jaccard) for the banded-MinHash
+    candidate pairs: |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|) over exact
+    3-word shingle-hash sets — the quote/boilerplate-inclusion
+    detector resemblance misses (a short doc fully contained in a
+    long one has high containment but low Jaccard).
+
+    Scale: candidates come from the SAME banded signatures as
+    q_dedup_fuzzy_minhash (never all-pairs); the exact intersection
+    joins the candidate pairs (broadcast — band-bucketed, tiny
+    relative to the corpus) against the distinct per-doc shingle
+    frame on (doc, hash), so the shuffled work is proportional to
+    the candidates' shingles, not the corpus pairs. All counts are
+    exact integers; the score is one rounded division."""
+    hv = _shingle_hashes(spark, sf)
+    sh = hv.distinct()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sig = hv.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("h") + b) % _P).alias(f"h{s}")
+        for s, (a, b) in enumerate(_AB)
+    ])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.md5(F.concat_ws(
+                    ",", F.col(f"h{2*band}"), F.col(f"h{2*band+1}")
+                ).cast("binary")).alias("bh"),
+            )
+            for band in range(4)
+        ])).alias("b"),
+    ).select("doc_id", "b.band_id", "b.bh")
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+               & (F.col("x.bh") == F.col("y.bh"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("d1"),
+                F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("d1"), "h")
+    b2 = sh.select(F.col("doc_id").alias("d2"), "h")
+    inter = (
+        F.broadcast(pairs).join(a, "d1").join(b2, ["d2", "h"])
+        .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    s1 = sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
+        .select(
+            "d1", "d2", "n_shared", "n1", "n2",
+            (F.floor(F.col("n_shared").cast("double")
+                     / F.least("n1", "n2") * 10000 + F.lit(0.5))
+             / 10000).alias("containment"))
+    )
