@@ -105,6 +105,7 @@ HEADLINE = [
     "q_basket_rules",
     "q_attribution",
     "q_dedup_containment",
+    "q_robust_stats",
 ]
 
 

@@ -292,3 +292,48 @@ def q_quantile_bins(spark, sf):
              rnd(F.min("v")).alias("lo"),
              rnd(F.max("v")).alias("hi"))
     )
+
+
+@query("q_robust_stats", oracle="""
+WITH med AS (
+  SELECT l_returnflag,
+         CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS med
+  FROM lineitem GROUP BY l_returnflag),
+dev AS (
+  SELECT l.l_returnflag, m.med,
+         abs(l.l_extendedprice - m.med) AS ad
+  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag)
+SELECT l_returnflag,
+       floor(max(med) * 100 + 0.5) / 100 AS median_price,
+       floor(CAST(quantile_disc(ad, 0.5) AS DOUBLE) * 100 + 0.5)
+           / 100 AS mad
+FROM dev GROUP BY l_returnflag
+""")
+def q_robust_stats(spark, sf):
+    """Robust location/spread per group: median and MAD (median
+    absolute deviation) of the price column — the outlier-resistant
+    profile a pipeline prefers over mean/stddev on heavy-tailed
+    data (the IQR-fence sibling of q_anomaly_iqr).
+
+    Two passes by necessity (MAD needs the median first): pass 1
+    fits per-group medians (DISCRETE percentile — an actual data
+    value, bit-identical cross-engine, the q_percentile_disc
+    convention); the |groups|-sized median frame broadcast-joins
+    back; pass 2 takes the discrete median of absolute deviations.
+    Both aggregations are map-side combinable; nothing driver-sized
+    but the medians."""
+    li = load_tables(spark, sf)["lineitem"]
+    med = (li.groupBy("l_returnflag")
+           .agg(F.expr("percentile_disc(0.5) WITHIN GROUP "
+                       "(ORDER BY l_extendedprice)").alias("med")))
+    dev = (li.join(F.broadcast(med), "l_returnflag")
+           .select("l_returnflag", "med",
+                   F.abs(F.col("l_extendedprice") - F.col("med"))
+                   .alias("ad")))
+    q2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100
+    return (
+        dev.groupBy("l_returnflag")
+        .agg(q2(F.max("med")).alias("median_price"),
+             q2(F.expr("percentile_disc(0.5) WITHIN GROUP "
+                       "(ORDER BY ad)")).alias("mad"))
+    )
