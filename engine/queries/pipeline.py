@@ -746,14 +746,25 @@ def q_basket_rules(spark, sf):
     pf = (li.groupBy("l_partkey")
           .agg(F.countDistinct("l_orderkey").alias("nord"))
           .filter(F.col("nord") >= _BASKET_MINSUP))
-    inc = (li.join(F.broadcast(pf.select("l_partkey")), "l_partkey")
-           .select("l_orderkey", "l_partkey").distinct())
-    a = inc.select(F.col("l_orderkey").alias("o"),
-                   F.col("l_partkey").alias("p1"))
-    b = inc.select(F.col("l_orderkey").alias("o"),
-                   F.col("l_partkey").alias("p2"))
-    pr = (a.join(b, ["o"])
-          .filter(F.col("p1") < F.col("p2"))
+    # pair generation WITHOUT a self-join: one groupBy(order) builds
+    # the sorted basket array (collect_set dedups line-level repeats
+    # in the same aggregate — no separate distinct shuffle), then a
+    # codegen higher-order expression expands the within-basket
+    # pairs — the measured self-join (shuffle both sides + 941k-row
+    # join at sf0.1) cost 3.5 s; this shape is one shuffle plus a
+    # narrow explode
+    baskets = (li.join(F.broadcast(pf.select("l_partkey")), "l_partkey")
+               .groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey"))
+                    .alias("ps")))
+    pair_expr = F.flatten(F.transform(
+        "ps",
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + 2,
+                    F.greatest(F.size("ps") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("p1"), y.alias("p2")))))
+    pr = (baskets.select(F.explode(pair_expr).alias("pp"))
+          .select(F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2"))
           .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_both"))
           .filter(F.col("n_both") >= _BASKET_MINPAIR))
     f1 = pf.select(F.col("l_partkey").alias("p1"),
