@@ -135,6 +135,17 @@ _R06_NEW = {
     "q_embed_whiten",
 }
 
+# Keys first registered in round 6's BUILD phase: the newest cohort,
+# demoted behind every earlier tier so round-6 newcomers never
+# queue-jump keys that have been waiting since earlier rounds.
+_R06B_NEW = {
+    "q_group_topk_sketch", "q_stitch_3d_vec_blocks",
+    "q_vocab_coverage", "q_dedup_incremental", "q_embed_pq",
+    "q_stream_group_topk", "q_sim_ivfpq_topk", "q_bm25_score",
+    "q_k_anonymity", "q_text_perplexity", "q_basket_rules",
+    "q_attribution", "q_dedup_containment", "q_robust_stats",
+}
+
 
 def _rotated(keys) -> list[str]:
     """Waiting-longest-first key order (relative registration order
@@ -145,23 +156,23 @@ def _rotated(keys) -> list[str]:
     from the driver artifacts each call — no manual list maintenance
     between rounds; the static _R0N_GREEN lists remain only as
     documentation of earlier rounds."""
+    def tiered(waiting):
+        # newer cohorts demote behind older waiting keys
+        older = [k for k in waiting if k not in _R05_NEW
+                 and k not in _R06_NEW and k not in _R06B_NEW]
+        return (older
+                + [k for k in waiting if k in _R05_NEW]
+                + [k for k in waiting if k in _R06_NEW]
+                + [k for k in waiting if k in _R06B_NEW])
+
     green = _driver_green()
     if not green:  # artifacts missing (fresh checkout): static fallback
         r2, r3 = set(_R02_GREEN), set(_R03_GREEN)
-        waiting = [k for k in keys if k not in r2 and k not in r3]
-        # Same tiered demotion as the artifact path: newer rounds'
-        # newcomers must not queue-jump keys waiting since r3/r4.
-        waiting = ([k for k in waiting
-                    if k not in _R05_NEW and k not in _R06_NEW]
-                   + [k for k in waiting if k in _R05_NEW]
-                   + [k for k in waiting if k in _R06_NEW])
+        waiting = tiered(
+            [k for k in keys if k not in r2 and k not in r3])
         return (waiting + [k for k in keys if k in r2]
                 + [k for k in keys if k in r3])
-    waiting = [k for k in keys if k not in green]
-    waiting = ([k for k in waiting
-                if k not in _R05_NEW and k not in _R06_NEW]
-               + [k for k in waiting if k in _R05_NEW]
-               + [k for k in waiting if k in _R06_NEW])
+    waiting = tiered([k for k in keys if k not in green])
     seen = sorted((k for k in keys if k in green),
                   key=lambda k: green[k])  # stable: registry order within a round
     return waiting + seen

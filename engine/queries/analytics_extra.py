@@ -330,10 +330,9 @@ def q_robust_stats(spark, sf):
            .select("l_returnflag", "med",
                    F.abs(F.col("l_extendedprice") - F.col("med"))
                    .alias("ad")))
-    q2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100
     return (
         dev.groupBy("l_returnflag")
-        .agg(q2(F.max("med")).alias("median_price"),
-             q2(F.expr("percentile_disc(0.5) WITHIN GROUP "
-                       "(ORDER BY ad)")).alias("mad"))
+        .agg(rnd(F.max("med"), 2).alias("median_price"),
+             rnd(F.expr("percentile_disc(0.5) WITHIN GROUP "
+                        "(ORDER BY ad)"), 2).alias("mad"))
     )

@@ -528,6 +528,5 @@ def q_attribution(spark, sf):
         .select(
             "user_id", F.col("event_id").alias("purchase_id"),
             F.col("touch_id").alias("last_touch_id"), "first_touch_id",
-            (F.floor(F.col("value") * 10000 + F.lit(0.5)) / 10000)
-                .alias("value"))
+            rnd(F.col("value"), 4).alias("value"))
     )

@@ -771,17 +771,16 @@ def q_basket_rules(spark, sf):
                    F.col("nord").alias("n_p1"))
     f2 = pf.select(F.col("l_partkey").alias("p2"),
                    F.col("nord").alias("n_p2"))
-    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000
     return (
         pr.join(F.broadcast(f1), "p1").join(F.broadcast(f2), "p2")
         .select(
             "p1", "p2", "n_both", "n_p1", "n_p2",
-            q6(F.col("n_both").cast("double") / n_orders)
+            rnd(F.col("n_both").cast("double") / n_orders, 6)
                 .alias("support"),
-            q6(F.col("n_both").cast("double") / F.col("n_p1"))
+            rnd(F.col("n_both").cast("double") / F.col("n_p1"), 6)
                 .alias("confidence"),
-            q6(F.col("n_both").cast("double") * n_orders
-               / (F.col("n_p1").cast("double") * F.col("n_p2")))
+            rnd(F.col("n_both").cast("double") * n_orders
+                / (F.col("n_p1").cast("double") * F.col("n_p2")), 6)
                 .alias("lift"),
         )
     )

@@ -51,7 +51,7 @@ def test_rotation_cohorts_reference_real_keys():
     import __spark_entry__ as entry
 
     for cohort in (entry._R02_GREEN, entry._R03_GREEN,
-                   entry._R05_NEW, entry._R06_NEW):
+                   entry._R05_NEW, entry._R06_NEW, entry._R06B_NEW):
         stale = [k for k in cohort if k not in QUERIES]
         assert not stale, stale
 

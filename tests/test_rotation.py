@@ -57,14 +57,16 @@ def test_failed_driver_row_rotates_to_front(tmp_path, monkeypatch):
 def test_round5_newcomers_wait_behind_older_keys():
     """Waiting keys must be served oldest-cohort-first: keys waiting
     since round 3/4, then the round-5 rotation-plan newcomers
-    (_R05_NEW), then the round-5 build-phase newcomers (_R06_NEW) —
-    artifacts cannot date never-rowed keys, so the cohort sets are
-    explicit."""
+    (_R05_NEW), then the round-5 build-phase newcomers (_R06_NEW),
+    then the round-6 build-phase newcomers (_R06B_NEW) — artifacts
+    cannot date never-rowed keys, so the cohort sets are explicit."""
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
     waiting = [k for k in q if k not in green]
 
     def tier(k):
+        if k in entry._R06B_NEW:
+            return 3
         if k in entry._R06_NEW:
             return 2
         if k in entry._R05_NEW:
@@ -75,3 +77,18 @@ def test_round5_newcomers_wait_behind_older_keys():
     assert tiers == sorted(tiers), (
         f"waiting keys out of cohort order: "
         f"{[(k, tier(k)) for k in waiting]}")
+
+
+def test_every_registered_key_is_cohorted_or_green():
+    """A key that is neither driver-green nor in ANY cohort set sorts
+    into the oldest waiting tier and queue-jumps — the priority
+    inversion the round-6 review caught. Every never-rowed key must
+    belong to a cohort."""
+    green = entry._driver_green()
+    cohorts = (set(entry._R02_GREEN) | set(entry._R03_GREEN)
+               | entry._R05_NEW | entry._R06_NEW | entry._R06B_NEW)
+    stray = [k for k in registry.QUERIES
+             if k not in green and k not in cohorts]
+    assert not stray, (
+        f"keys missing from every rotation cohort: {stray} — add "
+        f"them to the newest _R0xB_NEW set in __spark_entry__.py")
