@@ -106,6 +106,7 @@ HEADLINE = [
     "q_attribution",
     "q_dedup_containment",
     "q_robust_stats",
+    "q_weighted_quantile",
 ]
 
 

@@ -336,3 +336,53 @@ def q_robust_stats(spark, sf):
              rnd(F.expr("percentile_disc(0.5) WITHIN GROUP "
                         "(ORDER BY ad)"), 2).alias("mad"))
     )
+
+
+@query("q_weighted_quantile", oracle="""
+WITH g AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         sum(CAST(l_quantity AS BIGINT)) AS wt
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+c AS (
+  SELECT l_returnflag, v, wt,
+         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM g)
+SELECT l_returnflag,
+       min(CASE WHEN cw * 4 >= tw THEN v END) AS w_p25,
+       min(CASE WHEN cw * 2 >= tw THEN v END) AS w_median,
+       min(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS w_p75
+FROM c GROUP BY l_returnflag
+""")
+def q_weighted_quantile(spark, sf):
+    """WEIGHTED quantiles per group — the quantity-weighted price
+    quartiles ("half the UNITS sold at or below this price", not
+    half the line items): the smallest value whose cumulative weight
+    reaches p of the group total. Discrete pick over exact BIGINT
+    weights (quantity is integral), so the comparisons cw·k ≥ tw·m
+    are pure integer arithmetic — no interpolation, no float
+    boundary, bit-identical cross-engine.
+
+    Scale: the value-count aggregation FIRST collapses the fact rows
+    to |group × distinct value| rows (map-side combinable); the
+    cumulative window then sorts only that reduced frame within each
+    group partition — the same distinct-first discipline as the
+    exact-quantile fit (_exact_quantiles_distributed), which is what
+    keeps the window input value-cardinality-sized instead of
+    fact-table-sized at 100 TB."""
+    li = load_tables(spark, sf)["lineitem"]
+    g = (li.groupBy("l_returnflag",
+                    F.col("l_extendedprice").alias("v"))
+         .agg(F.sum(F.col("l_quantity").cast("long")).alias("wt")))
+    wc = W.partitionBy("l_returnflag").orderBy("v")
+    wt_ = W.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag", "v",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt_).alias("tw"))
+    pick = lambda cond: F.min(F.when(cond, F.col("v")))
+    return c.groupBy("l_returnflag").agg(
+        pick(F.col("cw") * 4 >= F.col("tw")).alias("w_p25"),
+        pick(F.col("cw") * 2 >= F.col("tw")).alias("w_median"),
+        pick(F.col("cw") * 4 >= F.col("tw") * 3).alias("w_p75"),
+    )
