@@ -144,7 +144,7 @@ _R06B_NEW = {
     "q_stream_group_topk", "q_sim_ivfpq_topk", "q_bm25_score",
     "q_k_anonymity", "q_text_perplexity", "q_basket_rules",
     "q_attribution", "q_dedup_containment", "q_robust_stats",
-    "q_weighted_quantile",
+    "q_weighted_quantile", "q_ts_autocorr",
 }
 
 

@@ -107,6 +107,7 @@ HEADLINE = [
     "q_dedup_containment",
     "q_robust_stats",
     "q_weighted_quantile",
+    "q_ts_autocorr",
 ]
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import Window as W, functions as F
 
 from ..io import load_tables
 from ..registry import query
-from .util import sql_dsum
+from .util import rnd, sql_dsum
 
 _DELTA_PRED = "l_orderkey % 13 = 0"
 
@@ -511,3 +511,64 @@ def q_ts_ohlc(spark, sf):
              F.count(F.lit(1)).alias("n_ticks"),
              dsum("value").alias("volume"))
     )
+
+
+@query("q_ts_autocorr", oracle="""
+WITH o AS (
+  SELECT event_type,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS x,
+         lag(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+             OVER (PARTITION BY event_type ORDER BY ts, event_id)
+             AS xp
+  FROM events),
+p AS (SELECT event_type, x, xp FROM o WHERE xp IS NOT NULL),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(xp) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(xp * xp) AS DOUBLE) AS syy,
+         CAST(sum(x * xp) AS DOUBLE) AS sxy
+  FROM p GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       floor((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             * 1000000 + 0.5) / 1000000 AS acf1
+FROM s
+""")
+def q_ts_autocorr(spark, sf):
+    """Lag-1 autocorrelation of the value series per event type —
+    the first diagnostic of time-series structure (is this series
+    noise, trend, or mean-reverting) that monitoring and
+    forecast-readiness checks compute.
+
+    The q_linreg_group sufficient-statistics discipline applied to a
+    LAGGED pair stream: values quantize to exact scaled BIGINTs, one
+    window produces (x_t, x_{t-1}) pairs with a deterministic
+    (ts, event_id) order, and the six co-moment sums accumulate as
+    exact integers cast to double only for the final Pearson
+    expression — identical under any partitioning. Scale: one
+    shuffle on the series key for the lag window, then a map-side-
+    combinable aggregate; |series| output rows."""
+    e = load_tables(spark, sf)["events"]
+    xi = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    wl = W.partitionBy("event_type").orderBy("ts", "event_id")
+    o = e.select("event_type", xi.alias("x"),
+                 F.lag(xi).over(wl).alias("xp"))
+    p = o.filter(F.col("xp").isNotNull())
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("xp").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("xp") * F.col("xp")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("xp")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    acf = ((n * sxy - sx * sy)
+           / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return s.select(
+        "event_type", n.cast("long").alias("n_pairs"),
+        rnd(acf, 6).alias("acf1"))
