@@ -46,7 +46,7 @@ DOC_KEYS = [
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
     "q_topk_orders", "q_agg_rollup", "q_join_salted",
-    "q_basket_rules",
+    "q_basket_rules", "q_weighted_quantile", "q_ts_autocorr",
     # round-4: bloom-pruned join, MV refresh, CDC diff, graph, series
     "q_join_bloom", "q_incr_agg", "q_snapshot_diff",
     "q_pagerank", "q_gap_fill", "q_anomaly_iqr",
