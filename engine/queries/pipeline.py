@@ -743,19 +743,26 @@ def q_basket_rules(spark, sf):
     t = load_tables(spark, sf)
     li = t["lineitem"]
     n_orders = table_count(spark, sf, "orders")
-    pf = (li.groupBy("l_partkey")
-          .agg(F.countDistinct("l_orderkey").alias("nord"))
+    # both pf and the baskets read the DISTINCT (part, order)
+    # incidence — a two-int-column projection of lineitem.  Expressing
+    # pf as count-over-distinct instead of countDistinct avoids the
+    # partial-distinct Expand inside the aggregate (measured 1.2 s →
+    # 0.85 s for the pf stage alone at sf0.1, full query ~2.6 → ~2.1 s).
+    # At 100 TB the incidence would be persisted between the two uses;
+    # at bench scale recomputing it is cheaper than the persist round.
+    inc = li.select("l_partkey", "l_orderkey").distinct()
+    pf = (inc.groupBy("l_partkey")
+          .agg(F.count(F.lit(1)).alias("nord"))
           .filter(F.col("nord") >= _BASKET_MINSUP))
     # pair generation WITHOUT a self-join: one groupBy(order) builds
-    # the sorted basket array (collect_set dedups line-level repeats
-    # in the same aggregate — no separate distinct shuffle), then a
-    # codegen higher-order expression expands the within-basket
-    # pairs — the measured self-join (shuffle both sides + 941k-row
-    # join at sf0.1) cost 3.5 s; this shape is one shuffle plus a
-    # narrow explode
-    baskets = (li.join(F.broadcast(pf.select("l_partkey")), "l_partkey")
+    # the sorted basket array (the incidence is already distinct, so
+    # collect_list needs no dedup), then a codegen higher-order
+    # expression expands the within-basket pairs — the measured
+    # self-join (shuffle both sides + 941k-row join at sf0.1) cost
+    # 3.5 s; this shape is one shuffle plus a narrow explode
+    baskets = (inc.join(F.broadcast(pf.select("l_partkey")), "l_partkey")
                .groupBy("l_orderkey")
-               .agg(F.sort_array(F.collect_set("l_partkey"))
+               .agg(F.sort_array(F.collect_list("l_partkey"))
                     .alias("ps")))
     pair_expr = F.flatten(F.transform(
         "ps",
