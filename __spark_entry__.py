@@ -147,6 +147,13 @@ _R06B_NEW = {
     "q_weighted_quantile", "q_ts_autocorr",
 }
 
+# Keys first registered in round 6's final wave: demoted behind every
+# earlier cohort (same discipline as _R05_NEW/_R06_NEW/_R06B_NEW).
+_R06C_NEW = {
+    "q_dedup_paragraph", "q_zipf_fit", "q_skyline",
+    "q_ab_welch", "q_ts_seasonal",
+}
+
 
 def _rotated(keys) -> list[str]:
     """Waiting-longest-first key order (relative registration order
@@ -160,11 +167,13 @@ def _rotated(keys) -> list[str]:
     def tiered(waiting):
         # newer cohorts demote behind older waiting keys
         older = [k for k in waiting if k not in _R05_NEW
-                 and k not in _R06_NEW and k not in _R06B_NEW]
+                 and k not in _R06_NEW and k not in _R06B_NEW
+                 and k not in _R06C_NEW]
         return (older
                 + [k for k in waiting if k in _R05_NEW]
                 + [k for k in waiting if k in _R06_NEW]
-                + [k for k in waiting if k in _R06B_NEW])
+                + [k for k in waiting if k in _R06B_NEW]
+                + [k for k in waiting if k in _R06C_NEW])
 
     green = _driver_green()
     if not green:  # artifacts missing (fresh checkout): static fallback

@@ -8,7 +8,7 @@ from pyspark.sql import Window as W, functions as F
 
 from ..io import load_tables
 from ..registry import query
-from .util import rnd, sql_rnd
+from .util import dsum, rnd, sql_dsum, sql_rnd
 
 
 @query("q_window_ntile", oracle="""
@@ -385,4 +385,145 @@ def q_weighted_quantile(spark, sf):
         pick(F.col("cw") * 4 >= F.col("tw")).alias("w_p25"),
         pick(F.col("cw") * 2 >= F.col("tw")).alias("w_median"),
         pick(F.col("cw") * 4 >= F.col("tw") * 3).alias("w_p75"),
+    )
+
+
+# ------------------------------------------------------------- A/B Welch
+@query("q_ab_welch", oracle=f"""
+WITH g AS (
+  SELECT CAST(hour(ts) AS INT) AS hr,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         {sql_dsum("CASE WHEN event_type = 'click' THEN value END")} AS s1,
+         {sql_dsum("CASE WHEN event_type = 'view' THEN value END")} AS s2,
+         {sql_dsum("CASE WHEN event_type = 'click' "
+                   "THEN value * value END")} AS q1,
+         {sql_dsum("CASE WHEN event_type = 'view' "
+                   "THEN value * value END")} AS q2
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1
+  HAVING n1 > 1 AND n2 > 1),
+v AS (
+  SELECT hr, n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+         (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+         (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+  FROM g)
+SELECT hr, n1, n2,
+       {sql_rnd("m1")} AS mean_a, {sql_rnd("m2")} AS mean_b,
+       {sql_rnd("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)")} AS t_stat,
+       {sql_rnd("((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)) / "
+                "((v1 / n1) * (v1 / n1) / (n1 - 1) + "
+                " (v2 / n2) * (v2 / n2) / (n2 - 1))")} AS dof
+FROM v
+""")
+def q_ab_welch(spark, sf):
+    """Welch's unequal-variance t-test per hour-of-day stratum:
+    'click' vs 'view' event values compared on mean difference, with
+    the Welch–Satterthwaite effective degrees of freedom — the A/B
+    experiment readout shape (per-stratum effect size + test
+    statistic from one aggregation pass).
+
+    Scale: ONE map-side-combined groupBy(hour) carries six partial
+    sums (conditional counts + scaled-BIGINT value/value² sums per
+    arm); every statistic is closed-form arithmetic on those exact
+    partials, so the post-shuffle work is 24 rows regardless of
+    input size.  The scaled-BIGINT sums make both arms' moments
+    order-independent — t and dof are then deterministic doubles
+    quantized once at the end."""
+    e = (load_tables(spark, sf)["events"]
+         .filter(F.col("event_type").isin("click", "view")))
+    a = F.col("event_type") == "click"
+    val = F.col("value")
+    g = (e.groupBy(F.hour("ts").cast("int").alias("hr"))
+         .agg(F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("n1"),
+              F.sum(F.when(~a, 1).otherwise(0)).cast("long").alias("n2"),
+              dsum(F.when(a, val)).alias("s1"),
+              dsum(F.when(~a, val)).alias("s2"),
+              dsum(F.when(a, val * val)).alias("q1"),
+              dsum(F.when(~a, val * val)).alias("q2"))
+         .filter((F.col("n1") > 1) & (F.col("n2") > 1)))
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1, m2 = F.col("s1") / n1, F.col("s2") / n2
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)
+    v2 = (F.col("q2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    return g.select(
+        "hr", "n1", "n2",
+        rnd(m1).alias("mean_a"), rnd(m2).alias("mean_b"),
+        rnd((m1 - m2) / F.sqrt(se2)).alias("t_stat"),
+        rnd(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                         + (v2 / n2) * (v2 / n2) / (n2 - 1))).alias("dof"))
+
+
+# ------------------------------------------------------- seasonal profile
+@query("q_ts_seasonal", oracle=f"""
+WITH h AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+         CAST(count(*) AS BIGINT) AS n_h,
+         sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS sc_h
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS sc,
+         {sql_dsum("value * value")} AS q
+  FROM events GROUP BY 1),
+b AS (
+  SELECT h.event_type,
+         sum(n_h * ((CAST(sc_h AS DOUBLE) / 10000.0 / n_h)
+                    - (CAST(t.sc AS DOUBLE) / 10000.0 / t.n))
+                 * ((CAST(sc_h AS DOUBLE) / 10000.0 / n_h)
+                    - (CAST(t.sc AS DOUBLE) / 10000.0 / t.n))) AS ss_b
+  FROM h JOIN t USING (event_type) GROUP BY 1)
+SELECT h.event_type, h.hr, h.n_h,
+       {sql_rnd("CAST(h.sc_h AS DOUBLE) / 10000.0 / h.n_h")} AS hour_mean,
+       {sql_rnd("CAST(t.sc AS DOUBLE) / 10000.0 / t.n")} AS grand_mean,
+       {sql_rnd("CAST(h.sc_h AS DOUBLE) / 10000.0 / h.n_h "
+                "- CAST(t.sc AS DOUBLE) / 10000.0 / t.n")} AS dev,
+       {sql_rnd("b.ss_b / nullif(t.q - t.n * "
+                "(CAST(t.sc AS DOUBLE) / 10000.0 / t.n) * "
+                "(CAST(t.sc AS DOUBLE) / 10000.0 / t.n), 0)")} AS strength
+FROM h JOIN t USING (event_type) JOIN b USING (event_type)
+""")
+def q_ts_seasonal(spark, sf):
+    """Hour-of-day seasonal profile per event type: hourly mean,
+    grand mean, deviation, and the type's seasonality strength
+    (ANOVA between-hours sum of squares over total sum of squares) —
+    the 'does this metric have a daily cycle' decomposition that
+    gates seasonal-adjustment downstream.
+
+    Scale: classic two-level rollup — the (type, hour) partial
+    aggregate carries exact counts and scaled-BIGINT sums; the type
+    level re-aggregates the 24-row partials, and the strength term
+    joins the two tiny grains back.  Input-sized work is the one
+    partial-combined scan; everything after operates on
+    |types|x24 rows.  Moments are order-independent (scaled-BIGINT);
+    the between/total SS ratio is double arithmetic over those exact
+    inputs, quantized once."""
+    e = load_tables(spark, sf)["events"]
+    h = (e.groupBy("event_type", F.hour("ts").cast("int").alias("hr"))
+         .agg(F.count(F.lit(1)).alias("n_h"),
+              F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))
+                    .cast("long")).alias("sc_h")))
+    t = (e.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5))
+                    .cast("long")).alias("sc"),
+              dsum(F.col("value") * F.col("value")).alias("q")))
+    m = F.col("sc").cast("double") / 10000.0 / F.col("n")
+    mh = F.col("sc_h").cast("double") / 10000.0 / F.col("n_h")
+    b = (h.join(t, "event_type")
+         .groupBy("event_type")
+         .agg(F.sum(F.col("n_h") * (mh - m) * (mh - m)).alias("ss_b")))
+    return (
+        h.join(t, "event_type").join(b, "event_type")
+        .select("event_type", "hr", "n_h",
+                rnd(mh).alias("hour_mean"),
+                rnd(m).alias("grand_mean"),
+                rnd(mh - m).alias("dev"),
+                rnd(F.col("ss_b")
+                    / F.nullif(F.col("q") - F.col("n") * m * m,
+                               F.lit(0.0))).alias("strength"))
     )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..io import load_tables, session_cache
 from ..registry import query
-from .util import sql_dsum
+from .util import dsum, rnd, sql_dsum, sql_rnd
 
 
 # --------------------------------------------------------------- bloom join
@@ -658,3 +658,148 @@ def q_k_anonymity(spark, sf):
         .select("c_nationkey", "c_mktsegment", "bal_band", "n",
                 (F.col("n") < _KANON_K).alias("at_risk"))
     )
+
+
+# ------------------------------------------------- paragraph-level dedup
+_PARA_WORDS = 20  # words per pseudo-paragraph chunk
+
+
+@query("q_dedup_paragraph", oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE length(text) > 0),
+ch AS (
+  SELECT w.doc_id,
+         md5(array_to_string(
+             ws[g.i*{_PARA_WORDS}+1 : g.i*{_PARA_WORDS}+{_PARA_WORDS}],
+             ' ')) AS chash
+  FROM w, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(ws) / {_PARA_WORDS}.0) AS BIGINT))) AS i
+  ) g),
+dup AS (
+  SELECT chash, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY chash)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       {sql_rnd("CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) "
+                "AS DOUBLE) / count(*)")} AS dup_ratio
+FROM ch c JOIN dup d USING (chash)
+GROUP BY c.doc_id
+""")
+def q_dedup_paragraph(spark, sf):
+    """Paragraph-level duplicate accounting (the CCNet/Gopher corpus
+    shape, applied at fixed 20-word chunks because the fixture's
+    documents are single-line): every document is split into
+    word-aligned chunks, each chunk is content-hashed, and a chunk is
+    'duplicated' when the same hash appears in >= 2 distinct
+    documents.  Output per document: chunk count, duplicated-chunk
+    count, and the duplicate ratio — the per-document boilerplate
+    score a curation pipeline thresholds on.
+
+    Scale: the only shuffled payload is (chash, doc_id) — 32-byte
+    hashes, never text (the q_corpus_curate discipline).  Chunk
+    expansion is a codegen higher-order transform over the split
+    array (no UDF); the dup table groups by hash (corpus-chunk-
+    sized, co-partitioned with the accounting join's key, so AQE
+    plans one exchange reused by both the aggregate and the join).
+    """
+    k = _PARA_WORDS
+    d = (load_tables(spark, sf)["documents"]
+         .filter(F.length("text") > 0)
+         .select("doc_id", F.split("text", " ").alias("ws")))
+    nch = F.ceil(F.size("ws") / F.lit(float(k))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.md5(F.array_join(F.slice(F.col("ws"), i * k + 1, k),
+                                     " ")))
+    ch = d.select("doc_id", F.explode(chunks).alias("chash"))
+    dup = ch.groupBy("chash").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        ch.join(dup, "chash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+             .cast("long").alias("n_dup_chunks"))
+        .select("doc_id", "n_chunks", "n_dup_chunks",
+                rnd(F.col("n_dup_chunks").cast("double")
+                    / F.col("n_chunks")).alias("dup_ratio"))
+    )
+
+
+# ----------------------------------------------------------- Zipf fit
+_ZIPF_TOPK = 100
+
+
+@query("q_zipf_fit", oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE length(text) > 0),
+tf AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+rk AS (SELECT freq,
+              row_number() OVER (ORDER BY freq DESC, w) AS rank
+       FROM tf),
+pts AS (
+  SELECT (floor(ln(CAST(rank AS DOUBLE)) * 100000000 + 0.5)
+          / 100000000) AS x,
+         (floor(ln(CAST(freq AS DOUBLE)) * 100000000 + 0.5)
+          / 100000000) AS y
+  FROM rk WHERE rank <= {_ZIPF_TOPK}),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {sql_dsum("x", 8)} AS sx, {sql_dsum("y", 8)} AS sy,
+         {sql_dsum("x*y", 8)} AS sxy, {sql_dsum("x*x", 8)} AS sxx,
+         {sql_dsum("y*y", 8)} AS syy
+  FROM pts)
+SELECT n AS n_top,
+       {sql_rnd("(n*sxy - sx*sy) / (n*sxx - sx*sx)")} AS slope,
+       {sql_rnd("(sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n")}
+           AS intercept,
+       {sql_rnd("((n*sxy - sx*sy) * (n*sxy - sx*sy)) / "
+                "((n*sxx - sx*sx) * (n*syy - sy*sy))")} AS r2
+FROM s
+""")
+def q_zipf_fit(spark, sf):
+    """Zipf-law exponent of the corpus token distribution: OLS of
+    ln(freq) on ln(rank) over the top-100 tokens — the token-
+    distribution health check run before training (a natural corpus
+    fits slope ~ -1; flat or cliff-shaped curves flag synthetic or
+    template-heavy data).
+
+    Scale: token counting is one map-side-combined groupBy; the
+    top-k selection is orderBy+limit (Spark's TakeOrdered — per-
+    partition partial top-k, no global sort), and only the 100
+    surviving rows see the ranking window, so the single-partition
+    window is bounded by k, not the vocabulary.  The OLS sums use
+    the engine's scaled-BIGINT dsum so both engines accumulate
+    order-independently; ln() on identical doubles is the only
+    transcendental, quantized at 1e-8 before any sum (the
+    q_text_entropy precedent for cross-engine libm agreement)."""
+    d = (load_tables(spark, sf)["documents"]
+         .filter(F.length("text") > 0))
+    tf = (d.select(F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    from pyspark.sql import Window as W
+    top = (tf.orderBy(F.desc("freq"), "w").limit(_ZIPF_TOPK)
+           .select("freq",
+                   F.row_number().over(
+                       W.orderBy(F.desc("freq"), "w")).alias("rank")))
+    pts = top.select(
+        rnd(F.log(F.col("rank").cast("double")), 8).alias("x"),
+        rnd(F.log(F.col("freq").cast("double")), 8).alias("y"))
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x", 8).alias("sx"), dsum("y", 8).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 8).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 8).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 8).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_top"),
+        rnd(slope).alias("slope"),
+        rnd((sy - slope * sx) / n).alias("intercept"),
+        rnd((n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))).alias("r2"))

@@ -354,3 +354,49 @@ def q_union_evolution(spark, sf):
         F.count("o_totalprice").alias("with_price"),
         F.count("o_orderpriority").alias("with_prio"),
     )
+
+
+# ---------------------------------------------------------------- skyline
+@query("q_skyline", oracle="""
+SELECT p_partkey, p_brand, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+""")
+def q_skyline(spark, sf):
+    """Group-wise 2-D skyline (Pareto frontier): per brand, the parts
+    not dominated on (minimize retail price, maximize size) — the
+    'best trade-offs only' query shape (price/quality frontiers,
+    cheapest-at-each-capacity catalogs).
+
+    The oracle spells dominance as NOT EXISTS (quadratic — fine for
+    DuckDB at fixture scale); the engine uses the O(n log n) sweep:
+    aggregate max(size) per (brand, price), running strict-
+    predecessor max over the price-ordered per-brand frame, then one
+    co-partitioned join back.  A row survives iff no strictly
+    cheaper row has >= its size AND it has the max size at its own
+    price.  Scale: every step is keyed by brand (the window is
+    PARTITIONed, never global); the window input is the aggregated
+    (brand, price) frame, |distinct prices| << |rows|; the join back
+    shares the (brand, price) exchange with the aggregate, so AQE
+    plans one shuffle of the dimension frame and one of the data."""
+    from pyspark.sql import Window as W
+
+    p = (load_tables(spark, sf)["part"]
+         .select("p_partkey", "p_brand", "p_retailprice", "p_size"))
+    g = (p.groupBy("p_brand", "p_retailprice")
+         .agg(F.max("p_size").alias("gmax")))
+    w = (W.partitionBy("p_brand").orderBy("p_retailprice")
+         .rowsBetween(W.unboundedPreceding, -1))
+    g2 = g.select("p_brand", "p_retailprice", "gmax",
+                  F.max("gmax").over(w).alias("m_lt"))
+    return (
+        p.join(g2, ["p_brand", "p_retailprice"])
+        .filter((F.col("m_lt").isNull() | (F.col("m_lt") < F.col("p_size")))
+                & (F.col("p_size") == F.col("gmax")))
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    )
