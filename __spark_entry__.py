@@ -152,6 +152,8 @@ _R06B_NEW = {
 _R06C_NEW = {
     "q_dedup_paragraph", "q_zipf_fit", "q_skyline",
     "q_ab_welch", "q_ts_seasonal",
+    "q_feature_hash", "q_gini", "q_conversion_lag",
+    "q_time_weighted_avg", "q_stream_ab_welch",
 }
 
 

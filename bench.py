@@ -108,6 +108,15 @@ HEADLINE = [
     "q_robust_stats",
     "q_weighted_quantile",
     "q_ts_autocorr",
+    "q_dedup_paragraph",
+    "q_zipf_fit",
+    "q_skyline",
+    "q_ab_welch",
+    "q_ts_seasonal",
+    "q_feature_hash",
+    "q_gini",
+    "q_conversion_lag",
+    "q_time_weighted_avg",
 ]
 
 

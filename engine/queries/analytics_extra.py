@@ -527,3 +527,60 @@ def q_ts_seasonal(spark, sf):
                     / F.nullif(F.col("q") - F.col("n") * m * m,
                                F.lit(0.0))).alias("strength"))
     )
+
+
+# -------------------------------------------------------- Gini / Lorenz
+@query("q_gini", oracle=f"""
+WITH oc AS (
+  SELECT c_nationkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS xs,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY o_totalprice, o_orderkey) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+g AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xs) AS BIGINT) AS sx,
+         CAST(sum(rk * xs) AS BIGINT) AS srx
+  FROM oc GROUP BY 1)
+SELECT c_nationkey, n,
+       {sql_rnd("CAST(sx AS DOUBLE) / 100.0")} AS total,
+       {sql_rnd("2.0 * srx / (CAST(n AS DOUBLE) * sx) "
+                "- (n + 1.0) / n")} AS gini
+FROM g
+""")
+def q_gini(spark, sf):
+    """Revenue-concentration (Gini coefficient) of order totals per
+    customer nation, from the exact rank formula
+    G = 2·Σ rk·x / (n·Σx) − (n+1)/n — the inequality measure behind
+    'what fraction of revenue comes from the top customers'.
+
+    Scale: one join (customer side broadcast-able), one PARTITIONed
+    rank window keyed by nation, one aggregate of two exact BIGINT
+    sums.  Order totals are quantized to cents before the
+    rank-weighted sum so Σ rk·x stays exact integer arithmetic with
+    ~100× headroom over the 10× fixture (at extreme per-group
+    cardinalities the rank-weighted partial would switch to double).
+    Ties rank deterministically via the order key."""
+    t = load_tables(spark, sf)
+    oc = (t["orders"]
+          .join(F.broadcast(t["customer"]
+                            .select("c_custkey", "c_nationkey")),
+                F.col("o_custkey") == F.col("c_custkey"))
+          .select("c_nationkey", "o_totalprice", "o_orderkey"))
+    w = (W.partitionBy("c_nationkey")
+         .orderBy("o_totalprice", "o_orderkey"))
+    r = oc.select(
+        "c_nationkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long").alias("xs"),
+        F.row_number().over(w).alias("rk"))
+    g = (r.groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("xs").alias("sx"),
+              F.sum(F.col("rk") * F.col("xs")).alias("srx")))
+    n = F.col("n").cast("double")
+    return g.select(
+        "c_nationkey", "n",
+        rnd(F.col("sx").cast("double") / 100.0).alias("total"),
+        rnd(2.0 * F.col("srx") / (n * F.col("sx"))
+            - (F.col("n") + 1.0) / n).alias("gini"))

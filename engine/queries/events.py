@@ -530,3 +530,58 @@ def q_attribution(spark, sf):
             F.col("touch_id").alias("last_touch_id"), "first_touch_id",
             rnd(F.col("value"), 4).alias("value"))
     )
+
+
+# -------------------------------------------------- conversion latency
+@query("q_conversion_lag", oracle="""
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+  FROM events GROUP BY 1),
+c AS (
+  SELECT CAST(epoch_us(first_buy) - epoch_us(first_view) AS BIGINT)
+             AS lag_us
+  FROM u
+  WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+    AND first_buy >= first_view)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(lag_us, 0.25) AS BIGINT) AS p25_us,
+       CAST(quantile_disc(lag_us, 0.5) AS BIGINT) AS p50_us,
+       CAST(quantile_disc(lag_us, 0.75) AS BIGINT) AS p75_us
+FROM c
+""")
+def q_conversion_lag(spark, sf):
+    """Time-to-convert distribution: per user, the latency from first
+    'view' to first 'purchase' (converters only), summarized as
+    discrete quartiles of exact microsecond lags — the funnel-latency
+    readout next to q_events_funnel's conversion counts.
+
+    Scale: ONE conditional-min groupBy(user) collapses the event
+    stream to a row per user before anything else; the quartile
+    aggregate then runs over |converters| rows (users, not events).
+    Discrete percentiles over exact integers are engine-independent
+    — no interpolation, no float ties.  The final single-group
+    percentile gathers converter lags into one aggregation buffer;
+    at extreme user counts the grouped discrete-percentile fit
+    (q_quantile_bins' distributed exact path) is the documented
+    swap."""
+    e = load_tables(spark, sf)["events"]
+    u = (e.groupBy("user_id")
+         .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+              .alias("first_view"),
+              F.min(F.when(F.col("event_type") == "purchase",
+                           F.col("ts"))).alias("first_buy")))
+    c = (u.filter(F.col("first_view").isNotNull()
+                  & F.col("first_buy").isNotNull()
+                  & (F.col("first_buy") >= F.col("first_view")))
+         .select((F.unix_micros("first_buy")
+                  - F.unix_micros("first_view")).alias("lag_us")))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("long").alias("p25_us"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("long").alias("p50_us"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY lag_us)")
+        .cast("long").alias("p75_us"))

@@ -25,7 +25,7 @@ from pyspark.sql import Window as W, functions as F
 
 from ..io import load_tables
 from ..registry import query
-from .util import rnd, sql_dsum
+from .util import rnd, sql_dsum, sql_rnd
 
 _DELTA_PRED = "l_orderkey % 13 = 0"
 
@@ -572,3 +572,54 @@ def q_ts_autocorr(spark, sf):
     return s.select(
         "event_type", n.cast("long").alias("n_pairs"),
         rnd(acf, 6).alias("acf1"))
+
+
+# ---------------------------------------------------------------- TWAP
+@query("q_time_weighted_avg", oracle=f"""
+WITH s AS (
+  SELECT user_id, value, epoch_us(ts) AS t_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events),
+w AS (
+  SELECT user_id,
+         CAST(nxt - t_us AS BIGINT) AS dt,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vs
+  FROM s WHERE nxt IS NOT NULL)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_seg,
+       CAST(sum(dt) AS BIGINT) AS dur_us,
+       {sql_rnd("CAST(sum(vs * dt) AS DOUBLE) / 10000.0 / sum(dt)")}
+           AS twap
+FROM w GROUP BY 1
+""")
+def q_time_weighted_avg(spark, sf):
+    """Time-weighted average value per user series (TWAP): each
+    observation holds until the next one, so the mean weights every
+    value by its holding duration — the correct average for
+    irregularly sampled series where the arithmetic mean
+    over-weights bursts.
+
+    Scale: one PARTITIONed lead window keyed by the series (user)
+    followed by one map-side-combined aggregate on the same key —
+    AQE reuses the window's exchange for the groupBy, so the series
+    shuffles once.  Weights are exact microsecond integers and
+    values are quantized to scaled BIGINT before the weighted sum,
+    making Σ v·dt order-independent integer arithmetic (the lag-pair
+    discipline of q_ts_autocorr); ties order deterministically via
+    event_id."""
+    e = load_tables(spark, sf)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("long").alias("vs"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt"))
+    seg = (s.filter(F.col("nxt").isNotNull())
+           .select("user_id", "vs",
+                   (F.col("nxt") - F.col("t_us")).alias("dt")))
+    return (seg.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_seg"),
+                 F.sum("dt").alias("dur_us"),
+                 rnd(F.sum(F.col("vs") * F.col("dt")).cast("double")
+                     / 10000.0 / F.sum("dt")).alias("twap")))

@@ -1677,3 +1677,41 @@ def q_dedup_containment(spark, sf):
             rnd(F.col("n_shared").cast("double")
                 / F.least("n1", "n2"), 4).alias("containment"))
     )
+
+
+# ------------------------------------------------------- feature hashing
+_FHASH_DIM = 64
+
+
+@query("q_feature_hash", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id,
+       CAST({hex32_sql('w')} % {_FHASH_DIM} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM tok GROUP BY 1, 2
+""")
+def q_feature_hash(spark, sf):
+    """Hashing-trick featurization (Weinberger et al. 2009): every
+    token maps to one of 64 buckets via the cross-engine md5-derived
+    32-bit hash, giving each document a fixed-dimension sparse count
+    vector with no vocabulary fit, no dictionary state, and no OOV
+    problem — the stateless vectorizer for streaming/online training.
+
+    Scale: tokenize-hash-count is ONE map-side-combined groupBy on
+    (doc_id, bucket); the combine collapses each document's counts
+    before the exchange, so at most |docs| x 64 rows ever shuffle
+    regardless of corpus token count.  Pure codegen (md5 + conv +
+    pmod) — no UDF, no fitted state to version or broadcast."""
+    d = (load_tables(spark, sf)["documents"]
+         .filter(F.length("text") > 0))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return (
+        tok.select(
+            "doc_id",
+            (hexpoly_col(F.md5("w")) % _FHASH_DIM).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -33,7 +33,7 @@ from ..registry import query
 from ..streaming import read_event_stream
 from .events import CDC_LOG_SQL
 from .incremental import GROUP_TOPK_ORACLE
-from .util import dsum, sql_dsum
+from .util import dsum, rnd, sql_dsum, sql_rnd
 
 _US_H = 3_600_000_000  # one hour in microseconds
 
@@ -827,3 +827,79 @@ def q_stream_group_topk(spark, sf):
     return (exact.withColumn("rank", rn)
             .filter(F.col("rank") <= _GT_K)
             .select("lang", "word", "cnt", "rank"))
+
+
+@query("q_stream_ab_welch", oracle=f"""
+WITH g AS (
+  SELECT CAST(hour(ts) AS INT) AS hr,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         {sql_dsum("CASE WHEN event_type = 'click' THEN value END")} AS s1,
+         {sql_dsum("CASE WHEN event_type = 'view' THEN value END")} AS s2,
+         {sql_dsum("CASE WHEN event_type = 'click' "
+                   "THEN value * value END")} AS q1,
+         {sql_dsum("CASE WHEN event_type = 'view' "
+                   "THEN value * value END")} AS q2
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1
+  HAVING n1 > 1 AND n2 > 1),
+v AS (
+  SELECT hr, n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+         (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+         (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+  FROM g)
+SELECT hr, n1, n2,
+       {sql_rnd("m1")} AS mean_a, {sql_rnd("m2")} AS mean_b,
+       {sql_rnd("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)")} AS t_stat,
+       {sql_rnd("((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)) / "
+                "((v1 / n1) * (v1 / n1) / (n1 - 1) + "
+                " (v2 / n2) * (v2 / n2) / (n2 - 1))")} AS dof
+FROM v
+""")
+def q_stream_ab_welch(spark, sf):
+    """Speed-layer twin of q_ab_welch: the live A/B readout. The
+    stream holds one mergeable state row per hour stratum — six
+    conditional moments (counts + scaled-BIGINT value/value² sums
+    per arm) in a complete-mode aggregate — and the t statistic and
+    Welch dof are stateless projections re-derived from that state
+    on every trigger.  Because the moments are exact and
+    order-independent, the final emission hash-matches the batch
+    oracle exactly: the sketch state is verified end to end, the
+    same discipline as q_stream_group_topk.
+
+    Scale: state is 24 rows regardless of stream length; each
+    micro-batch contributes map-side-combined partials keyed by
+    hour."""
+    def build(events):
+        a = F.col("event_type") == "click"
+        val = F.col("value")
+        g = (events
+             .filter(F.col("event_type").isin("click", "view"))
+             .groupBy(F.hour("ts").cast("int").alias("hr"))
+             .agg(F.sum(F.when(a, 1).otherwise(0)).cast("long")
+                  .alias("n1"),
+                  F.sum(F.when(~a, 1).otherwise(0)).cast("long")
+                  .alias("n2"),
+                  dsum(F.when(a, val)).alias("s1"),
+                  dsum(F.when(~a, val)).alias("s2"),
+                  dsum(F.when(a, val * val)).alias("q1"),
+                  dsum(F.when(~a, val * val)).alias("q2"))
+             .filter((F.col("n1") > 1) & (F.col("n2") > 1)))
+        n1, n2 = F.col("n1"), F.col("n2")
+        m1, m2 = F.col("s1") / n1, F.col("s2") / n2
+        v1 = (F.col("q1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)
+        v2 = (F.col("q2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1)
+        se2 = v1 / n1 + v2 / n2
+        out = g.select(
+            "hr", "n1", "n2",
+            rnd(m1).alias("mean_a"), rnd(m2).alias("mean_b"),
+            rnd((m1 - m2) / F.sqrt(se2)).alias("t_stat"),
+            rnd(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                             + (v2 / n2) * (v2 / n2) / (n2 - 1)))
+            .alias("dof"))
+        return out, "complete"
+
+    name = _run_stream(spark, sf, "ab_welch", build)
+    return spark.table(name)

@@ -42,6 +42,9 @@ DOC_KEYS = [
     "q_group_topk_sketch", "q_vocab_coverage", "q_dedup_incremental",
     "q_embed_pq", "q_sim_ivfpq_topk", "q_bm25_score",
     "q_text_perplexity",
+    # round-6 final wave: chunk-level dedup, Zipf token fit,
+    # hashing-trick featurization
+    "q_dedup_paragraph", "q_zipf_fit", "q_feature_hash",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -59,6 +62,10 @@ REL_KEYS = [
     # + variant round-trip
     "q_cdc_apply", "q_merge_idempotent", "q_ts_ohlc", "q_variant_funcs",
     "q_agg_mode", "q_time_travel",
+    # round-6 final wave (events/orders grow 10x; q_skyline is
+    # excluded — its only input, part, is a symlinked constant here)
+    "q_ab_welch", "q_ts_seasonal", "q_gini",
+    "q_conversion_lag", "q_time_weighted_avg",
 ]
 
 

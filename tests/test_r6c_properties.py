@@ -139,3 +139,114 @@ def test_ts_seasonal_matches_numpy(spark):
         ss_t = ((allv - m) ** 2).sum()
         assert r.strength == pytest.approx(ss_b / ss_t, abs=1e-3)
         assert -1e-9 <= r.strength <= 1 + 1e-9
+
+
+def test_feature_hash_matches_bruteforce(spark):
+    """Bucket counts must equal a pure-Python md5-hash-mod-64
+    featurization, and every token must land in [0, 64)."""
+    import hashlib
+
+    rows = QUERIES["q_feature_hash"](spark, SF).collect()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' "
+        f"WHERE length(text) > 0").fetchall()
+    want: dict[tuple, int] = {}
+    for doc_id, text in docs:
+        for w in text.split(" "):
+            h = hashlib.md5(w.encode()).hexdigest()
+            b = int(h[:8], 16) % 64
+            want[(doc_id, b)] = want.get((doc_id, b), 0) + 1
+    got = {(r.doc_id, r.bucket): r.cnt for r in rows}
+    assert got == want
+    assert all(0 <= b < 64 for _, b in got)
+
+
+def test_gini_matches_bruteforce(spark):
+    """Gini per nation must match the rank-formula computed in numpy
+    on cent-quantized totals, and lie in [0, 1)."""
+    rows = QUERIES["q_gini"](spark, SF).collect()
+    raw = duckdb.sql(
+        f"SELECT c_nationkey, o_totalprice FROM '{SF}/orders.parquet' o "
+        f"JOIN '{SF}/customer.parquet' c ON o_custkey = c_custkey"
+    ).fetchall()
+    per_nat: dict[int, list[float]] = {}
+    for nk, x in raw:
+        per_nat.setdefault(nk, []).append(x)
+    assert rows
+    for r in rows:
+        xs = np.floor(np.sort(np.array(per_nat[r.c_nationkey]))
+                      * 100 + 0.5)
+        n = len(xs)
+        rk = np.arange(1, n + 1)
+        g = 2 * (rk * xs).sum() / (n * xs.sum()) - (n + 1) / n
+        assert r.n == n
+        assert r.gini == pytest.approx(g, abs=1e-3)
+        assert 0 <= r.gini < 1
+
+
+def test_conversion_lag_matches_bruteforce(spark):
+    """Quartiles of view->purchase latency must equal the sorted
+    ceil-index pick over exactly the converter set."""
+    row = QUERIES["q_conversion_lag"](spark, SF).collect()[0]
+    raw = duckdb.sql(
+        f"SELECT user_id, event_type, epoch_us(ts) FROM "
+        f"'{SF}/events.parquet' "
+        f"WHERE event_type IN ('view','purchase')").fetchall()
+    fv: dict[int, int] = {}
+    fb: dict[int, int] = {}
+    for uid, et, t in raw:
+        d = fv if et == "view" else fb
+        if uid not in d or t < d[uid]:
+            d[uid] = t
+    lags = sorted(fb[u] - fv[u] for u in fv if u in fb
+                  and fb[u] >= fv[u])
+    assert row.n_converted == len(lags)
+
+    def disc(p):
+        import math
+        return lags[max(math.ceil(p * len(lags)), 1) - 1]
+
+    assert row.p25_us == disc(0.25)
+    assert row.p50_us == disc(0.5)
+    assert row.p75_us == disc(0.75)
+    assert row.p25_us <= row.p50_us <= row.p75_us
+
+
+def test_time_weighted_avg_matches_bruteforce(spark):
+    """TWAP per user must match a pure-Python piecewise-constant
+    integral over the microsecond timeline."""
+    rows = {r.user_id: r for r in
+            QUERIES["q_time_weighted_avg"](spark, SF).collect()}
+    raw = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts), value, event_id "
+        f"FROM '{SF}/events.parquet'").fetchall()
+    per_user: dict[int, list] = {}
+    for uid, t, v, eid in raw:
+        per_user.setdefault(uid, []).append((t, eid, v))
+    assert rows
+    for uid, r in rows.items():
+        evs = sorted(per_user[uid])
+        segs = [(evs[i + 1][0] - evs[i][0],
+                 np.floor(evs[i][2] * 1e4 + 0.5))
+                for i in range(len(evs) - 1)]
+        dur = sum(dt for dt, _ in segs)
+        twap = sum(dt * vs for dt, vs in segs) / 1e4 / dur
+        assert r.n_seg == len(segs)
+        assert r.dur_us == dur
+        assert r.twap == pytest.approx(twap, abs=1e-3)
+    # users with a single event contribute no segment
+    singles = {u for u, e in per_user.items() if len(e) == 1}
+    assert singles.isdisjoint(rows)
+
+
+def test_stream_ab_welch_matches_batch(spark):
+    """The streaming complete-mode state must re-derive exactly the
+    batch Welch results (same rows, same rounded statistics)."""
+    batch = {r.hr: r for r in QUERIES["q_ab_welch"](spark, SF).collect()}
+    stream = {r.hr: r for r in
+              QUERIES["q_stream_ab_welch"](spark, SF).collect()}
+    assert set(batch) == set(stream)
+    for hr, b in batch.items():
+        s = stream[hr]
+        assert (b.n1, b.n2, b.mean_a, b.mean_b, b.t_stat, b.dof) == \
+               (s.n1, s.n2, s.mean_a, s.mean_b, s.t_stat, s.dof)

@@ -58,13 +58,16 @@ def test_round5_newcomers_wait_behind_older_keys():
     """Waiting keys must be served oldest-cohort-first: keys waiting
     since round 3/4, then the round-5 rotation-plan newcomers
     (_R05_NEW), then the round-5 build-phase newcomers (_R06_NEW),
-    then the round-6 build-phase newcomers (_R06B_NEW) — artifacts
+    then the round-6 build-phase newcomers (_R06B_NEW), then the
+    round-6 final-wave newcomers (_R06C_NEW) — artifacts
     cannot date never-rowed keys, so the cohort sets are explicit."""
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
     waiting = [k for k in q if k not in green]
 
     def tier(k):
+        if k in entry._R06C_NEW:
+            return 4
         if k in entry._R06B_NEW:
             return 3
         if k in entry._R06_NEW:
@@ -86,7 +89,8 @@ def test_every_registered_key_is_cohorted_or_green():
     belong to a cohort."""
     green = entry._driver_green()
     cohorts = (set(entry._R02_GREEN) | set(entry._R03_GREEN)
-               | entry._R05_NEW | entry._R06_NEW | entry._R06B_NEW)
+               | entry._R05_NEW | entry._R06_NEW | entry._R06B_NEW
+               | entry._R06C_NEW)
     stray = [k for k in registry.QUERIES
              if k not in green and k not in cohorts]
     assert not stray, (
