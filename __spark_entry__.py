@@ -154,6 +154,8 @@ _R06C_NEW = {
     "q_ab_welch", "q_ts_seasonal",
     "q_feature_hash", "q_gini", "q_conversion_lag",
     "q_time_weighted_avg", "q_stream_ab_welch",
+    "q_chi2_independence", "q_benford", "q_ks_test",
+    "q_pct_change", "q_embed_opq",
 }
 
 

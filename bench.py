@@ -117,6 +117,11 @@ HEADLINE = [
     "q_gini",
     "q_conversion_lag",
     "q_time_weighted_avg",
+    "q_chi2_independence",
+    "q_benford",
+    "q_ks_test",
+    "q_pct_change",
+    "q_embed_opq",
 ]
 
 

@@ -584,3 +584,222 @@ def q_gini(spark, sf):
         rnd(F.col("sx").cast("double") / 100.0).alias("total"),
         rnd(2.0 * F.col("srx") / (n * F.col("sx"))
             - (F.col("n") + 1.0) / n).alias("gini"))
+
+
+# -------------------------------------------- chi-square independence
+@query("q_chi2_independence", oracle=f"""
+WITH o AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM customer GROUP BY 1, 2),
+rt AS (SELECT seg, CAST(sum(obs) AS BIGINT) AS r_tot FROM o GROUP BY 1),
+ct AS (SELECT nat, CAST(sum(obs) AS BIGINT) AS c_tot FROM o GROUP BY 1),
+n AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM o),
+cells AS (
+  SELECT rt.seg, ct.nat, rt.r_tot, ct.c_tot,
+         coalesce(o.obs, 0) AS obs
+  FROM rt CROSS JOIN ct
+  LEFT JOIN o ON o.seg = rt.seg AND o.nat = ct.nat),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         sum((obs - CAST(r_tot AS DOUBLE) * c_tot / total)
+             * (obs - CAST(r_tot AS DOUBLE) * c_tot / total)
+             / (CAST(r_tot AS DOUBLE) * c_tot / total)) AS chi2,
+         count(DISTINCT seg) AS r, count(DISTINCT nat) AS c,
+         max(total) AS total
+  FROM cells, n)
+SELECT n_cells, CAST(total AS BIGINT) AS n,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       {sql_rnd("chi2")} AS chi2,
+       {sql_rnd("sqrt(chi2 / (total * least(r - 1, c - 1)))")}
+           AS cramers_v
+FROM s
+""")
+def q_chi2_independence(spark, sf):
+    """Chi-square test of independence between market segment and
+    nation (customer contingency table), with Cramér's V effect
+    size — the 'are these two categoricals associated' readout every
+    segmentation analysis starts from.
+
+    Scale: ONE groupBy over the data builds the observed
+    contingency; everything after (marginals, the r x c expected
+    grid INCLUDING empty cells via the marginal cross join, the chi2
+    fold) runs on |r·c| rows — broadcast-joined, never data-sized.
+    Observed/marginal counts are exact BIGINTs, so the statistic is
+    deterministic double arithmetic over |cells| terms, quantized
+    once."""
+    c = load_tables(spark, sf)["customer"]
+    o = (c.groupBy(F.col("c_mktsegment").alias("seg"),
+                   F.col("c_nationkey").alias("nat"))
+         .agg(F.count(F.lit(1)).alias("obs")))
+    rt = o.groupBy("seg").agg(F.sum("obs").alias("r_tot"))
+    ct = o.groupBy("nat").agg(F.sum("obs").alias("c_tot"))
+    cells = (rt.crossJoin(F.broadcast(ct))
+             .join(F.broadcast(o), ["seg", "nat"], "left")
+             .select("seg", "nat", "r_tot", "c_tot",
+                     F.coalesce(F.col("obs"), F.lit(0)).alias("obs")))
+    e = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("total")
+    s = (cells.crossJoin(
+            F.broadcast(o.agg(F.sum("obs").alias("total"))))
+         .agg(F.count(F.lit(1)).alias("n_cells"),
+              F.sum((F.col("obs") - e) * (F.col("obs") - e) / e)
+              .alias("chi2"),
+              F.countDistinct("seg").alias("r"),
+              F.countDistinct("nat").alias("c"),
+              F.max("total").alias("total")))
+    return s.select(
+        "n_cells", F.col("total").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        rnd(F.col("chi2")).alias("chi2"),
+        rnd(F.sqrt(F.col("chi2")
+                   / (F.col("total")
+                      * F.least(F.col("r") - 1, F.col("c") - 1))))
+        .alias("cramers_v"))
+
+
+# --------------------------------------------------------- Benford audit
+@query("q_benford", oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM o)
+SELECT digit, n,
+       {sql_rnd("CAST(n AS DOUBLE) / total")} AS obs_freq,
+       {sql_rnd("log10(1.0 + 1.0 / digit)")} AS exp_freq,
+       {sql_rnd("CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit)")}
+           AS dev
+FROM o, t
+""")
+def q_benford(spark, sf):
+    """Benford first-significant-digit audit of order totals: the
+    observed digit distribution against Benford's law log10(1+1/d)
+    — the classic anomalous-data / fabricated-values screen in data
+    quality and fraud detection.
+
+    Scale: digit extraction is an exact string operation (first
+    char of the integer part — no log in the hot path, so no libm
+    edge at exact powers of ten), one map-side-combined groupBy to
+    9 rows, then constant arithmetic.  The only transcendental is
+    the 9 literal Benford expectations."""
+    o = load_tables(spark, sf)["orders"]
+    d = (o.filter(F.col("o_totalprice") >= 1)
+         .select(F.substring(
+             F.floor("o_totalprice").cast("long").cast("string"),
+             1, 1).cast("int").alias("digit")))
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = g.agg(F.sum("n").alias("total"))
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (g.crossJoin(F.broadcast(t))
+            .select("digit", "n",
+                    rnd(F.col("n").cast("double") / F.col("total"))
+                    .alias("obs_freq"),
+                    rnd(exp).alias("exp_freq"),
+                    rnd(F.col("n").cast("double") / F.col("total") - exp)
+                    .alias("dev")))
+
+
+# ------------------------------------------------- Kolmogorov–Smirnov
+@query("q_ks_test", oracle=f"""
+WITH v AS (
+  SELECT l_quantity AS v,
+         CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM lineitem WHERE l_returnflag IN ('A', 'N')
+  GROUP BY 1),
+r AS (
+  SELECT CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS r1,
+         CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS r2
+  FROM v),
+n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM v),
+s AS (SELECT max(abs(r1 * n2 - r2 * n1)) AS dnum, max(n1) AS n1,
+             max(n2) AS n2
+      FROM r, n)
+SELECT n1, n2,
+       {sql_rnd("CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)", 6)}
+           AS d_stat,
+       (CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+        > 1.358 * sqrt((n1 + CAST(n2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * n2)))
+           AS reject_95
+FROM s
+""")
+def q_ks_test(spark, sf):
+    """Exact two-sample Kolmogorov–Smirnov test: sup-distance between
+    the empirical CDFs of returned ('A') vs in-transit ('N') line
+    quantities, with the large-sample 95% decision — the
+    distribution-drift detector (train/serve skew, cohort shift)
+    that makes no normality assumption, unlike q_ab_welch.
+
+    Exactness: D is computed as max |r1·n2 − r2·n1| / (n1·n2) over
+    the value-grouped cumulative counts — pure integer arithmetic
+    until one final division, so the statistic is bit-deterministic.
+    Scale: the data collapses to |distinct values| rows in one
+    map-side-combined groupBy BEFORE the cumulative window (the
+    q_weighted_quantile discipline); the global-ordered window runs
+    over that cardinality-sized frame, and for huge domains the
+    range-partitioned prefix-sum swap (q_quantile_bins' distributed
+    fit) is the documented path."""
+    li = (load_tables(spark, sf)["lineitem"]
+          .filter(F.col("l_returnflag").isin("A", "N")))
+    a = F.col("l_returnflag") == "A"
+    v = (li.groupBy(F.col("l_quantity").alias("v"))
+         .agg(F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("c1"),
+              F.sum(F.when(~a, 1).otherwise(0)).cast("long").alias("c2")))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    r = v.select(F.sum("c1").over(w).alias("r1"),
+                 F.sum("c2").over(w).alias("r2"))
+    n = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    s = (r.crossJoin(F.broadcast(n))
+         .agg(F.max(F.abs(F.col("r1") * F.col("n2")
+                          - F.col("r2") * F.col("n1"))).alias("dnum"),
+              F.max("n1").alias("n1"), F.max("n2").alias("n2")))
+    d = (F.col("dnum").cast("double")
+         / (F.col("n1").cast("double") * F.col("n2")))
+    thr = 1.358 * F.sqrt((F.col("n1") + F.col("n2").cast("double"))
+                         / (F.col("n1").cast("double") * F.col("n2")))
+    return s.select("n1", "n2", rnd(d, 6).alias("d_stat"),
+                    (d > thr).alias("reject_95"))
+
+
+# ------------------------------------------------ period-over-period
+@query("q_pct_change", oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         {sql_dsum('value')} AS total
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, day, total,
+         lag(total) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM d)
+SELECT event_type, day,
+       {sql_rnd("total")} AS total, {sql_rnd("prev")} AS prev,
+       {sql_rnd("(total - prev) / prev")} AS pct_change
+FROM l WHERE prev IS NOT NULL
+""")
+def q_pct_change(spark, sf):
+    """Period-over-period change: daily value totals per event type
+    with the day-over-day percentage delta — the default trend
+    readout on any metrics dashboard.
+
+    Scale: one map-side-combined groupBy to the (type, day) grain,
+    then a lag window PARTITIONed by type over the day-grain frame
+    (|days| rows per series, not |events|).  Daily totals are
+    scaled-BIGINT sums, so both the totals and the ratio are
+    deterministic."""
+    e = load_tables(spark, sf)["events"]
+    d = (e.groupBy("event_type",
+                   F.date_trunc("day", "ts").cast("date").alias("day"))
+         .agg(dsum("value").alias("total")))
+    w = W.partitionBy("event_type").orderBy("day")
+    l = d.select("event_type", "day", "total",
+                 F.lag("total").over(w).alias("prev"))
+    return (l.filter(F.col("prev").isNotNull())
+            .select("event_type", "day",
+                    rnd(F.col("total")).alias("total"),
+                    rnd(F.col("prev")).alias("prev"),
+                    rnd((F.col("total") - F.col("prev")) / F.col("prev"))
+                    .alias("pct_change")))

@@ -391,9 +391,10 @@ PQ_M = 8
 PQ_K = 16
 
 
-def pq_codebook_path(sf: str) -> str:
+def pq_codebook_path(sf: str, tag: str = "") -> str:
     """Stable artifact location for the PQ codebook — same
-    fixture-digest staleness guard as ivf_codebook_path."""
+    fixture-digest staleness guard as ivf_codebook_path.  ``tag``
+    namespaces variants fitted in a transformed space (OPQ)."""
     import hashlib
     import os
     import tempfile
@@ -401,13 +402,13 @@ def pq_codebook_path(sf: str) -> str:
     p = os.path.join(os.path.abspath(sf), "embeddings.parquet")
     st = os.stat(p)
     digest = hashlib.md5(
-        f"{p}|{st.st_size}|{st.st_mtime_ns}|pq{PQ_M}x{PQ_K}".encode()
+        f"{p}|{st.st_size}|{st.st_mtime_ns}|pq{PQ_M}x{PQ_K}|{tag}".encode()
     ).hexdigest()[:12]
     return os.path.join(
         tempfile.gettempdir(), f"engine_pq_codebook_{digest}")
 
 
-def _pq_codebook(spark, sf):
+def _pq_codebook(spark, sf, rot=None, tag: str = ""):
     """Fit-or-load the product-quantization codebook: per subspace,
     PQ_K Forgy seeds (the sub-vectors of the PQ_K lowest vec_ids)
     refined by ONE distributed Lloyd step. The Lloyd statistics are
@@ -418,7 +419,11 @@ def _pq_codebook(spark, sf):
     under any partitioning, and the corpus never shuffles. The fitted
     codebook is a persisted parquet artifact (staging + atomic
     rename, the _ivf_codebook idiom) read back as PQ_M*PQ_K rows on
-    every later query. Returns C: (PQ_M, PQ_K, sub_d) float64."""
+    every later query. Returns C: (PQ_M, PQ_K, sub_d) float64.
+
+    ``rot``: optional (d, d) orthonormal matrix applied to every
+    vector before subspace split — the OPQ fit path (the rotation is
+    deterministic, so the artifact digest only needs ``tag``)."""
     import os
     import shutil
 
@@ -428,11 +433,11 @@ def _pq_codebook(spark, sf):
     from ..io import session_cache
 
     cache = session_cache(spark, "_engine_pq_cache")
-    ckey = (sf.rstrip("/"), "codebook")
+    ckey = (sf.rstrip("/"), "codebook", tag)
     if ckey in cache:
         return cache[ckey]
 
-    path = pq_codebook_path(sf)
+    path = pq_codebook_path(sf, tag)
     if not os.path.exists(path):
         e = (load_tables(spark, sf)["embeddings"]
              .select("vec_id", "embedding")
@@ -442,23 +447,31 @@ def _pq_codebook(spark, sf):
         d = len(seed_rows[0]["embedding"])
         sub_d = d // PQ_M
         # (PQ_M, PQ_K, sub_d): subspace s of seed j
-        seeds = np.stack([
+        seed_mat = np.stack([
             np.asarray(r["embedding"], dtype=np.float64)
-            .reshape(PQ_M, sub_d) for r in seed_rows
-        ]).transpose(1, 0, 2)
+            for r in seed_rows
+        ])
+        if rot is not None:
+            seed_mat = seed_mat @ rot
+        seeds = (seed_mat.reshape(-1, PQ_M, sub_d)
+                 .transpose(1, 0, 2))
         sb = spark.sparkContext.broadcast(seeds)
+        rb = spark.sparkContext.broadcast(rot)
 
         def partial(batches):
             S = np.zeros((PQ_M, PQ_K, sub_d), dtype=np.int64)
             N = np.zeros((PQ_M, PQ_K), dtype=np.int64)
             Cb = sb.value
+            R = rb.value
             got = False
             for pdf in batches:
                 if not len(pdf):
                     continue
                 got = True
-                X = (np.stack(pdf["embedding"].to_numpy())
-                     .astype(np.float64).reshape(-1, PQ_M, sub_d))
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                if R is not None:
+                    X = X @ R
+                X = X.reshape(-1, PQ_M, sub_d)
                 # squared distance to every seed, per subspace
                 D = ((X[:, :, None, :] - Cb[None, :, :, :]) ** 2).sum(-1)
                 code = D.argmin(axis=2)                # (n, PQ_M)
@@ -517,6 +530,89 @@ def _pq_codebook(spark, sf):
         C[r["sub"], r["code"]] = np.asarray(r["centroid"])
     cache[ckey] = C
     return C
+
+
+def _opq_rotation(spark, sf):
+    """Deterministic OPQ-lite rotation (Ge et al. 2013's parametric
+    initialization): eigenvectors of the distributed Gram matrix
+    (sign-fixed like q_embed_pca), with the eigen-dimensions snake-
+    assigned to the PQ_M subspaces in descending-eigenvalue order so
+    every subspace carries a balanced share of the variance.  Pure
+    driver-side d x d algebra over the already-verified q_embed_gram
+    partials; memoized per (session, sf)."""
+    import numpy as np
+
+    from ..io import session_cache
+
+    cache = session_cache(spark, "_engine_vec_cache")
+    key = (sf.rstrip("/"), "opq_rot")
+    if key not in cache:
+        G = _gram_matrix(spark, sf)
+        w, V = np.linalg.eigh(G)
+        flips = np.sign(
+            V[np.abs(V).argmax(axis=0), np.arange(V.shape[1])])
+        V = V * flips
+        order = np.argsort(w)[::-1]          # descending variance
+        cols: list[list[int]] = [[] for _ in range(PQ_M)]
+        for r_i, d_i in enumerate(order):
+            blk, pos = divmod(r_i, PQ_M)
+            s = pos if blk % 2 == 0 else PQ_M - 1 - pos
+            cols[s].append(int(d_i))
+        perm = [d_i for s in range(PQ_M) for d_i in cols[s]]
+        cache[key] = np.ascontiguousarray(V[:, perm])
+    return cache[key]
+
+
+@query("q_embed_opq")  # rows-only: rotated k-means has no SQL oracle
+def q_embed_opq(spark, sf):
+    """Optimized product quantization (OPQ-lite): vectors are rotated
+    by the eigenbasis of the corpus Gram matrix with variance-
+    balanced subspace assignment BEFORE the PQ split, so no subspace
+    is starved while another saturates — the standard FAISS ``OPQ``
+    preprocessing that tightens PQ reconstruction error at identical
+    code size.  Same persisted-codebook / broadcast-apply /
+    corpus-never-shuffles plan as q_embed_pq; the rotation is a
+    deterministic (d, d) literal derived from the distributed Gram
+    partials, so the whole operator adds zero data-sized work.
+    Output mirrors q_embed_pq (vec_id, sub, code, sq_err);
+    tests/test_r6c_properties.py pins the rotation orthonormal and
+    the total reconstruction error at-or-below plain PQ's."""
+    import numpy as np
+    import pandas as pd
+
+    R = _opq_rotation(spark, sf)
+    C = _pq_codebook(spark, sf, rot=R, tag="opq")
+    sub_d = C.shape[2]
+    bc = spark.sparkContext.broadcast(C)
+    rb = spark.sparkContext.broadcast(R)
+
+    e = (load_tables(spark, sf)["embeddings"]
+         .select("vec_id", "embedding")
+         .filter(F.col("embedding").isNotNull()))
+
+    def assign(batches):
+        Cb = bc.value
+        Rb = rb.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = ((np.stack(pdf["embedding"].to_numpy())
+                  .astype(np.float64) @ Rb)
+                 .reshape(-1, PQ_M, sub_d))
+            D = ((X[:, :, None, :] - Cb[None, :, :, :]) ** 2).sum(-1)
+            code = D.argmin(axis=2)                    # (n, PQ_M)
+            err = np.take_along_axis(
+                D, code[:, :, None], axis=2)[:, :, 0]  # (n, PQ_M)
+            n = len(X)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), PQ_M),
+                "sub": np.tile(np.arange(PQ_M, dtype=np.int32), n),
+                "code": code.ravel().astype(np.int32),
+                "sq_err": np.floor(err.ravel() * 1e6 + 0.5) / 1e6,
+            })
+
+    return e.mapInPandas(
+        assign, "vec_id long, sub int, code int, sq_err double")
 
 
 @query("q_embed_pq")  # rows-only: k-means codebooks have no SQL oracle

@@ -45,6 +45,7 @@ DOC_KEYS = [
     # round-6 final wave: chunk-level dedup, Zipf token fit,
     # hashing-trick featurization
     "q_dedup_paragraph", "q_zipf_fit", "q_feature_hash",
+    "q_embed_opq",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -66,6 +67,7 @@ REL_KEYS = [
     # excluded — its only input, part, is a symlinked constant here)
     "q_ab_welch", "q_ts_seasonal", "q_gini",
     "q_conversion_lag", "q_time_weighted_avg",
+    "q_ks_test", "q_pct_change", "q_benford",
 ]
 
 

@@ -250,3 +250,119 @@ def test_stream_ab_welch_matches_batch(spark):
         s = stream[hr]
         assert (b.n1, b.n2, b.mean_a, b.mean_b, b.t_stat, b.dof) == \
                (s.n1, s.n2, s.mean_a, s.mean_b, s.t_stat, s.dof)
+
+
+def test_opq_rotation_orthonormal_and_tighter_than_pq(spark):
+    """The OPQ rotation must be orthonormal (an isometry — distances
+    are preserved, only the subspace split changes), and the rotated
+    fit must not lose to plain PQ on total reconstruction error
+    (the whole point of OPQ)."""
+    import pyspark.sql.functions as F
+
+    from engine.queries.vectors import _opq_rotation
+
+    R = _opq_rotation(spark, SF)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-9)
+    e_pq = (QUERIES["q_embed_pq"](spark, SF)
+            .agg(F.sum("sq_err")).collect()[0][0])
+    e_opq = (QUERIES["q_embed_opq"](spark, SF)
+             .agg(F.sum("sq_err")).collect()[0][0])
+    assert e_opq <= e_pq * 1.001
+    # same output contract as q_embed_pq: PQ_M rows per vector,
+    # codes in range
+    rows = QUERIES["q_embed_opq"](spark, SF).collect()
+    from engine.queries.vectors import PQ_K, PQ_M
+    per_vec: dict[int, int] = {}
+    for r in rows:
+        per_vec[r.vec_id] = per_vec.get(r.vec_id, 0) + 1
+        assert 0 <= r.code < PQ_K and 0 <= r.sub < PQ_M
+        assert r.sq_err >= 0
+    assert set(per_vec.values()) == {PQ_M}
+
+
+def test_chi2_matches_scipy_free_computation(spark):
+    """chi2 and Cramér's V must match a from-scratch numpy
+    contingency computation (including empty cells)."""
+    row = QUERIES["q_chi2_independence"](spark, SF).collect()[0]
+    raw = duckdb.sql(
+        f"SELECT c_mktsegment, c_nationkey FROM "
+        f"'{SF}/customer.parquet'").fetchall()
+    segs = sorted({s for s, _ in raw})
+    nats = sorted({n for _, n in raw})
+    obs = np.zeros((len(segs), len(nats)))
+    for s, n in raw:
+        obs[segs.index(s), nats.index(n)] += 1
+    rt = obs.sum(axis=1, keepdims=True)
+    ct = obs.sum(axis=0, keepdims=True)
+    exp = rt @ ct / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert row.n_cells == len(segs) * len(nats)
+    assert row.n == len(raw)
+    assert row.dof == (len(segs) - 1) * (len(nats) - 1)
+    assert row.chi2 == pytest.approx(chi2, abs=1e-2)
+    v = math.sqrt(chi2 / (len(raw) * min(len(segs) - 1, len(nats) - 1)))
+    assert row.cramers_v == pytest.approx(v, abs=1e-3)
+
+
+def test_benford_matches_bruteforce(spark):
+    """Digit counts must equal a Python first-digit scan; observed
+    frequencies sum to 1 and expectations are the Benford constants."""
+    rows = {r.digit: r for r in QUERIES["q_benford"](spark, SF).collect()}
+    raw = [x for (x,) in duckdb.sql(
+        f"SELECT o_totalprice FROM '{SF}/orders.parquet' "
+        f"WHERE o_totalprice >= 1").fetchall()]
+    want: dict[int, int] = {}
+    for x in raw:
+        d = int(str(int(x))[0])
+        want[d] = want.get(d, 0) + 1
+    assert {d: r.n for d, r in rows.items()} == want
+    assert sum(r.obs_freq for r in rows.values()) == pytest.approx(
+        1.0, abs=1e-3)
+    for d, r in rows.items():
+        assert r.exp_freq == pytest.approx(math.log10(1 + 1 / d), abs=1e-4)
+        assert r.dev == pytest.approx(r.obs_freq - r.exp_freq, abs=2e-4)
+
+
+def test_ks_matches_bruteforce(spark):
+    """The KS D statistic must equal the max ECDF gap computed
+    directly in numpy (exact, no tolerance beyond the 1e-6 grid)."""
+    row = QUERIES["q_ks_test"](spark, SF).collect()[0]
+    raw = duckdb.sql(
+        f"SELECT l_returnflag, l_quantity FROM '{SF}/lineitem.parquet' "
+        f"WHERE l_returnflag IN ('A','N')").fetchall()
+    a = np.sort([v for f, v in raw if f == "A"])
+    b = np.sort([v for f, v in raw if f == "N"])
+    xs = np.unique(np.concatenate([a, b]))
+    d = np.abs(np.searchsorted(a, xs, "right") / len(a)
+               - np.searchsorted(b, xs, "right") / len(b)).max()
+    assert row.n1 == len(a) and row.n2 == len(b)
+    assert row.d_stat == pytest.approx(d, abs=1e-6)
+    thr = 1.358 * math.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+    assert row.reject_95 == bool(d > thr)
+
+
+def test_pct_change_matches_bruteforce(spark):
+    """Day-over-day percentage change must match a pandas groupby
+    recomputation on quantized daily totals."""
+    import datetime
+
+    rows = QUERIES["q_pct_change"](spark, SF).collect()
+    raw = duckdb.sql(
+        f"SELECT event_type, CAST(date_trunc('day', ts) AS DATE), "
+        f"value FROM '{SF}/events.parquet'").fetchall()
+    tot: dict[tuple, int] = {}
+    for et, day, v in raw:
+        tot[(et, day)] = tot.get((et, day), 0) + int(
+            np.floor(v * 1e4 + 0.5))
+    assert rows
+    for r in rows:
+        cur = tot[(r.event_type, r.day)] / 1e4
+        prev_day = r.day - datetime.timedelta(days=1)
+        # the lag is over observed days; find the closest earlier day
+        days = sorted(d for (et, d) in tot if et == r.event_type)
+        prev = tot[(r.event_type,
+                    max(d for d in days if d < r.day))] / 1e4
+        assert r.total == pytest.approx(cur, abs=1e-4)
+        assert r.prev == pytest.approx(prev, abs=1e-4)
+        assert r.pct_change == pytest.approx((cur - prev) / prev,
+                                             abs=1e-3)
