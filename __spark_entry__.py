@@ -156,6 +156,8 @@ _R06C_NEW = {
     "q_time_weighted_avg", "q_stream_ab_welch",
     "q_chi2_independence", "q_benford", "q_ks_test",
     "q_pct_change", "q_embed_opq",
+    "q_user_growth", "q_mann_whitney", "q_mutual_info",
+    "q_rfm_segment", "q_stream_benford",
 }
 
 

@@ -122,6 +122,10 @@ HEADLINE = [
     "q_ks_test",
     "q_pct_change",
     "q_embed_opq",
+    "q_user_growth",
+    "q_mann_whitney",
+    "q_mutual_info",
+    "q_rfm_segment",
 ]
 
 

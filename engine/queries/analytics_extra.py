@@ -803,3 +803,152 @@ def q_pct_change(spark, sf):
                     rnd(F.col("prev")).alias("prev"),
                     rnd((F.col("total") - F.col("prev")) / F.col("prev"))
                     .alias("pct_change")))
+
+
+# ------------------------------------------------ Mann–Whitney U test
+@query("q_mann_whitney", oracle=f"""
+WITH v AS (
+  SELECT l_quantity AS v,
+         CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM lineitem WHERE l_returnflag IN ('A', 'N')
+  GROUP BY 1),
+r AS (
+  SELECT v, c1, c2, c1 + c2 AS c,
+         CAST(coalesce(sum(c1 + c2) OVER (
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS prior
+  FROM v),
+n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+                 AS ties
+      FROM v),
+s AS (
+  SELECT max(n1) AS n1, max(n2) AS n2, max(ties) AS ties,
+         sum(c1 * (prior + (c + 1) / 2.0)) AS r1
+  FROM r, n)
+SELECT n1, n2,
+       {sql_rnd("n1 * CAST(n2 AS DOUBLE) + n1 * (n1 + 1) / 2.0 - r1")}
+           AS u_stat,
+       {sql_rnd("(n1 * CAST(n2 AS DOUBLE) + n1 * (n1 + 1) / 2.0 - r1 "
+                " - n1 * CAST(n2 AS DOUBLE) / 2.0) / "
+                "sqrt(n1 * CAST(n2 AS DOUBLE) / 12.0 * "
+                "     ((n1 + n2 + 1) - ties / "
+                "      (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))")}
+           AS z_stat
+FROM s
+""")
+def q_mann_whitney(spark, sf):
+    """Mann–Whitney U rank-sum test (returned vs in-transit line
+    quantities, the q_ks_test arms): the nonparametric location test
+    with exact midrank tie handling and the tie-corrected normal
+    approximation — completing the inference family (parametric
+    q_ab_welch, distribution-shape q_ks_test, rank-location here).
+
+    Exactness: ranks derive from the value-grouped cumulative
+    counts, so midranks are exact .5-granular doubles and R1 is a
+    sum of products of exact values; the tie correction Σ(t³−t) is
+    pure integer arithmetic.  Scale: identical shape to q_ks_test —
+    data collapses to |distinct values| in one combine-heavy
+    groupBy, the ordered window touches only that frame."""
+    li = (load_tables(spark, sf)["lineitem"]
+          .filter(F.col("l_returnflag").isin("A", "N")))
+    a = F.col("l_returnflag") == "A"
+    v = (li.groupBy(F.col("l_quantity").alias("v"))
+         .agg(F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("c1"),
+              F.sum(F.when(~a, 1).otherwise(0)).cast("long").alias("c2")))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    c = F.col("c1") + F.col("c2")
+    r = v.select(
+        "c1", c.alias("c"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+        .alias("prior"))
+    n = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"),
+              F.sum(c * c * c - c).alias("ties"))
+    s = (r.crossJoin(F.broadcast(n))
+         .agg(F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+              F.max("ties").alias("ties"),
+              F.sum(F.col("c1")
+                    * (F.col("prior") + (F.col("c") + 1) / 2.0))
+              .alias("r1")))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u = n1d * n2d + F.col("n1") * (F.col("n1") + 1) / 2.0 - F.col("r1")
+    sigma = F.sqrt(n1d * n2d / 12.0
+                   * ((F.col("n1") + F.col("n2") + 1)
+                      - F.col("ties")
+                      / ((n1d + n2d) * (F.col("n1") + F.col("n2") - 1))))
+    return s.select("n1", "n2", rnd(u).alias("u_stat"),
+                    rnd((u - n1d * n2d / 2.0) / sigma).alias("z_stat"))
+
+
+# ------------------------------------------------- mutual information
+@query("q_mutual_info", oracle=f"""
+WITH o AS (
+  SELECT event_type AS x, CAST(hour(ts) AS INT) AS y,
+         CAST(count(*) AS BIGINT) AS nxy
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM o GROUP BY 1),
+my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM o GROUP BY 1),
+t AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM o),
+s AS (
+  SELECT sum(CAST(nxy AS DOUBLE) / n
+             * ln(CAST(nxy AS DOUBLE) * n
+                  / (CAST(nx AS DOUBLE) * ny))) AS mi,
+         max(n) AS n
+  FROM o JOIN mx USING (x) JOIN my USING (y), t),
+hx AS (SELECT -sum(CAST(nx AS DOUBLE) / n
+                   * ln(CAST(nx AS DOUBLE) / n)) AS h FROM mx, t),
+hy AS (SELECT -sum(CAST(ny AS DOUBLE) / n
+                   * ln(CAST(ny AS DOUBLE) / n)) AS h FROM my, t)
+SELECT CAST(s.n AS BIGINT) AS n,
+       {sql_rnd("s.mi")} AS mi_nats,
+       {sql_rnd("hx.h")} AS h_x, {sql_rnd("hy.h")} AS h_y,
+       {sql_rnd("s.mi / sqrt(hx.h * hy.h)")} AS nmi
+FROM s, hx, hy
+""")
+def q_mutual_info(spark, sf):
+    """Mutual information (and normalized MI) between event type and
+    hour-of-day — the information-theoretic companion to
+    q_chi2_independence: how many nats knowing the hour tells you
+    about the event mix.  Cells with zero joint count contribute
+    zero, so only observed cells participate (no empty-cell grid).
+
+    Scale: one data-sized groupBy builds the joint counts; marginals
+    and the MI/entropy folds run over |x·y| observed cells,
+    broadcast-joined.  All counts exact BIGINTs; ln over exact
+    rationals quantized once (the q_text_entropy libm precedent)."""
+    e = load_tables(spark, sf)["events"]
+    o = (e.groupBy(F.col("event_type").alias("x"),
+                   F.hour("ts").cast("int").alias("y"))
+         .agg(F.count(F.lit(1)).alias("nxy")))
+    mx = o.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = o.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    t = o.agg(F.sum("nxy").alias("n"))
+    joined = (o.join(F.broadcast(mx), "x").join(F.broadcast(my), "y")
+              .crossJoin(F.broadcast(t)))
+    nd = F.col("n").cast("double")
+    s = joined.agg(
+        F.sum(F.col("nxy") / nd
+              * F.log(F.col("nxy") * nd
+                      / (F.col("nx").cast("double") * F.col("ny"))))
+        .alias("mi"),
+        F.max("n").alias("n"))
+    hx = (mx.crossJoin(F.broadcast(t))
+          .agg((-F.sum(F.col("nx") / nd
+                       * F.log(F.col("nx") / nd))).alias("h")))
+    hy = (my.crossJoin(F.broadcast(t))
+          .agg((-F.sum(F.col("ny") / nd
+                       * F.log(F.col("ny") / nd))).alias("h")))
+    return (s.crossJoin(F.broadcast(hx.select(F.col("h").alias("h_x"))))
+            .crossJoin(F.broadcast(hy.select(F.col("h").alias("h_y"))))
+            .select(F.col("n").cast("long").alias("n"),
+                    rnd(F.col("mi")).alias("mi_nats"),
+                    rnd(F.col("h_x")).alias("h_x"),
+                    rnd(F.col("h_y")).alias("h_y"),
+                    rnd(F.col("mi")
+                        / F.sqrt(F.col("h_x") * F.col("h_y")))
+                    .alias("nmi")))

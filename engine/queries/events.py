@@ -585,3 +585,54 @@ def q_conversion_lag(spark, sf):
         .cast("long").alias("p50_us"),
         F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY lag_us)")
         .cast("long").alias("p75_us"))
+
+
+# ------------------------------------------------------ user growth
+@query("q_user_growth", oracle="""
+WITH f AS (
+  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY 1),
+a AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM events GROUP BY 1),
+nw AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+  FROM f GROUP BY 1)
+SELECT a.day, a.n_active,
+       CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new,
+       CAST(a.n_active - coalesce(nw.n_new, 0) AS BIGINT)
+           AS n_returning,
+       CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY a.day)
+            AS BIGINT) AS n_cum_users
+FROM a LEFT JOIN nw USING (day)
+""")
+def q_user_growth(spark, sf):
+    """Daily active / new / returning users plus the cumulative
+    distinct-user curve — the growth-accounting decomposition every
+    product dashboard leads with.  The cumulative count uses the
+    first-seen trick: each user contributes once at min(day), so the
+    running total over per-day new-user counts IS the exact
+    cumulative distinct — no distinct-inside-window, no
+    re-aggregation of history.
+
+    Scale: two data-sized map-side-combined aggregates (first-seen
+    per user, active per day), then day-grain joins and one ordered
+    window over the |days| frame (cardinality-sized, the
+    q_weighted_quantile discipline)."""
+    e = load_tables(spark, sf)["events"]
+    day = F.date_trunc("day", "ts").cast("date")
+    f = (e.groupBy("user_id")
+         .agg(F.min(day).alias("first_day")))
+    a = (e.groupBy(day.alias("day"))
+         .agg(F.countDistinct("user_id").alias("n_active")))
+    nw = (f.groupBy(F.col("first_day").alias("day"))
+          .agg(F.count(F.lit(1)).alias("n_new")))
+    j = (a.join(nw, "day", "left")
+         .select("day", "n_active",
+                 F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new")))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        "day", "n_active", "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w).alias("n_cum_users"))

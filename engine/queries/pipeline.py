@@ -791,3 +791,83 @@ def q_basket_rules(spark, sf):
                 .alias("lift"),
         )
     )
+
+
+# --------------------------------------------------- RFM segmentation
+@query("q_rfm_segment", oracle="""
+WITH c AS (
+  SELECT o_custkey AS ck,
+         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+              (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+              AS BIGINT) AS rec_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS mon_cents
+  FROM orders GROUP BY 1),
+b AS (
+  SELECT quantile_disc(rec_days, [0.2, 0.4, 0.6, 0.8]) AS br,
+         quantile_disc(freq, [0.2, 0.4, 0.6, 0.8]) AS bf,
+         quantile_disc(mon_cents, [0.2, 0.4, 0.6, 0.8]) AS bm
+  FROM c)
+SELECT ck, rec_days, freq, mon_cents,
+       CAST(1 + CAST(rec_days < br[1] AS INT)
+              + CAST(rec_days < br[2] AS INT)
+              + CAST(rec_days < br[3] AS INT)
+              + CAST(rec_days < br[4] AS INT) AS INT) AS r_score,
+       CAST(1 + CAST(freq > bf[1] AS INT) + CAST(freq > bf[2] AS INT)
+              + CAST(freq > bf[3] AS INT) + CAST(freq > bf[4] AS INT)
+            AS INT) AS f_score,
+       CAST(1 + CAST(mon_cents > bm[1] AS INT)
+              + CAST(mon_cents > bm[2] AS INT)
+              + CAST(mon_cents > bm[3] AS INT)
+              + CAST(mon_cents > bm[4] AS INT) AS INT) AS m_score
+FROM c, b
+""")
+def q_rfm_segment(spark, sf):
+    """RFM segmentation: per customer, recency (days since last
+    order, anchored at the corpus max date), frequency (order
+    count), monetary (exact cents), each scored 1-5 against the
+    corpus quintile boundaries — the classic customer-value
+    segmentation grid.
+
+    Scale: the customer rollup is one map-side-combined groupBy;
+    quintile boundaries come from ONE discrete-percentile aggregate
+    over the customer-grain frame (12 scalars, broadcast back as a
+    1-row cross join — never a global ntile window over the data).
+    Scores count strict boundary comparisons on exact integers
+    (days / counts / cents), so bucket assignment is engine-
+    independent at ties by construction; higher = better on every
+    axis (recency inverted)."""
+    o = load_tables(spark, sf)["orders"]
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date"))
+                   .alias("anchor"))
+    c = (o.crossJoin(F.broadcast(anchor))
+         .groupBy(F.col("o_custkey").alias("ck"))
+         .agg(F.datediff(F.max("anchor"),
+                         F.max(F.col("o_orderdate").cast("date")))
+              .cast("long").alias("rec_days"),
+              F.count(F.lit(1)).alias("freq"),
+              F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long")).alias("mon_cents")))
+    bexprs = []
+    for col, name in (("rec_days", "br"), ("freq", "bf"),
+                      ("mon_cents", "bm")):
+        for i, p in enumerate((0.2, 0.4, 0.6, 0.8)):
+            bexprs.append(
+                F.expr(f"percentile_disc({p}) WITHIN GROUP "
+                       f"(ORDER BY {col})").alias(f"{name}{i + 1}"))
+    b = c.agg(*bexprs)
+
+    def score(col, bname, op):
+        s = F.lit(1)
+        for i in range(1, 5):
+            cond = (F.col(col) < F.col(f"{bname}{i}") if op == "<"
+                    else F.col(col) > F.col(f"{bname}{i}"))
+            s = s + cond.cast("int")
+        return s.cast("int")
+
+    return (c.crossJoin(F.broadcast(b))
+            .select("ck", "rec_days", "freq", "mon_cents",
+                    score("rec_days", "br", "<").alias("r_score"),
+                    score("freq", "bf", ">").alias("f_score"),
+                    score("mon_cents", "bm", ">").alias("m_score")))

@@ -903,3 +903,61 @@ def q_stream_ab_welch(spark, sf):
 
     name = _run_stream(spark, sf, "ab_welch", build)
     return spark.table(name)
+
+
+@query("q_stream_benford", oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM o)
+SELECT digit, n,
+       {sql_rnd("CAST(n AS DOUBLE) / total")} AS obs_freq,
+       {sql_rnd("log10(1.0 + 1.0 / digit)")} AS exp_freq,
+       {sql_rnd("CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit)")}
+           AS dev
+FROM o, t
+""")
+def q_stream_benford(spark, sf):
+    """Streaming Benford audit — the live data-quality screen: the
+    stream maintains 9 digit-count state rows (complete-mode
+    aggregate over a file-replayed orders stream), and the Benford
+    comparison (observed vs log10(1+1/d), deviation) is derived from
+    that state batch-side after the replay — mergeable counts in the
+    stream, stateless algebra outside, so the emission hash-matches
+    the batch q_benford oracle exactly.
+
+    Scale: state is 9 rows regardless of stream length; each
+    micro-batch contributes map-side-combined digit partials."""
+    import hashlib
+    import os
+
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "benford")
+    if key not in per_session:
+        name = ("stream_benford_"
+                + hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8])
+        src = _stage_source(sf, table="orders")
+        orders = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        g = (orders.filter(F.col("o_totalprice") >= 1)
+             .select(F.substring(
+                 F.floor("o_totalprice").cast("long").cast("string"),
+                 1, 1).cast("int").alias("digit"))
+             .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+        q = (g.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    g = spark.table(per_session[key])
+    t = g.agg(F.sum("n").alias("total"))
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (g.crossJoin(F.broadcast(t))
+            .select("digit", "n",
+                    rnd(F.col("n").cast("double") / F.col("total"))
+                    .alias("obs_freq"),
+                    rnd(exp).alias("exp_freq"),
+                    rnd(F.col("n").cast("double") / F.col("total") - exp)
+                    .alias("dev")))

@@ -68,6 +68,8 @@ REL_KEYS = [
     "q_ab_welch", "q_ts_seasonal", "q_gini",
     "q_conversion_lag", "q_time_weighted_avg",
     "q_ks_test", "q_pct_change", "q_benford",
+    "q_user_growth", "q_mann_whitney", "q_mutual_info",
+    "q_rfm_segment",
 ]
 
 

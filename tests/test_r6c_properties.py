@@ -366,3 +366,121 @@ def test_pct_change_matches_bruteforce(spark):
         assert r.prev == pytest.approx(prev, abs=1e-4)
         assert r.pct_change == pytest.approx((cur - prev) / prev,
                                              abs=1e-3)
+
+
+def test_user_growth_matches_bruteforce(spark):
+    """Active/new/returning/cumulative must match a pure-Python
+    recomputation; cumulative must end at the total user count."""
+    rows = {r.day: r for r in QUERIES["q_user_growth"](spark, SF).collect()}
+    raw = duckdb.sql(
+        f"SELECT user_id, CAST(date_trunc('day', ts) AS DATE) "
+        f"FROM '{SF}/events.parquet'").fetchall()
+    active: dict = {}
+    first: dict = {}
+    for uid, d in raw:
+        active.setdefault(d, set()).add(uid)
+        if uid not in first or d < first[uid]:
+            first[uid] = d
+    assert set(rows) == set(active)
+    cum = 0
+    for d in sorted(active):
+        r = rows[d]
+        n_new = sum(1 for u, fd in first.items() if fd == d)
+        cum += n_new
+        assert r.n_active == len(active[d])
+        assert r.n_new == n_new
+        assert r.n_returning == len(active[d]) - n_new
+        assert r.n_cum_users == cum
+    assert cum == len(first)
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    """U and z must match a from-scratch midrank computation (exact
+    tie handling, tie-corrected variance)."""
+    row = QUERIES["q_mann_whitney"](spark, SF).collect()[0]
+    raw = duckdb.sql(
+        f"SELECT l_returnflag, l_quantity FROM '{SF}/lineitem.parquet' "
+        f"WHERE l_returnflag IN ('A','N')").fetchall()
+    import collections
+    vals = sorted({v for _, v in raw})
+    cnt = collections.Counter()
+    c1 = collections.Counter()
+    for f, v in raw:
+        cnt[v] += 1
+        if f == "A":
+            c1[v] += 1
+    n1 = sum(c1.values())
+    n2 = sum(cnt.values()) - n1
+    prior, r1, ties = 0, 0.0, 0
+    for v in vals:
+        c = cnt[v]
+        r1 += c1[v] * (prior + (c + 1) / 2)
+        ties += c ** 3 - c
+        prior += c
+    u = n1 * n2 + n1 * (n1 + 1) / 2 - r1
+    n = n1 + n2
+    sigma = math.sqrt(n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1))))
+    z = (u - n1 * n2 / 2) / sigma
+    assert row.n1 == n1 and row.n2 == n2
+    assert row.u_stat == pytest.approx(u, abs=1e-2)
+    assert row.z_stat == pytest.approx(z, abs=1e-3)
+
+
+def test_mutual_info_matches_bruteforce(spark):
+    """MI / entropies / NMI must match numpy; MI must be bounded by
+    min(H_x, H_y) and NMI by [0, 1]."""
+    row = QUERIES["q_mutual_info"](spark, SF).collect()[0]
+    raw = duckdb.sql(
+        f"SELECT event_type, CAST(hour(ts) AS INT) FROM "
+        f"'{SF}/events.parquet'").fetchall()
+    import collections
+    joint = collections.Counter(raw)
+    nx = collections.Counter(x for x, _ in raw)
+    ny = collections.Counter(y for _, y in raw)
+    n = len(raw)
+    mi = sum(c / n * math.log(c * n / (nx[x] * ny[y]))
+             for (x, y), c in joint.items())
+    hx = -sum(c / n * math.log(c / n) for c in nx.values())
+    hy = -sum(c / n * math.log(c / n) for c in ny.values())
+    assert row.n == n
+    assert row.mi_nats == pytest.approx(mi, abs=1e-3)
+    assert row.h_x == pytest.approx(hx, abs=1e-3)
+    assert row.h_y == pytest.approx(hy, abs=1e-3)
+    assert row.nmi == pytest.approx(mi / math.sqrt(hx * hy), abs=1e-3)
+    assert -1e-9 <= row.mi_nats <= min(hx, hy) + 1e-9
+    assert -1e-9 <= row.nmi <= 1 + 1e-9
+
+
+def test_rfm_scores_partition_customers_into_quintiles(spark):
+    """Scores must be 1..5, derived from the exact quintile
+    boundaries, and each (metric, score) bucket must be
+    order-consistent: a higher score never has a worse metric."""
+    rows = QUERIES["q_rfm_segment"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+    # monotone consistency: sort by monetary; scores must be
+    # non-decreasing along the sorted metric
+    by_mon = sorted(rows, key=lambda r: r.mon_cents)
+    assert all(a.m_score <= b.m_score
+               for a, b in zip(by_mon, by_mon[1:]))
+    by_rec = sorted(rows, key=lambda r: r.rec_days)
+    assert all(a.r_score >= b.r_score
+               for a, b in zip(by_rec, by_rec[1:]))
+    # every quintile is inhabited on the fixture
+    assert {r.m_score for r in rows} == {1, 2, 3, 4, 5}
+
+
+def test_stream_benford_matches_batch(spark):
+    """The streaming digit state must re-derive exactly the batch
+    Benford rows."""
+    batch = {r.digit: r for r in QUERIES["q_benford"](spark, SF).collect()}
+    stream = {r.digit: r for r in
+              QUERIES["q_stream_benford"](spark, SF).collect()}
+    assert set(batch) == set(stream)
+    for d, b in batch.items():
+        s = stream[d]
+        assert (b.n, b.obs_freq, b.exp_freq, b.dev) == \
+               (s.n, s.obs_freq, s.exp_freq, s.dev)
