@@ -389,7 +389,7 @@ def q_weighted_quantile(spark, sf):
 
 
 # ------------------------------------------------------------- A/B Welch
-@query("q_ab_welch", oracle=f"""
+AB_WELCH_ORACLE = f"""
 WITH g AS (
   SELECT CAST(hour(ts) AS INT) AS hr,
          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
@@ -417,7 +417,10 @@ SELECT hr, n1, n2,
                 "((v1 / n1) * (v1 / n1) / (n1 - 1) + "
                 " (v2 / n2) * (v2 / n2) / (n2 - 1))")} AS dof
 FROM v
-""")
+"""
+
+
+@query("q_ab_welch", oracle=AB_WELCH_ORACLE)
 def q_ab_welch(spark, sf):
     """Welch's unequal-variance t-test per hour-of-day stratum:
     'click' vs 'view' event values compared on mean difference, with
@@ -658,7 +661,7 @@ def q_chi2_independence(spark, sf):
 
 
 # --------------------------------------------------------- Benford audit
-@query("q_benford", oracle=f"""
+BENFORD_ORACLE = f"""
 WITH d AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
                           AS VARCHAR), 1, 1) AS INT) AS digit
@@ -671,7 +674,10 @@ SELECT digit, n,
        {sql_rnd("CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit)")}
            AS dev
 FROM o, t
-""")
+"""
+
+
+@query("q_benford", oracle=BENFORD_ORACLE)
 def q_benford(spark, sf):
     """Benford first-significant-digit audit of order totals: the
     observed digit distribution against Benford's law log10(1+1/d)
@@ -775,7 +781,7 @@ l AS (
   SELECT event_type, day, total,
          lag(total) OVER (PARTITION BY event_type ORDER BY day) AS prev
   FROM d)
-SELECT event_type, day,
+SELECT event_type, CAST(day AS VARCHAR) AS day,
        {sql_rnd("total")} AS total, {sql_rnd("prev")} AS prev,
        {sql_rnd("(total - prev) / prev")} AS pct_change
 FROM l WHERE prev IS NOT NULL
@@ -798,7 +804,9 @@ def q_pct_change(spark, sf):
     l = d.select("event_type", "day", "total",
                  F.lag("total").over(w).alias("prev"))
     return (l.filter(F.col("prev").isNotNull())
-            .select("event_type", "day",
+            .select("event_type",
+                    # ISO string: driver hash-safe type convention
+                    F.col("day").cast("string").alias("day"),
                     rnd(F.col("total")).alias("total"),
                     rnd(F.col("prev")).alias("prev"),
                     rnd((F.col("total") - F.col("prev")) / F.col("prev"))
@@ -853,7 +861,10 @@ def q_mann_whitney(spark, sf):
     sum of products of exact values; the tie correction Σ(t³−t) is
     pure integer arithmetic.  Scale: identical shape to q_ks_test —
     data collapses to |distinct values| in one combine-heavy
-    groupBy, the ordered window touches only that frame."""
+    groupBy, the ordered window touches only that frame.  The tie
+    term Σ(t³−t) is exact BIGINT up to ~2.1M rows per distinct value
+    per arm (t³ < 2⁶³); past that the tie partial switches to double
+    — the q_gini headroom discipline."""
     li = (load_tables(spark, sf)["lineitem"]
           .filter(F.col("l_returnflag").isin("A", "N")))
     a = F.col("l_returnflag") == "A"

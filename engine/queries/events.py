@@ -599,7 +599,7 @@ a AS (
 nw AS (
   SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
   FROM f GROUP BY 1)
-SELECT a.day, a.n_active,
+SELECT CAST(a.day AS VARCHAR) AS day, a.n_active,
        CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new,
        CAST(a.n_active - coalesce(nw.n_new, 0) AS BIGINT)
            AS n_returning,
@@ -633,6 +633,10 @@ def q_user_growth(spark, sf):
                  F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new")))
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     return j.select(
-        "day", "n_active", "n_new",
+        # ISO string, not DATE: the driver value-hash convention
+        # admits only primitive hash-safe types (q_retention
+        # precedent; pinned in test_output_types_hash_safe)
+        F.col("day").cast("string").alias("day"),
+        "n_active", "n_new",
         (F.col("n_active") - F.col("n_new")).alias("n_returning"),
         F.sum("n_new").over(w).alias("n_cum_users"))

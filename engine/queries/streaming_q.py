@@ -32,6 +32,7 @@ from ..io import load_tables, session_cache
 from ..registry import query
 from ..streaming import read_event_stream
 from .events import CDC_LOG_SQL
+from .analytics_extra import AB_WELCH_ORACLE, BENFORD_ORACLE
 from .incremental import GROUP_TOPK_ORACLE
 from .util import dsum, rnd, sql_dsum, sql_rnd
 
@@ -829,35 +830,7 @@ def q_stream_group_topk(spark, sf):
             .select("lang", "word", "cnt", "rank"))
 
 
-@query("q_stream_ab_welch", oracle=f"""
-WITH g AS (
-  SELECT CAST(hour(ts) AS INT) AS hr,
-         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-              AS BIGINT) AS n1,
-         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-              AS BIGINT) AS n2,
-         {sql_dsum("CASE WHEN event_type = 'click' THEN value END")} AS s1,
-         {sql_dsum("CASE WHEN event_type = 'view' THEN value END")} AS s2,
-         {sql_dsum("CASE WHEN event_type = 'click' "
-                   "THEN value * value END")} AS q1,
-         {sql_dsum("CASE WHEN event_type = 'view' "
-                   "THEN value * value END")} AS q2
-  FROM events WHERE event_type IN ('click', 'view')
-  GROUP BY 1
-  HAVING n1 > 1 AND n2 > 1),
-v AS (
-  SELECT hr, n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
-         (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
-         (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
-  FROM g)
-SELECT hr, n1, n2,
-       {sql_rnd("m1")} AS mean_a, {sql_rnd("m2")} AS mean_b,
-       {sql_rnd("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)")} AS t_stat,
-       {sql_rnd("((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)) / "
-                "((v1 / n1) * (v1 / n1) / (n1 - 1) + "
-                " (v2 / n2) * (v2 / n2) / (n2 - 1))")} AS dof
-FROM v
-""")
+@query("q_stream_ab_welch", oracle=AB_WELCH_ORACLE)
 def q_stream_ab_welch(spark, sf):
     """Speed-layer twin of q_ab_welch: the live A/B readout. The
     stream holds one mergeable state row per hour stratum — six
@@ -905,20 +878,7 @@ def q_stream_ab_welch(spark, sf):
     return spark.table(name)
 
 
-@query("q_stream_benford", oracle=f"""
-WITH d AS (
-  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
-                          AS VARCHAR), 1, 1) AS INT) AS digit
-  FROM orders WHERE o_totalprice >= 1),
-o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
-t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM o)
-SELECT digit, n,
-       {sql_rnd("CAST(n AS DOUBLE) / total")} AS obs_freq,
-       {sql_rnd("log10(1.0 + 1.0 / digit)")} AS exp_freq,
-       {sql_rnd("CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit)")}
-           AS dev
-FROM o, t
-""")
+@query("q_stream_benford", oracle=BENFORD_ORACLE)
 def q_stream_benford(spark, sf):
     """Streaming Benford audit — the live data-quality screen: the
     stream maintains 9 digit-count state rows (complete-mode

@@ -63,8 +63,9 @@ REL_KEYS = [
     # + variant round-trip
     "q_cdc_apply", "q_merge_idempotent", "q_ts_ohlc", "q_variant_funcs",
     "q_agg_mode", "q_time_travel",
-    # round-6 final wave (events/orders grow 10x; q_skyline is
-    # excluded — its only input, part, is a symlinked constant here)
+    # round-6 final wave (events/orders grow 10x; q_skyline and
+    # q_chi2_independence are excluded — their only inputs, part and
+    # customer, are symlinked fixture constants here)
     "q_ab_welch", "q_ts_seasonal", "q_gini",
     "q_conversion_lag", "q_time_weighted_avg",
     "q_ks_test", "q_pct_change", "q_benford",

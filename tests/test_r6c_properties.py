@@ -356,12 +356,12 @@ def test_pct_change_matches_bruteforce(spark):
             np.floor(v * 1e4 + 0.5))
     assert rows
     for r in rows:
-        cur = tot[(r.event_type, r.day)] / 1e4
-        prev_day = r.day - datetime.timedelta(days=1)
+        rday = datetime.date.fromisoformat(r.day)
+        cur = tot[(r.event_type, rday)] / 1e4
         # the lag is over observed days; find the closest earlier day
         days = sorted(d for (et, d) in tot if et == r.event_type)
         prev = tot[(r.event_type,
-                    max(d for d in days if d < r.day))] / 1e4
+                    max(d for d in days if d < rday))] / 1e4
         assert r.total == pytest.approx(cur, abs=1e-4)
         assert r.prev == pytest.approx(prev, abs=1e-4)
         assert r.pct_change == pytest.approx((cur - prev) / prev,
@@ -371,7 +371,9 @@ def test_pct_change_matches_bruteforce(spark):
 def test_user_growth_matches_bruteforce(spark):
     """Active/new/returning/cumulative must match a pure-Python
     recomputation; cumulative must end at the total user count."""
-    rows = {r.day: r for r in QUERIES["q_user_growth"](spark, SF).collect()}
+    import datetime as _dt
+    rows = {_dt.date.fromisoformat(r.day): r
+            for r in QUERIES["q_user_growth"](spark, SF).collect()}
     raw = duckdb.sql(
         f"SELECT user_id, CAST(date_trunc('day', ts) AS DATE) "
         f"FROM '{SF}/events.parquet'").fetchall()
