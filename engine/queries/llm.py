@@ -1655,13 +1655,15 @@ def q_dedup_containment(spark, sf):
     the candidates' shingles, not the corpus pairs. All counts are
     exact integers; the score is one rounded division."""
     hv = _shingle_hashes(spark, sf)
-    # sh feeds three branches (sizes + both intersection sides);
-    # persist so the corpus is shingled once, not re-scanned per
-    # branch (the per-invocation persist discipline of the
-    # dedup-cluster edges, llm.py:208)
+    # sh feeds FOUR branches (sizes, both intersection sides, and
+    # the MinHash signature chain — min over a multiset equals min
+    # over its distinct set, so the banded signatures are identical
+    # on the deduped frame); persist so the corpus is shingled once,
+    # not re-scanned per branch (the per-invocation persist
+    # discipline of the dedup-cluster edges, llm.py:208)
     sh = hv.distinct().persist()
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pairs = _minhash_candidate_pairs(hv)
+    pairs = _minhash_candidate_pairs(sh)
     a = sh.select(F.col("doc_id").alias("d1"), "h")
     b2 = sh.select(F.col("doc_id").alias("d2"), "h")
     inter = (

@@ -164,6 +164,8 @@ X100_KEYS = [
     "q_dedup_exact", "q_dedup_keep_best", "q_heavy_hitters",
     "q_text_chunk", "q_text_redact", "q_contamination", "q_text_stats",
     "q_split_train", "q_tfidf_top", "q_text_repetition", "q_word_pmi",
+    # round-6 final wave: linear doc ops join the three-decade claim
+    "q_dedup_paragraph", "q_feature_hash", "q_zipf_fit",
 ]
 
 
