@@ -327,6 +327,9 @@ REL100_KEYS = [
     "q_topk_orders", "q_agg_rollup", "q_join_bloom", "q_incr_agg",
     "q_snapshot_diff", "q_mjoin_topk", "q_quantile_bins",
     "q_linreg_group", "q_profile_columns", "q_dq_audit",
+    # round-6 final wave: lineitem/orders-driven statistics
+    "q_ks_test", "q_mann_whitney", "q_benford", "q_gini",
+    "q_rfm_segment",
 ]
 
 
