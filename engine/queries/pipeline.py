@@ -743,26 +743,33 @@ def q_basket_rules(spark, sf):
     t = load_tables(spark, sf)
     li = t["lineitem"]
     n_orders = table_count(spark, sf, "orders")
-    # both pf and the baskets read the DISTINCT (part, order)
-    # incidence — a two-int-column projection of lineitem.  Expressing
-    # pf as count-over-distinct instead of countDistinct avoids the
-    # partial-distinct Expand inside the aggregate (measured 1.2 s →
-    # 0.85 s for the pf stage alone at sf0.1, full query ~2.6 → ~2.1 s).
-    # At 100 TB the incidence would be persisted between the two uses;
-    # at bench scale recomputing it is cheaper than the persist round.
+    # pf reads the DISTINCT (part, order) incidence — a two-int-column
+    # projection of lineitem.  Expressing it as count-over-distinct
+    # instead of countDistinct avoids the partial-distinct Expand
+    # inside the aggregate (measured 1.2 s → 0.85 s for the pf stage
+    # alone at sf0.1); count-over-distinct (not collect_set-size) is
+    # deliberate: orders-per-part grows with the corpus, so a per-part
+    # set is memory-unbounded at 100 TB while the distinct aggregate
+    # spills.
     inc = li.select("l_partkey", "l_orderkey").distinct()
     pf = (inc.groupBy("l_partkey")
           .agg(F.count(F.lit(1)).alias("nord"))
           .filter(F.col("nord") >= _BASKET_MINSUP))
     # pair generation WITHOUT a self-join: one groupBy(order) builds
-    # the sorted basket array (the incidence is already distinct, so
-    # collect_list needs no dedup), then a codegen higher-order
-    # expression expands the within-basket pairs — the measured
-    # self-join (shuffle both sides + 941k-row join at sf0.1) cost
-    # 3.5 s; this shape is one shuffle plus a narrow explode
-    baskets = (inc.join(F.broadcast(pf.select("l_partkey")), "l_partkey")
+    # the sorted basket array, then a codegen higher-order expression
+    # expands the within-basket pairs — the measured self-join
+    # (shuffle both sides + 941k-row join at sf0.1) cost 3.5 s; this
+    # shape is one shuffle plus a narrow explode.  The basket branch
+    # reads RAW lineitem, not the distinct incidence: collect_set
+    # dedups inside the partial (map-side) aggregate, so the second
+    # full exchange the distinct would cost disappears (measured
+    # 2.31 → 2.15 s warm, 7.8 → 4.0 s cold).  Unlike pf, the per-group
+    # set here IS bounded — a basket is one order's parts, a physical
+    # constant independent of corpus size.
+    baskets = (li.select("l_partkey", "l_orderkey")
+               .join(F.broadcast(pf.select("l_partkey")), "l_partkey")
                .groupBy("l_orderkey")
-               .agg(F.sort_array(F.collect_list("l_partkey"))
+               .agg(F.sort_array(F.collect_set("l_partkey"))
                     .alias("ps")))
     pair_expr = F.flatten(F.transform(
         "ps",

@@ -46,6 +46,10 @@ DOC_KEYS = [
     # hashing-trick featurization
     "q_dedup_paragraph", "q_zipf_fit", "q_feature_hash",
     "q_embed_opq",
+    # banded-MinHash containment joins its fuzzy-minhash sibling in
+    # the 10x tier (same candidate generation, plus the exact
+    # intersection join)
+    "q_dedup_containment",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

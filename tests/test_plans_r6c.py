@@ -93,3 +93,30 @@ def test_dedup_paragraph_shuffles_hashes_not_text(spark, sf_dir):
     plan = final_plan(spark, "q_dedup_paragraph", sf_dir)
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), plan
+
+
+def test_containment_prefilter_twin_matches_default(spark, sf_dir):
+    """The at-scale prefilter twin (candidate-doc semi-filter on the
+    d2 shingle side, spark.engine.containment.prefilter=true) must
+    return EXACTLY the default path's rows — same pairs, same exact
+    intersection counts, same rounded containment."""
+    base = sorted(
+        QUERIES["q_dedup_containment"](spark, sf_dir).collect())
+    spark.conf.set("spark.engine.containment.prefilter", "true")
+    try:
+        twin = sorted(
+            QUERIES["q_dedup_containment"](spark, sf_dir).collect())
+    finally:
+        spark.conf.unset("spark.engine.containment.prefilter")
+    assert twin == base
+
+
+def test_basket_rules_no_self_join_and_mapside_basket_dedup(spark, sf_dir):
+    """Pair mining must stay the basket-array shape (never a shuffled
+    incidence self-join), and the basket build must dedup map-side:
+    a partial_collect_set partial aggregate feeds the order exchange,
+    so the raw-lineitem branch never pays a separate distinct
+    exchange."""
+    plan = final_plan(spark, "q_basket_rules", sf_dir)
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_collect_set" in plan, plan
