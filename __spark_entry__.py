@@ -147,6 +147,18 @@ _R06B_NEW = {
     "q_weighted_quantile", "q_ts_autocorr",
 }
 
+# Keys first registered in round 7. The round-6 verdict's top
+# priority is DRAINING the rotation window — the ~50 oldest greens
+# (r2-era keys unconfirmed for 4+ rounds) must fill the r7 window —
+# so this cohort is demoted behind EVERY green key, not just behind
+# older waiting keys: round-7 newcomers take no window slot at all
+# until the stale greens are re-confirmed (they get their first
+# driver row in round 8; until then they are covered by the local
+# check.py sweep and their own tests).
+_R07_NEW = {
+    "q_ivf_refresh", "q_tdigest_quantile", "q_contamination_chunk",
+}
+
 # Keys first registered in round 6's final wave: demoted behind every
 # earlier cohort (same discipline as _R05_NEW/_R06_NEW/_R06B_NEW).
 _R06C_NEW = {
@@ -171,10 +183,11 @@ def _rotated(keys) -> list[str]:
     between rounds; the static _R0N_GREEN lists remain only as
     documentation of earlier rounds."""
     def tiered(waiting):
-        # newer cohorts demote behind older waiting keys
+        # newer cohorts demote behind older waiting keys; _R07_NEW
+        # is handled separately (behind even the greens)
         older = [k for k in waiting if k not in _R05_NEW
                  and k not in _R06_NEW and k not in _R06B_NEW
-                 and k not in _R06C_NEW]
+                 and k not in _R06C_NEW and k not in _R07_NEW]
         return (older
                 + [k for k in waiting if k in _R05_NEW]
                 + [k for k in waiting if k in _R06_NEW]
@@ -187,11 +200,16 @@ def _rotated(keys) -> list[str]:
         waiting = tiered(
             [k for k in keys if k not in r2 and k not in r3])
         return (waiting + [k for k in keys if k in r2]
-                + [k for k in keys if k in r3])
+                + [k for k in keys if k in r3]
+                + [k for k in keys if k in _R07_NEW])
     waiting = tiered([k for k in keys if k not in green])
     seen = sorted((k for k in keys if k in green),
                   key=lambda k: green[k])  # stable: registry order within a round
-    return waiting + seen
+    # round-7 newcomers with no driver row yet go BEHIND the greens
+    # (see _R07_NEW comment); once a newcomer has a green row it
+    # sorts into `seen` like everyone else and this tail is empty
+    back = [k for k in keys if k in _R07_NEW and k not in green]
+    return waiting + seen + back
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -186,15 +186,20 @@ def main() -> None:
         # min of two executions: the first pays one-time plan/codegen
         # compilation, the second is the steady-state number a warm
         # cluster sees — reporting min-of-2 measures the operator, not
-        # the JIT
+        # the JIT. Sub-0.5 s entries get a THIRD pass: at that grain
+        # scheduler/GC jitter is a large fraction of the number, and
+        # min-of-3 tightens the run-to-run band enough that real
+        # regressions stop hiding inside the noise (round-6 verdict).
         best = None
-        for _ in range(2):
+        runs = 0
+        while runs < 2 or (runs < 3 and best < 0.5):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             assert n >= 0
+            runs += 1
         timings[key] = round(best, 3)
     # same min-of-2 convention as the headline keys: the first pass
     # pays mapInPandas/applyInPandas codegen + Arrow writer warmup

@@ -918,7 +918,7 @@ hy AS (SELECT -sum(CAST(ny AS DOUBLE) / n
 SELECT CAST(s.n AS BIGINT) AS n,
        {sql_rnd("s.mi")} AS mi_nats,
        {sql_rnd("hx.h")} AS h_x, {sql_rnd("hy.h")} AS h_y,
-       {sql_rnd("s.mi / sqrt(hx.h * hy.h)")} AS nmi
+       {sql_rnd("s.mi / nullif(sqrt(hx.h * hy.h), 0)")} AS nmi
 FROM s, hx, hy
 """)
 def q_mutual_info(spark, sf):
@@ -960,6 +960,11 @@ def q_mutual_info(spark, sf):
                     rnd(F.col("mi")).alias("mi_nats"),
                     rnd(F.col("h_x")).alias("h_x"),
                     rnd(F.col("h_y")).alias("h_y"),
+                    # nullif guard: a single-valued marginal (one
+                    # event type or one hour) zeroes an entropy —
+                    # Spark NULL vs DuckDB Inf/NaN without it
                     rnd(F.col("mi")
-                        / F.sqrt(F.col("h_x") * F.col("h_y")))
+                        / F.nullif(
+                            F.sqrt(F.col("h_x") * F.col("h_y")),
+                            F.lit(0.0)))
                     .alias("nmi")))

@@ -753,11 +753,11 @@ s AS (
          {sql_dsum("y*y", 8)} AS syy
   FROM pts)
 SELECT n AS n_top,
-       {sql_rnd("(n*sxy - sx*sy) / (n*sxx - sx*sx)")} AS slope,
-       {sql_rnd("(sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n")}
+       {sql_rnd("(n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0)")} AS slope,
+       {sql_rnd("(sy - ((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0)) * sx) / n")}
            AS intercept,
        {sql_rnd("((n*sxy - sx*sy) * (n*sxy - sx*sy)) / "
-                "((n*sxx - sx*sx) * (n*syy - sy*sy))")} AS r2
+                "nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0)")} AS r2
 FROM s
 """)
 def q_zipf_fit(spark, sf):
@@ -796,10 +796,15 @@ def q_zipf_fit(spark, sf):
         dsum(F.col("y") * F.col("y"), 8).alias("syy"))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # nullif guards: a degenerate top-k (≤1 distinct rank/freq, e.g.
+    # a single-token vocabulary) zeroes the variance terms — Spark
+    # NULL vs DuckDB Inf/NaN without them (q_ts_seasonal convention)
+    slope = ((n * sxy - sx * sy)
+             / F.nullif(n * sxx - sx * sx, F.lit(0.0)))
     return s.select(
         n.alias("n_top"),
         rnd(slope).alias("slope"),
         rnd((sy - slope * sx) / n).alias("intercept"),
         rnd((n * sxy - sx * sy) * (n * sxy - sx * sy)
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy))).alias("r2"))
+            / F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy),
+                       F.lit(0.0))).alias("r2"))

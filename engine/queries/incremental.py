@@ -533,7 +533,7 @@ s AS (
   FROM p GROUP BY event_type)
 SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
        floor((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)
              * 1000000 + 0.5) / 1000000 AS acf1
 FROM s
 """)
@@ -567,8 +567,14 @@ def q_ts_autocorr(spark, sf):
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # nullif guard: a constant series has zero variance — Spark
+    # would yield NULL but DuckDB IEEE Inf/NaN; nullif on BOTH
+    # sides makes the degenerate case NULL in both engines (the
+    # q_ts_seasonal denominator convention)
     acf = ((n * sxy - sx * sy)
-           / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+           / F.nullif(
+               F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+               F.lit(0.0)))
     return s.select(
         "event_type", n.cast("long").alias("n_pairs"),
         rnd(acf, 6).alias("acf1"))

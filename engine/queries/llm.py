@@ -1620,6 +1620,13 @@ def q_text_perplexity(spark, sf):
     )
 
 
+# Auto-prefilter threshold for q_dedup_containment: below this many
+# documents the full shingle exchange is cheaper than the extra
+# broadcast round (measured at sf0.1 = 5k docs); above it the
+# candidate-semi-filter wins (10× probe = 50k docs and beyond).
+_PREFILTER_DOCS = 20_000
+
+
 @query("q_dedup_containment", oracle=f"""
 WITH {_MINHASH_CTES},
 pairs AS (
@@ -1656,33 +1663,61 @@ def q_dedup_containment(spark, sf):
     settings — cheap at bench scale (OS-cached scan, measured
     ~0.6 s FASTER than prefiltering, which pays an extra broadcast
     round). At-scale twin (the q_quantile_bins twin discipline):
-    with ``spark.engine.containment.prefilter=true`` the candidate
-    pairs are persisted and the d2 shingle side is broadcast-
-    semi-filtered to candidate docs BEFORE the exchange, so the
-    shuffled bytes are proportional to the candidates' shingles,
-    not the corpus — the shape a 100 TB corpus needs (equality
-    pinned in tests/test_plans_r6c.py). All counts are exact
-    integers; the score is one rounded division."""
-    prefilter = (str(spark.conf.get(
-        "spark.engine.containment.prefilter", "false")).lower()
-        == "true")
-    hv = _shingle_hashes(spark, sf)
-    # sh feeds FOUR branches (sizes, both intersection sides, and
-    # the MinHash signature chain — min over a multiset equals min
-    # over its distinct set, so the banded signatures are identical
-    # on the deduped frame); persist so the corpus is shingled once,
-    # not re-scanned per branch (the per-invocation persist
-    # discipline of the dedup-cluster edges, llm.py:208)
-    sh = hv.distinct().persist()
+    under the prefilter the candidate pairs are persisted and the
+    d2 shingle side is broadcast-semi-filtered to candidate docs
+    BEFORE the exchange, so the shuffled bytes are proportional to
+    the candidates' shingles, not the corpus — the shape a 100 TB
+    corpus needs (equality pinned in tests/test_plans_r6c.py).
+    ``spark.engine.containment.prefilter`` selects the path:
+    ``auto`` (default) switches on the memoized documents row count
+    — the cheap path below _PREFILTER_DOCS docs (bench scale, where
+    prefiltering measured slower), the broadcast-semi-filter above
+    it (the 10× probe and beyond) — so a large corpus gets the
+    at-scale plan without anyone remembering a conf (plan-pinned at
+    both scales in tests/test_plans_r7.py); ``true``/``false``
+    force a path. All counts are exact integers; the score is one
+    rounded division.
+
+    The persisted frames are memoized per (session, sf) — repeated
+    invocations in a long-lived session reuse ONE set of cached
+    blocks instead of stacking a fresh persist per call (the
+    q_dedup_cluster session_cache discipline, llm.py:196)."""
+    mode = str(spark.conf.get(
+        "spark.engine.containment.prefilter", "auto")).lower()
+    if mode == "auto":
+        prefilter = (table_count(spark, sf, "documents")
+                     > _PREFILTER_DOCS)
+    else:
+        prefilter = mode == "true"
+    per_session = session_cache(spark, "_engine_containment_cache")
+    ck = (sf.rstrip("/"), prefilter)
+    if ck in per_session:
+        sh, pairs = per_session[ck]
+    else:
+        # sh feeds FOUR branches (sizes, both intersection sides,
+        # and the MinHash signature chain — min over a multiset
+        # equals min over its distinct set, so the banded signatures
+        # are identical on the deduped frame); persist so the corpus
+        # is shingled once, not re-scanned per branch
+        sh = _shingle_hashes(spark, sf).distinct().persist()
+        pairs = _minhash_candidate_pairs(sh)
+        if prefilter:
+            # persist so the MinHash chain runs once even though
+            # pairs now feeds two consumers (the d2 filter and the
+            # d1 probe)
+            pairs = pairs.persist()
+        per_session[ck] = (sh, pairs)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pairs = _minhash_candidate_pairs(sh)
     a = sh.select(F.col("doc_id").alias("d1"), "h")
     b2 = sh.select(F.col("doc_id").alias("d2"), "h")
     if prefilter:
-        # persist so the MinHash chain runs once even though pairs
-        # now feeds two consumers (the d2 filter and the d1 probe)
-        pairs = pairs.persist()
-        b2 = b2.join(F.broadcast(pairs.select("d2").distinct()), "d2")
+        # left_semi: an INNER join against the distinct candidate
+        # docs is provably redundant to Catalyst (the [d2, h] join
+        # below re-checks d2 against the same pairs frame) and gets
+        # optimized away — which would undo the whole point of
+        # filtering BEFORE the shuffle; the semi join survives
+        b2 = b2.join(F.broadcast(pairs.select("d2").distinct()),
+                     "d2", "left_semi")
     inter = (
         F.broadcast(pairs).join(a, "d1").join(b2, ["d2", "h"])
         .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("n_shared"))

@@ -48,10 +48,15 @@ def test_bench_headline_keys_exist():
 
 
 def test_rotation_cohorts_reference_real_keys():
+    # Discover cohorts by naming convention rather than a hand-kept
+    # tuple, so a future _R0NX_NEW cohort can't be silently omitted
+    # from the staleness check (the r6 _R06C_NEW omission).
     import __spark_entry__ as entry
 
-    for cohort in (entry._R02_GREEN, entry._R03_GREEN,
-                   entry._R05_NEW, entry._R06_NEW, entry._R06B_NEW):
+    cohorts = [getattr(entry, name) for name in dir(entry)
+               if name.endswith(("_GREEN", "_NEW"))]
+    assert len(cohorts) >= 6, "cohort discovery broke"
+    for cohort in cohorts:
         stale = [k for k in cohort if k not in QUERIES]
         assert not stale, stale
 

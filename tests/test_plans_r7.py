@@ -1,0 +1,81 @@
+"""Round-7 plan pins.
+
+q_dedup_containment's prefilter is now AUTO: below _PREFILTER_DOCS
+documents it keeps the cheap full-shingle exchange (measured faster
+at bench scale); above it the d2 shingle side is broadcast-semi-
+filtered to candidate docs before the exchange (the 100 TB shape).
+These pins assert the auto switch actually changes the executed
+plan — small corpus → no extra filter join, large corpus → the
+broadcast semi-filter appears — and that repeated invocations reuse
+one set of cached blocks instead of stacking persists.
+"""
+from __future__ import annotations
+
+import re
+
+from engine.io import session_cache
+from engine.registry import QUERIES, load_all
+
+from test_plans import final_plan
+
+load_all()
+
+
+def _containment_optimized(spark, sf_dir, fake_doc_count=None) -> str:
+    """Build the containment query and return its OPTIMIZED logical
+    plan, optionally pre-seeding the memoized documents row count so
+    the auto switch sees a large corpus without generating one (the
+    data stays the small fixture; twin equality is pinned separately
+    in test_plans_r6c.py).  The logical plan is the right artifact
+    here: the executed-plan toString garbles nested
+    InMemoryRelation/AdaptiveSparkPlan subtrees, dropping the b2
+    branch that carries the semi-filter."""
+    cc = session_cache(spark, "_engine_count_cache")
+    key = (sf_dir.rstrip("/"), "documents")
+    old = cc.get(key)
+    # drop the memoized persisted frames so a fresh plan is built
+    # under the (possibly faked) count
+    memo = session_cache(spark, "_engine_containment_cache")
+
+    def drain():
+        for sh, pairs in list(memo.values()):
+            sh.unpersist()
+            pairs.unpersist()
+        memo.clear()
+
+    drain()
+    if fake_doc_count is not None:
+        cc[key] = fake_doc_count
+    try:
+        df = QUERIES["q_dedup_containment"](spark, sf_dir)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        if fake_doc_count is not None:
+            if old is None:
+                cc.pop(key, None)
+            else:
+                cc[key] = old
+        drain()
+
+
+def test_containment_auto_prefilter_switches_on_corpus_size(spark, sf_dir):
+    small = _containment_optimized(spark, sf_dir)
+    big = _containment_optimized(spark, sf_dir, fake_doc_count=50_000)
+    # at scale the d2 shingle side gains the broadcast candidate-doc
+    # semi-filter (LeftSemi survives Catalyst where an inner join is
+    # proven redundant and eliminated); below the threshold the
+    # cheap full-exchange path has no semi join at all
+    assert "LeftSemi" not in small, small
+    assert re.search(r"Join LeftSemi.*\n.*", big), big
+    assert big.count("LeftSemi") == 1, big
+    # and the semi-filter's build side is hinted broadcast
+    assert "rightHint=(strategy=broadcast)" in big, big
+
+
+def test_containment_repeat_invocations_reuse_cached_blocks(spark, sf_dir):
+    QUERIES["q_dedup_containment"](spark, sf_dir).collect()
+    jsc = spark.sparkContext._jsc.sc()
+    n1 = jsc.getPersistentRDDs().size()
+    QUERIES["q_dedup_containment"](spark, sf_dir).collect()
+    n2 = jsc.getPersistentRDDs().size()
+    assert n2 == n1, (n1, n2)
