@@ -808,3 +808,93 @@ def q_zipf_fit(spark, sf):
         rnd((n * sxy - sx * sy) * (n * sxy - sx * sy)
             / F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy),
                        F.lit(0.0))).alias("r2"))
+
+
+# ------------------------------------------- chunk-grain contamination
+_CCHUNK_WORDS = 20  # removal grain (q_dedup_paragraph's chunk width)
+_CCHUNK_N = 4       # match grain (q_contamination's n-gram width)
+
+
+@query("q_contamination_chunk", oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l
+  FROM documents WHERE length(text) > 0),
+ws AS (SELECT * FROM w WHERE len(l) >= {_CCHUNK_N}),
+g AS (
+  SELECT doc_id,
+         (s - 1) // {_CCHUNK_WORDS} AS chunk_id,
+         md5(array_to_string(l[s:s+{_CCHUNK_N - 1}], ' ')) AS gh
+  FROM ws, unnest(generate_series(1, len(l) - {_CCHUNK_N - 1})) AS t(s)),
+hold AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT DISTINCT g.doc_id, g.chunk_id
+         FROM g JOIN hold USING (gh) WHERE g.doc_id % 97 <> 0),
+c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam_chunks
+      FROM hits GROUP BY doc_id)
+SELECT ws.doc_id,
+       CAST(ceil(len(l) / {_CCHUNK_WORDS}.0) AS BIGINT) AS n_chunks,
+       coalesce(c.n_contam_chunks, 0) AS n_contam_chunks,
+       {sql_rnd(f"coalesce(c.n_contam_chunks, 0) / "
+                f"ceil(len(l) / {_CCHUNK_WORDS}.0)")} AS contam_ratio
+FROM ws LEFT JOIN c USING (doc_id)
+WHERE ws.doc_id % 97 <> 0
+""")
+def q_contamination_chunk(spark, sf):
+    """Chunk-grain benchmark decontamination — the grain real
+    pipelines REMOVE at: a training document is matched against the
+    held-out eval set at the n-gram grain (``q_contamination``'s
+    4-gram hashes; real recipes use 8-13-grams, the fixture's random
+    vocabulary only collides at 4), but the REPORTING/removal unit is
+    the fixed 20-word chunk (``q_dedup_paragraph``'s grain) the gram
+    falls in — so a curation pass can drop just the contaminated
+    spans instead of whole documents. A gram belongs to the chunk
+    containing its first word. Output per corpus document: chunk
+    count, contaminated-chunk count, contamination ratio (all corpus
+    docs reported, zero rows included, so the thresholding consumer
+    sees the full population).
+
+    Scale shape (composes its two parents' plans): the holdout gram
+    set is eval-benchmark-sized → BROADCAST hash semi-join, corpus
+    grams never shuffle to match; the only corpus-side exchanges are
+    hit dedup keyed by (doc_id, chunk_id) — |hits| ≪ |grams| — and
+    the final per-doc count, which re-joins the corpus frame through
+    a BROADCAST left join because the contaminated-doc aggregate is
+    again benchmark-sized. Gram+chunk expansion is one codegen
+    higher-order transform over the split array (no UDF, no
+    re-split per gram — the q_word_pmi discipline)."""
+    n, k = _CCHUNK_N, _CCHUNK_WORDS
+    d = (load_tables(spark, sf)["documents"]
+         .filter(F.length("text") > 0)
+         .select("doc_id", F.split("text", " ").alias("l"))
+         .filter(F.size("l") >= n))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - (n - 1)),
+                lambda s: F.struct(
+                    F.floor((s - 1) / k).cast("long").alias("chunk_id"),
+                    F.md5(F.concat_ws(" ", F.slice("l", s, F.lit(n)))
+                          .cast("binary")).alias("gh")),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.chunk_id", "g.gh")
+    hold = (grams.filter(F.col("doc_id") % 97 == 0)
+            .select("gh").distinct())
+    hits = (grams.filter(F.col("doc_id") % 97 != 0)
+            .join(F.broadcast(hold), "gh")
+            .select("doc_id", "chunk_id").distinct())
+    contam = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contam_chunks"))
+    base = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.ceil(F.size("l") / F.lit(float(k))).cast("long")
+        .alias("n_chunks"))
+    return (
+        base.join(F.broadcast(contam), "doc_id", "left")
+        .select(
+            "doc_id", "n_chunks",
+            F.coalesce("n_contam_chunks", F.lit(0)).cast("long")
+            .alias("n_contam_chunks"),
+            rnd(F.coalesce("n_contam_chunks", F.lit(0)).cast("double")
+                / F.col("n_chunks")).alias("contam_ratio"))
+    )

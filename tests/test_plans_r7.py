@@ -79,3 +79,13 @@ def test_containment_repeat_invocations_reuse_cached_blocks(spark, sf_dir):
     QUERIES["q_dedup_containment"](spark, sf_dir).collect()
     n2 = jsc.getPersistentRDDs().size()
     assert n2 == n1, (n1, n2)
+
+
+def test_contamination_chunk_broadcasts_both_small_sides(spark, sf_dir):
+    """Both benchmark-sized frames — the holdout gram set and the
+    contaminated-doc aggregate — must reach the corpus as broadcast
+    hash joins; a shuffle join on either side would exchange the
+    corpus-gram frame at 100 TB."""
+    plan = final_plan(spark, "q_contamination_chunk", sf_dir)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
