@@ -126,6 +126,11 @@ HEADLINE = [
     "q_mann_whitney",
     "q_mutual_info",
     "q_rfm_segment",
+    # round-7 additions: chunk-grain decontamination, mergeable
+    # t-digest quantile rollup, ANN index refresh
+    "q_contamination_chunk",
+    "q_tdigest_quantile",
+    "q_ivf_refresh",
 ]
 
 

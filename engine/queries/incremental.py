@@ -629,3 +629,184 @@ def q_time_weighted_avg(spark, sf):
                  F.sum("dt").alias("dur_us"),
                  rnd(F.sum(F.col("vs") * F.col("dt")).cast("double")
                      / 10000.0 / F.sum("dt")).alias("twap")))
+
+
+# ------------------------------------------- mergeable t-digest sketch
+TD_DELTA = 200  # compression: centroid count ~ O(delta); rank error
+#                 ~ 4/delta near the median, tighter at the tails
+#                 (k1 scale function concentrates centroids there)
+
+
+def tdigest_path(sf: str) -> str:
+    """Stable on-disk location of the persisted per-(event_type, day)
+    t-digest artifact for one fixture dir (the ivf_codebook_path
+    idiom: digest covers the events file's identity so a regenerated
+    fixture re-sketches instead of serving stale centroids)."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(os.path.abspath(sf), "events.parquet")
+    st = os.stat(p)
+    digest = hashlib.md5(
+        f"{p}|{st.st_size}|{st.st_mtime_ns}|td{TD_DELTA}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"engine_tdigest_{digest}")
+
+
+def _td_k(q):
+    """k1 scale function: k(q) = δ/(2π)·asin(2q−1). A centroid may
+    absorb weight while its k-span stays ≤ 1, which bounds centroid
+    mass by ~2q(1−q)·total/δ — small near the tails, so extreme
+    quantiles stay sharp."""
+    import numpy as np
+
+    return TD_DELTA / (2.0 * np.pi) * np.arcsin(2.0 * np.clip(q, 0, 1) - 1)
+
+
+def _td_compress(means, weights):
+    """One merging-t-digest pass (Dunning's merging variant): inputs
+    sorted by (mean, weight) — deterministic regardless of partition
+    or merge order — then greedily folded left-to-right while the
+    k1-span of the growing centroid stays ≤ 1. Returns (means,
+    weights) float64/int64 arrays."""
+    import numpy as np
+
+    m = np.asarray(means, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    order = np.lexsort((w, m))
+    m, w = m[order], w[order]
+    total = w.sum()
+    om, ow = [], []
+    cm, cw = m[0], w[0]
+    before = 0.0  # weight strictly before the growing centroid
+    for i in range(1, len(m)):
+        q0 = before / total
+        q2 = (before + cw + w[i]) / total
+        if _td_k(q2) - _td_k(q0) <= 1.0:
+            cw += w[i]
+            cm += (m[i] - cm) * (w[i] / cw)
+        else:
+            om.append(cm)
+            ow.append(cw)
+            before += cw
+            cm, cw = m[i], w[i]
+    om.append(cm)
+    ow.append(cw)
+    return (np.asarray(om, dtype=np.float64),
+            np.asarray(ow, dtype=np.int64))
+
+
+def _td_quantile(means, weights, q):
+    """Estimate the q-quantile from centroids: each centroid's mass
+    is centered at its mean (midpoint rule), linear interpolation
+    between adjacent midpoints, clamped to the extreme means."""
+    import numpy as np
+
+    m = np.asarray(means, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    total = w.sum()
+    target = q * total
+    cum = np.cumsum(w) - w / 2.0
+    if target <= cum[0]:
+        return float(m[0])
+    if target >= cum[-1]:
+        return float(m[-1])
+    i = int(np.searchsorted(cum, target))
+    frac = (target - cum[i - 1]) / (cum[i] - cum[i - 1])
+    return float(m[i - 1] + frac * (m[i] - m[i - 1]))
+
+
+def _tdigest_daily(spark, sf):
+    """Fit-or-load the fine-grain sketch table: one t-digest per
+    (event_type, day), built distributed (applyInPandas per group,
+    values sorted then compressed) and PERSISTED as a parquet
+    artifact via the staging-dir + atomic-rename commit idiom of
+    _ivf_codebook. Later calls — any rollup, any session — read the
+    ~|types|×|days| row artifact and never rescan raw events."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    path = tdigest_path(sf)
+    if not os.path.exists(path):
+        ev = load_tables(spark, sf)["events"].select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "value")
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            v = np.sort(pdf["value"].to_numpy(np.float64))
+            m, w = _td_compress(v, np.ones(len(v)))
+            return pd.DataFrame([{
+                "event_type": pdf["event_type"].iloc[0],
+                "day": pdf["day"].iloc[0],
+                "means": list(m), "weights": list(w),
+                "n": len(v),
+            }])
+
+        daily = ev.groupBy("event_type", "day").applyInPandas(
+            build,
+            "event_type string, day string, means array<double>, "
+            "weights array<long>, n long")
+        staging = f"{path}.inprogress.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        daily.write.mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, path)      # atomic publish
+        except OSError:                   # concurrent builder won
+            shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+@query("q_tdigest_quantile")  # rows-only by design: t-digest centroid
+#                               placement is engine-defined (the
+#                               q_hll_rollup precedent); the estimate-
+#                               vs-exact rank-error bound is pinned in
+#                               tests/test_r7_properties.py
+def q_tdigest_quantile(spark, sf):
+    """Mergeable t-digest quantile rollup — the second hypertable
+    sketch next to q_hll_rollup, and the merge-across-grains story
+    q_agg_approx_quantile's opaque KLL state can't show: per-
+    (event_type, day) digests are built ONCE, persisted at the fine
+    grain (:func:`_tdigest_daily`), and any coarser quantile — here
+    p50/p90/p99 per event_type across all days — MERGES the stored
+    centroids (concatenate, re-compress with the same k1 rule)
+    instead of rescanning raw events. Quantile rollups become
+    O(|days| × δ) centroid merges of ~KB rows; late data rebuilds
+    only its own day's digest.
+
+    Exact percentiles (q_percentile_cont) need a per-group sort of
+    every value and cannot pre-aggregate across grains; the digest
+    trades a bounded rank error (~4/δ near the median, tighter at
+    the tails under the k1 scale function) for mergeability. Build
+    and merge are deterministic — inputs are sorted by (mean,
+    weight) before every compress pass — so the output is stable
+    under any partitioning or merge order."""
+    import numpy as np
+    import pandas as pd
+
+    daily = _tdigest_daily(spark, sf)
+
+    def roll(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.concatenate([np.asarray(x) for x in pdf["means"]])
+        w = np.concatenate([np.asarray(x) for x in pdf["weights"]])
+        mm, mw = _td_compress(m, w)
+
+        def est(q):
+            return np.floor(_td_quantile(mm, mw, q) * 1e4 + 0.5) / 1e4
+
+        return pd.DataFrame([{
+            "event_type": pdf["event_type"].iloc[0],
+            "n": int(pdf["n"].sum()),
+            "n_centroids": len(mm),
+            "p50": est(0.5), "p90": est(0.9), "p99": est(0.99),
+        }])
+
+    return daily.groupBy("event_type").applyInPandas(
+        roll,
+        "event_type string, n long, n_centroids int, "
+        "p50 double, p90 double, p99 double")

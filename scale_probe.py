@@ -50,6 +50,10 @@ DOC_KEYS = [
     # the 10x tier (same candidate generation, plus the exact
     # intersection join)
     "q_dedup_containment",
+    # round-7: chunk-grain decontamination (documents grow 10x) and
+    # ANN index refresh (embeddings grow 10x; first run trains the
+    # per-fixture codebooks, min-of-2 reports the artifact-reuse pass)
+    "q_contamination_chunk", "q_ivf_refresh",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -75,6 +79,9 @@ REL_KEYS = [
     "q_ks_test", "q_pct_change", "q_benford",
     "q_user_growth", "q_mann_whitney", "q_mutual_info",
     "q_rfm_segment",
+    # round-7: t-digest rollup (events grow 10x; first run builds the
+    # daily-digest artifact, min-of-2 reports the merge-only pass)
+    "q_tdigest_quantile",
 ]
 
 

@@ -21,3 +21,108 @@ def test_contamination_chunk_semantics(spark, sf_dir):
     # key silently stops testing the match path, so fail loudly here
     assert any(r.n_contam_chunks > 0 for r in rows), \
         "no contaminated chunks at sf0.01 — match path untested"
+
+
+def _exact_rank(values, est):
+    import numpy as np
+
+    v = np.asarray(values)
+    return ((v < est).sum() + (v <= est).sum()) / (2.0 * len(v))
+
+
+def test_tdigest_rank_error_bounded(spark, sf_dir):
+    """Estimate-vs-exact pin: every per-type p50/p90/p99 estimate
+    must sit within 0.01 rank of its target (measured ≤ 0.0015 at
+    sf0.01 with δ=200 — the pin leaves ~7× headroom)."""
+    from engine.io import load_tables
+
+    est = {r.event_type: r
+           for r in QUERIES["q_tdigest_quantile"](spark, sf_dir).collect()}
+    vals = {}
+    for r in (load_tables(spark, sf_dir)["events"]
+              .select("event_type", "value").collect()):
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert set(est) == set(vals)
+    for et, r in est.items():
+        for q, e in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            err = abs(_exact_rank(vals[et], e) - q)
+            assert err <= 0.01, (et, q, e, err)
+        assert r.n == len(vals[et])
+        assert r.n_centroids <= 2 * 200  # ≤ ~δ centroids post-merge
+
+
+def test_tdigest_artifact_reused_not_rebuilt(spark, sf_dir):
+    """The fine-grain daily sketch is a persisted artifact: a second
+    rollup must READ it (mtime unchanged), not re-sketch raw events."""
+    import os
+
+    from engine.queries.incremental import tdigest_path
+
+    QUERIES["q_tdigest_quantile"](spark, sf_dir).collect()
+    path = tdigest_path(sf_dir)
+    assert os.path.exists(path)
+    m1 = os.stat(path).st_mtime_ns
+    QUERIES["q_tdigest_quantile"](spark, sf_dir).collect()
+    assert os.stat(path).st_mtime_ns == m1
+
+
+def test_tdigest_merge_order_invariant():
+    """Compressing the same centroid multiset in any input order
+    yields identical digests (the lexsort makes merge deterministic),
+    and merging per-day digests matches a direct build within the
+    rank-error bound."""
+    import numpy as np
+
+    from engine.queries.incremental import (
+        _td_compress, _td_quantile)
+
+    rng = np.random.default_rng(7)
+    v = rng.gamma(2.0, 30.0, size=20_000)
+    # direct digest
+    m_all, w_all = _td_compress(np.sort(v), np.ones(len(v)))
+    # sharded build + merge, two different shard orders
+    shards = np.array_split(v, 13)
+    parts = [_td_compress(np.sort(s), np.ones(len(s))) for s in shards]
+
+    def merge(order):
+        order = list(order)
+        m = np.concatenate([parts[i][0] for i in order])
+        w = np.concatenate([parts[i][1] for i in order])
+        return _td_compress(m, w)
+
+    a = merge(range(13))
+    b = merge(reversed(range(13)))
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    for q in (0.5, 0.9, 0.99):
+        direct = _td_quantile(m_all, w_all, q)
+        merged = _td_quantile(a[0], a[1], q)
+        assert abs(_exact_rank(v, merged) - q) <= 0.02, (q, merged)
+        assert abs(_exact_rank(v, direct) - q) <= 0.01, (q, direct)
+
+
+def test_ivf_refresh_recall_and_frozen_codebooks(spark, sf_dir):
+    """Refreshed entries must be immediately searchable: each delta
+    query's top-1 is its known source vector (recall@1 ≥ 0.9 pinned;
+    observed 1.0), and neither codebook artifact is retrained by the
+    refresh (mtime pin on both parquet artifacts)."""
+    import os
+
+    from engine.queries.llm import _ivf_codebook, ivf_codebook_path
+    from engine.queries.vectors import _pq_codebook, pq_codebook_path
+
+    # ensure both artifacts exist (train-once on the base corpus)
+    _ivf_codebook(spark, sf_dir)
+    _pq_codebook(spark, sf_dir)
+    p1, p2 = ivf_codebook_path(sf_dir), pq_codebook_path(sf_dir)
+    m1, m2 = os.stat(p1).st_mtime_ns, os.stat(p2).st_mtime_ns
+
+    rows = QUERIES["q_ivf_refresh"](spark, sf_dir).collect()
+    from engine.io import load_tables
+    n_delta = (load_tables(spark, sf_dir)["embeddings"]
+               .filter("vec_id % 7 = 3 AND embedding IS NOT NULL").count())
+    assert len(rows) == n_delta
+    recall = sum(r.found_source for r in rows) / len(rows)
+    assert recall >= 0.9, recall
+    # frozen codebooks: the refresh loaded, never rewrote
+    assert os.stat(p1).st_mtime_ns == m1
+    assert os.stat(p2).st_mtime_ns == m2

@@ -18,7 +18,12 @@ registry.load_all()
 def test_waiting_keys_lead_the_window():
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
-    waiting = [k for k in q if k not in green]
+    # round-7 newcomers are EXCLUDED from the waiting tier by design:
+    # the r6 verdict's top priority is re-confirming the r2-era
+    # greens, so _R07_NEW keys go behind even the greens until they
+    # earn their first driver row (see the _R07_NEW comment).
+    waiting = [k for k in q
+               if k not in green and k not in entry._R07_NEW]
     # no green key may hold a window slot while a waiting key sits
     # outside it: the first min(|waiting|, 50) slots are all waiting
     head = q[:min(len(waiting), 50)]
@@ -27,6 +32,21 @@ def test_waiting_keys_lead_the_window():
     # and if the window has room, every waiting key is inside it
     if len(waiting) <= 50:
         assert all(k in set(q[:50]) for k in waiting)
+
+
+def test_r07_newcomers_sort_behind_every_green():
+    """Round-7 newcomers take NO window slot while the rotation is
+    draining: every never-rowed _R07_NEW key must sort after every
+    driver-green key."""
+    q = list(entry._rotated(registry.QUERIES))
+    green = entry._driver_green()
+    back = [k for k in entry._R07_NEW if k not in green]
+    if not back:  # all have driver rows now — demotion is over
+        return
+    last_green = max(q.index(k) for k in q if k in green)
+    for k in back:
+        assert q.index(k) > last_green, (
+            f"{k} holds a window slot while r2-era greens wait")
 
 
 def test_green_tiers_ordered_oldest_first():
@@ -90,7 +110,7 @@ def test_every_registered_key_is_cohorted_or_green():
     green = entry._driver_green()
     cohorts = (set(entry._R02_GREEN) | set(entry._R03_GREEN)
                | entry._R05_NEW | entry._R06_NEW | entry._R06B_NEW
-               | entry._R06C_NEW)
+               | entry._R06C_NEW | entry._R07_NEW)
     stray = [k for k in registry.QUERIES
              if k not in green and k not in cohorts]
     assert not stray, (
