@@ -157,6 +157,10 @@ _R06B_NEW = {
 # check.py sweep and their own tests).
 _R07_NEW = {
     "q_ivf_refresh", "q_tdigest_quantile", "q_contamination_chunk",
+    "q_dsir_weight", "q_dedup_substring", "q_spearman_corr",
+    "q_ts_ewma", "q_l_diversity", "q_stream_tdigest",
+    "q_pack_sequences", "q_winsorize",
+    "q_bitmap_rollup", "q_mjoin_volume",
 }
 
 # Keys first registered in round 6's final wave: demoted behind every

@@ -131,6 +131,15 @@ HEADLINE = [
     "q_contamination_chunk",
     "q_tdigest_quantile",
     "q_ivf_refresh",
+    "q_dsir_weight",
+    "q_dedup_substring",
+    "q_spearman_corr",
+    "q_ts_ewma",
+    "q_l_diversity",
+    "q_pack_sequences",
+    "q_winsorize",
+    "q_bitmap_rollup",
+    "q_mjoin_volume",
 ]
 
 

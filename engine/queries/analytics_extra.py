@@ -968,3 +968,149 @@ def q_mutual_info(spark, sf):
                             F.sqrt(F.col("h_x") * F.col("h_y")),
                             F.lit(0.0)))
                     .alias("nmi")))
+
+
+# ------------------------------------------------ Spearman correlation
+def _spearman_rank2(df, col):
+    """Per-(l_returnflag, value) doubled midranks as exact BIGINTs:
+    2·midrank = 2·prior + t + 1 where prior = rows strictly below
+    and t = the value's tie count — derived from one value-grouped
+    count + one ordered cumulative window per group, the
+    q_mann_whitney shape. Returns (l_returnflag, value, r2)."""
+    v = (df.groupBy("l_returnflag", F.col(col).alias("v"))
+         .agg(F.count(F.lit(1)).cast("long").alias("t")))
+    w = (W.partitionBy("l_returnflag").orderBy("v")
+         .rowsBetween(W.unboundedPreceding, -1))
+    return v.select(
+        "l_returnflag", "v",
+        (2 * F.coalesce(F.sum("t").over(w), F.lit(0))
+         + F.col("t") + 1).alias("r2"))
+
+
+def _spearman_rank2_sql(col: str) -> str:
+    return f"""
+  SELECT l_returnflag, v,
+         2 * CAST(coalesce(sum(t) OVER (
+             PARTITION BY l_returnflag ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + t + 1 AS r2
+  FROM (SELECT l_returnflag, {col} AS v, CAST(count(*) AS BIGINT) AS t
+        FROM lineitem GROUP BY 1, 2)"""
+
+
+@query("q_spearman_corr", oracle=f"""
+WITH rx AS ({_spearman_rank2_sql('l_quantity')}),
+ry AS ({_spearman_rank2_sql('l_extendedprice')}),
+j AS (
+  SELECT li.l_returnflag, rx.r2 AS x, ry.r2 AS y
+  FROM lineitem li
+  JOIN rx ON rx.l_returnflag = li.l_returnflag
+         AND rx.v = li.l_quantity
+  JOIN ry ON ry.l_returnflag = li.l_returnflag
+         AND ry.v = li.l_extendedprice),
+s AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       {sql_rnd("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / "
+                "nullif(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) "
+                "* (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 0)")}
+           AS rho
+FROM s
+""")
+def q_spearman_corr(spark, sf):
+    """Spearman rank correlation per group (quantity vs extended
+    price within each return flag) — the monotone-association twin
+    of q_corr_stats's Pearson r, robust to the price column's skew.
+    Completes the rank-statistics family (q_mann_whitney location,
+    q_ks_test shape, rank correlation here).
+
+    Exactness: Spearman is Pearson over midranks; doubled midranks
+    (2·prior + t + 1) are exact BIGINTs from value-grouped counts,
+    so all five co-moment sums are pure integer arithmetic — order-
+    independent, hash-identical — and doubles appear only in the
+    final closed-form ratio over exact integers (the q_zipf_fit
+    discipline; the doubling cancels between numerator and
+    denominator). Headroom: Σx·y ≤ 4n³ stays inside BIGINT to
+    n ≈ 1.3M rows per group; past that the co-moments switch to
+    the scaled-double path.
+
+    Scale: two value-grouped counts (|distinct values| rows) with
+    ordered windows over THOSE frames only, two broadcastable
+    rank-model joins back to the fact rows (the q_text_perplexity
+    model-join shape), one map-side-combinable co-moment aggregate.
+    No global sort of fact rows, no per-row window."""
+    li = load_tables(spark, sf)["lineitem"]
+    rx = _spearman_rank2(li, "l_quantity")
+    ry = _spearman_rank2(li, "l_extendedprice")
+    rx = rx.select(F.col("l_returnflag").alias("rf_x"),
+                   F.col("v").alias("v_x"), F.col("r2").alias("x"))
+    ry = ry.select(F.col("l_returnflag").alias("rf_y"),
+                   F.col("v").alias("v_y"), F.col("r2").alias("y"))
+    j = (li.select("l_returnflag", "l_quantity", "l_extendedprice")
+         .join(F.broadcast(rx),
+               (F.col("l_returnflag") == F.col("rf_x"))
+               & (F.col("l_quantity") == F.col("v_x")))
+         .join(F.broadcast(ry),
+               (F.col("l_returnflag") == F.col("rf_y"))
+               & (F.col("l_extendedprice") == F.col("v_y"))))
+    s = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n = F.col("n")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt((n * F.col("sxx").cast("double")
+                  - F.col("sx").cast("double") * F.col("sx"))
+                 * (n * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy")))
+    return s.select("l_returnflag", "n",
+                    rnd(num / F.nullif(den, F.lit(0.0))).alias("rho"))
+
+
+# ---------------------------------------------------- winsorization
+@query("q_winsorize", oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value < b.lo THEN b.lo
+            WHEN e.value > b.hi THEN b.hi
+            ELSE e.value END AS clipped,
+       e.value < b.lo OR e.value > b.hi AS was_clipped
+FROM events e JOIN b USING (event_type)
+""")
+def q_winsorize(spark, sf):
+    """Per-group winsorization — clip each value into its group's
+    [p05, p95] band, the outlier treatment feature pipelines apply
+    before scaling (q_feature_scale) when heavy tails would dominate
+    the variance. DISCRETE percentiles keep the boundaries actual
+    data values, bit-identical across engines (the q_anomaly_iqr
+    convention — interpolated percentiles are not hash-safe).
+
+    Scale: one aggregate produces the |groups|-row boundary frame,
+    BROADCAST back onto the fact scan; the clip is a codegen CASE —
+    no window over the data, no second shuffle. The same shape at
+    any group cardinality: boundaries are always |groups| rows."""
+    e = load_tables(spark, sf)["events"]
+    b = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)")
+        .alias("hi"))
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .select(
+            "event_id", "event_type", "value",
+            F.when(F.col("value") < F.col("lo"), F.col("lo"))
+            .when(F.col("value") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("value")).alias("clipped"),
+            ((F.col("value") < F.col("lo"))
+             | (F.col("value") > F.col("hi"))).alias("was_clipped"))
+    )

@@ -898,3 +898,140 @@ def q_contamination_chunk(spark, sf):
             rnd(F.coalesce("n_contam_chunks", F.lit(0)).cast("double")
                 / F.col("n_chunks")).alias("contam_ratio"))
     )
+
+
+# --------------------------------------------- duplicated-span accounting
+_SUBDUP_G = 4  # gram width: the largest with cross-document collisions
+#                in the fixture (the q_contamination grain)
+
+
+@query("q_dedup_substring", oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l
+  FROM documents WHERE length(text) > 0),
+ws AS (SELECT * FROM w WHERE len(l) >= {_SUBDUP_G}),
+g AS (
+  SELECT doc_id, s AS pos,
+         md5(array_to_string(l[s:s+{_SUBDUP_G - 1}], ' ')) AS gh
+  FROM ws, unnest(generate_series(1, len(l) - {_SUBDUP_G - 1})) AS t(s)),
+dup AS (SELECT gh FROM g GROUP BY gh
+        HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS grp
+  FROM m),
+best AS (
+  SELECT doc_id, CAST(max(run) AS BIGINT) AS max_dup_run,
+         CAST(sum(run) AS BIGINT) AS n_dup_grams
+  FROM (SELECT doc_id, count(*) AS run FROM runs GROUP BY doc_id, grp)
+  GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM g GROUP BY doc_id)
+SELECT tot.doc_id, n_grams,
+       coalesce(n_dup_grams, 0) AS n_dup_grams,
+       coalesce(max_dup_run, 0) AS max_dup_run
+FROM tot LEFT JOIN best USING (doc_id)
+""")
+def q_dedup_substring(spark, sf):
+    """Duplicated-SPAN accounting — the substring-dedup measurement
+    of Lee et al. 2022 ('Deduplicating Training Data Makes Language
+    Models Better') at the word-gram grain: a gram is duplicated
+    when its hash occurs in ≥ 2 distinct documents, and per document
+    the operator reports total grams, duplicated grams, and the
+    LONGEST CONSECUTIVE RUN of duplicated grams (a run of r grams =
+    a shared span of r+G−1 words — the quantity substring dedup
+    actually cuts, which chunk- (q_dedup_paragraph) and document-
+    grain metrics cannot see).
+
+    Runs via gaps-and-islands: duplicated gram positions per doc
+    minus their row_number are constant within a consecutive island,
+    so one window + one groupBy yields every run length exactly.
+
+    Scale: the only corpus-sized exchanges carry (doc_id, pos, 32-
+    byte gh) — text never shuffles (the q_dedup_paragraph
+    discipline); the dup-gram frame groups by hash (corpus-gram-
+    sized, co-partitioned with the back-join key so AQE reuses one
+    exchange); the island window partitions by doc_id over only the
+    MATCHED grams (|hits| ≪ |grams|)."""
+    gw = _SUBDUP_G
+    d = (load_tables(spark, sf)["documents"]
+         .filter(F.length("text") > 0)
+         .select("doc_id", F.split("text", " ").alias("l"))
+         .filter(F.size("l") >= gw))
+    g = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - (gw - 1)),
+                lambda s: F.md5(
+                    F.concat_ws(" ", F.slice("l", s, F.lit(gw)))
+                    .cast("binary")),
+            )
+        ).alias("pos0", "gh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    dup = (g.groupBy("gh")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("gh"))
+    m = g.join(dup, "gh").select("doc_id", "pos")
+    from pyspark.sql import Window as W
+    grp = (F.col("pos")
+           - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")))
+    best = (m.select("doc_id", grp.alias("grp"))
+            .groupBy("doc_id", "grp")
+            .agg(F.count(F.lit(1)).alias("run"))
+            .groupBy("doc_id")
+            .agg(F.max("run").cast("long").alias("max_dup_run"),
+                 F.sum("run").cast("long").alias("n_dup_grams")))
+    tot = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"))
+    return (
+        tot.join(best, "doc_id", "left")
+        .select("doc_id", "n_grams",
+                F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+                F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"))
+    )
+
+
+# --------------------------------------------------------- l-diversity
+_LDIV_L = 3  # minimum distinct sensitive values per equivalence class
+
+
+@query("q_l_diversity", oracle=f"""
+SELECT c_nationkey,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       count(*) AS n,
+       count(DISTINCT c_mktsegment) AS n_sensitive,
+       count(DISTINCT c_mktsegment) < {_LDIV_L} AS at_risk
+FROM customer
+GROUP BY 1, 2
+""")
+def q_l_diversity(spark, sf):
+    """l-diversity audit — k-anonymity's complement
+    (q_k_anonymity): a quasi-identifier class can be large enough
+    to pass k yet still leak if (nearly) every member shares the
+    same SENSITIVE value, so each (nation, balance-band)
+    equivalence class must contain at least l = 3 distinct
+    sensitive values (market segment standing in for the sensitive
+    attribute). Classes below l are flagged for suppression or
+    generalization before release.
+
+    Scale: one aggregate on the quasi-identifier key with a
+    distinct-count — Spark plans the two-phase partial-distinct
+    expansion (groupBy QI+sensitive map-side, then QI), so the
+    exchange carries at most |classes|×|sensitive domain| rows;
+    output is |classes| rows regardless of table size. Both risk
+    branches are exercised at driver scale (pinned, the
+    q_k_anonymity discipline)."""
+    c = load_tables(spark, sf)["customer"]
+    return (
+        c.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+            .alias("bal_band"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("c_mktsegment").alias("n_sensitive"))
+        .select("c_nationkey", "bal_band", "n", "n_sensitive",
+                (F.col("n_sensitive") < _LDIV_L).alias("at_risk"))
+    )

@@ -810,3 +810,120 @@ def q_tdigest_quantile(spark, sf):
         roll,
         "event_type string, n long, n_centroids int, "
         "p50 double, p90 double, p99 double")
+
+
+# ----------------------------------------------------- dyadic EWMA
+_EWMA_K = 16  # window depth: alpha = 1/2 truncated at 16 lags
+
+
+def _ewma_sql(k: int) -> tuple[str, str]:
+    """(numerator, denominator) oracle SQL over k lag() terms with
+    exact power-of-two weights, mirroring the Spark expressions."""
+    num = " + ".join(
+        f"coalesce(lag(cents, {i}) OVER w, 0) * {1 << (k - 1 - i)}"
+        for i in range(k))
+    den = " + ".join(
+        f"(CASE WHEN lag(cents, {i}) OVER w IS NOT NULL"
+        f" THEN {1 << (k - 1 - i)} ELSE 0 END)"
+        for i in range(k))
+    return num, den
+
+
+_NUM_SQL, _DEN_SQL = _ewma_sql(_EWMA_K)
+
+
+@query("q_ts_ewma", oracle=f"""
+SELECT event_id, user_id,
+       floor((CAST(({_NUM_SQL}) AS DOUBLE) / ({_DEN_SQL}) / 100.0)
+             * 10000 + 0.5) / 10000 AS ewma
+FROM (SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_ts_ewma(spark, sf):
+    """Exponentially weighted moving average per user series —
+    alpha = 1/2 truncated at 16 observations. The weights
+    2^(K-1-k) are exact powers of two and values are cent-quantized
+    BIGINTs, so numerator and denominator are pure integer
+    arithmetic and the single final division is one IEEE op on
+    exact integers — bit-identical across engines with NO libm in
+    the pipeline (pow/exp-based EWMA formulations are not
+    cross-engine hash-safe; dyadic alpha is). Ramp-up handling: the
+    denominator sums only the weights of PRESENT lags, so early
+    rows are exact partial-window EWMAs rather than zero-padded.
+
+    Scale: one window partition per user series, 16 lag
+    expressions evaluated together over a single sort within the
+    one exchange — the standard time-series smoothing pass; no
+    self-join, no per-row Python. A recursive ewma(t) =
+    f(ewma(t-1)) needs sequential state; the truncated form is the
+    embarrassingly-window-parallel equivalent (weight below 2^-16
+    of the head is beneath the output quantum anyway)."""
+    e = load_tables(spark, sf)["events"].select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long").alias("cents"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = sum(
+        (F.coalesce(F.lag("cents", k).over(w), F.lit(0))
+         * F.lit(1 << (_EWMA_K - 1 - k)) for k in range(_EWMA_K)),
+        start=F.lit(0))
+    den = sum(
+        (F.when(F.lag("cents", k).over(w).isNotNull(),
+                F.lit(1 << (_EWMA_K - 1 - k))).otherwise(F.lit(0))
+         for k in range(_EWMA_K)),
+        start=F.lit(0))
+    return e.select(
+        "event_id", "user_id",
+        (F.floor((num.cast("double") / den / 100.0) * 10000
+                 + F.lit(0.5)) / 10000).alias("ewma"))
+
+
+# ------------------------------------------ exact bitmap distinct rollup
+@query("q_bitmap_rollup", oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT date_trunc('day', ts)) AS n_days
+FROM events GROUP BY event_type
+""")
+def q_bitmap_rollup(spark, sf):
+    """EXACT mergeable distinct rollup — the deterministic twin of
+    q_hll_rollup for when the rollup must be exact (billing, legal
+    retention counts): per-(event_type, day, bucket) ROARING-style
+    bitmaps of the user-id set are built once at the fine grain
+    (``bitmap_construct_agg`` over ``bitmap_bit_position``, ids
+    bucketed by ``bitmap_bucket_number``), and any coarser grain —
+    here per event_type across all days — OR-merges the stored
+    bitmaps (``bitmap_or_agg``) and pops counts, never rescanning
+    raw events. Unlike HLL (~2% error) the OR-merge is exact; unlike
+    COUNT(DISTINCT) the daily state is mergeable and incrementally
+    maintainable — late data rebuilds one (day, bucket) bitmap.
+
+    Scale: bitmap state is |buckets touched| × 4 KB per group-day —
+    dense-id friendly (the 100 TB caveat: sparse 64-bit id spaces
+    need a dictionary pass first, q_hll_rollup needs nothing); both
+    levels are ordinary partial+final hash aggregates, and the oracle
+    (plain COUNT DISTINCT) proves the whole bitmap pipeline exact."""
+    ev = load_tables(spark, sf)["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"))
+        .groupBy("event_type", "day", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    users = (
+        daily.groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
+    )
+    # distinct days from the same fine-grain frame (|types×days×bkts|
+    # rows), joined back — NOT per-bucket max, which is only exact
+    # while a single bucket covers the id space
+    days = daily.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_days"))
+    return users.join(F.broadcast(days), "event_type")

@@ -299,3 +299,53 @@ def q_join_time_range(spark, sf):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query("q_mjoin_volume", oracle="""
+SELECT n_name,
+       floor(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))
+             ) / 100 AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""")
+def q_mjoin_volume(spark, sf):
+    """TPC-H Q5-shaped local-supplier volume: six-table star join
+    (region→nation→supplier, customer→orders→lineitem, plus the
+    same-nation colocation predicate) aggregating revenue per
+    nation. The optimizer showcase of the join surface: Catalyst
+    reorders the dimension chain, broadcasts every dim side
+    (region/nation/supplier/customer all ≪ the fact), and the ONLY
+    data-sized exchange left is lineitem→orders — at 100 TB the
+    plan is one fact-fact shuffle plus broadcast hash joins, which
+    the plan test pins (≥4 broadcast joins, ≤1 sort-merge join).
+
+    Revenue uses cent-quantized integer summation (the engine's
+    exact-sum convention) so the 6-way join's row order can never
+    flip a hash bit."""
+    t = load_tables(spark, sf)
+    rev = F.floor(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount")) * 100 + F.lit(0.5))
+    j = (t["region"].filter(F.col("r_name") == "ASIA")
+         .join(t["nation"],
+               F.col("n_regionkey") == F.col("r_regionkey"))
+         .join(t["supplier"],
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(t["lineitem"],
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(t["orders"],
+               F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(t["customer"],
+               (F.col("c_custkey") == F.col("o_custkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey"))))
+    return (
+        j.groupBy("n_name")
+        .agg((F.floor(F.sum(rev)) / 100).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )

@@ -878,3 +878,158 @@ def q_rfm_segment(spark, sf):
                     score("rec_days", "br", "<").alias("r_score"),
                     score("freq", "bf", ">").alias("f_score"),
                     score("mon_cents", "bm", ">").alias("m_score")))
+
+
+# ------------------------------------------------ DSIR importance weights
+_DSIR_DIM = 64  # hashed-feature buckets (the q_feature_hash dimension)
+
+
+@query("q_dsir_weight", oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST({hex32_sql('w')} % {_DSIR_DIM} AS BIGINT) AS bucket
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE length(text) > 0)),
+tcnt AS (SELECT bucket, count(*) AS ct FROM tok
+         WHERE doc_id % 97 = 0 GROUP BY bucket),
+rcnt AS (SELECT bucket, count(*) AS cr FROM tok
+         WHERE doc_id % 97 <> 0 GROUP BY bucket),
+tots AS (SELECT (SELECT count(*) FROM tok WHERE doc_id % 97 = 0) AS tt,
+                (SELECT count(*) FROM tok WHERE doc_id % 97 <> 0) AS tr),
+lr AS (
+  SELECT b.bucket,
+         CAST(floor(ln(((coalesce(ct, 0) + 1.0) * (tr + {_DSIR_DIM}))
+                       / ((coalesce(cr, 0) + 1.0) * (tt + {_DSIR_DIM})))
+                    * 1000000 - 0.5) + 1 AS BIGINT) AS lr6
+  FROM (SELECT unnest(generate_series(0, {_DSIR_DIM - 1})) AS bucket) b
+  LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket), tots),
+d AS (
+  SELECT t.doc_id, count(*) AS n_tokens, sum(lr.lr6) AS slr6
+  FROM tok t JOIN lr USING (bucket)
+  WHERE t.doc_id % 97 <> 0
+  GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       floor(CAST(slr6 AS DOUBLE) / 100.0 + 0.5) / 10000 AS log_weight
+FROM d
+""")
+def q_dsir_weight(spark, sf):
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023) scoring: every corpus document gets a log importance
+    weight Σ_tokens ln(p_target(bucket)/p_raw(bucket)) under
+    hashed-unigram bag-of-words models of a small target-domain
+    sample (the doc_id ≡ 0 mod 97 slice — q_contamination's holdout)
+    and the raw corpus, with add-1 smoothing over the
+    64 hashed (:data:`_DSIR_DIM`) buckets. High-weight documents look
+    like the target domain; resampling by these weights is the
+    standard pretraining-data selection recipe.
+
+    Determinism (the q_text_perplexity discipline applied to a
+    RATIO): each bucket's ln ratio is computed once from exact
+    integer counts — both engines evaluate the same IEEE expression
+    on identical doubles — then ceil-quantized to a 1e-6-scaled
+    BIGINT, so per-document Σ cnt·lr6 is pure integer arithmetic,
+    order-independent under any aggregation. (Exactness of the
+    double products needs (ct+1)(tr+64) < 2⁵³ — fine to ~10¹⁴
+    tokens; past that, pre-divide by totals before the ln.)
+
+    Scale: two map-side-combined bucket counts (64 rows each), one
+    64-row broadcast model join against the per-(doc, bucket) tf
+    frame (≤ |docs|×64 rows by the q_feature_hash argument), one
+    per-doc sum. Both n-gram models are persistable artifacts like
+    the IVF/PQ codebooks; the apply is one broadcast join — no
+    vocabulary shuffle, no UDF."""
+    d = (load_tables(spark, sf)["documents"]
+         .filter(F.length("text") > 0))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select(
+        "doc_id", (hexpoly_col(F.md5("w")) % _DSIR_DIM).alias("bucket"))
+    is_t = F.col("doc_id") % 97 == 0
+    cnt = tok.groupBy("bucket").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("cr"))
+    # 64-row model algebra: dense bucket domain (smoothing must cover
+    # buckets absent from either side), totals folded in as columns
+    full = (spark.range(_DSIR_DIM).select(F.col("id").alias("bucket"))
+            .join(cnt, "bucket", "left")
+            .select("bucket",
+                    F.coalesce("ct", F.lit(0)).alias("ct"),
+                    F.coalesce("cr", F.lit(0)).alias("cr")))
+    tots = full.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lr = (full.crossJoin(F.broadcast(tots))
+          .select(
+              "bucket",
+              (F.floor(
+                  F.log(((F.col("ct") + 1.0)
+                         * (F.col("tr") + _DSIR_DIM))
+                        / ((F.col("cr") + 1.0)
+                           * (F.col("tt") + _DSIR_DIM)))
+                  * 1000000 - F.lit(0.5)) + 1)
+              .cast("long").alias("lr6")))
+    return (
+        tok.filter(~is_t)
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("lr6").alias("slr6"))
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                (F.floor(F.col("slr6").cast("double") / 100.0
+                         + F.lit(0.5)) / 10000).alias("log_weight"))
+    )
+
+
+# ------------------------------------------------- sequence packing
+_PACK_LEN = 512   # tokens per packed training sequence
+_PACK_SHARDS = 32  # packing locality: documents pack within a shard
+
+
+@query("q_pack_sequences", oracle=f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE length(text) > 0),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM d)
+SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST((cum - n_tok) // {_PACK_LEN} AS BIGINT) AS start_seq,
+       CAST((cum - 1) // {_PACK_LEN} AS BIGINT) AS end_seq,
+       CAST((cum - n_tok) % {_PACK_LEN} AS BIGINT) AS seq_offset
+FROM c
+""")
+def q_pack_sequences(spark, sf):
+    """Training-sequence packing manifest — the sample-packing step
+    of an LLM data pipeline: documents are concatenated in doc_id
+    order within a shard and split into fixed 512-token
+    training sequences; each document's manifest row records which
+    sequences it spans (start_seq..end_seq) and its offset in the
+    first one — exactly what a dataloader needs to materialize
+    packed batches without re-tokenizing.
+
+    Packing is SHARD-LOCAL by construction (documents hash to
+    32 shards; the running token total — one window
+    cumsum — partitions by shard), which is both the standard
+    practice (packing within data shards, not globally — a global
+    running total would serialize the corpus through one partition)
+    and the 100 TB shape: every shard packs independently inside one
+    exchange, and shard count scales with the cluster. Integer
+    arithmetic end to end — no floats anywhere, trivially
+    hash-stable."""
+    k, s = _PACK_LEN, _PACK_SHARDS
+    d = (load_tables(spark, sf)["documents"]
+         .filter(F.length("text") > 0)
+         .select("doc_id", (F.col("doc_id") % s).alias("shard"),
+                 F.size(F.split("text", " ")).cast("long")
+                 .alias("n_tok")))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    return c.select(
+        "doc_id", "shard", "n_tok",
+        ((F.col("cum") - F.col("n_tok")) / k).cast("long")
+        .alias("start_seq"),
+        ((F.col("cum") - 1) / k).cast("long").alias("end_seq"),
+        ((F.col("cum") - F.col("n_tok")) % k).alias("seq_offset"))

@@ -921,3 +921,112 @@ def q_stream_benford(spark, sf):
                     rnd(exp).alias("exp_freq"),
                     rnd(F.col("n").cast("double") / F.col("total") - exp)
                     .alias("dev")))
+
+
+@query("q_stream_tdigest")  # rows-only: t-digest centroid placement is
+#                             engine-defined (the q_tdigest_quantile
+#                             precedent); the streaming digest's rank
+#                             error carries the same 0.01 pin in
+#                             tests/test_r7_properties.py
+def q_stream_tdigest(spark, sf):
+    """Speed-layer twin of q_tdigest_quantile: the events table
+    replays as a file stream and ONE t-digest per event_type lives
+    as ``applyInPandasWithState`` state (means/weights arrays + a
+    seen counter). Each micro-batch folds its values into the
+    digest with the same lexsort-then-compress kernel the batch
+    path uses (engine.queries.incremental._td_compress), emits the
+    current centroids tagged with the monotone seen-count, and the
+    final emission per type — identified by max(seen), the
+    q_stream_group_topk idiom — yields p50/p90/p99 batch-side.
+
+    This is the serving split of the persisted-artifact story: the
+    batch path rolls up STORED daily digests; the stream maintains
+    the live digest incrementally with bounded state (≤ ~δ
+    centroids per type regardless of stream length) and bounded
+    emissions. The sequential fold visits values in a different
+    order than the batch merge, so centroid placement differs —
+    but t-digest's error bound is merge-order-independent, and the
+    test pins the streamed estimates to the same ≤0.01 rank error
+    against exact percentiles as the batch twin."""
+    import numpy as np
+    import pandas as pd
+
+    from .incremental import _td_compress, _td_quantile
+
+    def build_stream():
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def fn(key, pdfs, state):
+            ms, ws, seen = (state.get if state.exists
+                            else ([], [], 0))
+            m = np.asarray(ms, dtype=np.float64)
+            w = np.asarray(ws, dtype=np.float64)
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                seen += len(pdf)
+                v = pdf["value"].to_numpy(np.float64)
+                m = np.concatenate([m, v])
+                w = np.concatenate([w, np.ones(len(v))])
+                m, w = _td_compress(m, w)
+            mo = [float(x) for x in m]   # plain-Python scalars: the
+            wo = [int(x) for x in w]     # state/Arrow codecs reject
+            state.update((mo, wo, seen))  # numpy boxed types
+            yield pd.DataFrame([{
+                "event_type": key[0], "seen": seen,
+                "means": mo, "weights": wo,
+            }])
+
+        src = _stage_source(sf, table="events")
+        ev = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        out = ev.select("event_type", "value").groupBy(
+            "event_type").applyInPandasWithState(
+            fn,
+            outputStructType=("event_type string, seen long, "
+                              "means array<double>, weights array<long>"),
+            stateStructType=("means array<double>, weights array<long>, "
+                             "seen long"),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return out, "update"
+
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "tdigest")
+    if key not in per_session:
+        name = ("stream_td_"
+                + hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8])
+        df, mode = build_stream()
+        q = (df.writeStream.outputMode(mode)
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    name = per_session[key]
+
+    emitted = spark.table(name)
+    final = (
+        emitted.withColumn(
+            "mx", F.max("seen").over(W.partitionBy("event_type")))
+        .filter(F.col("seen") == F.col("mx"))
+        .select("event_type", "seen", "means", "weights"))
+
+    def quant(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = pdf.iloc[0]
+        m = np.asarray(r["means"])
+        w = np.asarray(r["weights"])
+
+        def est(q):
+            return np.floor(_td_quantile(m, w, q) * 1e4 + 0.5) / 1e4
+
+        return pd.DataFrame([{
+            "event_type": r["event_type"], "n": int(r["seen"]),
+            "n_centroids": len(m),
+            "p50": est(0.5), "p90": est(0.9), "p99": est(0.99),
+        }])
+
+    return final.groupBy("event_type").applyInPandas(
+        quant,
+        "event_type string, n long, n_centroids int, "
+        "p50 double, p90 double, p99 double")

@@ -54,6 +54,9 @@ DOC_KEYS = [
     # ANN index refresh (embeddings grow 10x; first run trains the
     # per-fixture codebooks, min-of-2 reports the artifact-reuse pass)
     "q_contamination_chunk", "q_ivf_refresh",
+    # round-7 wave 2: DSIR importance weights + duplicated-span
+    # accounting + sequence packing (documents grow 10x)
+    "q_dsir_weight", "q_dedup_substring", "q_pack_sequences",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -82,6 +85,13 @@ REL_KEYS = [
     # round-7: t-digest rollup (events grow 10x; first run builds the
     # daily-digest artifact, min-of-2 reports the merge-only pass)
     "q_tdigest_quantile",
+    # round-7 wave 2: dyadic EWMA (events grow 10x) + Spearman
+    # midranks (lineitem grows 10x); q_l_diversity is excluded —
+    # its only input, customer, is a symlinked fixture constant here
+    "q_ts_ewma", "q_spearman_corr", "q_winsorize",
+    # round-7 wave 4: exact bitmap distinct rollup (events grow 10x)
+    # + Q5-shaped six-table star join (lineitem/orders grow 10x)
+    "q_bitmap_rollup", "q_mjoin_volume",
 ]
 
 

@@ -89,3 +89,40 @@ def test_contamination_chunk_broadcasts_both_small_sides(spark, sf_dir):
     plan = final_plan(spark, "q_contamination_chunk", sf_dir)
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dsir_model_join_is_broadcast(spark, sf_dir):
+    """The 64-bucket log-ratio model must reach the per-(doc, bucket)
+    frame as a broadcast hash join — a shuffle join here would
+    exchange the corpus-token aggregate against a 64-row frame."""
+    plan = final_plan(spark, "q_dsir_weight", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_spearman_rank_models_broadcast(spark, sf_dir):
+    """Both rank-model joins (|distinct values| rows per group) must
+    broadcast against the fact rows."""
+    plan = final_plan(spark, "q_spearman_corr", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ewma_single_exchange(spark, sf_dir):
+    """All 16 lag terms must evaluate inside ONE window over ONE
+    exchange — a second exchange would mean the lags split into
+    separate window operators."""
+    plan = final_plan(spark, "q_ts_ewma", sf_dir)
+    import re
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchange == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_mjoin_volume_broadcasts_dims_one_fact_shuffle(spark, sf_dir):
+    """Q5 shape: every dimension side broadcast, at most ONE
+    sort-merge (the lineitem-orders fact-fact join); a second SMJ
+    would mean a dim chain leaked into a data-sized exchange."""
+    plan = final_plan(spark, "q_mjoin_volume", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") <= 1, plan

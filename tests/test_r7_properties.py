@@ -126,3 +126,145 @@ def test_ivf_refresh_recall_and_frozen_codebooks(spark, sf_dir):
     # frozen codebooks: the refresh loaded, never rewrote
     assert os.stat(p1).st_mtime_ns == m1
     assert os.stat(p2).st_mtime_ns == m2
+
+
+def test_dedup_substring_semantics(spark, sf_dir):
+    rows = QUERIES["q_dedup_substring"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.max_dup_run <= r.n_dup_grams <= r.n_grams
+    # non-vacuity: the sf0.01 fixture has cross-document 4-gram
+    # collisions (368 docs measured) — the run/island machinery must
+    # actually fire
+    assert sum(r.max_dup_run >= 1 for r in rows) > 100
+
+
+def _midrank(a):
+    import numpy as np
+
+    a = np.asarray(a)
+    order = a.argsort(kind="mergesort")
+    ranks = np.empty(len(a), dtype=np.float64)
+    sa = a[order]
+    i = 0
+    while i < len(sa):
+        j = i
+        while j + 1 < len(sa) and sa[j + 1] == sa[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def test_spearman_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from engine.io import load_tables
+
+    got = {r.l_returnflag: r
+           for r in QUERIES["q_spearman_corr"](spark, sf_dir).collect()}
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select("l_returnflag", "l_quantity", "l_extendedprice")
+          .collect())
+    groups = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            (r.l_quantity, r.l_extendedprice))
+    assert set(got) == set(groups)
+    for g, pairs in groups.items():
+        x = _midrank([p[0] for p in pairs])
+        y = _midrank([p[1] for p in pairs])
+        rho = np.corrcoef(x, y)[0, 1]
+        assert abs(got[g].rho - rho) < 1e-3, (g, got[g].rho, rho)
+        assert got[g].n == len(pairs)
+
+
+def test_l_diversity_both_branches(spark, sf_dir):
+    rows = QUERIES["q_l_diversity"](spark, sf_dir).collect()
+    flags = {r.at_risk for r in rows}
+    assert flags == {True, False}, (
+        "l-diversity audit vacuous at driver scale")
+    for r in rows:
+        assert (r.n_sensitive < 3) == r.at_risk
+
+
+def test_stream_tdigest_rank_error_bounded(spark, sf_dir):
+    """The streamed digest carries the same ≤0.01 rank-error pin as
+    the batch twin, despite folding values in stream order."""
+    from engine.io import load_tables
+
+    est = {r.event_type: r
+           for r in QUERIES["q_stream_tdigest"](spark, sf_dir).collect()}
+    vals = {}
+    for r in (load_tables(spark, sf_dir)["events"]
+              .select("event_type", "value").collect()):
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert set(est) == set(vals)
+    for et, r in est.items():
+        assert r.n == len(vals[et])
+        for q, e in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            err = abs(_exact_rank(vals[et], e) - q)
+            assert err <= 0.01, (et, q, e, err)
+
+
+def test_pack_sequences_manifest_consistent(spark, sf_dir):
+    """The packing manifest must tile each shard's token stream
+    exactly: per shard, doc spans are contiguous (doc k's start
+    position == doc k-1's end position), sequence ids are monotone,
+    and every span length matches the doc's token count."""
+    rows = QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    assert rows
+    shards = {}
+    for r in rows:
+        shards.setdefault(r.shard, []).append(r)
+    for shard, rs in shards.items():
+        rs.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in rs:
+            assert r.start_seq == pos // 512, r
+            assert r.seq_offset == pos % 512, r
+            pos += r.n_tok
+            assert r.end_seq == (pos - 1) // 512, r
+    # non-vacuity: some docs must straddle a sequence boundary
+    assert any(r.end_seq > r.start_seq for r in rows)
+
+
+def test_winsorize_band_and_branches(spark, sf_dir):
+    rows = QUERIES["q_winsorize"](spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        clipped = [r for r in rs if r.was_clipped]
+        # p05/p95 clipping must touch ~10% of rows (5-15% band)
+        frac = len(clipped) / len(rs)
+        assert 0.05 <= frac <= 0.15, (et, frac)
+        lo = min(r.clipped for r in rs)
+        hi = max(r.clipped for r in rs)
+        for r in rs:
+            assert lo <= r.clipped <= hi
+            assert r.was_clipped == (r.value != r.clipped) or (
+                r.value in (lo, hi))
+
+
+def test_bitmap_rollup_matches_hll_rollup_grain(spark, sf_dir):
+    """The exact bitmap rollup and the HLL rollup answer the same
+    question at the same grain: bitmap counts are EXACT (equal to
+    countDistinct) and the HLL estimate must sit within its 5%
+    bound of them."""
+    from engine.io import load_tables
+
+    exact = {r.event_type: r
+             for r in QUERIES["q_bitmap_rollup"](spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir)["events"]
+    truth = {r.event_type: r.nd for r in ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd")).collect()}
+    assert set(exact) == set(truth)
+    for et, r in exact.items():
+        assert r.n_users == truth[et], (et, r.n_users, truth[et])
+    hll = {r.event_type: r.est_users
+           for r in QUERIES["q_hll_rollup"](spark, sf_dir).collect()}
+    for et in exact:
+        assert abs(hll[et] - exact[et].n_users) <= max(
+            2, 0.05 * exact[et].n_users)
