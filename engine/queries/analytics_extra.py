@@ -1000,14 +1000,14 @@ def _spearman_rank2_sql(col: str) -> str:
 
 @query("q_spearman_corr", oracle=f"""
 WITH rx AS ({_spearman_rank2_sql('l_quantity')}),
-ry AS ({_spearman_rank2_sql('l_extendedprice')}),
+ry AS ({_spearman_rank2_sql('l_discount')}),
 j AS (
   SELECT li.l_returnflag, rx.r2 AS x, ry.r2 AS y
   FROM lineitem li
   JOIN rx ON rx.l_returnflag = li.l_returnflag
          AND rx.v = li.l_quantity
   JOIN ry ON ry.l_returnflag = li.l_returnflag
-         AND ry.v = li.l_extendedprice),
+         AND ry.v = li.l_discount),
 s AS (
   SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
          sum(x) AS sx, sum(y) AS sy,
@@ -1021,11 +1021,16 @@ SELECT l_returnflag, n,
 FROM s
 """)
 def q_spearman_corr(spark, sf):
-    """Spearman rank correlation per group (quantity vs extended
-    price within each return flag) — the monotone-association twin
-    of q_corr_stats's Pearson r, robust to the price column's skew.
-    Completes the rank-statistics family (q_mann_whitney location,
-    q_ks_test shape, rank correlation here).
+    """Spearman rank correlation per group (quantity vs discount
+    within each return flag) — the monotone-association twin of
+    q_corr_stats's Pearson r, robust to outliers and monotone
+    transforms. Completes the rank-statistics family
+    (q_mann_whitney location, q_ks_test shape, rank correlation
+    here). Both columns are LOW-CARDINALITY (quantity ~50 values,
+    discount 11), which is what makes the rank-model-join plan the
+    right one; a continuous column would make the model data-sized —
+    rank it with the range-partitioned offset machinery of
+    _exact_quantiles_distributed instead of a broadcast model.
 
     Exactness: Spearman is Pearson over midranks; doubled midranks
     (2·prior + t + 1) are exact BIGINTs from value-grouped counts,
@@ -1044,18 +1049,18 @@ def q_spearman_corr(spark, sf):
     No global sort of fact rows, no per-row window."""
     li = load_tables(spark, sf)["lineitem"]
     rx = _spearman_rank2(li, "l_quantity")
-    ry = _spearman_rank2(li, "l_extendedprice")
+    ry = _spearman_rank2(li, "l_discount")
     rx = rx.select(F.col("l_returnflag").alias("rf_x"),
                    F.col("v").alias("v_x"), F.col("r2").alias("x"))
     ry = ry.select(F.col("l_returnflag").alias("rf_y"),
                    F.col("v").alias("v_y"), F.col("r2").alias("y"))
-    j = (li.select("l_returnflag", "l_quantity", "l_extendedprice")
+    j = (li.select("l_returnflag", "l_quantity", "l_discount")
          .join(F.broadcast(rx),
                (F.col("l_returnflag") == F.col("rf_x"))
                & (F.col("l_quantity") == F.col("v_x")))
          .join(F.broadcast(ry),
                (F.col("l_returnflag") == F.col("rf_y"))
-               & (F.col("l_extendedprice") == F.col("v_y"))))
+               & (F.col("l_discount") == F.col("v_y"))))
     s = j.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").alias("sx"), F.sum("y").alias("sy"),

@@ -164,12 +164,12 @@ def test_spearman_matches_numpy(spark, sf_dir):
     got = {r.l_returnflag: r
            for r in QUERIES["q_spearman_corr"](spark, sf_dir).collect()}
     li = (load_tables(spark, sf_dir)["lineitem"]
-          .select("l_returnflag", "l_quantity", "l_extendedprice")
+          .select("l_returnflag", "l_quantity", "l_discount")
           .collect())
     groups = {}
     for r in li:
         groups.setdefault(r.l_returnflag, []).append(
-            (r.l_quantity, r.l_extendedprice))
+            (r.l_quantity, r.l_discount))
     assert set(got) == set(groups)
     for g, pairs in groups.items():
         x = _midrank([p[0] for p in pairs])
