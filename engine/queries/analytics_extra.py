@@ -1031,6 +1031,8 @@ def q_spearman_corr(spark, sf):
     right one; a continuous column would make the model data-sized —
     rank it with the range-partitioned offset machinery of
     _exact_quantiles_distributed instead of a broadcast model.
+    Co-moments accumulate in decimal(38,0) (see inline comment), so
+    the exact-integer discipline holds to ~1e12 rows per group.
 
     Exactness: Spearman is Pearson over midranks; doubled midranks
     (2·prior + t + 1) are exact BIGINTs from value-grouped counts,
@@ -1038,9 +1040,7 @@ def q_spearman_corr(spark, sf):
     independent, hash-identical — and doubles appear only in the
     final closed-form ratio over exact integers (the q_zipf_fit
     discipline; the doubling cancels between numerator and
-    denominator). Headroom: Σx·y ≤ 4n³ stays inside BIGINT to
-    n ≈ 1.3M rows per group; past that the co-moments switch to
-    the scaled-double path.
+    denominator).
 
     Scale: two value-grouped counts (|distinct values| rows) with
     ordered windows over THOSE frames only, two broadcastable
@@ -1061,12 +1061,21 @@ def q_spearman_corr(spark, sf):
          .join(F.broadcast(ry),
                (F.col("l_returnflag") == F.col("rf_y"))
                & (F.col("l_discount") == F.col("v_y"))))
+    # co-moment sums in decimal(38,0): each per-row product is an
+    # exact long (ranks ≤ 2n, products ≤ 4n² — fine to n ≈ 1.5e9
+    # rows/group) but Σx² ≈ 4n³/3 blows through int64 near n ≈ 1.3M,
+    # and this engine runs ANSI mode, so a long sum THROWS at the 10×
+    # probe scale. 128-bit accumulation stays exact (order-
+    # independent integers) to n ≈ 1e12; DuckDB's BIGINT sum widens
+    # to HUGEINT natively, so both engines agree bit-for-bit.
+    dec = "decimal(38,0)"
     s = j.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"))
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"))
     n = F.col("n")
     num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
     den = F.sqrt((n * F.col("sxx").cast("double")

@@ -890,7 +890,7 @@ def q_contamination_chunk(spark, sf):
         F.ceil(F.size("l") / F.lit(float(k))).cast("long")
         .alias("n_chunks"))
     return (
-        base.join(F.broadcast(contam), "doc_id", "left")
+        base.join(contam, "doc_id", "left")
         .select(
             "doc_id", "n_chunks",
             F.coalesce("n_contam_chunks", F.lit(0)).cast("long")

@@ -301,10 +301,9 @@ def q_join_time_range(spark, sf):
     )
 
 
-@query("q_mjoin_volume", oracle="""
+@query("q_mjoin_volume", oracle=f"""
 SELECT n_name,
-       floor(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))
-             ) / 100 AS revenue,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 2)} AS revenue,
        count(*) AS n_items
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -326,12 +325,11 @@ def q_mjoin_volume(spark, sf):
     plan is one fact-fact shuffle plus broadcast hash joins, which
     the plan test pins (≥4 broadcast joins, ≤1 sort-merge join).
 
-    Revenue uses cent-quantized integer summation (the engine's
-    exact-sum convention) so the 6-way join's row order can never
-    flip a hash bit."""
+    Revenue uses the engine's scaled-BIGINT exact-sum helper
+    (dsum/sql_dsum at cent grain) so the 6-way join's row order can
+    never flip a hash bit."""
     t = load_tables(spark, sf)
-    rev = F.floor(F.col("l_extendedprice")
-                  * (1 - F.col("l_discount")) * 100 + F.lit(0.5))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = (t["region"].filter(F.col("r_name") == "ASIA")
          .join(t["nation"],
                F.col("n_regionkey") == F.col("r_regionkey"))
@@ -346,6 +344,6 @@ def q_mjoin_volume(spark, sf):
                & (F.col("c_nationkey") == F.col("s_nationkey"))))
     return (
         j.groupBy("n_name")
-        .agg((F.floor(F.sum(rev)) / 100).alias("revenue"),
+        .agg(dsum(rev, 2).alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )

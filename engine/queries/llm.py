@@ -1278,6 +1278,86 @@ def q_dedup_incremental(spark, sf):
     )
 
 
+
+def _ivfpq_encode_fn(bc, pq_m, sub_d):
+    """Shared index-encode kernel for the PQ-compressed paths
+    (q_sim_ivfpq_topk's index side, q_ivf_refresh's union encode):
+    a mapInPandas generator emitting (vec_id, cell, codes, n2) —
+    each vector cell-assigned to its nearest coarse centroid and
+    PQ-encoded with the FROZEN broadcast codebooks; n2 is the
+    code-derived squared norm, so full-precision floats never
+    travel on the index side."""
+    import numpy as np
+    import pandas as pd
+
+    def encode(batches):
+        Ci, cli, nci, Cq = bc.value
+        cn2 = (Cq * Cq).sum(-1)            # (pq_m, PQ_K)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+            nm = np.sqrt((M * M).sum(1))
+            cell = np.argmax((M @ Ci.T) / np.outer(nm, nci), axis=1)
+            X = M.reshape(-1, pq_m, sub_d)
+            D = ((X[:, :, None, :] - Cq[None, :, :, :]) ** 2).sum(-1)
+            code = D.argmin(axis=2)        # (n, pq_m)
+            # fancy gather, no (n, pq_m, PQ_K) materialization
+            n2 = cn2[np.arange(pq_m), code].sum(1)
+            yield pd.DataFrame({
+                "vec_id": pdf.vec_id.to_numpy(),
+                "cell": cli[cell],
+                "codes": list(code.astype(np.int32)),
+                "n2": n2,
+            })
+
+    return encode
+
+
+def _ivf_probe_fn(bc, npr):
+    """Shared probe kernel: replicate each query vector into its npr
+    nearest coarse cells — (vec_id, embedding, cell) rows."""
+    import numpy as np
+
+    def probe(batches):
+        Ci, cli, nci, _ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+            nm = np.sqrt((M * M).sum(1))
+            sims = (M @ Ci.T) / np.outer(nm, nci)
+            top = np.argsort(-sims, axis=1)[:, :npr]
+            out = pdf.loc[pdf.index.repeat(npr)].reset_index(drop=True)
+            out["cell"] = cli[top.ravel()]
+            yield out[["vec_id", "embedding", "cell"]]
+
+    return probe
+
+
+def _adc_cell_scores(qpdf, ipdf, Cq, pq_m, sub_d):
+    """Shared asymmetric-distance kernel over one cell's cogroup:
+    dedupe/sort the frames, build the per-subspace inner-product
+    tables T[q, s, j] = q_s · c_{s,j} once per batch, rank every
+    candidate by table LOOKUP over its codes (no decompression).
+    Returns (S, qid, iid): the (nq, ni) approximate-cosine matrix
+    and the sorted id vectors, or None for an empty side."""
+    import numpy as np
+
+    if not len(qpdf) or not len(ipdf):
+        return None
+    qpdf = qpdf.drop_duplicates("vec_id").sort_values("vec_id")
+    ipdf = ipdf.sort_values("vec_id")
+    Q = np.stack(qpdf.embedding.to_numpy()).astype(np.float64)
+    qn = np.sqrt((Q * Q).sum(1))
+    codes = np.stack(ipdf.codes.to_numpy())          # (ni, pq_m)
+    in_ = np.sqrt(np.maximum(ipdf.n2.to_numpy(), 1e-12))
+    T = np.einsum("qsd,sjd->qsj", Q.reshape(-1, pq_m, sub_d), Cq)
+    ip = T[:, np.arange(pq_m), codes].sum(-1)        # (nq, ni)
+    S = ip / np.outer(qn, in_)
+    return S, qpdf.vec_id.to_numpy(), ipdf.vec_id.to_numpy()
+
+
 @query("q_sim_ivfpq_topk")  # rows-only: ANN internals are engine-defined
 def q_sim_ivfpq_topk(spark, sf):
     """IVF+PQ+refine ANN — the billion-scale serving layout (FAISS
@@ -1319,49 +1399,12 @@ def q_sim_ivfpq_topk(spark, sf):
     nlist = len(cl)
     npr = min(IVF_NPROBE, nlist)
 
-    def index_side(batches):
-        """(vec_id, cell, codes, norm2_approx): each vector stored
-        once, in its nearest cell, as PQ codes + the code-derived
-        squared norm (full-precision floats never travel)."""
-        Ci, cli, nci, Cq = bc.value
-        cn2 = (Cq * Cq).sum(-1)            # (PQ_M, PQ_K)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
-            nm = np.sqrt((M * M).sum(1))
-            cell = np.argmax((M @ Ci.T) / np.outer(nm, nci), axis=1)
-            X = M.reshape(-1, PQ_M, sub_d)
-            D = ((X[:, :, None, :] - Cq[None, :, :, :]) ** 2).sum(-1)
-            code = D.argmin(axis=2)        # (n, PQ_M)
-            n2 = np.take_along_axis(
-                cn2[None, :, :].repeat(len(M), 0), code[:, :, None],
-                axis=2)[:, :, 0].sum(1)    # approx ||y||^2
-            yield pd.DataFrame({
-                "vec_id": pdf.vec_id.to_numpy(),
-                "cell": cli[cell],
-                "codes": list(code.astype(np.int32)),
-                "n2": n2,
-            })
-
-    def probe_side(batches):
-        Ci, cli, nci, _ = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
-            nm = np.sqrt((M * M).sum(1))
-            sims = (M @ Ci.T) / np.outer(nm, nci)
-            top = np.argsort(-sims, axis=1)[:, :npr]
-            out = pdf.loc[pdf.index.repeat(npr)].reset_index(drop=True)
-            out["cell"] = cli[top.ravel()]
-            yield out[["vec_id", "embedding", "cell"]]
-
     indexed = e.mapInPandas(
-        index_side,
+        _ivfpq_encode_fn(bc, PQ_M, sub_d),
         "vec_id long, cell int, codes array<int>, n2 double")
     probed = e.mapInPandas(
-        probe_side, "vec_id long, embedding array<float>, cell int")
+        _ivf_probe_fn(bc, npr),
+        "vec_id long, embedding array<float>, cell int")
 
     k = 20
     shortlist = 50  # total ADC candidates per query kept for refine
@@ -1371,25 +1414,10 @@ def q_sim_ivfpq_topk(spark, sf):
 
     def adc_topk(key, qpdf, ipdf):
         _, _, _, Cq = bc.value
-        cols = ["v1", "v2"]
-        if not len(qpdf) or not len(ipdf):
-            return pd.DataFrame(columns=cols)
-        qpdf = qpdf.drop_duplicates("vec_id").sort_values("vec_id")
-        ipdf = ipdf.sort_values("vec_id")
-        Q = np.stack(qpdf.embedding.to_numpy()).astype(np.float64)
-        qn = np.sqrt((Q * Q).sum(1))
-        codes = np.stack(ipdf.codes.to_numpy())      # (ni, PQ_M)
-        in_ = np.sqrt(np.maximum(ipdf.n2.to_numpy(), 1e-12))
-        # ADC tables: T[q, s, j] = q_s . c_{s,j}; candidate IP is a
-        # per-subspace gather-sum over its codes — no decompression.
-        # The gather uses one fancy index over (ni, PQ_M) codes so the
-        # whole cell ranks in a single vectorized lookup.
-        T = np.einsum("qsd,sjd->qsj",
-                      Q.reshape(-1, PQ_M, sub_d), Cq)
-        ip = T[:, np.arange(PQ_M), codes].sum(-1)     # (nq, ni)
-        S = ip / np.outer(qn, in_)
-        qid = qpdf.vec_id.to_numpy()
-        iid = ipdf.vec_id.to_numpy()
+        scored = _adc_cell_scores(qpdf, ipdf, Cq, PQ_M, sub_d)
+        if scored is None:
+            return pd.DataFrame(columns=["v1", "v2"])
+        S, qid, iid = scored
         # fully vectorized shortlist emission (no per-query Python
         # loop): argpartition the top cell_cap+1 per row, mask self
         cap = min(cell_cap + 1, S.shape[1])
@@ -1839,66 +1867,23 @@ def q_ivf_refresh(spark, sf):
     )
     union = e.unionByName(delta)
 
-    def encode(batches):
-        """(vec_id, cell, codes, n2): cell-assign + PQ-encode with the
-        FROZEN broadcast codebooks — identical for base and delta."""
-        Ci, cli, nci, Cq = bc.value
-        cn2 = (Cq * Cq).sum(-1)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
-            nm = np.sqrt((M * M).sum(1))
-            cell = np.argmax((M @ Ci.T) / np.outer(nm, nci), axis=1)
-            X = M.reshape(-1, PQ_M, sub_d)
-            D = ((X[:, :, None, :] - Cq[None, :, :, :]) ** 2).sum(-1)
-            code = D.argmin(axis=2)
-            n2 = np.take_along_axis(
-                cn2[None, :, :].repeat(len(M), 0), code[:, :, None],
-                axis=2)[:, :, 0].sum(1)
-            yield pd.DataFrame({
-                "vec_id": pdf.vec_id.to_numpy(),
-                "cell": cli[cell],
-                "codes": list(code.astype(np.int32)),
-                "n2": n2,
-            })
-
-    def probe(batches):
-        Ci, cli, nci, _ = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
-            nm = np.sqrt((M * M).sum(1))
-            sims = (M @ Ci.T) / np.outer(nm, nci)
-            top = np.argsort(-sims, axis=1)[:, :npr]
-            out = pdf.loc[pdf.index.repeat(npr)].reset_index(drop=True)
-            out["cell"] = cli[top.ravel()]
-            yield out[["vec_id", "embedding", "cell"]]
-
+    # index + probe reuse the shared kernels of q_sim_ivfpq_topk —
+    # encoding a refreshed entry is IDENTICAL to encoding a base one
     indexed = union.mapInPandas(
-        encode, "vec_id long, cell int, codes array<int>, n2 double")
+        _ivfpq_encode_fn(bc, PQ_M, sub_d),
+        "vec_id long, cell int, codes array<int>, n2 double")
     probed = delta.mapInPandas(
-        probe, "vec_id long, embedding array<float>, cell int")
+        _ivf_probe_fn(bc, npr),
+        "vec_id long, embedding array<float>, cell int")
 
     cap = 10  # ADC shortlist per (query, probed cell) → ≤ npr·cap/query
 
     def adc_shortlist(key, qpdf, ipdf):
         _, _, _, Cq = bc.value
-        cols = ["q_id", "c_id"]
-        if not len(qpdf) or not len(ipdf):
-            return pd.DataFrame(columns=cols)
-        qpdf = qpdf.drop_duplicates("vec_id").sort_values("vec_id")
-        ipdf = ipdf.sort_values("vec_id")
-        Q = np.stack(qpdf.embedding.to_numpy()).astype(np.float64)
-        qn = np.sqrt((Q * Q).sum(1))
-        codes = np.stack(ipdf.codes.to_numpy())
-        in_ = np.sqrt(np.maximum(ipdf.n2.to_numpy(), 1e-12))
-        T = np.einsum("qsd,sjd->qsj", Q.reshape(-1, PQ_M, sub_d), Cq)
-        ip = T[:, np.arange(PQ_M), codes].sum(-1)
-        S = ip / np.outer(qn, in_)
-        qid = qpdf.vec_id.to_numpy()
-        iid = ipdf.vec_id.to_numpy()
+        scored = _adc_cell_scores(qpdf, ipdf, Cq, PQ_M, sub_d)
+        if scored is None:
+            return pd.DataFrame(columns=["q_id", "c_id"])
+        S, qid, iid = scored
         k = min(cap + 1, S.shape[1])
         top = np.argpartition(-S, k - 1, axis=1)[:, :k]
         qrep = np.repeat(qid, k)

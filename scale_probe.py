@@ -187,6 +187,11 @@ X100_KEYS = [
     "q_split_train", "q_tfidf_top", "q_text_repetition", "q_word_pmi",
     # round-6 final wave: linear doc ops join the three-decade claim
     "q_dedup_paragraph", "q_feature_hash", "q_zipf_fit",
+    # round-7: chunk-grain decontamination, DSIR weights,
+    # duplicated-span accounting, sequence packing — all linear
+    # document ops with hash-only shuffles
+    "q_contamination_chunk", "q_dsir_weight", "q_dedup_substring",
+    "q_pack_sequences",
 ]
 
 
@@ -351,6 +356,9 @@ REL100_KEYS = [
     # round-6 final wave: lineitem/orders-driven statistics
     "q_ks_test", "q_mann_whitney", "q_benford", "q_gini",
     "q_rfm_segment",
+    # round-7: rank correlation (value-grouped midrank models) and
+    # the Q5 star join (dims constant, facts grow 100x)
+    "q_spearman_corr", "q_mjoin_volume",
 ]
 
 

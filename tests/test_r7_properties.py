@@ -244,8 +244,9 @@ def test_winsorize_band_and_branches(spark, sf_dir):
         hi = max(r.clipped for r in rs)
         for r in rs:
             assert lo <= r.clipped <= hi
-            assert r.was_clipped == (r.value != r.clipped) or (
-                r.value in (lo, hi))
+            # strict < / > clipping: a boundary-valued row is NOT
+            # clipped, so the flag must equal value-changed exactly
+            assert r.was_clipped == (r.value != r.clipped)
 
 
 def test_bitmap_rollup_matches_hll_rollup_grain(spark, sf_dir):
