@@ -204,15 +204,22 @@ def main() -> None:
         # scheduler/GC jitter is a large fraction of the number, and
         # min-of-3 tightens the run-to-run band enough that real
         # regressions stop hiding inside the noise (round-6 verdict).
+        # FULL-compute action since round 7: count() lets Catalyst
+        # prune unreferenced aggregate/window expressions (measured
+        # 3x under-reporting on q_dedup_substring — the island
+        # window was optimized away), so every query now executes
+        # to a noop sink, which computes every output column and
+        # transfers nothing to the driver. Expect a small upward
+        # level shift vs BENCH_r06 on previously-pruned keys
+        # (documented in BASELINE.md).
         best = None
         runs = 0
         while runs < 2 or (runs < 3 and best < 0.5):
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-            assert n >= 0
             runs += 1
         timings[key] = round(best, 3)
     # same min-of-2 convention as the headline keys: the first pass
