@@ -233,19 +233,28 @@ def q_linreg_group(spark, sf):
     the shuffle carries |partitions|×|groups| rows of six longs — at
     100 TB this is the cheapest possible statistic, and adding
     features generalizes to the normal-equations matrix (d² sums per
-    group, still one pass). Accumulators stay < 2^53 up to ~10^8 rows
-    per group; beyond that promote the cents sums to DECIMAL(38,0) —
-    same shape, wider lanes."""
+    group, still one pass). The cents-product sums accumulate in
+    DECIMAL(38,0) (exact to ~10^24 rows/group — Σy² crosses int64
+    near 10^5 rows, see inline comment); the final double conversion
+    matches DuckDB's HUGEINT → DOUBLE exactly below 2^53 and rounds
+    identically above it."""
     li = load_tables(spark, sf)["lineitem"]
     x = F.col("l_quantity").cast("long")
     y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    # 128-bit accumulation: per-row products fit long (y ≤ 1e7 cents
+    # → y² ≤ 1e14) but Σy² crosses int64 near 1e5 rows/group, which
+    # ANSI mode turns into a hard error at the 10× probe scale —
+    # decimal(38,0) keeps the sums exact to ~1e24 rows; DuckDB's
+    # BIGINT sum widens to HUGEINT natively, so both engines take
+    # the identical exact-integer → double path.
+    dec = "decimal(38,0)"
     s = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(x * y).cast("double").alias("sxy"),
-        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")

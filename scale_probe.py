@@ -1,6 +1,12 @@
 """Scaling self-audit: rebuilds the 10× fixtures and re-measures the
 SCALE.md "Measured scaling" table.
 
+Round 7 on, every timed query executes to a noop sink (bench.py's
+full-compute action): .count() let Catalyst prune aggregate/window
+expressions, and for some keys the pruned part is exactly the stage
+whose growth the probe exists to measure (q_dedup_substring's island
+window, q_spearman_corr's co-moments).
+
 Synthesizes a 10× corpus (50k documents / 20k embeddings, replicated
 from sf0.1 with remapped ids and per-copy text perturbation) and a 10×
 relational fixture (6M-row lineitem / 1.5M-row orders, remapped keys)
@@ -236,7 +242,8 @@ def run_x100(spark) -> None:
         best = None
         for _ in range(2):
             t0 = _t.time()
-            QUERIES[k](spark, OUT100).count()
+            QUERIES[k](spark, OUT100).write.format("noop") \
+                .mode("overwrite").save()
             dt = _t.time() - t0
             best = dt if best is None else min(best, dt)
         row[k] = round(best, 2)
@@ -271,7 +278,8 @@ def main() -> None:
             best = None
             for _ in range(2):
                 t0 = time.time()
-                QUERIES[k](spark, sf).count()
+                QUERIES[k](spark, sf).write.format("noop") \
+                    .mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             row[k] = round(best, 2)
@@ -402,7 +410,8 @@ def run_x100rel(spark) -> None:
         best = None
         for _ in range(2):
             t0 = _t.time()
-            QUERIES[k](spark, OUTREL).count()
+            QUERIES[k](spark, OUTREL).write.format("noop") \
+                .mode("overwrite").save()
             dt = _t.time() - t0
             best = dt if best is None else min(best, dt)
         row[k] = round(best, 2)
