@@ -560,9 +560,9 @@ def q_gini(spark, sf):
     Scale: one join (customer side broadcast-able), one PARTITIONed
     rank window keyed by nation, one aggregate of two exact BIGINT
     sums.  Order totals are quantized to cents before the
-    rank-weighted sum so Σ rk·x stays exact integer arithmetic with
-    ~100× headroom over the 10× fixture (at extreme per-group
-    cardinalities the rank-weighted partial would switch to double).
+    rank-weighted sum, and Σ rk·x accumulates in decimal(38,0) so the
+    integer arithmetic stays exact to ~1e24 rows per group (int64
+    crosses near 6e5 rows/group at cent grain).
     Ties rank deterministically via the order key."""
     t = load_tables(spark, sf)
     oc = (t["orders"]
@@ -577,10 +577,15 @@ def q_gini(spark, sf):
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("long").alias("xs"),
         F.row_number().over(w).alias("rk"))
+    # 128-bit rank-weighted sum: rk·xs per row fits long, but Σ rk·xs
+    # crosses int64 near 6e5 rows/group at cent grain (the 100×
+    # relational probe) — decimal(38,0) keeps it exact; DuckDB's
+    # BIGINT sum widens to HUGEINT natively (the q_linreg_group fix).
     g = (r.groupBy("c_nationkey")
          .agg(F.count(F.lit(1)).alias("n"),
               F.sum("xs").alias("sx"),
-              F.sum(F.col("rk") * F.col("xs")).alias("srx")))
+              F.sum((F.col("rk") * F.col("xs")).cast("decimal(38,0)"))
+              .alias("srx")))
     n = F.col("n").cast("double")
     return g.select(
         "c_nationkey", "n",

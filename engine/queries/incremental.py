@@ -627,7 +627,8 @@ def q_time_weighted_avg(spark, sf):
     return (seg.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_seg"),
                  F.sum("dt").alias("dur_us"),
-                 rnd(F.sum(F.col("vs") * F.col("dt")).cast("double")
+                 rnd(F.sum((F.col("vs") * F.col("dt"))
+                           .cast("decimal(38,0)")).cast("double")
                      / 10000.0 / F.sum("dt")).alias("twap")))
 
 
