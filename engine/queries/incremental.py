@@ -557,13 +557,21 @@ def q_ts_autocorr(spark, sf):
     o = e.select("event_type", xi.alias("x"),
                  F.lag(xi).over(wl).alias("xp"))
     p = o.filter(F.col("xp").isNotNull())
+    # co-moment sums in decimal(38,0): x² ≤ 2.4e13 per row at the
+    # 1e4 value scale, so an int64 sum crosses near 4e5 rows/group —
+    # the q_linreg_group cliff; 128-bit accumulation stays exact and
+    # DuckDB's BIGINT sums widen to HUGEINT natively.
+    dec = "decimal(38,0)"
     s = p.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").cast("double").alias("sx"),
         F.sum("xp").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("xp") * F.col("xp")).cast("double").alias("syy"),
-        F.sum(F.col("x") * F.col("xp")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("xp") * F.col("xp")).cast(dec))
+        .cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("xp")).cast(dec))
+        .cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
