@@ -882,8 +882,13 @@ def q_mann_whitney(spark, sf):
         "c1", c.alias("c"),
         F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
         .alias("prior"))
+    # t³ per distinct value fits long, but Σ(t³−t) crosses int64
+    # once rows/value nears 6e5 across ~50 distinct quantities (the
+    # 100× relational probe) — 128-bit accumulation keeps the tie
+    # term exact; DuckDB's BIGINT sum widens to HUGEINT natively.
     n = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"),
-              F.sum(c * c * c - c).alias("ties"))
+              F.sum((c * c * c - c).cast("decimal(38,0)"))
+              .cast("double").alias("ties"))
     s = (r.crossJoin(F.broadcast(n))
          .agg(F.max("n1").alias("n1"), F.max("n2").alias("n2"),
               F.max("ties").alias("ties"),
