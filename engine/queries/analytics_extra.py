@@ -836,8 +836,8 @@ r AS (
   FROM v),
 n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
              CAST(sum(c2) AS BIGINT) AS n2,
-             sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
-                 AS ties
+             sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                 - (c1 + c2)) AS ties
       FROM v),
 s AS (
   SELECT max(n1) AS n1, max(n2) AS n2, max(ties) AS ties,
@@ -848,9 +848,9 @@ SELECT n1, n2,
            AS u_stat,
        {sql_rnd("(n1 * CAST(n2 AS DOUBLE) + n1 * (n1 + 1) / 2.0 - r1 "
                 " - n1 * CAST(n2 AS DOUBLE) / 2.0) / "
-                "sqrt(n1 * CAST(n2 AS DOUBLE) / 12.0 * "
+                "nullif(sqrt(n1 * CAST(n2 AS DOUBLE) / 12.0 * "
                 "     ((n1 + n2 + 1) - ties / "
-                "      (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))")}
+                "      (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 0)")}
            AS z_stat
 FROM s
 """)
@@ -882,13 +882,14 @@ def q_mann_whitney(spark, sf):
         "c1", c.alias("c"),
         F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
         .alias("prior"))
-    # t³ per distinct value fits long, but Σ(t³−t) crosses int64
-    # once rows/value nears 6e5 across ~50 distinct quantities (the
-    # 100× relational probe) — 128-bit accumulation keeps the tie
-    # term exact; DuckDB's BIGINT sum widens to HUGEINT natively.
+    # the tie cube goes 128-bit from the FIRST multiply: t³ itself
+    # crosses int64 once one value carries >2.1M rows, and Σ(t³−t)
+    # crosses near 6e5 rows/value across ~50 values (the 100×
+    # relational probe) — decimal(38,0) covers both; the oracle
+    # mirrors with a HUGEINT cast before its cube.
+    cd = c.cast("decimal(38,0)")
     n = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"),
-              F.sum((c * c * c - c).cast("decimal(38,0)"))
-              .cast("double").alias("ties"))
+              F.sum(cd * cd * cd - cd).cast("double").alias("ties"))
     s = (r.crossJoin(F.broadcast(n))
          .agg(F.max("n1").alias("n1"), F.max("n2").alias("n2"),
               F.max("ties").alias("ties"),
@@ -902,8 +903,12 @@ def q_mann_whitney(spark, sf):
                    * ((F.col("n1") + F.col("n2") + 1)
                       - F.col("ties")
                       / ((n1d + n2d) * (F.col("n1") + F.col("n2") - 1))))
+    # nullif guard (q_ts_seasonal convention): an all-tied sample
+    # zeroes sigma, and this ANSI config hard-errors on ANY /0 —
+    # including double — instead of yielding Inf/NaN
     return s.select("n1", "n2", rnd(u).alias("u_stat"),
-                    rnd((u - n1d * n2d / 2.0) / sigma).alias("z_stat"))
+                    rnd((u - n1d * n2d / 2.0)
+                        / F.nullif(sigma, F.lit(0.0))).alias("z_stat"))
 
 
 # ------------------------------------------------- mutual information

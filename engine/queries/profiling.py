@@ -213,12 +213,13 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 @query("q_linreg_group", oracle=f"""
 WITH s AS ({_OLS_SUMS_SQL})
 SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
-       {sql_rnd('((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 100.0', 6)}
+       {sql_rnd('((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)) / 100.0', 6)}
            AS slope,
-       {sql_rnd('((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)'
-                ' / n) / 100.0', 6)} AS intercept,
-       {sql_rnd('((n * sxy - sx * sy) * (n * sxy - sx * sy))'
-                ' / ((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)} AS r2
+       {sql_rnd('((sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0))'
+                ' * sx) / n) / 100.0', 6)} AS intercept,
+       {sql_rnd('((n * sxy - sx * sy) * (n * sxy - sx * sy)) / '
+                'nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0)',
+                6)} AS r2
 FROM s
 """)
 def q_linreg_group(spark, sf):
@@ -258,11 +259,16 @@ def q_linreg_group(spark, sf):
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # nullif guards (q_ts_seasonal convention): a zero-variance
+    # segment zeroes these denominators, and this ANSI config
+    # hard-errors on ANY /0 — double included — rather than Inf/NaN
+    slope = ((n * sxy - sx * sy)
+             / F.nullif(n * sxx - sx * sx, F.lit(0.0)))
     return s.select(
         "l_returnflag", "l_linestatus", n.cast("long").alias("n"),
         rnd(slope / 100.0, 6).alias("slope"),
         rnd(((sy - slope * sx) / n) / 100.0, 6).alias("intercept"),
         rnd((n * sxy - sx * sy) * (n * sxy - sx * sy)
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).alias("r2"),
+            / F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy),
+                       F.lit(0.0)), 6).alias("r2"),
     )
