@@ -412,10 +412,10 @@ v AS (
   FROM g)
 SELECT hr, n1, n2,
        {sql_rnd("m1")} AS mean_a, {sql_rnd("m2")} AS mean_b,
-       {sql_rnd("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)")} AS t_stat,
+       {sql_rnd("(m1 - m2) / nullif(sqrt(v1 / n1 + v2 / n2), 0)")} AS t_stat,
        {sql_rnd("((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)) / "
-                "((v1 / n1) * (v1 / n1) / (n1 - 1) + "
-                " (v2 / n2) * (v2 / n2) / (n2 - 1))")} AS dof
+                "nullif((v1 / n1) * (v1 / n1) / (n1 - 1) + "
+                " (v2 / n2) * (v2 / n2) / (n2 - 1), 0)")} AS dof
 FROM v
 """
 
@@ -455,9 +455,15 @@ def q_ab_welch(spark, sf):
     return g.select(
         "hr", "n1", "n2",
         rnd(m1).alias("mean_a"), rnd(m2).alias("mean_b"),
-        rnd((m1 - m2) / F.sqrt(se2)).alias("t_stat"),
-        rnd(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
-                         + (v2 / n2) * (v2 / n2) / (n2 - 1))).alias("dof"))
+        # nullif guards: two zero-variance arms zero both denominators,
+        # and this ANSI config hard-errors on double/0 (degenerate
+        # strata yield NULL in both engines — oracle mirrored)
+        rnd((m1 - m2) / F.nullif(F.sqrt(se2), F.lit(0.0)))
+        .alias("t_stat"),
+        rnd(se2 * se2
+            / F.nullif((v1 / n1) * (v1 / n1) / (n1 - 1)
+                       + (v2 / n2) * (v2 / n2) / (n2 - 1),
+                       F.lit(0.0))).alias("dof"))
 
 
 # ------------------------------------------------------- seasonal profile
@@ -619,7 +625,7 @@ s AS (
 SELECT n_cells, CAST(total AS BIGINT) AS n,
        CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
        {sql_rnd("chi2")} AS chi2,
-       {sql_rnd("sqrt(chi2 / (total * least(r - 1, c - 1)))")}
+       {sql_rnd("sqrt(chi2 / nullif(total * least(r - 1, c - 1), 0))")}
            AS cramers_v
 FROM s
 """)
@@ -659,9 +665,13 @@ def q_chi2_independence(spark, sf):
         "n_cells", F.col("total").alias("n"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
         rnd(F.col("chi2")).alias("chi2"),
+        # nullif guard: a single-category marginal zeroes the V
+        # denominator, and this ANSI config hard-errors on double/0
         rnd(F.sqrt(F.col("chi2")
-                   / (F.col("total")
-                      * F.least(F.col("r") - 1, F.col("c") - 1))))
+                   / F.nullif((F.col("total")
+                               * F.least(F.col("r") - 1,
+                                         F.col("c") - 1))
+                              .cast("double"), F.lit(0.0))))
         .alias("cramers_v"))
 
 

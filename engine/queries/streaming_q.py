@@ -868,10 +868,12 @@ def q_stream_ab_welch(spark, sf):
         out = g.select(
             "hr", "n1", "n2",
             rnd(m1).alias("mean_a"), rnd(m2).alias("mean_b"),
-            rnd((m1 - m2) / F.sqrt(se2)).alias("t_stat"),
-            rnd(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
-                             + (v2 / n2) * (v2 / n2) / (n2 - 1)))
-            .alias("dof"))
+            rnd((m1 - m2) / F.nullif(F.sqrt(se2), F.lit(0.0)))
+            .alias("t_stat"),
+            rnd(se2 * se2
+                / F.nullif((v1 / n1) * (v1 / n1) / (n1 - 1)
+                           + (v2 / n2) * (v2 / n2) / (n2 - 1),
+                           F.lit(0.0))).alias("dof"))
         return out, "complete"
 
     name = _run_stream(spark, sf, "ab_welch", build)
