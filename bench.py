@@ -4,11 +4,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec",
  "queries": {name: sec, ...}, "sf": ...}
 
-Each query executes to completion via a count-style action (results
-are materialized, nothing collected to the driver beyond the
-aggregate). A warm-up pass loads/caches the fact-table scans so the
-numbers measure operator execution, not first-touch parquet footer
-reads.
+Each query executes to completion via the full-compute noop-sink
+action (run_full: every output column computed, nothing shipped to
+the driver — round 7 on; see BASELINE.md). A warm-up pass
+loads/caches the fact-table scans so the numbers measure operator
+execution, not first-touch parquet footer reads.
 """
 from __future__ import annotations
 
@@ -143,6 +143,15 @@ HEADLINE = [
 ]
 
 
+def run_full(df) -> None:
+    """The full-compute bench action, shared with scale_probe.py:
+    execute to the noop sink so every output column is computed and
+    nothing ships to the driver (count() lets Catalyst prune
+    aggregate/window stages — the round-7 methodology note in
+    BASELINE.md)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _bench_block_path(spark) -> float:
     """Arrow block-path stitch of a 2×2×2 grid of 128³ blocks
     (16.8M voxels) with tiles generated distributed — measures the
@@ -216,8 +225,7 @@ def main() -> None:
         runs = 0
         while runs < 2 or (runs < 3 and best < 0.5):
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            run_full(fn(spark, sf_dir))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             runs += 1

@@ -8,7 +8,8 @@ from pyspark.sql import Window as W, functions as F
 
 from ..io import load_tables
 from ..registry import query
-from .util import dsum, rnd, sql_dsum, sql_rnd
+from .util import (dsum, prod128, rnd, sql_dsum, sql_rnd,
+                   sum128)
 
 
 @query("q_window_ntile", oracle="""
@@ -549,7 +550,7 @@ WITH oc AS (
 g AS (
   SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(xs) AS BIGINT) AS sx,
-         CAST(sum(rk * xs) AS BIGINT) AS srx
+         CAST(sum(CAST(rk AS HUGEINT) * xs) AS DOUBLE) AS srx
   FROM oc GROUP BY 1)
 SELECT c_nationkey, n,
        {sql_rnd("CAST(sx AS DOUBLE) / 100.0")} AS total,
@@ -566,9 +567,10 @@ def q_gini(spark, sf):
     Scale: one join (customer side broadcast-able), one PARTITIONed
     rank window keyed by nation, one aggregate of two exact BIGINT
     sums.  Order totals are quantized to cents before the
-    rank-weighted sum, and Σ rk·x accumulates in decimal(38,0) so the
-    integer arithmetic stays exact to ~1e24 rows per group (int64
-    crosses near 6e5 rows/group at cent grain).
+    rank-weighted product and sum run in the decimal(38,0) lane
+    (util.prod128), exact while rk·xs stays under 38 digits — int64
+    would cross at 6e5 rows/group for the sum and ~1.8e11 for the
+    per-row product at cent grain.
     Ties rank deterministically via the order key."""
     t = load_tables(spark, sf)
     oc = (t["orders"]
@@ -583,15 +585,17 @@ def q_gini(spark, sf):
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("long").alias("xs"),
         F.row_number().over(w).alias("rk"))
-    # 128-bit rank-weighted sum: rk·xs per row fits long, but Σ rk·xs
-    # crosses int64 near 6e5 rows/group at cent grain (the 100×
-    # relational probe) — decimal(38,0) keeps it exact; DuckDB's
-    # BIGINT sum widens to HUGEINT natively (the q_linreg_group fix).
+    # 128-bit rank-weighted product AND sum (util.prod128/sum128):
+    # Σ rk·xs crosses int64 near 6e5 rows/group at cent grain (the
+    # 100× relational probe), and the per-row product itself crosses
+    # once rk·xs exceeds 2^63 (~1.8e11 rows/group at cent grain) —
+    # the multiply runs in the 128-bit lane from the start; the
+    # oracle mirrors with a HUGEINT operand cast.
     g = (r.groupBy("c_nationkey")
          .agg(F.count(F.lit(1)).alias("n"),
               F.sum("xs").alias("sx"),
-              F.sum((F.col("rk") * F.col("xs")).cast("decimal(38,0)"))
-              .alias("srx")))
+              F.sum(prod128(F.col("rk"), F.col("xs")))
+              .cast("double").alias("srx")))
     n = F.col("n").cast("double")
     return g.select(
         "c_nationkey", "n",
@@ -997,19 +1001,25 @@ def q_mutual_info(spark, sf):
 
 # ------------------------------------------------ Spearman correlation
 def _spearman_rank2(df, col):
-    """Per-(l_returnflag, value) doubled midranks as exact BIGINTs:
-    2·midrank = 2·prior + t + 1 where prior = rows strictly below
-    and t = the value's tie count — derived from one value-grouped
-    count + one ordered cumulative window per group, the
-    q_mann_whitney shape. Returns (l_returnflag, value, r2)."""
+    """Per-(l_returnflag, value) CENTERED doubled midranks as exact
+    BIGINTs: 2·(midrank − (n+1)/2) = 2·prior + t − n_group, where
+    prior = rows strictly below and t = the value's tie count —
+    derived from one value-grouped count + one ordered cumulative
+    window per group, the q_mann_whitney shape. Centering makes the
+    rank column exactly zero-mean, so the Pearson closed form loses
+    its n·Σxy − ΣxΣy cancellation terms entirely — the uncentered
+    form at n ≈ 4e6 cancels 25 significant digits and leaves pure
+    rounding noise (a constant column produced junk instead of the
+    exact 0 the nullif guard needs). Returns (l_returnflag, v, r2)."""
     v = (df.groupBy("l_returnflag", F.col(col).alias("v"))
          .agg(F.count(F.lit(1)).cast("long").alias("t")))
     w = (W.partitionBy("l_returnflag").orderBy("v")
          .rowsBetween(W.unboundedPreceding, -1))
+    wg = W.partitionBy("l_returnflag")
     return v.select(
         "l_returnflag", "v",
         (2 * F.coalesce(F.sum("t").over(w), F.lit(0))
-         + F.col("t") + 1).alias("r2"))
+         + F.col("t") - F.sum("t").over(wg)).alias("r2"))
 
 
 def _spearman_rank2_sql(col: str) -> str:
@@ -1018,7 +1028,8 @@ def _spearman_rank2_sql(col: str) -> str:
          2 * CAST(coalesce(sum(t) OVER (
              PARTITION BY l_returnflag ORDER BY v
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS BIGINT) + t + 1 AS r2
+             AS BIGINT) + t
+         - CAST(sum(t) OVER (PARTITION BY l_returnflag) AS BIGINT) AS r2
   FROM (SELECT l_returnflag, {col} AS v, CAST(count(*) AS BIGINT) AS t
         FROM lineitem GROUP BY 1, 2)"""
 
@@ -1035,13 +1046,12 @@ j AS (
          AND ry.v = li.l_discount),
 s AS (
   SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-         sum(x) AS sx, sum(y) AS sy,
          sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
   FROM j GROUP BY l_returnflag)
 SELECT l_returnflag, n,
-       {sql_rnd("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / "
-                "nullif(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) "
-                "* (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 0)")}
+       {sql_rnd("CAST(sxy AS DOUBLE) / "
+                "nullif(sqrt(CAST(sxx AS DOUBLE) "
+                "* CAST(syy AS DOUBLE)), 0)")}
            AS rho
 FROM s
 """)
@@ -1059,13 +1069,13 @@ def q_spearman_corr(spark, sf):
     Co-moments accumulate in decimal(38,0) (see inline comment), so
     the exact-integer discipline holds to ~1e12 rows per group.
 
-    Exactness: Spearman is Pearson over midranks; doubled midranks
-    (2·prior + t + 1) are exact BIGINTs from value-grouped counts,
-    so all five co-moment sums are pure integer arithmetic — order-
-    independent, hash-identical — and doubles appear only in the
-    final closed-form ratio over exact integers (the q_zipf_fit
-    discipline; the doubling cancels between numerator and
-    denominator).
+    Exactness: Spearman is Pearson over midranks; CENTERED doubled
+    midranks (2·prior + t − n) are exact BIGINTs from value-grouped
+    counts, so the three co-moment sums are pure integer arithmetic
+    — order-independent, hash-identical — and doubles appear only in
+    the final Σxy/√(Σx²·Σy²) over exact integers (the doubling and
+    centering cancel; zero-mean ranks eliminate the catastrophic
+    n·Σxy − ΣxΣy cancellation the uncentered form hits at n ≈ 4e6).
 
     Scale: two value-grouped counts (|distinct values| rows) with
     ordered windows over THOSE frames only, two broadcastable
@@ -1086,29 +1096,21 @@ def q_spearman_corr(spark, sf):
          .join(F.broadcast(ry),
                (F.col("l_returnflag") == F.col("rf_y"))
                & (F.col("l_discount") == F.col("v_y"))))
-    # co-moment sums in decimal(38,0): each per-row product is an
-    # exact long (ranks ≤ 2n, products ≤ 4n² — fine to n ≈ 1.5e9
-    # rows/group) but Σx² ≈ 4n³/3 blows through int64 near n ≈ 1.3M,
-    # and this engine runs ANSI mode, so a long sum THROWS at the 10×
-    # probe scale. 128-bit accumulation stays exact (order-
-    # independent integers) to n ≈ 1e12; DuckDB's BIGINT sum widens
-    # to HUGEINT natively, so both engines agree bit-for-bit.
-    dec = "decimal(38,0)"
+    # 128-bit co-moment sums (util.sum128): per-row products are
+    # exact longs (centered ranks ≤ 2n — fine to n ≈ 1.5e9 rows per
+    # group) but Σx² ≈ n³/3 blows through int64 near n ≈ 2M, a hard
+    # ANSI error at the 10× probe scale. Centered ranks make Σx = 0
+    # exactly, so the closed form is just Σxy/√(Σx²·Σy²) — no
+    # n·Σxy − ΣxΣy cancellation (see _spearman_rank2).
     s = j.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"))
-    n = F.col("n")
-    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
-    den = F.sqrt((n * F.col("sxx").cast("double")
-                  - F.col("sx").cast("double") * F.col("sx"))
-                 * (n * F.col("syy").cast("double")
-                    - F.col("sy").cast("double") * F.col("sy")))
+        sum128(F.col("x") * F.col("y")).alias("sxy"),
+        sum128(F.col("x") * F.col("x")).alias("sxx"),
+        sum128(F.col("y") * F.col("y")).alias("syy"))
+    den = F.sqrt(F.col("sxx") * F.col("syy"))
     return s.select("l_returnflag", "n",
-                    rnd(num / F.nullif(den, F.lit(0.0))).alias("rho"))
+                    rnd(F.col("sxy")
+                        / F.nullif(den, F.lit(0.0))).alias("rho"))
 
 
 # ---------------------------------------------------- winsorization

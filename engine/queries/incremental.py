@@ -25,7 +25,7 @@ from pyspark.sql import Window as W, functions as F
 
 from ..io import load_tables
 from ..registry import query
-from .util import rnd, sql_dsum, sql_rnd
+from .util import prod128, rnd, sql_dsum, sql_rnd, sum128
 
 _DELTA_PRED = "l_orderkey % 13 = 0"
 
@@ -557,21 +557,16 @@ def q_ts_autocorr(spark, sf):
     o = e.select("event_type", xi.alias("x"),
                  F.lag(xi).over(wl).alias("xp"))
     p = o.filter(F.col("xp").isNotNull())
-    # co-moment sums in decimal(38,0): x² ≤ 2.4e13 per row at the
-    # 1e4 value scale, so an int64 sum crosses near 4e5 rows/group —
-    # the q_linreg_group cliff; 128-bit accumulation stays exact and
-    # DuckDB's BIGINT sums widen to HUGEINT natively.
-    dec = "decimal(38,0)"
+    # 128-bit co-moment sums (util.sum128): x² ≤ 2.4e13 per row at
+    # the 1e4 value scale, so an int64 sum crosses near 4e5
+    # rows/group — the q_linreg_group cliff.
     s = p.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").cast("double").alias("sx"),
         F.sum("xp").cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec))
-        .cast("double").alias("sxx"),
-        F.sum((F.col("xp") * F.col("xp")).cast(dec))
-        .cast("double").alias("syy"),
-        F.sum((F.col("x") * F.col("xp")).cast(dec))
-        .cast("double").alias("sxy"),
+        sum128(F.col("x") * F.col("x")).alias("sxx"),
+        sum128(F.col("xp") * F.col("xp")).alias("syy"),
+        sum128(F.col("x") * F.col("xp")).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
@@ -635,8 +630,11 @@ def q_time_weighted_avg(spark, sf):
     return (seg.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_seg"),
                  F.sum("dt").alias("dur_us"),
-                 rnd(F.sum((F.col("vs") * F.col("dt"))
-                           .cast("decimal(38,0)")).cast("double")
+                 # prod128: vs·dt itself can cross int64 (a >6.4 h
+                 # gap at large values), not just the sum — the
+                 # multiply must already run in the 128-bit lane
+                 rnd(F.sum(prod128(F.col("vs"), F.col("dt")))
+                     .cast("double")
                      / 10000.0 / F.sum("dt")).alias("twap")))
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_tables
 from ..registry import query
-from .util import rnd, sql_rnd
+from .util import rnd, sql_rnd, sum128
 
 # (column, kind) pairs profiled by q_profile_columns; numeric columns
 # get min/max, categoricals get NULL there (mixed-type min/max as
@@ -242,20 +242,17 @@ def q_linreg_group(spark, sf):
     li = load_tables(spark, sf)["lineitem"]
     x = F.col("l_quantity").cast("long")
     y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    # 128-bit accumulation: per-row products fit long (y ≤ 1e7 cents
-    # → y² ≤ 1e14) but Σy² crosses int64 near 1e5 rows/group, which
-    # ANSI mode turns into a hard error at the 10× probe scale —
-    # decimal(38,0) keeps the sums exact to ~1e24 rows; DuckDB's
-    # BIGINT sum widens to HUGEINT natively, so both engines take
-    # the identical exact-integer → double path.
-    dec = "decimal(38,0)"
+    # 128-bit accumulation (util.sum128): Σy² crosses int64 near
+    # 1e5 rows/group at cent grain, a hard ANSI error at the 10×
+    # probe scale; DuckDB's BIGINT sum widens to HUGEINT natively,
+    # so both engines take the identical exact-integer → double path.
     s = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(x).cast("double").alias("sx"),
-        F.sum(y.cast(dec)).cast("double").alias("sy"),
-        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
-        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
-        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+        sum128(y).alias("sy"),
+        sum128(x * x).alias("sxx"),
+        sum128(x * y).alias("sxy"),
+        sum128(y * y).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")

@@ -73,3 +73,30 @@ def sql_dsum(expr: str, n: int = 4) -> str:
     return (
         f"(CAST(sum(CAST(floor(({expr}) * {p} + 0.5) AS BIGINT)) AS DOUBLE) / {p})"
     )
+
+
+#: 128-bit integer lane for sums of integer PRODUCTS (rank-weighted
+#: sums, co-moments, cubic tie terms): per-row products of scaled
+#: values can sit near 2^63 and their SUMS cross it at the 10x/100x
+#: probe grains — under this ANSI config that is a hard
+#: ARITHMETIC_OVERFLOW, not a wrap. DuckDB widens BIGINT sums to
+#: HUGEINT natively, so oracles mirror with CAST(... AS DOUBLE) (or
+#: HUGEINT operand casts where the per-row product itself crosses).
+DEC128 = "decimal(38,0)"
+
+
+def prod128(a: Column, b: Column) -> Column:
+    """a·b with the FIRST operand widened to decimal(38,0), so the
+    multiply itself runs in the 128-bit lane — for products whose
+    int64 form can cross 2^63 per row (the q_mann_whitney t³
+    lesson: casting only the sum input leaves the long multiply
+    in the plan)."""
+    return a.cast(DEC128) * b
+
+
+def sum128(col: Column, out: str = "double") -> Column:
+    """Exact order-independent sum in the 128-bit lane; ``out``
+    picks the result lane ("double" for closed-form statistics,
+    "decimal" to keep integer exactness downstream)."""
+    s = F.sum(col.cast(DEC128))
+    return s if out == "decimal" else s.cast("double")

@@ -24,6 +24,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from bench import run_full  # noqa: E402  (the shared full-compute action)
+
 OUT = "/tmp/engine_scale_x10"
 BASE = "/root/testdata/sf0.1"
 DOC_KEYS = [
@@ -242,8 +244,7 @@ def run_x100(spark) -> None:
         best = None
         for _ in range(2):
             t0 = _t.time()
-            QUERIES[k](spark, OUT100).write.format("noop") \
-                .mode("overwrite").save()
+            run_full(QUERIES[k](spark, OUT100))
             dt = _t.time() - t0
             best = dt if best is None else min(best, dt)
         row[k] = round(best, 2)
@@ -278,8 +279,7 @@ def main() -> None:
             best = None
             for _ in range(2):
                 t0 = time.time()
-                QUERIES[k](spark, sf).write.format("noop") \
-                    .mode("overwrite").save()
+                run_full(QUERIES[k](spark, sf))
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             row[k] = round(best, 2)
@@ -410,8 +410,7 @@ def run_x100rel(spark) -> None:
         best = None
         for _ in range(2):
             t0 = _t.time()
-            QUERIES[k](spark, OUTREL).write.format("noop") \
-                .mode("overwrite").save()
+            run_full(QUERIES[k](spark, OUTREL))
             dt = _t.time() - t0
             best = dt if best is None else min(best, dt)
         row[k] = round(best, 2)

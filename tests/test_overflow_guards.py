@@ -14,12 +14,12 @@ the next scale probe.
 
 Magnitudes engineered per key (see inline math):
 - q_linreg_group / q_spearman_corr / q_mann_whitney: 4.4M lineitem
-  rows, extendedprice 3e6 (Σy² ≈ 4e23), TWO quantity values with
-  2.2M rows each (per-row tie cube t³ ≈ 1.1e19 crosses long on its
-  own — the documented 2.1M-rows-per-value limit — and Σ midrank²
-  ≈ 1.7e20). The zero-variance extendedprice also pins the ANSI
-  divide-by-zero guards (this config hard-errors even on double/0):
-  linreg r² and the Mann-Whitney σ must go NULL, not crash.
+  rows, extendedprice 3e6 (Σy² ≈ 4e23) and a SINGLE quantity value
+  (per-row tie cube t³ ≈ 8.5e19 crosses long on its own — past the
+  2.1M-rows-per-value int64 limit — and Σ midrank² ≈ 8.5e19). The
+  all-tied/zero-variance columns also pin EVERY ANSI divide-by-zero
+  guard (this config hard-errors even on double/0): linreg slope/r²,
+  Spearman ρ, and the Mann-Whitney σ must all go NULL, not crash.
 - q_gini: 1.2M orders in one nation, totalprice 5e5
   (Σ rk·xs ≈ 3.6e19).
 - q_time_weighted_avg / q_ts_autocorr: 1.5M events on few series,
@@ -37,7 +37,7 @@ from tests.conftest import SF_SMALL
 
 load_all()
 
-_DIR = "/tmp/engine_overflow_fixture_v3"
+_DIR = "/tmp/engine_overflow_fixture_v4"
 
 
 @pytest.fixture(scope="session")
@@ -50,8 +50,7 @@ def overflow_sf(spark):
             F.when(F.col("id") % 2 == 0, "A").otherwise("N")
             .alias("l_returnflag"),
             F.lit("F").alias("l_linestatus"),
-            F.when((F.col("id") / 2).cast("long") % 2 == 0, 25.0)
-            .otherwise(26.0).alias("l_quantity"),
+            F.lit(25.0).alias("l_quantity"),
             F.lit(3_000_000.0).alias("l_extendedprice"),
             ((F.col("id") % 11).cast("double") / 100.0)
             .alias("l_discount"))
@@ -99,3 +98,12 @@ def overflow_sf(spark):
 def test_no_int64_overflow_above_old_cliff(spark, overflow_sf, key):
     rows = QUERIES[key](spark, overflow_sf).collect()
     assert rows  # completed past the old cliff without ANSI overflow
+    # the degenerate columns must flow through the nullif guards as
+    # NULL — reverting a guard crashes above; a wrong guard that
+    # emits Inf/NaN instead fails here
+    if key == "q_linreg_group":
+        assert all(r.slope is None and r.r2 is None for r in rows)
+    if key == "q_spearman_corr":
+        assert all(r.rho is None for r in rows)
+    if key == "q_mann_whitney":
+        assert all(r.z_stat is None for r in rows)
