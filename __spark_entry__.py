@@ -147,14 +147,12 @@ _R06B_NEW = {
     "q_weighted_quantile", "q_ts_autocorr",
 }
 
-# Keys first registered in round 7. The round-6 verdict's top
-# priority is DRAINING the rotation window — the ~50 oldest greens
-# (r2-era keys unconfirmed for 4+ rounds) must fill the r7 window —
-# so this cohort is demoted behind EVERY green key, not just behind
-# older waiting keys: round-7 newcomers take no window slot at all
-# until the stale greens are re-confirmed (they get their first
-# driver row in round 8; until then they are covered by the local
-# check.py sweep and their own tests).
+# Keys first registered in round 7. In round 7 this cohort was
+# demoted behind EVERY green key so the stale r2-era greens could be
+# re-confirmed first (round-6 verdict). That drain completed in
+# CORRECTNESS_r07 (0 fails), so per the round-7 verdict's top
+# priority these 13 now lead the round-8 window as the NEWEST
+# waiting cohort — nothing is registered ahead of them.
 _R07_NEW = {
     "q_ivf_refresh", "q_tdigest_quantile", "q_contamination_chunk",
     "q_dsir_weight", "q_dedup_substring", "q_spearman_corr",
@@ -176,6 +174,16 @@ _R06C_NEW = {
     "q_rfm_segment", "q_stream_benford",
 }
 
+# Keys first registered in round 8: the newest cohort, demoted
+# behind EVERY green key (the same discipline _R07_NEW got in round
+# 7) — round-8 newcomers take no window slot until the _R07_NEW
+# cohort has earned its first driver rows; they get theirs in round
+# 9, covered until then by the local check.py sweep + their tests.
+_R08_NEW: set[str] = {
+    "q_stitch_user_fn", "q_dedup_semantic", "q_dedup_url",
+    "q_quality_classifier",
+}
+
 
 def _rotated(keys) -> list[str]:
     """Waiting-longest-first key order (relative registration order
@@ -187,32 +195,38 @@ def _rotated(keys) -> list[str]:
     between rounds; the static _R0N_GREEN lists remain only as
     documentation of earlier rounds."""
     def tiered(waiting):
-        # newer cohorts demote behind older waiting keys; _R07_NEW
-        # is handled separately (behind even the greens)
+        # newer cohorts demote behind older waiting keys; _R08_NEW
+        # is handled separately (behind even the greens). _R07_NEW
+        # rejoins the waiting tiers this round: the r2-era drain it
+        # was demoted for completed in CORRECTNESS_r07, so per the
+        # round-7 verdict these 13 now LEAD the round-8 window.
         older = [k for k in waiting if k not in _R05_NEW
                  and k not in _R06_NEW and k not in _R06B_NEW
-                 and k not in _R06C_NEW and k not in _R07_NEW]
+                 and k not in _R06C_NEW and k not in _R07_NEW
+                 and k not in _R08_NEW]
         return (older
                 + [k for k in waiting if k in _R05_NEW]
                 + [k for k in waiting if k in _R06_NEW]
                 + [k for k in waiting if k in _R06B_NEW]
-                + [k for k in waiting if k in _R06C_NEW])
+                + [k for k in waiting if k in _R06C_NEW]
+                + [k for k in waiting if k in _R07_NEW])
 
     green = _driver_green()
     if not green:  # artifacts missing (fresh checkout): static fallback
         r2, r3 = set(_R02_GREEN), set(_R03_GREEN)
         waiting = tiered(
-            [k for k in keys if k not in r2 and k not in r3])
+            [k for k in keys if k not in r2 and k not in r3
+             and k not in _R08_NEW])
         return (waiting + [k for k in keys if k in r2]
                 + [k for k in keys if k in r3]
-                + [k for k in keys if k in _R07_NEW])
+                + [k for k in keys if k in _R08_NEW])
     waiting = tiered([k for k in keys if k not in green])
     seen = sorted((k for k in keys if k in green),
                   key=lambda k: green[k])  # stable: registry order within a round
-    # round-7 newcomers with no driver row yet go BEHIND the greens
-    # (see _R07_NEW comment); once a newcomer has a green row it
+    # round-8 newcomers with no driver row yet go BEHIND the greens
+    # (see _R08_NEW comment); once a newcomer has a green row it
     # sorts into `seen` like everyone else and this tail is empty
-    back = [k for k in keys if k in _R07_NEW and k not in green]
+    back = [k for k in keys if k in _R08_NEW and k not in green]
     return waiting + seen + back
 
 

@@ -18,12 +18,12 @@ registry.load_all()
 def test_waiting_keys_lead_the_window():
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
-    # round-7 newcomers are EXCLUDED from the waiting tier by design:
-    # the r6 verdict's top priority is re-confirming the r2-era
-    # greens, so _R07_NEW keys go behind even the greens until they
-    # earn their first driver row (see the _R07_NEW comment).
+    # round-8 newcomers are EXCLUDED from the waiting tier by design:
+    # the r7 verdict's top priority is earning first driver rows for
+    # the _R07_NEW cohort, so _R08_NEW keys go behind even the greens
+    # until round 9 (see the _R08_NEW comment).
     waiting = [k for k in q
-               if k not in green and k not in entry._R07_NEW]
+               if k not in green and k not in entry._R08_NEW]
     # no green key may hold a window slot while a waiting key sits
     # outside it: the first min(|waiting|, 50) slots are all waiting
     head = q[:min(len(waiting), 50)]
@@ -34,19 +34,39 @@ def test_waiting_keys_lead_the_window():
         assert all(k in set(q[:50]) for k in waiting)
 
 
-def test_r07_newcomers_sort_behind_every_green():
-    """Round-7 newcomers take NO window slot while the rotation is
-    draining: every never-rowed _R07_NEW key must sort after every
-    driver-green key."""
+def test_r07_newcomers_lead_the_round8_window():
+    """The r2-era drain completed in CORRECTNESS_r07, so the round-7
+    verdict's top priority is the 13 _R07_NEW keys earning their
+    FIRST driver rows: every never-rowed _R07_NEW key must sort ahead
+    of every driver-green key (i.e. inside the 50-key window)."""
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
-    back = [k for k in entry._R07_NEW if k not in green]
+    waiting7 = [k for k in entry._R07_NEW if k not in green]
+    if not waiting7:  # all have driver rows now — nothing to pin
+        return
+    first_green = min(q.index(k) for k in q if k in green)
+    for k in waiting7:
+        assert q.index(k) < first_green, (
+            f"{k} sits behind a green key — it misses its first "
+            f"driver row again")
+        assert q.index(k) < 50, f"{k} outside the 50-key window"
+
+
+def test_r08_newcomers_sort_behind_every_green():
+    """Round-8 newcomers take NO window slot while _R07_NEW earns its
+    first driver rows: every never-rowed _R08_NEW key must sort after
+    every driver-green key (they get their first rows in round 9)."""
+    q = list(entry._rotated(registry.QUERIES))
+    green = entry._driver_green()
+    back = [k for k in entry._R08_NEW
+            if k in set(q) and k not in green]
     if not back:  # all have driver rows now — demotion is over
         return
     last_green = max(q.index(k) for k in q if k in green)
     for k in back:
         assert q.index(k) > last_green, (
-            f"{k} holds a window slot while r2-era greens wait")
+            f"{k} holds a window slot while _R07_NEW keys wait for "
+            f"their first driver row")
 
 
 def test_green_tiers_ordered_oldest_first():
@@ -86,6 +106,10 @@ def test_round5_newcomers_wait_behind_older_keys():
     waiting = [k for k in q if k not in green]
 
     def tier(k):
+        if k in entry._R08_NEW:
+            return 6      # behind even the greens (round-9 cohort)
+        if k in entry._R07_NEW:
+            return 5
         if k in entry._R06C_NEW:
             return 4
         if k in entry._R06B_NEW:
@@ -110,7 +134,7 @@ def test_every_registered_key_is_cohorted_or_green():
     green = entry._driver_green()
     cohorts = (set(entry._R02_GREEN) | set(entry._R03_GREEN)
                | entry._R05_NEW | entry._R06_NEW | entry._R06B_NEW
-               | entry._R06C_NEW | entry._R07_NEW)
+               | entry._R06C_NEW | entry._R07_NEW | entry._R08_NEW)
     stray = [k for k in registry.QUERIES
              if k not in green and k not in cohorts]
     assert not stray, (
