@@ -651,15 +651,15 @@ def tdigest_path(sf: str) -> str:
     fixture re-sketches instead of serving stale centroids)."""
     import hashlib
     import os
-    import tempfile
+
+    from .util import artifact_root
 
     p = os.path.join(os.path.abspath(sf), "events.parquet")
     st = os.stat(p)
     digest = hashlib.md5(
         f"{p}|{st.st_size}|{st.st_mtime_ns}|td{TD_DELTA}".encode()
     ).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(), f"engine_tdigest_{digest}")
+    return os.path.join(artifact_root(), f"engine_tdigest_{digest}")
 
 
 def _td_k(q):

@@ -919,14 +919,14 @@ def ivf_codebook_path(sf: str) -> str:
     fresh index instead of silently serving a stale one."""
     import hashlib
     import os
-    import tempfile
+
+    from .util import artifact_root
 
     p = os.path.join(os.path.abspath(sf), "embeddings.parquet")
     st = os.stat(p)
     digest = hashlib.md5(
         f"{p}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(), f"engine_ivf_codebook_{digest}")
+    return os.path.join(artifact_root(), f"engine_ivf_codebook_{digest}")
 
 
 def _ivf_codebook(spark, sf):

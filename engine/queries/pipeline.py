@@ -932,6 +932,14 @@ def q_dsir_weight(spark, sf):
     double products needs (ct+1)(tr+64) < 2⁵³ — fine to ~10¹⁴
     tokens; past that, pre-divide by totals before the ln.)
 
+    Accepted boundary risk (round-7 ADVICE.md): libm ln is not
+    required to be correctly rounded, so Spark and DuckDB could
+    disagree by ~1 ulp — a flip only if a grid value sits within
+    ≲1e-9 of a floor boundary. tests/test_dsir_ulp_margin.py
+    measures every bucket's boundary distance at each fixture scale
+    and pins it > 1e-4 (≥10⁵× the worst ulp perturbation), so the
+    quantization cannot flip cross-engine on these fixtures.
+
     Scale: two map-side-combined bucket counts (64 rows each), one
     64-row broadcast model join against the per-(doc, bucket) tf
     frame (≤ |docs|×64 rows by the q_feature_hash argument), one
@@ -1016,8 +1024,10 @@ def q_pack_sequences(spark, sf):
     running total would serialize the corpus through one partition)
     and the 100 TB shape: every shard packs independently inside one
     exchange, and shard count scales with the cluster. Integer
-    arithmetic end to end — no floats anywhere, trivially
-    hash-stable."""
+    arithmetic end to end — no floats anywhere (sequence ids use
+    ``div``, Spark's integral division on longs, matching DuckDB's
+    ``//``; a double-division round-trip would silently round past
+    2^53 cumulative tokens per shard), trivially hash-stable."""
     k, s = _PACK_LEN, _PACK_SHARDS
     d = (load_tables(spark, sf)["documents"]
          .filter(F.length("text") > 0)
@@ -1029,7 +1039,6 @@ def q_pack_sequences(spark, sf):
     c = d.withColumn("cum", F.sum("n_tok").over(w))
     return c.select(
         "doc_id", "shard", "n_tok",
-        ((F.col("cum") - F.col("n_tok")) / k).cast("long")
-        .alias("start_seq"),
-        ((F.col("cum") - 1) / k).cast("long").alias("end_seq"),
+        F.expr(f"(cum - n_tok) div {k}").alias("start_seq"),
+        F.expr(f"(cum - 1) div {k}").alias("end_seq"),
         ((F.col("cum") - F.col("n_tok")) % k).alias("seq_offset"))

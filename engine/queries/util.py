@@ -100,3 +100,31 @@ def sum128(col: Column, out: str = "double") -> Column:
     "decimal" to keep integer exactness downstream)."""
     s = F.sum(col.cast(DEC128))
     return s if out == "decimal" else s.cast("double")
+
+
+def artifact_root() -> str:
+    """User-owned root for PERSISTED cross-run artifacts (IVF/PQ
+    codebooks, t-digest state). ``$ENGINE_ARTIFACT_DIR`` overrides;
+    default ``~/.cache/engine``. A predictable artifact name in the
+    world-shared ``tempfile.gettempdir()`` would let another local
+    user pre-create the directory and poison query results (round-7
+    ADVICE.md), so the root is created ``0o700`` and an existing one
+    must be owned by the current user and not group/world-writable.
+    Per-process scratch (pid-suffixed sinks/sources) stays in the
+    tempdir — those names are not stable across runs."""
+    import os
+    import stat
+
+    root = os.environ.get("ENGINE_ARTIFACT_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "engine")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"artifact root {root} is owned by uid {st.st_uid}, not "
+            f"the current user — refusing to trust artifacts there")
+    if st.st_mode & (stat.S_IWGRP | stat.S_IWOTH):
+        raise RuntimeError(
+            f"artifact root {root} is group/world-writable — another "
+            f"user could plant poisoned artifacts; chmod 700 it")
+    return root

@@ -397,15 +397,15 @@ def pq_codebook_path(sf: str, tag: str = "") -> str:
     namespaces variants fitted in a transformed space (OPQ)."""
     import hashlib
     import os
-    import tempfile
+
+    from .util import artifact_root
 
     p = os.path.join(os.path.abspath(sf), "embeddings.parquet")
     st = os.stat(p)
     digest = hashlib.md5(
         f"{p}|{st.st_size}|{st.st_mtime_ns}|pq{PQ_M}x{PQ_K}|{tag}".encode()
     ).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(), f"engine_pq_codebook_{digest}")
+    return os.path.join(artifact_root(), f"engine_pq_codebook_{digest}")
 
 
 def _pq_codebook(spark, sf, rot=None, tag: str = ""):
