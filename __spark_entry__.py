@@ -181,7 +181,7 @@ _R06C_NEW = {
 # 9, covered until then by the local check.py sweep + their tests.
 _R08_NEW: set[str] = {
     "q_stitch_user_fn", "q_dedup_semantic", "q_dedup_url",
-    "q_quality_classifier",
+    "q_quality_classifier", "q_stream_quality_gate", "q_rag_retrieve",
 }
 
 

@@ -140,7 +140,21 @@ HEADLINE = [
     "q_winsorize",
     "q_bitmap_rollup",
     "q_mjoin_volume",
+    # round-8 additions: map_overlap user-fn lifecycle, SemDeDup,
+    # URL canonicalization dedup, quality-classifier codegen apply
+    # + its streaming gate twin, posting-list RAG retrieval
+    "q_stitch_user_fn",
+    "q_dedup_semantic",
+    "q_dedup_url",
+    "q_quality_classifier",
+    "q_stream_quality_gate",
+    "q_rag_retrieve",
 ]
+# HEADLINE is APPEND-ONLY (never reordered, never pruned): a
+# cross-round BENCH_r{N} per-key diff is valid for every key that
+# exists in both rounds, and an entry can drop out of the driver's
+# COMPACT stdout line only via the loud n_omitted_fastest fallback
+# below — see BASELINE.md "bench entry-set rule".
 
 
 def run_full(df) -> None:

@@ -112,7 +112,8 @@ def weight_blocks(df: DataFrame, blocksize, overlap, grid,
 
 
 def merge_overlaps(df: DataFrame, blocksize, overlap, grid,
-                   pre=None, ncomp: int = 1) -> DataFrame:
+                   pre=None, ncomp: int = 1,
+                   halo_pad: int = 0) -> DataFrame:
     """R2: halo-sum via keyed fragments + one shuffle + reassembly
     (map_overlap analogue, reference stitch.py:49-91,113-121).
 
@@ -123,6 +124,13 @@ def merge_overlaps(df: DataFrame, blocksize, overlap, grid,
     JVM→Python→JVM an extra round trip (measured ~15% of the 128³
     block-path wall time).
 
+    ``halo_pad > 0`` (the map_overlap user-fn lifecycle, see
+    :func:`map_overlap_stitch`): input tiles carry ``halo_pad`` EXTRA
+    rings per side beyond the stitch overlap (extent
+    bs+2·(o+halo_pad)); ``pre`` must consume them — its output is
+    validated to the bs+2o stitch extent that the slab geometry below
+    assumes.
+
     ``ncomp > 1`` (vector-field tiles, reference stitch.py:100-102):
     the slab slicing is purely spatial — the trailing component axis
     rides inside every fragment payload untouched, and the reassembly
@@ -130,6 +138,7 @@ def merge_overlaps(df: DataFrame, blocksize, overlap, grid,
     spatial shape; payload bytes are sx*sy*sz*ncomp doubles."""
     bs, o, g = tuple(blocksize), tuple(overlap), tuple(grid)
     ext = tuple(bs[a] + 2 * o[a] for a in range(3))
+    in_ext = tuple(bs[a] + 2 * (o[a] + halo_pad) for a in range(3))
     tail = (ncomp,) if ncomp > 1 else ()
 
     def emit(batches):
@@ -138,9 +147,13 @@ def merge_overlaps(df: DataFrame, blocksize, overlap, grid,
             for row in pdf.itertuples(index=False):
                 b = (row.bx, row.by, row.bz)
                 arr = np.frombuffer(row.data, dtype=np.float64).reshape(
-                    ext + tail)
+                    in_ext + tail)
                 if pre is not None:
                     arr = pre(arr, b)
+                if arr.shape[:3] != ext:
+                    raise ValueError(
+                        f"tile {b}: pre returned spatial shape "
+                        f"{arr.shape[:3]}, expected {ext}")
                 for d in product((-1, 0, 1), repeat=3):
                     t = tuple(b[a] + d[a] for a in range(3))
                     if not all(0 <= t[a] < g[a] for a in range(3)):
@@ -182,6 +195,25 @@ def merge_overlaps(df: DataFrame, blocksize, overlap, grid,
     return frags.groupBy("tbx", "tby", "tbz").applyInPandas(assemble, BLOCK_SCHEMA)
 
 
+def _weight_fn(bs, o, g, ncomp: int = 1):
+    """Per-tile trapezoid weighting closure with the boundary-class
+    cache (≤27 entries) shared by stitch_blocks / map_overlap_stitch."""
+    cache: dict[tuple, np.ndarray] = {}
+
+    def weight(arr: np.ndarray, b) -> np.ndarray:
+        key = tuple((b[a] == 0, b[a] == g[a] - 1) for a in range(3))
+        if key not in cache:
+            w = (
+                axis_weights(b[0], g[0], bs[0], o[0])[:, None, None]
+                * axis_weights(b[1], g[1], bs[1], o[1])[None, :, None]
+                * axis_weights(b[2], g[2], bs[2], o[2])[None, None, :]
+            )
+            cache[key] = w[..., None] if ncomp > 1 else w
+        return arr * cache[key]
+
+    return weight
+
+
 def stitch_blocks(df: DataFrame, blocksize, overlap, grid,
                   ncomp: int = 1) -> DataFrame:
     """R3 (reference stitch.py:94-121): weight ∘ halo-merge, fused so
@@ -196,21 +228,47 @@ def stitch_blocks(df: DataFrame, blocksize, overlap, grid,
     weights every component identically and the halo sum carries the
     component axis through the fragment shuffle."""
     bs, o, g = tuple(blocksize), tuple(overlap), tuple(grid)
-    cache: dict[tuple, np.ndarray] = {}
+    return merge_overlaps(df, bs, o, g, pre=_weight_fn(bs, o, g, ncomp),
+                          ncomp=ncomp)
 
-    def weight(arr: np.ndarray, b) -> np.ndarray:
-        # same boundary-class cache as weight_blocks (≤27 entries)
-        key = tuple((b[a] == 0, b[a] == g[a] - 1) for a in range(3))
-        if key not in cache:
-            w = (
-                axis_weights(b[0], g[0], bs[0], o[0])[:, None, None]
-                * axis_weights(b[1], g[1], bs[1], o[1])[None, :, None]
-                * axis_weights(b[2], g[2], bs[2], o[2])[None, None, :]
-            )
-            cache[key] = w[..., None] if ncomp > 1 else w
-        return arr * cache[key]
 
-    return merge_overlaps(df, bs, o, g, pre=weight, ncomp=ncomp)
+def map_overlap_stitch(df: DataFrame, user_fn, blocksize, overlap, grid,
+                       depth: int = 0, ncomp: int = 1) -> DataFrame:
+    """The library's intended END-TO-END use (reference README.md:2,
+    stitch.py:113-121; SURVEY.md §3.3): a user-supplied per-tile
+    kernel runs over halo'd tiles, then the results are feather-
+    stitched back into a seamless field — ``da.map_overlap(fn) ∘
+    stitch_blocks`` as one fused Spark lineage.
+
+    Input tiles carry ``depth`` EXTRA halo rings per side beyond the
+    stitch overlap (extent bs+2·(o+depth)) so a neighborhood kernel of
+    radius ≤ depth is VALID everywhere on the bs+2o stitch extent —
+    the user never sees a boundary artifact inside the feathered
+    region. ``user_fn(arr, (bx,by,bz)) -> arr`` must consume the pad
+    (valid-mode, shrink by depth per side); its output is shape-
+    checked, trapezoid-weighted, and halo-summed all inside the ONE
+    fragment-emit Python pass — the whole lifecycle costs exactly one
+    Arrow crossing and one shuffle, same as a plain stitch.
+
+    Scale: identical to stitch_blocks — the user kernel adds zero data
+    movement (pad rings are read-side only; fragments still carry
+    bs+2o slabs), so the 100 TB argument of the block path carries
+    over unchanged."""
+    bs, o, g = tuple(blocksize), tuple(overlap), tuple(grid)
+    weight = _weight_fn(bs, o, g, ncomp)
+    ext = tuple(bs[a] + 2 * o[a] for a in range(3))
+
+    def pre(arr: np.ndarray, b) -> np.ndarray:
+        out = np.asarray(user_fn(arr, b), dtype=np.float64)
+        if out.shape[:3] != ext:
+            raise ValueError(
+                f"tile {b}: user_fn returned spatial shape "
+                f"{out.shape[:3]}, expected {ext} (valid-mode: shrink "
+                f"the input by depth={depth} per side)")
+        return weight(out, b)
+
+    return merge_overlaps(df, bs, o, g, pre=pre, ncomp=ncomp,
+                          halo_pad=depth)
 
 
 def local_affines_to_field(

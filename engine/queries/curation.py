@@ -1035,3 +1035,131 @@ def q_l_diversity(spark, sf):
         .select("c_nationkey", "bal_band", "n", "n_sensitive",
                 (F.col("n_sensitive") < _LDIV_L).alias("at_risk"))
     )
+
+
+# --------------------------------------------------------- URL dedup
+
+_URL_FIXTURE_SQL = """
+    CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN 'https://example.com/' || event_type || '/item/' || k
+                  || '?id=' || k || '&page=2'
+      WHEN 1 THEN 'HTTPS://WWW.Example.COM:443/' || event_type
+                  || '/item/' || k || '/?page=2&id=' || k
+                  || '&utm_source=feed'
+      WHEN 2 THEN 'http://example.com/' || event_type || '/item/' || k
+                  || '?utm_campaign=x&id=' || k || '#frag'
+      ELSE 'https://example.com:443/' || event_type || '/item/' || k
+           || '/?fbclid=abc123&id=' || k || '#sec2'
+    END
+"""
+
+
+@query("q_dedup_url", oracle=f"""
+WITH e AS (
+    SELECT event_id, ts, event_type,
+           json_extract_string(props, '$.k') AS k
+    FROM events),
+u AS (SELECT event_id, ts, {_URL_FIXTURE_SQL} AS url FROM e),
+s AS (SELECT event_id, ts, url,
+             regexp_replace(regexp_replace(
+                 url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS u2
+      FROM u),
+parts AS (
+    SELECT event_id, ts, url,
+           regexp_replace(regexp_replace(
+               lower(regexp_extract(u2, '^[^/?]*')),
+               '^www[.]', ''), ':(443|80)$', '') AS host,
+           regexp_replace(regexp_extract(
+               regexp_replace(u2, '^[^/?]*', ''), '^[^?]*'),
+               '/+$', '') AS path,
+           regexp_extract(regexp_replace(u2, '^[^/?]*', ''),
+                          '[?&]id=([0-9]+)', 1) AS pid,
+           regexp_extract(regexp_replace(u2, '^[^/?]*', ''),
+                          '[?&]page=([0-9]+)', 1) AS ppage
+    FROM s),
+canon AS (
+    SELECT event_id, ts, url,
+           host || path
+           || CASE WHEN pid <> '' THEN '?id=' || pid ELSE '' END
+           || CASE WHEN ppage <> ''
+                   THEN (CASE WHEN pid <> '' THEN '&' ELSE '?' END)
+                        || 'page=' || ppage
+                   ELSE '' END AS canon_url
+    FROM parts)
+SELECT canon_url,
+       count(*) AS n_events,
+       count(DISTINCT url) AS n_variants,
+       min(event_id) AS keep_event_id,
+       epoch_us(min(ts)) AS first_ts_us
+FROM canon GROUP BY canon_url
+""")
+def q_dedup_url(spark, sf):
+    """URL canonicalization dedup — the crawl-side twin of exact text
+    dedup (a 100 TB web corpus carries the same page under scheme /
+    case / www / default-port / tracking-param / fragment / trailing-
+    slash variants; CCNet and RefinedWeb both canonicalize before
+    hashing). The messy-URL FIXTURE is synthesized from events
+    columns (no URL column exists in the test data) with four variant
+    spellings per logical page; the OPERATOR is the canonicalizer:
+
+      strip scheme -> strip fragment -> lowercase host only -> strip
+      leading www. -> strip default :80/:443 -> strip trailing slash
+      -> whitelist-rebuild the query string (known params [id, page]
+      re-emitted in fixed order; utm_*/fbclid tracking junk dropped).
+
+    Whitelist-rebuild (rather than regex-deleting junk params in
+    place) sidesteps the engines' replacement-group dialect split
+    (Spark $1 vs DuckDB backslash-1) and is how production
+    canonicalizers handle param ORDER variance; patterns use [.]
+    classes instead of backslash escapes so the same regex text is
+    valid in Java regex and RE2. Keep policy: lowest event_id per
+    canonical URL (order-independent, exactly replayable — the
+    q_dedup_exact discipline).
+
+    Scale: canonicalization is pure narrow codegen (regexp ops, no
+    UDF); the dedup is ONE groupBy(canon_url) with map-side partial
+    aggregation — shuffled bytes are one row per (partition, distinct
+    canonical URL). n_variants (distinct raw spellings collapsed per
+    canonical URL) rides the same exchange as a two-phase distinct
+    count."""
+    ev = load_tables(spark, sf)["events"]
+    e = ev.select(
+        "event_id", "ts", "event_type",
+        F.get_json_object("props", "$.k").alias("k"))
+    u = e.select("event_id", "ts", F.expr(_URL_FIXTURE_SQL).alias("url"))
+    u2 = F.regexp_replace(
+        F.regexp_replace("url", "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        "#.*$", "")
+    s = u.select("event_id", "ts", "url", u2.alias("u2"))
+    pathq = F.regexp_replace("u2", "^[^/?]*", "")
+    parts = s.select(
+        "event_id", "ts", "url",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_extract("u2", "^[^/?]*", 0)),
+                "^www[.]", ""),
+            ":(443|80)$", "").alias("host"),
+        F.regexp_replace(
+            F.regexp_extract(pathq, "^[^?]*", 0), "/+$", "").alias("path"),
+        F.regexp_extract(pathq, "[?&]id=([0-9]+)", 1).alias("pid"),
+        F.regexp_extract(pathq, "[?&]page=([0-9]+)", 1).alias("ppage"),
+    )
+    pid, ppage = F.col("pid"), F.col("ppage")
+    canon = parts.select(
+        "event_id", "ts", "url",
+        F.concat(
+            "host", "path",
+            F.when(pid != "", F.concat(F.lit("?id="), pid)).otherwise(""),
+            F.when(ppage != "",
+                   F.concat(F.when(pid != "", F.lit("&")).otherwise("?"),
+                            F.lit("page="), ppage)).otherwise(""),
+        ).alias("canon_url"))
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("url").alias("n_variants"),
+        F.min("event_id").alias("keep_event_id"),
+        # epoch micros, not a raw timestamp: timestamp columns are
+        # not hash-safe across the driver's value serializers
+        # (tests/test_queries.py::test_output_types_hash_safe)
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+    )

@@ -1934,3 +1934,355 @@ def q_ivf_refresh(spark, sf):
             (F.col("c_id") == F.col("q_id") - F.lit(IVF_DELTA_OFFSET))
             .alias("found_source"))
     )
+
+
+# ----------------------------------------------------- semantic dedup
+
+@query("q_dedup_semantic", oracle=f"""
+WITH x AS (
+    SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, 64) AS t(i)),
+c AS (SELECT label AS cl, i, avg(v) AS cv FROM x GROUP BY label, i),
+d AS (SELECT x.vec_id, c.cl,
+             {sql_rnd('sum((x.v - c.cv) * (x.v - c.cv))', 6)} AS d2
+      FROM x JOIN c ON x.i = c.i GROUP BY x.vec_id, c.cl),
+a AS (SELECT vec_id, cl FROM (
+          SELECT vec_id, cl,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cl) AS rn
+          FROM d) WHERE rn = 1),
+nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM x GROUP BY vec_id),
+p AS (SELECT a1.cl, x1.vec_id AS v1, x2.vec_id AS v2,
+             sum(x1.v * x2.v) AS dot
+      FROM x x1
+      JOIN a a1 ON x1.vec_id = a1.vec_id
+      JOIN a a2 ON a2.cl = a1.cl AND a2.vec_id > a1.vec_id
+      JOIN x x2 ON x2.vec_id = a2.vec_id AND x2.i = x1.i
+      GROUP BY a1.cl, x1.vec_id, x2.vec_id),
+cos AS (SELECT cl, v2, {sql_rnd('dot / (n1.nrm * n2.nrm)')} AS cos_sim
+        FROM p JOIN nm n1 ON n1.vec_id = v1 JOIN nm n2 ON n2.vec_id = v2)
+SELECT v2 AS vec_id, cl AS cluster, max(cos_sim) AS max_cos
+FROM cos WHERE cos_sim >= 0.35 GROUP BY v2, cl
+""")
+def q_dedup_semantic(spark, sf):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then mark
+    within-cluster pairs whose cosine >= tau as semantic duplicates,
+    keeping the smallest vec_id of each pair — the dedup flavor that
+    catches paraphrases/translations that MinHash and exact hashing
+    miss entirely. Output: one row per DROPPED vector (vec_id,
+    cluster, max cosine to a kept/smaller duplicate partner).
+
+    Clustering here is one deterministic Lloyd step seeded from the
+    per-label means (k=10 seed centroids -> argmin-d2 reassignment;
+    the reassignment genuinely moves vectors, cluster sizes differ
+    from label counts at every sf) so DuckDB can replay it; at 100 TB
+    the centroids come from the persisted k-means artifact
+    (engine/queries/ml.py:q_cluster_kmeans) and this key's plan is
+    unchanged — centroids are a k x d broadcast whichever way they
+    were trained.
+
+    Scale: the centroid frame is 640 rows (broadcast); assignment is
+    one narrow pass + an n*k-row map-side-combinable aggregate + a
+    thin per-vec_id window; the quadratic stage is confined WITHIN
+    clusters (SemDeDup's own design: k grows with n so per-cluster
+    pair counts stay bounded) and runs as one dense GEMM per cluster
+    via applyInPandas — never a row-expanded crossJoin. Only
+    (vec_id, cluster, cos) survivor rows shuffle out.
+
+    Determinism (the q_dsir_weight ulp-margin discipline): d2 is
+    quantized at 1e-6 before the argmin (measured min gap between
+    best and runner-up: 4 quanta; raw d2 sits >= 1e-10 from every
+    quantization boundary across all three scales), cosines are
+    quantized at 1e-4 with a strict ascending-dim fold recompute for
+    GEMM survivors (raw cos >= 3.2e-10 from every boundary); ties
+    after quantization break by cluster id. tau = 0.35 sits in the
+    tail of the fixture's within-cluster cosine distribution (~70
+    pairs at sf0.01); real corpora use ~0.95 (SemDeDup paper)."""
+    import numpy as np
+    import pandas as pd
+
+    tau = 0.35
+    e = load_tables(spark, sf)["embeddings"]
+    x = (
+        e.select("vec_id", "label",
+                 F.posexplode("embedding").alias("i", "vf"))
+        .select("vec_id", "label", "i",
+                F.col("vf").cast("double").alias("v"))
+    )
+    c = x.groupBy(F.col("label").alias("cl"), "i").agg(
+        F.avg("v").alias("cv"))
+    dd = (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+    d = (
+        x.join(F.broadcast(c), "i")
+        .groupBy("vec_id", "cl")
+        .agg(rnd(F.sum(dd), 6).alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cl")
+    a = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).select("vec_id", "cl")
+    )
+    v = e.select("vec_id", "embedding").join(a, "vec_id")
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(columns=["cl", "v2", "cos_sim"])
+        if len(pdf) < 2:
+            return out
+        pdf = pdf.sort_values("vec_id")
+        M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+        nrm = np.sqrt((M * M).sum(1))
+        S = np.floor((M @ M.T) / np.outer(nrm, nrm) * 1e4 + 0.5) / 1e4
+        ids = pdf.vec_id.to_numpy()
+        ii, jj = np.triu_indices(len(ids), 1)
+        vals = S[ii, jj]
+        # preselect on GEMM values with a one-quantum margin, then
+        # requantize survivors with a strict left-to-right float64
+        # fold (same order as a sequential per-element sum) — the
+        # q_sim_topk discipline
+        keep = vals >= tau - 1e-4
+        ii, jj = ii[keep], jj[keep]
+        if not len(ii):
+            return out
+        prod = M[ii] * M[jj]
+        dots = np.zeros(len(prod))
+        for t in range(prod.shape[1]):
+            dots += prod[:, t]
+        vals = np.floor(dots / (nrm[ii] * nrm[jj]) * 1e4 + 0.5) / 1e4
+        keep = vals >= tau
+        if not keep.any():
+            return out
+        return pd.DataFrame({
+            "cl": np.full(keep.sum(), key[0]),
+            "v2": ids[jj[keep]],
+            "cos_sim": vals[keep],
+        })
+
+    cand = v.groupBy("cl").applyInPandas(
+        kernel, "cl int, v2 long, cos_sim double")
+    return (
+        cand.groupBy(F.col("v2").alias("vec_id"),
+                     F.col("cl").alias("cluster"))
+        .agg(F.max("cos_sim").alias("max_cos"))
+    )
+
+
+# ------------------------------------------- quality classifier apply
+
+# Literal model weights (a trained quality LR's coefficients become
+# plan constants — the q_bm25_score / q_dsir_weight discipline):
+# logit = b0 + b1*n_words + b2*avg_word_len + b3*stop_ratio
+#            + b4*distinct_ratio, evaluated in EXACTLY this order in
+# both engines so the float result is bit-identical.
+_QC = {"b0": -2.9, "b1": 0.015, "b2": 0.25, "b3": 4.0, "b4": 1.5}
+_QC_STOP = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+# shared oracle fragments (batch key here + the streaming gate twin
+# in streaming_q.py — the BENFORD_ORACLE twin discipline)
+QC_T_SQL = f"""
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                w -> length(w))) AS DOUBLE) AS sum_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN {str(_QC_STOP)})) AS DOUBLE) AS n_stop,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               AS n_distinct
+    FROM documents"""
+QC_LOGIT_SQL = sql_rnd(
+    f"{_QC['b0']} + {_QC['b1']} * n_words"
+    f" + {_QC['b2']} * (sum_len / n_words)"
+    f" + {_QC['b3']} * (n_stop / n_words)"
+    f" + {_QC['b4']} * (n_distinct / n_words)", 6)
+QC_BUCKET_SQL = ("CASE WHEN logit < -0.5 THEN 'low' "
+                 "WHEN logit < 0.5 THEN 'mid' ELSE 'high' END")
+
+
+def qc_score(d):
+    """Spark-side twin of the oracle fragments above: documents →
+    (doc_id, source, n_words, logit). Pure narrow expressions, so it
+    applies identically to the batch table and a file stream."""
+    ws = F.split("text", " ")
+    t = d.select(
+        "doc_id", "source",
+        F.size(ws).alias("n_words"),
+        F.aggregate(F.transform(ws, lambda w: F.length(w)),
+                    F.lit(0), lambda a, x: a + x)
+            .cast("double").alias("sum_len"),
+        F.size(F.filter(ws, lambda w: w.isin(*_QC_STOP)))
+            .cast("double").alias("n_stop"),
+        F.size(F.array_distinct(ws)).cast("double").alias("n_distinct"),
+    )
+    nw = F.col("n_words")
+    logit = rnd(
+        F.lit(_QC["b0"])
+        + F.lit(_QC["b1"]) * nw
+        + F.lit(_QC["b2"]) * (F.col("sum_len") / nw)
+        + F.lit(_QC["b3"]) * (F.col("n_stop") / nw)
+        + F.lit(_QC["b4"]) * (F.col("n_distinct") / nw), 6)
+    return t.select("doc_id", "source", "n_words", logit.alias("logit"))
+
+
+@query("q_quality_classifier", oracle=f"""
+WITH t AS ({QC_T_SQL}),
+s AS (SELECT doc_id, n_words, {QC_LOGIT_SQL} AS logit FROM t)
+SELECT doc_id, n_words, logit,
+       (logit > 0) AS keep,
+       {QC_BUCKET_SQL} AS bucket
+FROM s
+""")
+def q_quality_classifier(spark, sf):
+    """Quality-classifier APPLY as literal-weights codegen — how a
+    trained fastText/LR quality filter (GPT-3 appendix A, CCNet,
+    Gopher rule set) runs over a 100 TB corpus: the model's
+    coefficients become plan CONSTANTS multiplying cheap engineered
+    features (word count, mean word length, stopword ratio over a
+    fixed vocabulary list, type-token ratio), so scoring is one
+    narrow whole-stage-codegen projection — zero shuffles, zero UDFs,
+    zero model-server round trips. The q_bm25_score discipline: swap
+    the literals to redeploy a retrained model.
+
+    The sigmoid is deliberately NOT applied: exp() is not hash-safe
+    cross-engine (the q_ts_ewma lesson) and is monotone, so the
+    decision (logit > 0) and the calibration buckets (thresholds on
+    the logit) are exact equivalents of probability cuts at
+    0.5 / 0.38 / 0.62. The logit itself is bit-deterministic: every
+    feature ratio derives from integer counts, and both engines
+    evaluate the weighted sum in the same textual order before the
+    1e-6 quantization. Decision and bucket are computed FROM the
+    quantized logit, so they can never disagree with it.
+
+    q_stream_quality_gate (streaming_q.py) is the speed-layer twin:
+    the same qc_score expressions over the document ingest stream."""
+    s = qc_score(load_tables(spark, sf)["documents"]).drop("source")
+    return s.select(
+        "doc_id", "n_words", "logit",
+        (F.col("logit") > 0).alias("keep"),
+        F.when(F.col("logit") < -0.5, "low")
+         .when(F.col("logit") < 0.5, "mid")
+         .otherwise("high").alias("bucket"),
+    )
+
+
+# --------------------------------------------------- RAG retrieval
+
+_RAG_K1, _RAG_B = 1.2, 0.75
+_RAG_CHUNK, _RAG_STRIDE, _RAG_MINLEN, _RAG_TOPK = 24, 16, 8, 3
+
+
+@query("q_rag_retrieve", oracle=f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, s,
+             list_slice(ws, s, least(s + {_RAG_CHUNK - 1}, len(ws))) AS cws
+      FROM d, unnest(generate_series(1, greatest(len(ws), 1),
+                                     {_RAG_STRIDE})) AS t(s)),
+c2 AS (SELECT doc_id, s, len(cws) AS dl, cws FROM c
+       WHERE len(cws) >= {_RAG_MINLEN}),
+tok AS (SELECT doc_id, s, dl, w, count(*) AS tf
+        FROM (SELECT doc_id, s, dl, unnest(cws) AS w FROM c2)
+        GROUP BY doc_id, s, dl, w),
+dfw AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+top AS (SELECT w, df FROM dfw ORDER BY df DESC, w LIMIT 25),
+terms AS (SELECT CAST((r - 6) // 2 AS INT) AS query_id, w, df FROM (
+              SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS r
+              FROM top)
+          WHERE r BETWEEN 6 AND 25),
+st AS (SELECT count(*) AS n,
+              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM c2),
+sc AS (SELECT t.query_id, k.doc_id, k.s,
+              {sql_rnd(f"sum(ln(1.0 + (CAST(n AS DOUBLE) - t.df + 0.5)"
+                       f" / (t.df + 0.5))"
+                       f" * (k.tf * ({_RAG_K1} + 1.0))"
+                       f" / (k.tf + {_RAG_K1} * (1.0 - {_RAG_B}"
+                       f" + {_RAG_B} * k.dl / avgdl)))", 4)} AS score
+       FROM tok k JOIN terms t ON k.w = t.w, st
+       GROUP BY t.query_id, k.doc_id, k.s),
+rkd AS (SELECT query_id, doc_id, s, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id, s) AS INT) AS rank
+        FROM sc)
+SELECT query_id, rank, doc_id, s AS chunk_start, score
+FROM rkd WHERE rank <= {_RAG_TOPK}
+""")
+def q_rag_retrieve(spark, sf):
+    """End-to-end RAG retrieval — the composite a retrieval user
+    actually runs, closing the chunk→index→query→top-k lifecycle:
+    (1) word-grain chunking (24-word windows, stride 16 — the
+    q_text_chunk shape at token grain), (2) an inverted index
+    (per-chunk term frequencies), (3) a query workload derived from
+    the corpus itself (df-ranked terms 6–25 paired into 10 two-term
+    queries — rank ties broken by term), and (4) BM25-scored top-3
+    chunks per query via a posting-list JOIN — the retrieval plan
+    that scales, vs q_bm25_score's fixed-term codegen apply.
+
+    Scale: chunking/tokenizing is narrow; tf and df aggregates are
+    map-side-combinable; the term table (20 rows) and the corpus
+    stats row broadcast; scoring touches only posting-list matches
+    (rows ∝ candidate pairs, never |queries|×|chunks|); the final
+    top-k is a per-query window over candidates only. At 100 TB the
+    df-ranking stage is a TakeOrdered (per-partition heaps), not a
+    global sort, and nothing corpus-sized ever sits on one node.
+
+    Determinism: counts are exact integers; the only libm call is
+    ln() in the idf (the q_bm25_score discipline — quantized at 1e-4
+    after the ≤2-term sum, where a 1-ulp ln divergence is ~1e11 times
+    smaller than the quantum); ranks order by (quantized score desc,
+    doc_id, chunk_start)."""
+    d = load_tables(spark, sf)["documents"]
+    ws = F.split("text", " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(_RAG_STRIDE))
+    c = (
+        d.select("doc_id", ws.alias("ws"), F.explode(starts).alias("s"))
+        .select("doc_id", "s",
+                F.slice(F.col("ws"), F.col("s"), _RAG_CHUNK).alias("cws"))
+    )
+    c2 = (
+        c.withColumn("dl", F.size("cws"))
+        .filter(F.col("dl") >= _RAG_MINLEN)
+    )
+    tok = (
+        c2.select("doc_id", "s", "dl", F.explode("cws").alias("w"))
+        .groupBy("doc_id", "s", "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # TakeOrderedAndProject (per-partition heaps), NOT a global window
+    # over the vocabulary — the q_text_quality stop-list discipline
+    top = dfw.orderBy(F.col("df").desc(), "w").limit(25)
+    rk = top.select(
+        "w", "df",
+        F.row_number().over(
+            W.orderBy(F.col("df").desc(), "w")).alias("r"))
+    terms = (
+        rk.filter(F.col("r").between(6, 25))
+        .select(F.expr("CAST((r - 6) div 2 AS INT)").alias("query_id"),
+                "w", "df")
+    )
+    st = c2.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double")
+         / F.count(F.lit(1))).alias("avgdl"))
+    cand = (
+        tok.join(F.broadcast(terms), "w")
+        .crossJoin(F.broadcast(st))
+    )
+    part = (
+        F.log(1.0 + (F.col("n").cast("double") - F.col("df") + 0.5)
+              / (F.col("df") + 0.5))
+        * (F.col("tf") * (_RAG_K1 + 1.0))
+        / (F.col("tf") + _RAG_K1 * (1.0 - _RAG_B
+                                    + _RAG_B * F.col("dl") / F.col("avgdl")))
+    )
+    sc = (
+        cand.groupBy("query_id", "doc_id", "s")
+        .agg(rnd(F.sum(part), 4).alias("score"))
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id", "s")
+    return (
+        sc.withColumn("rank", F.row_number().over(wq).cast("int"))
+        .filter(F.col("rank") <= _RAG_TOPK)
+        .select("query_id", "rank", "doc_id",
+                F.col("s").alias("chunk_start"), "score")
+    )

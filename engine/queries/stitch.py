@@ -555,3 +555,78 @@ def q_local_affine_blend_blocks(spark, sf):
         out.filter(F.col("x") < 20)
         .select("x", "y", "z", "c", rnd(F.col("v"), 6).alias("dv"))
     )
+
+
+# ------------------------------------------------- map_overlap user fn
+
+@query("q_stitch_user_fn", oracle=f"""
+WITH t AS (
+    SELECT bx * 8 + ix - 2 AS x, by * 8 + iy - 2 AS y, bz * 8 + iz - 2 AS z,
+           ({w1d_sql('bx', 'ix', 3, 8, 2)})
+         * ({w1d_sql('by', 'iy', 3, 8, 2)})
+         * ({w1d_sql('bz', 'iz', 3, 8, 2)}) AS w
+    FROM generate_series(0, 2) AS t1(bx), generate_series(0, 2) AS t2(by),
+         generate_series(0, 2) AS t3(bz), generate_series(0, 11) AS t4(ix),
+         generate_series(0, 11) AS t5(iy), generate_series(0, 11) AS t6(iz))
+SELECT x, y, z,
+       {sql_rnd('sum(w * (x*x + y*y + z*z + 2e0))', 6)} AS blurred
+FROM t
+WHERE x BETWEEN 0 AND 23 AND y BETWEEN 0 AND 23 AND z BETWEEN 0 AND 23
+GROUP BY x, y, z
+""")
+def q_stitch_user_fn(spark, sf):
+    """End-to-end ``map_overlap`` user-function lifecycle — the
+    library's intended use (reference README.md:2 + stitch.py:113-121:
+    a per-tile function over halo'd tiles, then feather-stitch), as
+    one fused lineage via engine/blocks.py:map_overlap_stitch.
+
+    Fixture: a 3x3x3 grid of 8^3 blocks (24^3 domain — unlike the B2
+    fixtures this has a fully-INTERIOR block, so the no-boundary-face
+    weight class is exercised), overlap 2, user kernel = 3x3x3 box
+    mean. Tiles carry depth=1 EXTRA halo rings (extent 14^3) so the
+    valid-mode blur covers the whole 12^3 stitch extent with true
+    neighbor data — the map_overlap sizing contract (SURVEY.md §3.3).
+
+    Oracle: the generating field f(x,y,z) = x^2+y^2+z^2 is defined on
+    all of Z^3, and the 27-point box mean of a quadratic has the exact
+    closed form f+2 (per-axis second central moment = 2/3); the SQL
+    replays the per-tile trapezoid weights against that closed form,
+    so BOTH the blur arithmetic and the partition-of-unity stitch are
+    value-checked at every voxel. Exactness: tile samples are integers
+    (< 2^53), the box-sum's partials stay integral so float64 addition
+    is exact, and S/27 with S = 27k divides exactly — the engine-side
+    blurred values are bit-exact integers before weighting.
+
+    Scale: identical movement profile to q_stitch_3d_blocks — the
+    user kernel runs inside the ONE fragment-emit Arrow crossing and
+    adds no shuffle; pad rings are read-side only (fragments still
+    carry bs+2o slabs)."""
+    import numpy as np
+
+    from ..blocks import field_to_voxels, make_tiles, map_overlap_stitch
+
+    bs, o, g, depth = (8, 8, 8), (2, 2, 2), (3, 3, 3), 1
+    tiles = {}
+    for b in ((bx, by, bz) for bx in range(3) for by in range(3)
+              for bz in range(3)):
+        # chunk-with-halo extent PLUS the user-fn pad: 8 + 2*(2+1) = 14
+        ax = [np.arange(b[a] * 8 - 3, b[a] * 8 + 11, dtype=np.float64)
+              for a in range(3)]
+        gx, gy, gz = np.meshgrid(*ax, indexing="ij")
+        tiles[b] = gx * gx + gy * gy + gz * gz
+    df = make_tiles(spark, tiles)
+
+    def box3(arr, b):
+        # valid-mode 3^3 box mean: consumes the depth-1 pad per side.
+        # Partial sums are exact (integer-valued float64 < 2^53).
+        s = np.zeros(tuple(n - 2 for n in arr.shape), dtype=np.float64)
+        for dx in range(3):
+            for dy in range(3):
+                for dz in range(3):
+                    s += arr[dx:dx + s.shape[0], dy:dy + s.shape[1],
+                             dz:dz + s.shape[2]]
+        return s / 27.0
+
+    out = field_to_voxels(
+        map_overlap_stitch(df, box3, bs, o, g, depth=depth), bs, ncomp=1)
+    return out.select("x", "y", "z", rnd(F.col("v"), 6).alias("blurred"))

@@ -1032,3 +1032,57 @@ def q_stream_tdigest(spark, sf):
         quant,
         "event_type string, n long, n_centroids int, "
         "p50 double, p90 double, p99 double")
+
+
+from .llm import QC_BUCKET_SQL, QC_LOGIT_SQL, QC_T_SQL, qc_score  # noqa: E402
+
+QC_GATE_ORACLE = f"""
+WITH t AS ({QC_T_SQL}),
+s AS (SELECT source, {QC_LOGIT_SQL} AS logit FROM t),
+b AS (SELECT source, logit, {QC_BUCKET_SQL} AS bucket FROM s)
+SELECT source, bucket,
+       count(*) AS n_docs,
+       count(CASE WHEN logit > 0 THEN 1 END) AS n_keep
+FROM b GROUP BY source, bucket
+"""
+
+
+@query("q_stream_quality_gate", oracle=QC_GATE_ORACLE)
+def q_stream_quality_gate(spark, sf):
+    """Speed-layer twin of q_quality_classifier — the live ingest
+    quality screen: the documents table replays as a file stream, the
+    SAME literal-weights logit (llm.qc_score — narrow codegen, no
+    state) scores each micro-batch, and the stream maintains
+    per-(source, calibration-bucket) keep/total counts in complete
+    mode. The emission hash-matches the batch oracle because the
+    state is mergeable integer counts and the per-row logit is
+    bit-deterministic (fixed-order float sum over integer-derived
+    features — the q_quality_classifier note).
+
+    Scale: state is |sources| x 3 rows regardless of stream length;
+    each micro-batch contributes map-side-combined count partials.
+    On a cluster the same plan tails the crawler's Kafka topic and
+    the gate feeds the keep/drop router."""
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "quality_gate")
+    if key not in per_session:
+        name = ("stream_quality_gate_"
+                + hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8])
+        src = _stage_source(sf, table="documents")
+        docs = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        s = qc_score(docs)
+        b = s.select(
+            "source", "logit",
+            F.when(F.col("logit") < -0.5, "low")
+             .when(F.col("logit") < 0.5, "mid")
+             .otherwise("high").alias("bucket"))
+        g = b.groupBy("source", "bucket").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("logit") > 0, 1)).alias("n_keep"))
+        q = (g.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    return spark.table(per_session[key])

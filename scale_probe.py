@@ -65,6 +65,13 @@ DOC_KEYS = [
     # round-7 wave 2: DSIR importance weights + duplicated-span
     # accounting + sequence packing (documents grow 10x)
     "q_dsir_weight", "q_dedup_substring", "q_pack_sequences",
+    # round-8: SemDeDup (embeddings grow 10x), quality-classifier
+    # codegen apply + posting-list RAG retrieval (documents grow
+    # 10x). q_stitch_user_fn is excluded — its fixture is a fixed
+    # 3x3x3 grid with no fixture-table input; q_dedup_url rides
+    # REL_KEYS (events grow 10x); the streaming gate twin is excluded
+    # like every q_stream_* key (file-replay setup time dominates).
+    "q_dedup_semantic", "q_quality_classifier", "q_rag_retrieve",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -100,6 +107,8 @@ REL_KEYS = [
     # round-7 wave 4: exact bitmap distinct rollup (events grow 10x)
     # + Q5-shaped six-table star join (lineitem/orders grow 10x)
     "q_bitmap_rollup", "q_mjoin_volume",
+    # round-8: URL canonicalization dedup (events grow 10x)
+    "q_dedup_url",
 ]
 
 
@@ -200,6 +209,10 @@ X100_KEYS = [
     # document ops with hash-only shuffles
     "q_contamination_chunk", "q_dsir_weight", "q_dedup_substring",
     "q_pack_sequences",
+    # round-8: classifier codegen apply (pure narrow — the 100x curve
+    # should be scan-bound) and posting-list RAG retrieval (tf/df
+    # aggregates + broadcast term join over 500k docs)
+    "q_quality_classifier", "q_rag_retrieve",
 ]
 
 

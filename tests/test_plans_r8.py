@@ -1,0 +1,188 @@
+"""Round-8 plan pins + behavior tests for the _R08_NEW cohort:
+q_stitch_user_fn (map_overlap user-fn lifecycle), q_dedup_semantic
+(SemDeDup), q_dedup_url (canonicalization dedup), and
+q_quality_classifier (literal-weights codegen apply).
+"""
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from engine.registry import QUERIES, load_all
+
+from test_plans import final_plan, formatted, n_shuffles
+
+load_all()
+
+
+def test_quality_classifier_is_one_narrow_pass(spark, sf_dir):
+    """The classifier apply must be pure codegen: zero exchanges,
+    zero joins, and the scan pruned to (doc_id, text) — a shuffle or
+    a model join here would contradict the literal-weights design."""
+    plan = final_plan(spark, "q_quality_classifier", sf_dir)
+    assert n_shuffles(plan) == 0, plan
+    assert "Join" not in plan, plan
+    f = formatted(spark, "q_quality_classifier", sf_dir)
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", f)
+    assert m and m.group(1).count(":") <= 2, f  # doc_id + text only
+
+
+def test_dedup_url_two_phase_distinct_no_joins(spark, sf_dir):
+    """Canonicalization is narrow codegen; the dedup is one logical
+    groupBy whose count(DISTINCT url) legitimately expands to the
+    two-phase (canon_url, url) plan — but never to a join, and never
+    to more than those two exchanges."""
+    plan = final_plan(spark, "q_dedup_url", sf_dir)
+    assert n_shuffles(plan) <= 2, plan
+    assert "Join" not in plan, plan
+    # partial aggregation must run before the first exchange
+    assert "partial_count" in plan, plan
+
+
+def test_dedup_url_canonical_forms(spark, sf_dir):
+    """Content pin: the canonicalizer must actually strip scheme,
+    www, default port, fragments, and tracking params — and collapse
+    both raw spellings of each canonical page."""
+    rows = QUERIES["q_dedup_url"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        u = r["canon_url"]
+        assert "://" not in u and "#" not in u, u
+        assert "utm_" not in u and "fbclid" not in u, u
+        assert not u.startswith("www."), u
+        assert ":443" not in u and ":80" not in u, u
+        assert not u.split("?")[0].endswith("/"), u
+    # each canonical page has exactly two raw variant spellings in
+    # the fixture (variants 0/1 share the page-param group, 2/3 the
+    # no-page group); at least one group must show both collapsed
+    assert max(r["n_variants"] for r in rows) == 2
+
+
+def test_dedup_semantic_broadcasts_and_gemm_kernel(spark, sf_dir):
+    """The centroid frame (k*d rows) must reach the vectors as a
+    broadcast hash join, the quadratic stage must run as the grouped
+    Arrow GEMM kernel (FlatMapGroupsInPandas) — never a row-expanded
+    pair join — and no exchange may sneak in beyond the five the
+    design needs (centroid agg, d2 agg, argmin window, cluster
+    grouping, final dedup agg)."""
+    plan = final_plan(spark, "q_dedup_semantic", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert n_shuffles(plan) <= 5, plan
+
+
+def test_dedup_semantic_reassignment_moves_vectors(spark, sf_dir):
+    """The Lloyd step must do real work: the argmin reassignment has
+    to move at least one vector off its seed label — otherwise the
+    'clustering' silently degenerated into grouping by the label
+    column."""
+    from pyspark.sql import Window as W, functions as F
+
+    from engine.io import load_tables
+    from engine.queries.util import rnd
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    x = (
+        e.select("vec_id", "label",
+                 F.posexplode("embedding").alias("i", "vf"))
+        .select("vec_id", "label", "i",
+                F.col("vf").cast("double").alias("v"))
+    )
+    c = x.groupBy(F.col("label").alias("cl"), "i").agg(
+        F.avg("v").alias("cv"))
+    dd = (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+    d = (
+        x.join(F.broadcast(c), "i")
+        .groupBy("vec_id", "cl")
+        .agg(rnd(F.sum(dd), 6).alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "cl")
+    a = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).select("vec_id", "cl")
+    )
+    moved = (
+        a.join(e.select("vec_id", "label"), "vec_id")
+        .filter(F.col("cl") != F.col("label")).count()
+    )
+    assert moved > 0
+
+
+def test_stitch_user_fn_single_shuffle(spark, sf_dir):
+    """The whole map_overlap lifecycle (user kernel + weighting +
+    halo merge) must cost exactly ONE shuffle — the fragment
+    exchange — same as a plain stitch."""
+    plan = final_plan(spark, "q_stitch_user_fn", sf_dir)
+    assert n_shuffles(plan) == 1, plan
+    # user fn + weighting fused into the ONE emit pass: exactly one
+    # MapInPandas before the exchange (the second is the voxel decode)
+    assert plan.count("MapInPandas") == 2, plan
+
+
+def test_stitch_user_fn_values_are_exact_integers(spark, sf_dir):
+    """f = x^2+y^2+z^2 box-blurs to the integer field f+2 exactly
+    (integer-valued float64 partials, exact /27); the stitched output
+    must reproduce it to the last bit after 1e-6 quantization."""
+    rows = QUERIES["q_stitch_user_fn"](spark, sf_dir).collect()
+    assert len(rows) == 24 ** 3
+    for r in rows:
+        expect = float(r.x ** 2 + r.y ** 2 + r.z ** 2 + 2)
+        assert r.blurred == expect, (r, expect)
+
+
+def test_map_overlap_pre_shape_validated(spark):
+    """A user fn that does not consume the pad (or over-shrinks) must
+    fail loudly at the emit pass, not corrupt the slab geometry."""
+    import numpy as np
+
+    from engine.blocks import make_tiles, map_overlap_stitch
+
+    tiles = {(0, 0, 0): np.zeros((10, 10, 10))}
+    df = make_tiles(spark, tiles)
+    bad = map_overlap_stitch(df, lambda a, b: a, (6, 6, 6), (1, 1, 1),
+                             (1, 1, 1), depth=1)
+    with pytest.raises(Exception, match="spatial shape"):
+        bad.collect()
+
+
+def test_rag_retrieve_posting_list_plan(spark, sf_dir):
+    """Retrieval must be the posting-list shape: term table broadcast
+    (one BroadcastHashJoin), stats row broadcast (the nested-loop
+    join is the 1-row stats crossJoin), df-ranking via TakeOrdered
+    (per-partition heaps) — never a vocabulary-wide window or a
+    sort-merge join, and never |queries| x |chunks| expansion."""
+    plan = final_plan(spark, "q_rag_retrieve", sf_dir)
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert n_shuffles(plan) <= 6, plan
+
+
+def test_stream_quality_gate_matches_batch_classifier(spark, sf_dir):
+    """Twin consistency: the stream's per-(source, bucket) counts
+    must equal regrouping the batch classifier's per-doc output."""
+    from pyspark.sql import functions as F
+
+    from engine.io import load_tables
+    from engine.queries.llm import qc_score
+
+    stream = {(r["source"], r["bucket"]): (r["n_docs"], r["n_keep"])
+              for r in QUERIES["q_stream_quality_gate"](
+                  spark, sf_dir).collect()}
+    s = qc_score(load_tables(spark, sf_dir)["documents"])
+    batch = {(r["source"], r["bucket"]): (r["n_docs"], r["n_keep"])
+             for r in s.select(
+                 "source",
+                 F.when(F.col("logit") < -0.5, "low")
+                  .when(F.col("logit") < 0.5, "mid")
+                  .otherwise("high").alias("bucket"),
+                 "logit")
+             .groupBy("source", "bucket")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.count(F.when(F.col("logit") > 0, 1)).alias("n_keep"))
+             .collect()}
+    assert stream == batch
