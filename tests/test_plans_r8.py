@@ -1,7 +1,9 @@
 """Round-8 plan pins + behavior tests for the _R08_NEW cohort:
 q_stitch_user_fn (map_overlap user-fn lifecycle), q_dedup_semantic
-(SemDeDup), q_dedup_url (canonicalization dedup), and
-q_quality_classifier (literal-weights codegen apply).
+(SemDeDup), q_dedup_url (canonicalization dedup),
+q_quality_classifier (literal-weights codegen apply),
+q_stream_quality_gate (its speed-layer twin), and q_rag_retrieve
+(posting-list BM25 retrieval).
 """
 from __future__ import annotations
 

@@ -393,3 +393,24 @@ def test_fused_stitch_equals_unfused_weight_then_merge(spark):
     assert fused.keys() == unfused.keys()
     for k in fused:
         assert np.array_equal(fused[k], unfused[k]), k
+
+
+def test_map_overlap_identity_equals_stitch_blocks(spark):
+    """map_overlap_stitch with depth=0 and the identity user fn is
+    BIT-equal to stitch_blocks on a random fixture — the user-fn
+    lifecycle adds nothing to the stitch arithmetic itself."""
+    from engine.blocks import map_overlap_stitch
+
+    rng = np.random.default_rng(7)
+    grid, bs, o = (2, 2, 2), (8, 8, 8), (2, 2, 2)
+    tiles = {
+        (bx, by, bz): rng.normal(size=(12, 12, 12))
+        for bx in range(2) for by in range(2) for bz in range(2)
+    }
+    df = make_tiles(spark, tiles)
+    base = {(r.x, r.y, r.z): r.v for r in field_to_voxels(
+        stitch_blocks(df, bs, o, grid), bs, ncomp=1).collect()}
+    lifted = {(r.x, r.y, r.z): r.v for r in field_to_voxels(
+        map_overlap_stitch(df, lambda a, b: a, bs, o, grid, depth=0),
+        bs, ncomp=1).collect()}
+    assert base == lifted
