@@ -1042,3 +1042,67 @@ def q_pack_sequences(spark, sf):
         F.expr(f"(cum - n_tok) div {k}").alias("start_seq"),
         F.expr(f"(cum - 1) div {k}").alias("end_seq"),
         ((F.col("cum") - F.col("n_tok")) % k).alias("seq_offset"))
+
+
+# ------------------------------------------- temperature sampling
+
+@query("q_sample_temperature", oracle=f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) AS nn, sum(sqrt(CAST(n AS DOUBLE))) AS s
+        FROM counts),
+thr AS (SELECT lang, n,
+               CAST(floor(least(1.0,
+                   (sqrt(CAST(n AS DOUBLE)) / s)
+                   * CAST(nn // 2 AS DOUBLE) / n) * 10000) AS BIGINT)
+                   AS threshold
+        FROM counts, tot)
+SELECT d.doc_id, d.lang, thr.threshold
+FROM documents d JOIN thr USING (lang)
+WHERE {hexpoly_sql("md5(concat(d.doc_id, '#temp'))")} % 10000
+      < thr.threshold
+""")
+def q_sample_temperature(spark, sf):
+    """Temperature-based source/language mixing (the mC4 / XLM-R
+    alpha-sampling recipe: sample languages proportional to p^alpha
+    so high-resource languages stop dominating) at alpha = 0.5 —
+    per-language keep rate r_l = min(1, (sqrt(n_l)/S) * M / n_l) with
+    M = N/2 the target corpus size, applied as a deterministic
+    per-doc hash filter. Down-sampling only (r clamped at 1): the
+    fixture's dominant language keeps ~35% while low-resource
+    languages keep ~60% — the alpha-mixing flattening, vs
+    q_dataset_mix's uniform min-size truncation.
+
+    alpha = 0.5 is chosen deliberately: the weight becomes sqrt(n),
+    and IEEE-754 REQUIRES sqrt to be correctly rounded — bit-identical
+    in Spark and DuckDB — where a pow(n, 0.3) would be libm-dependent
+    (the q_ts_ewma 'no libm in decision lanes' rule). Residual float
+    risk is the sum S of |langs| sqrt values and the rate product;
+    measured distance of r_l*10000 from its floor boundary: >= 0.03
+    quanta across all three committed scales (vs ~1e-12 noise) —
+    pinned in tests/test_plans_r8.py.
+
+    Scale: the per-language count frame (|langs| rows) broadcasts
+    back with precomputed thresholds; the corpus is scanned ONCE with
+    a codegen md5 filter — the only shuffle is the |langs|-row count
+    aggregate (map-side partial). The q_dataset_mix plan shape."""
+    d = load_tables(spark, sf)["documents"]
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("s"))
+    nd = F.col("n").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        (F.sqrt(nd) / F.col("s"))
+        * F.expr("CAST(nn div 2 AS DOUBLE)") / nd)
+    thr = (
+        counts.crossJoin(F.broadcast(tot))
+        .select("lang",
+                F.floor(rate * 10000).cast("long").alias("threshold"))
+    )
+    h = F.expr(hexpoly_sql("md5(concat(doc_id, '#temp'))"))
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .filter((h % 10000) < F.col("threshold"))
+        .select("doc_id", "lang", "threshold")
+    )

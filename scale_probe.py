@@ -72,6 +72,7 @@ DOC_KEYS = [
     # REL_KEYS (events grow 10x); the streaming gate twin is excluded
     # like every q_stream_* key (file-replay setup time dominates).
     "q_dedup_semantic", "q_quality_classifier", "q_rag_retrieve",
+    "q_sample_temperature",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

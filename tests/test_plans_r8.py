@@ -188,3 +188,32 @@ def test_stream_quality_gate_matches_batch_classifier(spark, sf_dir):
                   F.count(F.when(F.col("logit") > 0, 1)).alias("n_keep"))
              .collect()}
     assert stream == batch
+
+
+def test_sample_temperature_broadcast_and_margin(spark, sf_dir):
+    """Plan: the |langs|-row threshold frame must broadcast back onto
+    the single corpus scan (no data-sized shuffle beyond the count
+    aggregate). Margin: every per-language rate*10000 must sit far
+    from its floor boundary (>= 1e-3 quanta; measured >= 0.03 across
+    the committed scales) so the sqrt-sum float tail can never flip a
+    threshold between engines — the q_dsir_weight measured-margin
+    discipline."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from engine.io import load_tables
+
+    plan = final_plan(spark, "q_sample_temperature", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    d = load_tables(spark, sf_dir)["documents"]
+    counts = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    nn = sum(counts.values())
+    s = sum(math.sqrt(n) for n in counts.values())
+    for lang, n in counts.items():
+        t = min(1.0, (math.sqrt(n) / s) * (nn // 2) / n) * 10000
+        assert abs(t - round(t)) >= 1e-3 or t == round(t) == 10000, (
+            lang, t)
