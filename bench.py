@@ -150,6 +150,7 @@ HEADLINE = [
     "q_stream_quality_gate",
     "q_rag_retrieve",
     "q_sample_temperature",
+    "q_dp_count",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

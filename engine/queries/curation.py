@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..io import load_tables, session_cache
 from ..registry import query
-from .util import dsum, rnd, sql_dsum, sql_rnd
+from .util import dsum, hexpoly_sql, rnd, sql_dsum, sql_rnd
 
 
 # --------------------------------------------------------------- bloom join
@@ -1162,4 +1162,84 @@ def q_dedup_url(spark, sf):
         # not hash-safe across the driver's value serializers
         # (tests/test_queries.py::test_output_types_hash_safe)
         F.unix_micros(F.min("ts")).alias("first_ts_us"),
+    )
+
+
+# ------------------------------------------- differential privacy
+
+def _dp_thresholds(eps: float = 1.0, kmax: int = 20) -> list:
+    """Cumulative CDF thresholds of the two-sided geometric mechanism
+    (the discrete Laplace: P(k) ∝ α^|k|, α = e^-ε) scaled to the
+    32-bit uniform lane, computed ONCE driver-side and folded into
+    both engines as identical BIGINT literals (the q_bm25_score
+    fit/apply discipline) — the noise decision is pure integer
+    comparison, zero libm in either engine's plan. Residual tail mass
+    beyond ±kmax is ~1.1e-9 (collapsed into the extreme bins)."""
+    import math
+
+    alpha = math.exp(-eps)
+    p0 = (1 - alpha) / (1 + alpha)
+    out, cum = [], 0.0
+    for k in range(-kmax, kmax + 1):
+        cum += p0 * alpha ** abs(k)
+        out.append((k, min(int(cum * 2 ** 32), 2 ** 32 - 1)))
+    return out
+
+
+_DP_THS = _dp_thresholds()
+
+
+def _dp_case_sql(u: str) -> str:
+    """CASE chain mapping the 32-bit uniform ``u`` to a noise value
+    via the literal thresholds (valid Spark SQL and DuckDB)."""
+    branches = " ".join(
+        f"WHEN ({u}) < {t} THEN {k}" for k, t in _DP_THS[:-1])
+    return f"CASE {branches} ELSE {_DP_THS[-1][0]} END"
+
+
+@query("q_dp_count", oracle=f"""
+WITH c AS (SELECT c_nationkey, count(*) AS n FROM customer
+           GROUP BY c_nationkey),
+u AS (SELECT c_nationkey, n,
+             {hexpoly_sql("md5(concat(c_nationkey, '#dp'))")} AS uu
+      FROM c)
+SELECT c_nationkey,
+       greatest(n + ({_dp_case_sql('uu')}), 0) AS n_noised
+FROM u
+""")
+def q_dp_count(spark, sf):
+    """Differentially-private count release — the governance
+    operator a data platform runs before publishing per-group
+    statistics: per-nation customer counts noised with the two-sided
+    geometric (discrete Laplace) mechanism at ε=1, sensitivity 1,
+    clamped at 0. Rounds out the privacy family (q_k_anonymity /
+    q_l_diversity / q_text_redact) with the release side.
+
+    Determinism vs DP, stated honestly: a PRODUCTION release draws
+    the noise from a CSPRNG; here the uniform is a deterministic
+    md5-derived 32-bit integer per group so the DuckDB oracle can
+    replay the release bit-for-bit (the engine's correctness gate
+    requires it, and this environment has no shared secret store).
+    The MECHANISM — inverse-CDF lookup of the two-sided geometric
+    over a 32-bit uniform, CDF thresholds precomputed driver-side and
+    folded as BIGINT literals — is exactly the production shape: swap
+    the md5 column for a random one and the plan is unchanged.
+
+    Scale: one map-side-combined count aggregate (|groups| rows out),
+    then a |groups|-row codegen CASE — nothing else moves. The noise
+    decision is integer-only (no libm in any engine plan; the ~41
+    thresholds are the only floats and they were computed once on the
+    driver)."""
+    c = (
+        load_tables(spark, sf)["customer"]
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    u = c.withColumn(
+        "uu", F.expr(hexpoly_sql("md5(concat(c_nationkey, '#dp'))")))
+    noise = F.expr(_dp_case_sql("uu"))
+    return u.select(
+        "c_nationkey",
+        F.greatest(F.col("n") + noise, F.lit(0).cast("long"))
+        .alias("n_noised"),
     )

@@ -217,3 +217,29 @@ def test_sample_temperature_broadcast_and_margin(spark, sf_dir):
         t = min(1.0, (math.sqrt(n) / s) * (nn // 2) / n) * 10000
         assert abs(t - round(t)) >= 1e-3 or t == round(t) == 10000, (
             lang, t)
+
+
+def test_dp_count_mechanism(spark, sf_dir):
+    """The DP release must (a) be one count aggregate + codegen CASE
+    (no extra exchange, no join), (b) actually perturb at least one
+    group, (c) never release a negative count, and (d) keep every
+    noise draw inside the ±20 mechanism support."""
+    from pyspark.sql import functions as F
+
+    from engine.io import load_tables
+
+    plan = final_plan(spark, "q_dp_count", sf_dir)
+    assert n_shuffles(plan) <= 1, plan
+    assert "Join" not in plan, plan
+
+    true = {r["c_nationkey"]: r["n"] for r in
+            load_tables(spark, sf_dir)["customer"]
+            .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    rel = {r["c_nationkey"]: r["n_noised"] for r in
+           QUERIES["q_dp_count"](spark, sf_dir).collect()}
+    assert set(rel) == set(true)
+    assert any(rel[k] != true[k] for k in rel)
+    for k in rel:
+        assert rel[k] >= 0
+        assert abs(rel[k] - true[k]) <= 20 or true[k] < 20
