@@ -108,7 +108,10 @@ REL_KEYS = [
     # round-7 wave 4: exact bitmap distinct rollup (events grow 10x)
     # + Q5-shaped six-table star join (lineitem/orders grow 10x)
     "q_bitmap_rollup", "q_mjoin_volume",
-    # round-8: URL canonicalization dedup (events grow 10x)
+    # round-8: URL canonicalization dedup (events grow 10x).
+    # q_dp_count is excluded — its only input, customer, is a
+    # symlinked fixture constant here (the q_l_diversity precedent),
+    # and its work is |groups| rows by construction.
     "q_dedup_url",
 ]
 
@@ -290,12 +293,21 @@ def main() -> None:
             t[name].cache().count()
         row = {}
         for k in DOC_KEYS + REL_KEYS:
+            # min-of-2, third pass when the best is still sub-second:
+            # the growth RATIO divides by this number, so base-side
+            # scheduler/GC tail (±50% below 1 s — BASELINE.md drift
+            # note) is amplified 10x in the flagged factor. The same
+            # policy bench.py adopted in round 6 (at its 0.5 s grain);
+            # the recurring q_corpus_curate 7↔10.5x oscillation was
+            # exactly this artifact.
             best = None
-            for _ in range(2):
+            runs = 0
+            while runs < 2 or (runs < 3 and best < 1.0):
                 t0 = time.time()
                 run_full(QUERIES[k](spark, sf))
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+                runs += 1
             row[k] = round(best, 2)
         for name in ("documents", "embeddings", "lineitem", "orders"):
             t[name].unpersist()
