@@ -1054,6 +1054,33 @@ _URL_FIXTURE_SQL = """
 """
 
 
+def canon_url(url):
+    """The canonicalizer as a reusable column expression (the Spark
+    twin of the oracle's parts/canon CTEs — see q_dedup_url below for
+    the step-by-step rationale). Property-tested over randomized
+    decoration variants in tests/test_plans_r8.py."""
+    u2 = F.regexp_replace(
+        F.regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        "#.*$", "")
+    pathq = F.regexp_replace(u2, "^[^/?]*", "")
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(u2, "^[^/?]*", 0)),
+            "^www[.]", ""),
+        ":(443|80)$", "")
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, "^[^?]*", 0), "/+$", "")
+    pid = F.regexp_extract(pathq, "[?&]id=([0-9]+)", 1)
+    ppage = F.regexp_extract(pathq, "[?&]page=([0-9]+)", 1)
+    return F.concat(
+        host, path,
+        F.when(pid != "", F.concat(F.lit("?id="), pid)).otherwise(""),
+        F.when(ppage != "",
+               F.concat(F.when(pid != "", F.lit("&")).otherwise("?"),
+                        F.lit("page="), ppage)).otherwise(""),
+    )
+
+
 @query("q_dedup_url", oracle=f"""
 WITH e AS (
     SELECT event_id, ts, event_type,
@@ -1127,33 +1154,8 @@ def q_dedup_url(spark, sf):
         "event_id", "ts", "event_type",
         F.get_json_object("props", "$.k").alias("k"))
     u = e.select("event_id", "ts", F.expr(_URL_FIXTURE_SQL).alias("url"))
-    u2 = F.regexp_replace(
-        F.regexp_replace("url", "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
-        "#.*$", "")
-    s = u.select("event_id", "ts", "url", u2.alias("u2"))
-    pathq = F.regexp_replace("u2", "^[^/?]*", "")
-    parts = s.select(
-        "event_id", "ts", "url",
-        F.regexp_replace(
-            F.regexp_replace(
-                F.lower(F.regexp_extract("u2", "^[^/?]*", 0)),
-                "^www[.]", ""),
-            ":(443|80)$", "").alias("host"),
-        F.regexp_replace(
-            F.regexp_extract(pathq, "^[^?]*", 0), "/+$", "").alias("path"),
-        F.regexp_extract(pathq, "[?&]id=([0-9]+)", 1).alias("pid"),
-        F.regexp_extract(pathq, "[?&]page=([0-9]+)", 1).alias("ppage"),
-    )
-    pid, ppage = F.col("pid"), F.col("ppage")
-    canon = parts.select(
-        "event_id", "ts", "url",
-        F.concat(
-            "host", "path",
-            F.when(pid != "", F.concat(F.lit("?id="), pid)).otherwise(""),
-            F.when(ppage != "",
-                   F.concat(F.when(pid != "", F.lit("&")).otherwise("?"),
-                            F.lit("page="), ppage)).otherwise(""),
-        ).alias("canon_url"))
+    canon = u.select("event_id", "ts", "url",
+                     canon_url(F.col("url")).alias("canon_url"))
     return canon.groupBy("canon_url").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("url").alias("n_variants"),

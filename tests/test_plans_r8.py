@@ -243,3 +243,54 @@ def test_dp_count_mechanism(spark, sf_dir):
     for k in rel:
         assert rel[k] >= 0
         assert abs(rel[k] - true[k]) <= 20 or true[k] < 20
+
+
+def test_canon_url_collapses_random_decorations(spark):
+    """Property: any composition of the decoration axes the
+    canonicalizer claims to normalize — scheme spelling/case, www,
+    default port, fragment, trailing slashes, tracking params, and
+    whitelist-param order — must collapse to the same canonical
+    string, and that string must be the hand-computed expectation.
+    Seeded randomized variants, 40 logical pages x 8 variants."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from engine.queries.curation import canon_url
+
+    rng = random.Random(42)
+    rows, expect = [], {}
+    for p in range(40):
+        path = f"/cat{p % 7}/item/{p}"
+        pid = str(p * 3)
+        has_page = p % 2 == 0
+        canon = f"example{p % 5}.com{path}?id={pid}" + (
+            "&page=4" if has_page else "")
+        expect[p] = canon
+        for v in range(8):
+            scheme = rng.choice(["http://", "https://", "HTTPS://",
+                                 "HtTpS://", ""])
+            www = rng.choice(["", "www.", "WWW."])
+            host = rng.choice([f"example{p % 5}.com",
+                               f"EXAMPLE{p % 5}.COM"])
+            port = rng.choice(["", ":443", ":80"])
+            slash = rng.choice(["", "/", "//"])
+            params = [f"id={pid}"]
+            if has_page:
+                params.append("page=4")
+            for junk in rng.sample(
+                    ["utm_source=a", "utm_campaign=bb", "fbclid=xyz",
+                     "utm_medium=c"], rng.randint(0, 3)):
+                params.append(junk)
+            rng.shuffle(params)
+            frag = rng.choice(["", "#top", "#sec-2"])
+            url = (f"{scheme}{www}{host}{port}{path}{slash}"
+                   f"?{'&'.join(params)}{frag}")
+            rows.append((p, url))
+    df = spark.createDataFrame(rows, "page int, url string")
+    got = (df.select("page", canon_url(F.col("url")).alias("c"))
+           .groupBy("page")
+           .agg(F.collect_set("c").alias("cs")).collect())
+    for r in got:
+        assert len(r["cs"]) == 1, (r["page"], r["cs"])
+        assert r["cs"][0] == expect[r["page"]], (r["page"], r["cs"])

@@ -414,3 +414,45 @@ def test_map_overlap_identity_equals_stitch_blocks(spark):
         map_overlap_stitch(df, lambda a, b: a, bs, o, grid, depth=0),
         bs, ncomp=1).collect()}
     assert base == lifted
+
+
+def test_map_overlap_vector_field_box_blur(spark):
+    """halo_pad x ncomp interaction: a valid-mode box blur over a
+    3-VECTOR field (tiles (14,14,14,3)) must stitch to the exact
+    closed form per component — catches any trailing-axis mishandling
+    in the padded reshape or the weight broadcast."""
+    from engine.blocks import field_to_voxels, make_tiles, map_overlap_stitch
+
+    bs, o, g, depth = (8, 8, 8), (2, 2, 2), (2, 2, 2), 1
+    tiles = {}
+    for b in ((bx, by, bz) for bx in range(2) for by in range(2)
+              for bz in range(2)):
+        ax = [np.arange(b[a] * 8 - 3, b[a] * 8 + 11, dtype=np.float64)
+              for a in range(3)]
+        gx, gy, gz = np.meshgrid(*ax, indexing="ij")
+        # distinct quadratic per component: blur adds exactly +2, +4,
+        # +6 respectively (per-axis second central moment 2/3 scaled)
+        comps = [gx * gx + gy * gy + gz * gz,
+                 2.0 * (gx * gx + gy * gy + gz * gz),
+                 3.0 * (gx * gx + gy * gy + gz * gz)]
+        tiles[b] = np.stack(comps, axis=-1)
+    df = make_tiles(spark, tiles)
+
+    def box3(arr, b):
+        s = np.zeros(tuple(n - 2 for n in arr.shape[:3]) + arr.shape[3:])
+        for dx in range(3):
+            for dy in range(3):
+                for dz in range(3):
+                    s += arr[dx:dx + s.shape[0], dy:dy + s.shape[1],
+                             dz:dz + s.shape[2]]
+        return s / 27.0
+
+    out = field_to_voxels(
+        map_overlap_stitch(df, box3, bs, o, g, depth=depth, ncomp=3),
+        bs, ncomp=3).collect()
+    assert len(out) == 16 ** 3 * 3
+    for r in out:
+        f = float(r.x ** 2 + r.y ** 2 + r.z ** 2)
+        expect = (r.c + 1) * f + (r.c + 1) * 2.0
+        q = np.floor(r.v * 1e6 + 0.5) / 1e6
+        assert q == expect, (r, expect)
