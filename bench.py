@@ -201,6 +201,54 @@ def _bench_block_path(spark) -> float:
     return round(time.time() - t0, 3)
 
 
+def _bench_user_fn_path(spark) -> float:
+    """map_overlap user-fn lifecycle at payload scale: the same 2×2×2
+    grid of 128³ blocks, tiles carrying one EXTRA halo ring (138³ —
+    depth 1 beyond overlap 4), a vectorized 3³ box-mean user kernel
+    consuming the pad inside the fragment-emit pass, then the stitch.
+    Measures kernel + weighting + halo shuffle end to end — the cost
+    the lifecycle adds over the plain block path is the numpy blur
+    alone (zero extra data movement)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine.blocks import map_overlap_stitch
+
+    grid, bs, o, depth = (2, 2, 2), (128, 128, 128), (4, 4, 4), 1
+    ext = tuple(b + 2 * (oo + depth) for b, oo in zip(bs, o))
+    ids = spark.range(8).select(
+        (F.col("id") % 2).alias("bx"),
+        (F.expr("id div 2") % 2).alias("by"),
+        (F.expr("id div 4") % 2).alias("bz"),
+    ).repartition(8)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                rng = np.random.default_rng(
+                    100 + int(r.bx * 4 + r.by * 2 + r.bz))
+                out.append((r.bx, r.by, r.bz,
+                            rng.normal(size=ext).ravel().tobytes()))
+            yield pd.DataFrame(out, columns=["bx", "by", "bz", "data"])
+
+    def box3(arr, b):
+        s = np.zeros(tuple(n - 2 for n in arr.shape), dtype=np.float64)
+        for dx in range(3):
+            for dy in range(3):
+                for dz in range(3):
+                    s += arr[dx:dx + s.shape[0], dy:dy + s.shape[1],
+                             dz:dz + s.shape[2]]
+        return s / 27.0
+
+    tiles = ids.mapInPandas(gen, "bx long, by long, bz long, data binary")
+    t0 = time.time()
+    assert map_overlap_stitch(tiles, box3, bs, o, grid,
+                              depth=depth).count() == 8
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from engine.io import load_tables
@@ -250,6 +298,8 @@ def main() -> None:
     # pays mapInPandas/applyInPandas codegen + Arrow writer warmup
     timings["stitch_block_path_128cube"] = min(
         _bench_block_path(spark) for _ in range(2))
+    timings["stitch_user_fn_128cube"] = min(
+        _bench_user_fn_path(spark) for _ in range(2))
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_seconds",

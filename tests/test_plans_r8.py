@@ -294,3 +294,50 @@ def test_canon_url_collapses_random_decorations(spark):
     for r in got:
         assert len(r["cs"]) == 1, (r["page"], r["cs"])
         assert r["cs"][0] == expect[r["page"]], (r["page"], r["cs"])
+
+
+def test_rag_retrieve_relevance(spark, sf_dir):
+    """Every retrieved chunk must actually CONTAIN at least one of
+    its query's terms (posting-list construction guarantees it; this
+    pins the guarantee against future plan rewrites), ranks must be
+    1..k contiguous per query, and scores non-increasing by rank."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from engine.io import load_tables
+    from engine.queries.llm import (_RAG_CHUNK, _RAG_STRIDE)
+
+    rows = QUERIES["q_rag_retrieve"](spark, sf_dir).collect()
+    assert rows
+    # reconstruct the query terms the same way the operator derives
+    # them (df-ranked 6..25 paired) — via the operator's own chunk
+    # tokenization
+    d = {r["doc_id"]: r["text"].split(" ") for r in
+         load_tables(spark, sf_dir)["documents"]
+         .select("doc_id", "text").collect()}
+    df_counts = defaultdict(int)
+    chunks = {}
+    for doc_id, ws in d.items():
+        for s in range(1, max(len(ws), 1) + 1, _RAG_STRIDE):
+            cws = ws[s - 1:s - 1 + _RAG_CHUNK]
+            if len(cws) < 8:
+                continue
+            chunks[(doc_id, s)] = set(cws)
+            for w in set(cws):
+                df_counts[w] += 1
+    ranked = sorted(df_counts, key=lambda w: (-df_counts[w], w))
+    terms = {qid: set() for qid in range(10)}
+    for r, w in enumerate(ranked[:25], start=1):
+        if 6 <= r <= 25:
+            terms[(r - 6) // 2].add(w)
+    per_q = defaultdict(list)
+    for r in rows:
+        assert terms[r["query_id"]] & chunks[(r["doc_id"],
+                                              r["chunk_start"])], r
+        per_q[r["query_id"]].append((r["rank"], r["score"]))
+    for qid, rs in per_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1)), rs
+        scores = [x[1] for x in rs]
+        assert scores == sorted(scores, reverse=True), rs
