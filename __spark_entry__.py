@@ -182,7 +182,7 @@ _R06C_NEW = {
 _R08_NEW: set[str] = {
     "q_stitch_user_fn", "q_dedup_semantic", "q_dedup_url",
     "q_quality_classifier", "q_stream_quality_gate", "q_rag_retrieve",
-    "q_sample_temperature", "q_dp_count",
+    "q_sample_temperature", "q_dp_count", "q_dedup_eval",
 }
 
 

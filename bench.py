@@ -151,6 +151,7 @@ HEADLINE = [
     "q_rag_retrieve",
     "q_sample_temperature",
     "q_dp_count",
+    "q_dedup_eval",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

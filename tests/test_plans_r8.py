@@ -341,3 +341,15 @@ def test_rag_retrieve_relevance(spark, sf_dir):
         assert [x[0] for x in rs] == list(range(1, len(rs) + 1)), rs
         scores = [x[1] for x in rs]
         assert scores == sorted(scores, reverse=True), rs
+
+
+def test_dedup_eval_full_recall(spark, sf_dir):
+    """The banded-MinHash parameters must capture every exact-Jaccard
+    truth pair at fixture scale (recall == 1.0) and the candidate set
+    must be a superset, never smaller, than the truth set — the
+    LSH-never-misses contract q_dedup_eval exists to measure."""
+    row = QUERIES["q_dedup_eval"](spark, sf_dir).collect()[0]
+    assert row["recall"] == 1.0, row
+    assert row["n_hit"] == row["n_truth"], row
+    assert row["n_candidates"] >= row["n_truth"], row
+    assert 0.0 < row["prec"] <= 1.0, row
