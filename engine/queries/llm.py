@@ -2325,19 +2325,21 @@ def q_dedup_eval(spark, sf):
     this key's truth can never desync from theirs.
 
     Scale: both inputs are the already-bounded pair sets (candidate
-    pairs ∝ true near-dup clusters, truth pairs likewise); the eval
-    join and the three counts are map-side-combinable over pair keys
-    — negligible against the pipelines it measures. ANSI: nullif
-    guards on both denominators (empty candidate/truth sets)."""
-    cand = q_dedup_fuzzy_minhash(spark, sf)
-    truth = q_dedup_ngram_jaccard(spark, sf).select("d1", "d2")
-    hit = cand.join(truth, ["d1", "d2"])
-    s = (
-        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-        .crossJoin(F.broadcast(
-            truth.agg(F.count(F.lit(1)).alias("n_truth"))))
-        .crossJoin(F.broadcast(
-            hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+    pairs ∝ true near-dup clusters, truth pairs likewise); all three
+    counts come from ONE full-outer join + ONE aggregate, so each
+    sub-pipeline's lineage executes exactly once (three separate
+    count aggregates re-ran the candidate and truth lineages twice
+    each — measured 5.5 s vs 2.2 s at sf0.1). ANSI: nullif guards on
+    both denominators (empty candidate/truth sets)."""
+    cand = q_dedup_fuzzy_minhash(spark, sf).withColumn("c", F.lit(1))
+    truth = (q_dedup_ngram_jaccard(spark, sf)
+             .select("d1", "d2").withColumn("t", F.lit(1)))
+    j = cand.join(truth, ["d1", "d2"], "full_outer")
+    s = j.agg(
+        F.count("c").alias("n_candidates"),
+        F.count("t").alias("n_truth"),
+        F.count(F.when(F.col("c").isNotNull()
+                       & F.col("t").isNotNull(), 1)).alias("n_hit"),
     )
     nh = F.col("n_hit").cast("double")
     return s.select(
