@@ -111,7 +111,11 @@ REL_KEYS = [
     # round-8: URL canonicalization dedup (events grow 10x).
     # q_dp_count is excluded — its only input, customer, is a
     # symlinked fixture constant here (the q_l_diversity precedent),
-    # and its work is |groups| rows by construction.
+    # and its work is |groups| rows by construction. q_dedup_eval is
+    # excluded — it composes q_dedup_fuzzy_minhash (probed) with the
+    # brute-force exact-Jaccard truth baseline, whose quadratic-by-
+    # design cost the probe already reports separately (see bench.py
+    # HEADLINE note).
     "q_dedup_url",
 ]
 
