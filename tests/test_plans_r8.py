@@ -1,9 +1,12 @@
 """Round-8 plan pins + behavior tests for the _R08_NEW cohort:
 q_stitch_user_fn (map_overlap user-fn lifecycle), q_dedup_semantic
-(SemDeDup), q_dedup_url (canonicalization dedup),
-q_quality_classifier (literal-weights codegen apply),
-q_stream_quality_gate (its speed-layer twin), and q_rag_retrieve
-(posting-list BM25 retrieval).
+(SemDeDup), q_dedup_url (canonicalization dedup, + the canon_url
+decoration-collapse property), q_quality_classifier (literal-weights
+codegen apply), q_stream_quality_gate (its speed-layer twin),
+q_rag_retrieve (posting-list BM25 retrieval, + relevance pins),
+q_sample_temperature (alpha-sampling, + threshold margin pin),
+q_dp_count (DP release mechanism pins), and q_dedup_eval
+(full-recall LSH-contract pin).
 """
 from __future__ import annotations
 
