@@ -356,3 +356,47 @@ def test_dedup_eval_full_recall(spark, sf_dir):
     assert row["n_hit"] == row["n_truth"], row
     assert row["n_candidates"] >= row["n_truth"], row
     assert 0.0 < row["prec"] <= 1.0, row
+
+
+def test_dp_thresholds_are_valid_cdf():
+    """The folded DP thresholds must be a strictly increasing CDF
+    over the 32-bit lane, symmetric in probability mass around k=0,
+    with negligible tail mass beyond the support."""
+    from engine.queries.curation import _dp_thresholds
+
+    ths = _dp_thresholds()
+    ks = [k for k, _ in ths]
+    ts = [t for _, t in ths]
+    assert ks == list(range(-20, 21))
+    assert all(b > a for a, b in zip(ts, ts[1:])), "CDF not increasing"
+    assert 0 < ts[0] and ts[-1] <= 2 ** 32 - 1
+    # tail mass beyond +-20 is ~1.1e-9 of the lane
+    assert 2 ** 32 - ts[-1] < 16
+    # median lands at k=0: CDF crosses the half-lane inside the 0 bin
+    t_km1 = dict(ths)[-1]
+    t_k0 = dict(ths)[0]
+    assert t_km1 < 2 ** 31 <= t_k0
+
+
+def test_qc_logit_hand_computed(spark):
+    """qc_score's logit must equal the hand-evaluated model for a
+    known document — pins the weight order and feature definitions
+    the classifier and its streaming twin both rely on."""
+    from engine.queries.llm import _QC, _QC_STOP, qc_score
+
+    text = "the quick brown fox is in a big box"
+    ws = text.split(" ")
+    n_words = len(ws)
+    sum_len = float(sum(len(w) for w in ws))
+    n_stop = float(sum(w in _QC_STOP for w in ws))
+    n_distinct = float(len(set(ws)))
+    expect = (_QC["b0"] + _QC["b1"] * n_words
+              + _QC["b2"] * (sum_len / n_words)
+              + _QC["b3"] * (n_stop / n_words)
+              + _QC["b4"] * (n_distinct / n_words))
+    import math
+    expect_q = math.floor(expect * 1e6 + 0.5) / 1e6
+    df = spark.createDataFrame(
+        [(1, text, "s0")], "doc_id long, text string, source string")
+    row = qc_score(df).collect()[0]
+    assert row["logit"] == expect_q, (row["logit"], expect_q)
