@@ -1994,11 +1994,14 @@ def q_dedup_semantic(spark, sf):
 
     Determinism (the q_dsir_weight ulp-margin discipline): d2 is
     quantized at 1e-6 before the argmin (measured min gap between
-    best and runner-up: 4 quanta; raw d2 sits >= 1e-10 from every
+    best and runner-up: 4 quanta; raw d2 sits >= 9.9e-11 from every
     quantization boundary across all three scales), cosines are
     quantized at 1e-4 with a strict ascending-dim fold recompute for
     GEMM survivors (raw cos >= 3.2e-10 from every boundary); ties
-    after quantization break by cluster id. tau = 0.35 sits in the
+    after quantization break by cluster id. All three margins are
+    PINNED per fixture scale in tests/test_semantic_margin.py (the
+    test_dsir_ulp_margin.py discipline) so a fixture regeneration
+    cannot silently land a value on a boundary. tau = 0.35 sits in the
     tail of the fixture's within-cluster cosine distribution (~70
     pairs at sf0.01); real corpora use ~0.95 (SemDeDup paper)."""
     import numpy as np

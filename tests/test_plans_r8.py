@@ -197,10 +197,11 @@ def test_sample_temperature_broadcast_and_margin(spark, sf_dir):
     """Plan: the |langs|-row threshold frame must broadcast back onto
     the single corpus scan (no data-sized shuffle beyond the count
     aggregate). Margin: every per-language rate*10000 must sit far
-    from its floor boundary (>= 1e-3 quanta; measured >= 0.03 across
-    the committed scales) so the sqrt-sum float tail can never flip a
-    threshold between engines — the q_dsir_weight measured-margin
-    discipline."""
+    from its floor boundary (>= 1e-2 quanta, ~10^5x the sqrt-sum
+    float-tail budget; measured >= 0.03 across the committed scales —
+    the assertion tracks the docstring's documented safety budget
+    within 3x per round-8 ADVICE.md) so the threshold can never flip
+    between engines — the q_dsir_weight measured-margin discipline."""
     import math
 
     from pyspark.sql import functions as F
@@ -218,7 +219,7 @@ def test_sample_temperature_broadcast_and_margin(spark, sf_dir):
     s = sum(math.sqrt(n) for n in counts.values())
     for lang, n in counts.items():
         t = min(1.0, (math.sqrt(n) / s) * (nn // 2) / n) * 10000
-        assert abs(t - round(t)) >= 1e-3 or t == round(t) == 10000, (
+        assert abs(t - round(t)) >= 1e-2 or t == round(t) == 10000, (
             lang, t)
 
 

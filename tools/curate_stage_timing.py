@@ -55,9 +55,29 @@ def stages(spark, sf):
     return {"s1_clean": cleaned, "s2_hash": scored, "s3_full": full}
 
 
+def _check_sync(spark, sf) -> None:
+    """The stage prefixes above re-state q_corpus_curate's pipeline
+    inline (the prefixes don't exist as separable DataFrames in the
+    operator). Guard against silent desync (round-8 ADVICE.md): the
+    full prefix must produce exactly the registered operator's rows,
+    or the stage attribution this tool exists for is attributing the
+    wrong pipeline."""
+    from engine import registry
+
+    registry.load_all()
+    n_tool = stages(spark, sf)["s3_full"].count()
+    n_op = registry.QUERIES["q_corpus_curate"](spark, sf).count()
+    if n_tool != n_op:
+        raise SystemExit(
+            f"stage pipeline desynced from q_corpus_curate at {sf}: "
+            f"s3_full={n_tool} rows vs operator={n_op} — update "
+            f"stages() to match engine/queries/pipeline.py")
+
+
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     spark = get_spark("curate_stage_timing")
+    _check_sync(spark, "/root/testdata/sf0.1")
     out: dict[str, dict[str, float]] = {}
     for label, sf in (("sf0.1", "/root/testdata/sf0.1"),
                       ("x10", "/tmp/engine_scale_x10")):
