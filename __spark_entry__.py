@@ -192,7 +192,10 @@ _R08_NEW: set[str] = {
 # _R08_NEW cohort has earned its first driver rows; they get theirs
 # in round 10, covered until then by the local check.py sweep +
 # their tests.
-_R09_NEW: set[str] = set()
+_R09_NEW: set[str] = {
+    "q_contamination_semantic", "q_stream_temperature_gate",
+    "q_dedup_eval_semantic",
+}
 
 
 def _rotated(keys) -> list[str]:

@@ -159,6 +159,12 @@ HEADLINE = [
     # justify avoiding at scale — gating the evaluator on the 3 s
     # throughput gate would grade the baseline, not the operator.
     # It is correctness-gated like every key (oracle at 3 scales).
+    # round-9 additions: semantic eval-leak detector + the streaming
+    # temperature-mix gate. q_dedup_eval_semantic is excluded for
+    # exactly the q_dedup_eval reason above (it composes the
+    # brute-force all-pairs cosine TRUTH baseline).
+    "q_contamination_semantic",
+    "q_stream_temperature_gate",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -1060,8 +1060,11 @@ def q_pack_sequences(spark, sf):
 
 # ------------------------------------------- temperature sampling
 
-@query("q_sample_temperature", oracle=f"""
-WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+# shared oracle fragment (batch key here + the streaming ingest-gate
+# twin in streaming_q.py — the QC_*_SQL twin discipline): per-language
+# alpha=0.5 keep thresholds on the 1e4 hash grid.
+TEMP_THR_SQL = """
+counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
 tot AS (SELECT sum(n) AS nn, sum(sqrt(CAST(n AS DOUBLE))) AS s
         FROM counts),
 thr AS (SELECT lang, n,
@@ -1069,7 +1072,32 @@ thr AS (SELECT lang, n,
                    (sqrt(CAST(n AS DOUBLE)) / s)
                    * CAST(nn // 2 AS DOUBLE) / n) * 10000) AS BIGINT)
                    AS threshold
-        FROM counts, tot)
+        FROM counts, tot)"""
+
+
+def temp_thresholds(d: DataFrame) -> DataFrame:
+    """Spark-side twin of TEMP_THR_SQL: documents → (lang, threshold)
+    — the alpha-sampling keep-rate table, |langs| rows. Shared by
+    q_sample_temperature and the streaming gate so the two lanes
+    cannot drift."""
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("s"))
+    nd = F.col("n").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        (F.sqrt(nd) / F.col("s"))
+        * F.expr("CAST(nn div 2 AS DOUBLE)") / nd)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("lang",
+                F.floor(rate * 10000).cast("long").alias("threshold"))
+    )
+
+
+@query("q_sample_temperature", oracle=f"""
+WITH {TEMP_THR_SQL}
 SELECT d.doc_id, d.lang, thr.threshold
 FROM documents d JOIN thr USING (lang)
 WHERE {hexpoly_sql("md5(concat(d.doc_id, '#temp'))")} % 10000
@@ -1100,20 +1128,7 @@ def q_sample_temperature(spark, sf):
     a codegen md5 filter — the only shuffle is the |langs|-row count
     aggregate (map-side partial). The q_dataset_mix plan shape."""
     d = load_tables(spark, sf)["documents"]
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.agg(
-        F.sum("n").alias("nn"),
-        F.sum(F.sqrt(F.col("n").cast("double"))).alias("s"))
-    nd = F.col("n").cast("double")
-    rate = F.least(
-        F.lit(1.0),
-        (F.sqrt(nd) / F.col("s"))
-        * F.expr("CAST(nn div 2 AS DOUBLE)") / nd)
-    thr = (
-        counts.crossJoin(F.broadcast(tot))
-        .select("lang",
-                F.floor(rate * 10000).cast("long").alias("threshold"))
-    )
+    thr = temp_thresholds(d)
     h = F.expr(hexpoly_sql("md5(concat(doc_id, '#temp'))"))
     return (
         d.join(F.broadcast(thr), "lang")

@@ -1086,3 +1086,65 @@ def q_stream_quality_gate(spark, sf):
         q.stop()
         per_session[key] = name
     return spark.table(per_session[key])
+
+
+from .pipeline import TEMP_THR_SQL, temp_thresholds  # noqa: E402
+from .util import hexpoly_sql  # noqa: E402
+
+TEMP_GATE_ORACLE = f"""
+WITH {TEMP_THR_SQL}
+SELECT d.lang, thr.threshold,
+       count(*) AS n_seen,
+       count(CASE WHEN {hexpoly_sql("md5(concat(d.doc_id, '#temp'))")}
+                       % 10000 < thr.threshold THEN 1 END) AS n_kept
+FROM documents d JOIN thr USING (lang)
+GROUP BY d.lang, thr.threshold
+"""
+
+
+@query("q_stream_temperature_gate", oracle=TEMP_GATE_ORACLE)
+def q_stream_temperature_gate(spark, sf):
+    """Speed-layer twin of q_sample_temperature (round-8 verdict item
+    6) — the ingest-time language-mix gate: per-language alpha=0.5
+    keep thresholds are FIT OFFLINE on the batch corpus (the shared
+    temp_thresholds helper, so the two lanes cannot drift), broadcast
+    onto the live document stream as static state, and the stream
+    maintains complete-mode per-language seen/kept counts — the mix
+    monitor a crawler ingest pipeline watches to verify the
+    temperature flattening is holding on live traffic.
+
+    The emission hash-matches the batch oracle (TEMP_THR_SQL composed
+    verbatim) because the state is mergeable integer counts, the
+    keep decision is the same deterministic md5-grid filter as the
+    batch key, and the threshold is an integer fit on the identical
+    corpus — the q_stream_quality_gate discipline.
+
+    Scale: state is |langs| rows regardless of stream length; each
+    micro-batch contributes map-side-combined count partials; the
+    threshold frame rides a broadcast stream-static join (never a
+    shuffle of the stream side). On a cluster the same plan tails
+    the crawler's Kafka topic; refitting thresholds is a planned
+    restart with a new broadcast — state survives because the keyed
+    counts don't depend on the threshold values."""
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "temperature_gate")
+    if key not in per_session:
+        name = ("stream_temp_gate_"
+                + hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8])
+        thr = temp_thresholds(load_tables(spark, sf)["documents"])
+        src = _stage_source(sf, table="documents")
+        docs = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        h = F.expr(hexpoly_sql("md5(concat(doc_id, '#temp'))"))
+        g = (docs.join(F.broadcast(thr), "lang")
+             .select("lang", "threshold",
+                     ((h % 10000) < F.col("threshold")).alias("kept"))
+             .groupBy("lang", "threshold")
+             .agg(F.count(F.lit(1)).alias("n_seen"),
+                  F.count(F.when(F.col("kept"), 1)).alias("n_kept")))
+        q = (g.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    return spark.table(per_session[key])

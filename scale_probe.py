@@ -73,6 +73,15 @@ DOC_KEYS = [
     # like every q_stream_* key (file-replay setup time dominates).
     "q_dedup_semantic", "q_quality_classifier", "q_rag_retrieve",
     "q_sample_temperature",
+    # round-9: semantic eval-leak detector (embeddings grow 10x; the
+    # holdout matrix grows with them, so the GEMM work grows ~100x —
+    # the probe documents that the BATCH side stays the linear term
+    # because |holdout| is benchmark-bounded in production, not
+    # corpus-proportional like the synthetic slice).
+    # q_dedup_eval_semantic is excluded like q_dedup_eval (it IS the
+    # brute-force baseline); the streaming gate twin is excluded like
+    # every q_stream_* key.
+    "q_contamination_semantic",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

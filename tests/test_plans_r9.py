@@ -1,0 +1,101 @@
+"""Round-9 plan pins + behavior tests for the _R09_NEW cohort:
+q_contamination_semantic (broadcast-holdout GEMM eval-leak detector),
+q_stream_temperature_gate (speed-layer twin of the alpha-sampling
+gate), and q_dedup_eval_semantic (semantic-path precision/recall vs
+brute-force cosine truth).
+"""
+from __future__ import annotations
+
+import pytest
+
+from engine.registry import QUERIES, load_all
+
+from test_plans import final_plan, n_shuffles
+
+load_all()
+
+
+def test_contamination_semantic_zero_joins_zero_shuffles(spark, sf_dir):
+    """The holdout matrix ships inside the mapInPandas closure, so
+    the training side must be ONE narrow scan: no join operator of
+    any kind (a BroadcastNestedLoopJoin here would row-expand
+    |train| x |holdout|) and zero exchanges — each Arrow batch emits
+    its own per-vector aggregate."""
+    plan = final_plan(spark, "q_contamination_semantic", sf_dir)
+    assert n_shuffles(plan) == 0, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_contamination_semantic_flags_only_training_vectors(spark, sf_dir):
+    """Behavior: no holdout vector (vec_id = 0 mod 97) may appear in
+    the output, every flagged vector's hit count is >= 1, and max_cos
+    must clear the threshold on the 1e-4 grid."""
+    rows = QUERIES["q_contamination_semantic"](spark, sf_dir).collect()
+    assert rows  # non-vacuous at every committed scale (tau probe)
+    for r in rows:
+        assert r["vec_id"] % 97 != 0, r
+        assert r["n_holdout_hits"] >= 1, r
+        assert r["max_cos"] >= 0.32, r
+
+
+def test_stream_temperature_gate_matches_batch_rates(spark, sf_dir):
+    """The stream's per-language kept counts must equal the batch
+    q_sample_temperature key's per-language row counts exactly (same
+    thresholds, same md5 grid — the twin contract), and every
+    language's seen count must equal the corpus count."""
+    from pyspark.sql import functions as F
+
+    from engine.io import load_tables
+
+    gate = {r["lang"]: r for r in
+            QUERIES["q_stream_temperature_gate"](spark, sf_dir).collect()}
+    kept = {r["lang"]: r["n"] for r in
+            QUERIES["q_sample_temperature"](spark, sf_dir)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    seen = {r["lang"]: r["n"] for r in
+            load_tables(spark, sf_dir)["documents"]
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(gate) == set(seen)
+    for lang, r in gate.items():
+        assert r["n_seen"] == seen[lang], (lang, r)
+        assert r["n_kept"] == kept.get(lang, 0), (lang, r)
+        # the gate actually gates: thresholds below 10000 must drop
+        if r["threshold"] < 10000:
+            assert r["n_kept"] < r["n_seen"], (lang, r)
+
+
+def test_dedup_eval_semantic_perfect_precision_single_agg(spark, sf_dir):
+    """Precision must be exactly 1.0 (every within-cluster candidate
+    is scored with the exact quantized cosine, hence also a truth
+    pair) and recall strictly below 1 on the random-vector fixture
+    (cluster confinement must lose cross-cluster pairs — a recall of
+    1.0 here would mean the truth side silently degenerated to the
+    candidate set)."""
+    rows = QUERIES["q_dedup_eval_semantic"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["method"] == "semantic"
+    assert r["prec"] == 1.0, r
+    assert 0 < r["recall"] < 1, r
+    assert r["n_hit"] == r["n_candidates"], r
+
+
+def test_dedup_eval_semantic_candidates_match_operator(spark, sf_dir):
+    """No-desync pin: the eval's candidate count must equal the pair
+    count the registered q_dedup_semantic operator aggregates —
+    both sides call the shared _semantic_pairs helper, and this pin
+    fails if someone forks one of them."""
+    from engine.queries.llm import _SEM_TAU, _semantic_pairs
+
+    n_pairs = _semantic_pairs(spark, sf_dir).count()
+    r = QUERIES["q_dedup_eval_semantic"](spark, sf_dir).collect()[0]
+    assert r["n_candidates"] == n_pairs
+    # and the operator's dropped-vector output is the pair frame's
+    # per-(v2, cl) aggregate — row count equality is the cheap check
+    from pyspark.sql import functions as F
+
+    n_drops = (_semantic_pairs(spark, sf_dir)
+               .select("v2", "cl").distinct().count())
+    assert QUERIES["q_dedup_semantic"](spark, sf_dir).count() == n_drops

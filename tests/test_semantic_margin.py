@@ -113,3 +113,26 @@ def test_cosine_grid_values_clear_floor_boundaries(sf):
         f"{sf}: a pair cosine sits {worst:.3e} quanta from a floor "
         f"boundary — within reach of cross-engine fold divergence; "
         f"re-derive the quantization for this fixture")
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_contamination_semantic_margins(sf):
+    """Same pin for q_contamination_semantic's train-vs-holdout
+    cosines (strict ascending-dim fold, 1e-4 grid): measured minimum
+    3.7e-6 quanta over ALL pairs across the three scales — ~2e4x the
+    fold-order budget."""
+    vec_id, label, M = _load(sf)
+    hold = vec_id % 97 == 0
+    H, T = M[hold], M[~hold]
+    nh = np.sqrt((H * H).sum(1))
+    nt = np.sqrt((T * T).sum(1))
+    prod = (T[:, None, :] * H[None, :, :]).reshape(-1, M.shape[1])
+    dots = np.zeros(len(prod))
+    for t in range(prod.shape[1]):
+        dots += prod[:, t]
+    cos = dots / np.outer(nt, nh).ravel()
+    margins = _grid_margin(cos, 1e4)
+    assert margins.min() > 3e-6, (
+        f"{sf}: a train-holdout cosine sits {margins.min():.3e} quanta "
+        f"from a floor boundary — re-derive the quantization for this "
+        f"fixture")
