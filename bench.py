@@ -165,6 +165,7 @@ HEADLINE = [
     # brute-force all-pairs cosine TRUTH baseline).
     "q_contamination_semantic",
     "q_stream_temperature_gate",
+    "q_tokenizer_fit",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

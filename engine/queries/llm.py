@@ -2468,3 +2468,118 @@ def q_dedup_eval_semantic(spark, sf):
         rnd(nh / F.nullif(F.col("n_truth"), F.lit(0)), 6)
             .alias("recall"),
     )
+
+
+# ------------------------------------------------- tokenizer fitting
+
+def _bpe_ctes(n_merges: int) -> str:
+    """Unrolled BPE merge-learning CTEs (the q_pagerank fixed-
+    iteration discipline): word-type frequency table -> n_merges
+    rounds of (adjacent-pair count, argmax pair, greedy-left merge
+    apply). Token sequences are DOUBLE-SPACE separated strings with
+    single-space sentinels, so the merge is one plain (non-regex)
+    string replace whose leftmost-non-overlapping scan implements
+    greedy-left BPE application identically in DuckDB and Spark
+    (semantics pinned cross-engine in tests/test_plans_r9.py)."""
+    steps = []
+    prev = "s0"
+    for i in range(1, n_merges + 1):
+        steps.append(f"""
+t{i} AS (SELECT string_split(trim(seq), '  ') AS ts, freq FROM {prev}),
+p{i} AS (SELECT ts[i] || ' ' || ts[i + 1] AS pair, sum(freq) AS n
+        FROM t{i}, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+        GROUP BY 1),
+b{i} AS (SELECT pair, CAST(n AS BIGINT) AS n FROM p{i}
+        ORDER BY n DESC, pair LIMIT 1),
+s{i} AS (SELECT replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
+                        ' ' || replace(pair, ' ', '') || ' ') AS seq,
+                freq
+        FROM {prev}, b{i})""")
+        prev = f"s{i}"
+    return f"""
+w AS (SELECT w AS word, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) >= 2 GROUP BY w),
+s0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g'))
+              || ' ' AS seq, freq
+       FROM w),
+{",".join(steps)}
+"""
+
+
+_BPE_MERGES = 3
+
+
+@query("q_tokenizer_fit", oracle=f"""
+WITH {_bpe_ctes(_BPE_MERGES)}
+SELECT * FROM (
+    SELECT 1 AS rank, pair, n FROM b1
+    UNION ALL SELECT 2, pair, n FROM b2
+    UNION ALL SELECT 3, pair, n FROM b3)
+""")
+def q_tokenizer_fit(spark, sf):
+    """BPE tokenizer FITTING on-corpus (Sennrich et al. 2016,
+    arXiv:1508.07909 — the byte-pair-encoding merge-learning loop
+    every LLM data pipeline runs before tokenizing): three unrolled
+    merge rounds, each counting adjacent token-pair frequencies over
+    the word-TYPE table, picking the most frequent pair
+    (deterministic tie-break: count desc, pair asc), and applying it
+    greedy-left to every sequence. Output: (rank, pair, count) per
+    learned merge — the merges file a tokenizer ships.
+
+    Mechanics: sequences are double-space-separated token strings
+    with single-space sentinels, so applying a merge is ONE plain
+    string replace — ' x  y ' -> ' xy ' — whose leftmost-
+    non-overlapping scan is exactly greedy-left BPE application and
+    behaves identically in Spark and DuckDB (adversarial
+    repeated-token cases pinned cross-engine in
+    tests/test_plans_r9.py). Pair counting includes overlapping
+    duplicates ('aaa' counts (a,a) twice) — the original BPE
+    get_stats convention.
+
+    Scale (the classic BPE fit shape): the ONLY corpus-sized work is
+    the first word-frequency aggregate (map-side combinable, one
+    shuffle); every merge round operates on the |word types| table —
+    corpus-size-INDEPENDENT after that first pass, which is why real
+    tokenizer fits run on word counts, not raw text. The type table
+    is persisted once (memoized per session/sf — the q_basket_rules
+    discipline), each round's argmax is a 1-row limit frame that
+    broadcasts back into the replace expression, and counts are
+    plain longs (bounded by corpus tokens, no products — the
+    decimal(38,0) rule does not trigger). Integer counts +
+    lexicographic tie-breaks end to end: nothing floats, trivially
+    hash-stable."""
+    per_session = session_cache(spark, "_engine_bpe_cache")
+    ck = sf.rstrip("/")
+    if ck in per_session:
+        s = per_session[ck]
+    else:
+        d = load_tables(spark, sf)["documents"]
+        w = (d.select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.length("word") >= 2)
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+        s = w.select(
+            F.concat(F.lit(" "),
+                     F.trim(F.regexp_replace("word", "(.)", "$1  ")),
+                     F.lit(" ")).alias("seq"),
+            "freq").persist()
+        per_session[ck] = s
+    out = []
+    for rank in range(1, _BPE_MERGES + 1):
+        ts = F.split(F.trim(F.col("seq")), "  ")
+        pair_expr = F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat(F.element_at(ts, i), F.lit(" "),
+                               F.element_at(ts, i + 1)))
+        p = (s.filter(F.size(ts) >= 2)
+             .select(F.explode(pair_expr).alias("pair"), "freq")
+             .groupBy("pair").agg(F.sum("freq").alias("n")))
+        b = p.orderBy(F.col("n").desc(), "pair").limit(1)
+        out.append(b.select(F.lit(rank).cast("long").alias("rank"),
+                            "pair", F.col("n").cast("long").alias("n")))
+        s = (s.crossJoin(F.broadcast(b.select("pair")))
+             .select(F.expr(
+                 "replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',"
+                 " ' ' || replace(pair, ' ', '') || ' ')").alias("seq"),
+                 "freq"))
+    return out[0].union(out[1]).union(out[2])

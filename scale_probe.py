@@ -82,6 +82,11 @@ DOC_KEYS = [
     # brute-force baseline); the streaming gate twin is excluded like
     # every q_stream_* key.
     "q_contamination_semantic",
+    # round-9: BPE merge learning — the corpus-sized stage is the one
+    # word-frequency aggregate; merge rounds run on the |word types|
+    # table, so the probe documents sub-linear growth (types grow
+    # slower than tokens).
+    "q_tokenizer_fit",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

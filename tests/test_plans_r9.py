@@ -1,8 +1,9 @@
 """Round-9 plan pins + behavior tests for the _R09_NEW cohort:
 q_contamination_semantic (broadcast-holdout GEMM eval-leak detector),
 q_stream_temperature_gate (speed-layer twin of the alpha-sampling
-gate), and q_dedup_eval_semantic (semantic-path precision/recall vs
-brute-force cosine truth).
+gate), q_dedup_eval_semantic (semantic-path precision/recall vs
+brute-force cosine truth), and q_tokenizer_fit (BPE merge learning,
++ the cross-engine replace-semantics pin its oracle relies on).
 """
 from __future__ import annotations
 
@@ -99,3 +100,65 @@ def test_dedup_eval_semantic_candidates_match_operator(spark, sf_dir):
     n_drops = (_semantic_pairs(spark, sf_dir)
                .select("v2", "cl").distinct().count())
     assert QUERIES["q_dedup_semantic"](spark, sf_dir).count() == n_drops
+
+
+def test_bpe_replace_semantics_identical_cross_engine(spark):
+    """The merge-apply primitive: plain string replace's leftmost-
+    non-overlapping scan must behave identically in Spark and DuckDB
+    on adversarial repeated-token sequences — this equivalence is
+    what lets q_tokenizer_fit's oracle replay the merge loop."""
+    import duckdb
+
+    cases = [
+        (" a  a  a ", " a  a ", " aa "),          # odd run: merge 1st
+        (" a  a  a  a ", " a  a ", " aa "),       # even run: merge both
+        (" x  y  x  y  x ", " x  y ", " xy "),    # alternating
+        (" b  a  a  b ", " a  a ", " aa "),       # interior
+        (" ax  yb ", " x  y ", " xy "),           # NO suffix/prefix match
+    ]
+    for s, pat, rep in cases:
+        dd = duckdb.sql(
+            f"SELECT replace('{s}', '{pat}', '{rep}')").fetchone()[0]
+        sp = spark.sql(
+            f"SELECT replace('{s}', '{pat}', '{rep}') AS r"
+        ).collect()[0]["r"]
+        assert dd == sp, (s, dd, sp)
+    # and the double-space layout implements TRUE greedy-left BPE:
+    # ' x  y  x  y  x ' merges BOTH occurrences (a single-space
+    # layout would consume the shared separator and miss the second)
+    assert spark.sql(
+        "SELECT replace(' x  y  x  y  x ', ' x  y ', ' xy ') AS r"
+    ).collect()[0]["r"] == " xy  xy  x "
+
+
+def test_tokenizer_fit_greedy_left_contract(spark, sf_dir):
+    """Behavior pins: exactly _BPE_MERGES output rows with distinct
+    ranks 1..n; every learned pair is two space-separated tokens;
+    counts are positive and non-increasing in rank ONLY when merges
+    don't create new dominant pairs (not asserted — BPE counts may
+    rise); rank-1 must equal the hand-computable most frequent
+    adjacent char pair of the corpus."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from engine.io import load_tables
+    from engine.queries.llm import _BPE_MERGES
+
+    rows = {r["rank"]: r for r in
+            QUERIES["q_tokenizer_fit"](spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(1, _BPE_MERGES + 1))
+    for r in rows.values():
+        assert r["n"] > 0
+        assert len(r["pair"].split(" ")) == 2, r
+    # independent rank-1 recomputation (pure python, no SQL path)
+    words = (load_tables(spark, sf_dir)["documents"]
+             .select(F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.length("w") >= 2).collect())
+    c = Counter()
+    for w in words:
+        s = w["w"]
+        for a, b in zip(s, s[1:]):
+            c[f"{a} {b}"] += 1
+    best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (rows[1]["pair"], rows[1]["n"]) == best, (rows[1], best)
