@@ -2583,3 +2583,74 @@ def q_tokenizer_fit(spark, sf):
                  " ' ' || replace(pair, ' ', '') || ' ')").alias("seq"),
                  "freq"))
     return out[0].union(out[1]).union(out[2])
+
+
+@query("q_tokenizer_apply", oracle=f"""
+WITH {_bpe_ctes(_BPE_MERGES)},
+dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       FROM documents),
+a0 AS (SELECT word,
+              ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g'))
+              || ' ' AS seq
+       FROM (SELECT DISTINCT word FROM dw WHERE length(word) > 0)),
+a1 AS (SELECT word, replace(seq, ' ' || replace(b1.pair, ' ', '  ')
+                            || ' ', ' ' || replace(b1.pair, ' ', '')
+                            || ' ') AS seq FROM a0, b1),
+a2 AS (SELECT word, replace(seq, ' ' || replace(b2.pair, ' ', '  ')
+                            || ' ', ' ' || replace(b2.pair, ' ', '')
+                            || ' ') AS seq FROM a1, b2),
+a3 AS (SELECT word, replace(seq, ' ' || replace(b3.pair, ' ', '  ')
+                            || ' ', ' ' || replace(b3.pair, ' ', '')
+                            || ' ') AS seq FROM a2, b3),
+nt AS (SELECT word, len(string_split(trim(seq), '  ')) AS n_tok
+       FROM a3)
+SELECT dw.doc_id, count(*) AS n_words,
+       CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+       CAST(sum(nt.n_tok) AS BIGINT) AS n_tokens
+FROM dw JOIN nt USING (word)
+WHERE length(dw.word) > 0
+GROUP BY dw.doc_id
+""")
+def q_tokenizer_apply(spark, sf):
+    """BPE tokenizer APPLICATION — the second half of the tokenizer
+    lifecycle: apply q_tokenizer_fit's learned merges (composed from
+    the REGISTERED key directly, so the merge table cannot drift from
+    the fit) to every document and report per-doc word, character,
+    and post-merge token counts — the corpus statistics a training
+    run budgets sequence lengths from, and the measured compression
+    the merges actually buy (n_tokens <= n_chars by construction,
+    strictly < wherever a merge fired).
+
+    Scale (the fit's own shape, extended one join): merge application
+    runs on the DISTINCT word-type table (corpus-size-independent),
+    the 3 merge pairs arrive as 1-row broadcast frames feeding plain
+    codegen replace calls, and the per-type token counts join back to
+    the exploded corpus as a broadcast (|vocab| rows — bucketed join
+    at vocabularies beyond broadcast reach). The corpus is touched by
+    exactly two narrow passes (type extraction + the stats join) and
+    one count aggregate. All-integer output: trivially hash-stable."""
+    merges = q_tokenizer_fit(spark, sf)
+    d = load_tables(spark, sf)["documents"]
+    dw = (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+          .filter(F.length("word") > 0))
+    s = dw.select("word").distinct().select(
+        "word",
+        F.concat(F.lit(" "),
+                 F.trim(F.regexp_replace("word", "(.)", "$1  ")),
+                 F.lit(" ")).alias("seq"))
+    for r in range(1, _BPE_MERGES + 1):
+        s = (s.crossJoin(F.broadcast(
+                merges.filter(F.col("rank") == r).select("pair")))
+             .select("word", F.expr(
+                 "replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',"
+                 " ' ' || replace(pair, ' ', '') || ' ')").alias("seq")))
+    nt = s.select(
+        "word",
+        F.size(F.split(F.trim("seq"), "  ")).cast("long").alias("n_tok"))
+    return (
+        dw.join(F.broadcast(nt), "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             F.sum(F.length("word")).cast("long").alias("n_chars"),
+             F.sum("n_tok").cast("long").alias("n_tokens"))
+    )

@@ -86,7 +86,7 @@ DOC_KEYS = [
     # word-frequency aggregate; merge rounds run on the |word types|
     # table, so the probe documents sub-linear growth (types grow
     # slower than tokens).
-    "q_tokenizer_fit",
+    "q_tokenizer_fit", "q_tokenizer_apply",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

@@ -162,3 +162,25 @@ def test_tokenizer_fit_greedy_left_contract(spark, sf_dir):
             c[f"{a} {b}"] += 1
     best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
     assert (rows[1]["pair"], rows[1]["n"]) == best, (rows[1], best)
+
+
+def test_tokenizer_apply_compression_and_composition(spark, sf_dir):
+    """Behavior pins: every document appears (words >= 1); n_tokens
+    <= n_chars everywhere (merges only shrink) with strict
+    inequality somewhere (the merges actually fire); and corpus
+    totals are consistent: sum(n_chars) equals the corpus character
+    count of its words."""
+    from pyspark.sql import functions as F
+
+    from engine.io import load_tables
+
+    rows = QUERIES["q_tokenizer_apply"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_tokens"] <= r["n_chars"] for r in rows)
+    assert any(r["n_tokens"] < r["n_chars"] for r in rows)
+    assert all(r["n_words"] >= 1 for r in rows)
+    total_chars = (load_tables(spark, sf_dir)["documents"]
+                   .select(F.explode(F.split("text", " ")).alias("w"))
+                   .filter(F.length("w") > 0)
+                   .agg(F.sum(F.length("w"))).collect()[0][0])
+    assert sum(r["n_chars"] for r in rows) == total_chars
