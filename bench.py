@@ -167,6 +167,7 @@ HEADLINE = [
     "q_stream_temperature_gate",
     "q_tokenizer_fit",
     "q_tokenizer_apply",
+    "q_stream_contamination_gate",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

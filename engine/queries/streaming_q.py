@@ -1148,3 +1148,80 @@ def q_stream_temperature_gate(spark, sf):
         q.stop()
         per_session[key] = name
     return spark.table(per_session[key])
+
+
+@query("q_stream_contamination_gate", oracle="""
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS l
+             FROM documents),
+g AS (SELECT doc_id, md5(array_to_string(l[s:s+3], ' ')) AS gh
+      FROM tok, unnest(generate_series(1, len(l) - 3)) AS t(s)
+      WHERE len(l) >= 4),
+hold AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT DISTINCT g.doc_id
+         FROM g JOIN hold USING (gh)
+         WHERE g.doc_id % 97 <> 0),
+d AS (SELECT doc_id, source FROM tok WHERE doc_id % 97 <> 0)
+SELECT d.source, count(*) AS n_docs, count(h.doc_id) AS n_leaked
+FROM d LEFT JOIN hits h USING (doc_id)
+GROUP BY d.source
+""")
+def q_stream_contamination_gate(spark, sf):
+    """Speed-layer twin of q_contamination (completes the ingest-gate
+    triad: quality / temperature-mix / eval-leak): the held-out
+    benchmark's 4-gram hash set is FIT OFFLINE on the batch corpus,
+    shipped to the stream as ONE broadcast array row, and each live
+    document is flagged STATELESSLY — its gram-hash array is built
+    narrowly (the q_contamination transform, no explode) and
+    ``arrays_overlap`` against the broadcast set decides leakage
+    per row, so the only stateful operator is the final |sources|-row
+    complete-mode count aggregate. No stream-side shuffle before it,
+    no dedup state: a doc is one row, flagged on arrival.
+
+    The emission hash-matches the batch oracle because the flag is a
+    deterministic set-membership test on md5 grams and the state is
+    mergeable integer counts. Docs shorter than 4 tokens carry an
+    empty gram array (cannot leak) but still count in n_docs — the
+    gate reports leak RATE per source, so the denominator is all
+    arriving docs.
+
+    Scale: the holdout array is eval-benchmark-bounded (thousands of
+    grams — the q_contamination boundedness contract); for
+    million-gram holdouts the same plan swaps the array for a
+    stream-static left-semi join or a bloom filter without touching
+    the aggregate. State stays |sources| rows forever."""
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "contamination_gate")
+    if key not in per_session:
+        name = ("stream_contam_gate_"
+                + hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8])
+        d = load_tables(spark, sf)["documents"]
+        l = F.split("text", " ")
+        gram_expr = F.when(
+            F.size(l) >= 4,
+            F.transform(
+                F.sequence(F.lit(1), F.size(l) - 3),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(l, i, F.lit(4)))
+                    .cast("binary")))
+        ).otherwise(F.array().cast("array<string>"))
+        hold = (d.filter(F.col("doc_id") % 97 == 0)
+                .select(F.explode(gram_expr).alias("gh"))
+                .agg(F.collect_set("gh").alias("hold_ghs")))
+        src = _stage_source(sf, table="documents")
+        docs = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        flagged = (
+            docs.filter(F.col("doc_id") % 97 != 0)
+            .select("source", gram_expr.alias("ghs"))
+            .join(F.broadcast(hold))  # 1-row static side: broadcast NLJ
+            .select("source",
+                    F.arrays_overlap("ghs", "hold_ghs").alias("leaked")))
+        g = flagged.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("leaked"), 1)).alias("n_leaked"))
+        q = (g.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    return spark.table(per_session[key])

@@ -235,6 +235,11 @@ X100_KEYS = [
     # should be scan-bound) and posting-list RAG retrieval (tf/df
     # aggregates + broadcast term join over 500k docs)
     "q_quality_classifier", "q_rag_retrieve",
+    # round-9: the BPE lifecycle at 500k docs — fit's word-frequency
+    # aggregate is the only corpus-sized stage (type table saturates,
+    # so the curve should flatten BELOW linear); apply adds the
+    # broadcast stats join back to the exploded corpus (linear).
+    "q_tokenizer_fit", "q_tokenizer_apply",
 ]
 
 

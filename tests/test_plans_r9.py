@@ -184,3 +184,17 @@ def test_tokenizer_apply_compression_and_composition(spark, sf_dir):
                    .filter(F.length("w") > 0)
                    .agg(F.sum(F.length("w"))).collect()[0][0])
     assert sum(r["n_chars"] for r in rows) == total_chars
+
+
+def test_stream_contamination_gate_matches_batch_detector(spark, sf_dir):
+    """Twin pin: the gate's total leaked-doc count must equal the
+    registered batch q_contamination's output row count (one row per
+    contaminated doc), and every source's leak count is bounded by
+    its doc count."""
+    rows = QUERIES["q_stream_contamination_gate"](spark, sf_dir).collect()
+    assert rows
+    n_leaked = sum(r["n_leaked"] for r in rows)
+    assert n_leaked == QUERIES["q_contamination"](spark, sf_dir).count()
+    assert n_leaked > 0  # the fixture actually leaks (non-vacuous)
+    for r in rows:
+        assert 0 <= r["n_leaked"] <= r["n_docs"], r
