@@ -316,16 +316,20 @@ def main() -> None:
             t[name].cache().count()
         row = {}
         for k in DOC_KEYS + REL_KEYS:
-            # min-of-2, third pass when the best is still sub-second:
-            # the growth RATIO divides by this number, so base-side
-            # scheduler/GC tail (±50% below 1 s — BASELINE.md drift
-            # note) is amplified 10x in the flagged factor. The same
-            # policy bench.py adopted in round 6 (at its 0.5 s grain);
-            # the recurring q_corpus_curate 7↔10.5x oscillation was
-            # exactly this artifact.
+            # min-of-2, third pass inside each scale's own noise
+            # band: the growth RATIO divides base into x10, so a GC
+            # tail on EITHER side distorts the flagged factor. The
+            # base side gets a third pass below 1 s (±50% band —
+            # BASELINE.md drift note; round-8 change); the 10x side
+            # below 10 s (same ±20% band scaled by the data — the
+            # round-9 q_corpus_curate 10.45x flag was a min-of-2
+            # x10-side tail: 7.42 s vs 6.18 s min-of-3 in
+            # tools/curate_stage_timing.py). Re-measure before you
+            # flag.
+            third_under = 10.0 if sf == OUT else 1.0
             best = None
             runs = 0
-            while runs < 2 or (runs < 3 and best < 1.0):
+            while runs < 2 or (runs < 3 and best < third_under):
                 t0 = time.time()
                 run_full(QUERIES[k](spark, sf))
                 dt = time.time() - t0
