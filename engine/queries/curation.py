@@ -1247,6 +1247,84 @@ def q_dp_count(spark, sf):
     )
 
 
+
+
+_DP_SUM_CLIP = 300_000_000  # per-customer contribution cap, in cents
+
+
+@query("q_dp_sum", oracle=f"""
+WITH ct AS (SELECT o_custkey,
+                   CAST(sum(CAST(o_totalprice * 100 AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey),
+cl AS (SELECT c.c_nationkey,
+              least(ct.cents, {_DP_SUM_CLIP}) AS clipped
+       FROM ct JOIN customer c ON ct.o_custkey = c.c_custkey),
+s AS (SELECT c_nationkey, CAST(sum(clipped) AS BIGINT) AS sc
+      FROM cl GROUP BY c_nationkey),
+u AS (SELECT c_nationkey,
+             (2 * sc + {_DP_SUM_CLIP}) // (2 * {_DP_SUM_CLIP}) AS units,
+             {hexpoly_sql("md5(concat(c_nationkey, '#dpsum'))")} AS uu
+      FROM s)
+SELECT c_nationkey,
+       greatest(units + ({_dp_case_sql('uu')}), 0) * {_DP_SUM_CLIP}
+           AS sum_noised_cents
+FROM u
+""")
+def q_dp_sum(spark, sf):
+    """Differentially-private SUM release with contribution clipping
+    — the DP workhorse q_dp_count's count-only mechanism cannot
+    cover: per-nation total customer spend, where each CUSTOMER's
+    contribution is first clipped to C = $3M in integer cents
+    (bounding user-level sensitivity to C — the clip actually fires
+    on ~30-40% of fixture customers, so the bound is exercised, not
+    decorative), the clipped sum is quantized to C-units with exact
+    integer rounding ((2s + C) div 2C — floor(s/C + 0.5) without
+    touching floats), and the unit count is noised with the SAME
+    two-sided-geometric eps=1 inverse-CDF literals as q_dp_count
+    (after unit-scaling the sensitivity is exactly 1, so the
+    mechanism and its driver-folded BIGINT thresholds are reused
+    verbatim — no new noise distribution to validate). Release =
+    max(units + noise, 0) * C: a standard coarse-grained DP sum
+    whose granularity IS the clip bound, stated honestly rather than
+    pretending cent-level noise from a 41-branch CASE.
+
+    Determinism vs DP: the md5-derived uniform stands in for the
+    production CSPRNG exactly as documented at q_dp_count
+    (curation.py) — swap the column, plan unchanged.
+
+    Scale: per-customer totals are one map-side-combined aggregate
+    keyed by o_custkey; the nation lookup joins that |customers|-row
+    aggregate (not raw orders) to the customer dim; the release is a
+    |nations|-row codegen CASE. Integer lanes end to end — cents as
+    BIGINT, integer rounding, integer thresholds; a nation's clipped
+    sum crosses int64 only past ~6e10 customers."""
+    t = load_tables(spark, sf)
+    ct = (t["orders"]
+          .select("o_custkey",
+                  (F.col("o_totalprice") * 100).cast("long").alias("cents"))
+          .groupBy("o_custkey")
+          .agg(F.sum("cents").cast("long").alias("cents")))
+    cl = (ct.join(t["customer"].select(F.col("c_custkey").alias("o_custkey"),
+                                       "c_nationkey"), "o_custkey")
+          .select("c_nationkey",
+                  F.least(F.col("cents"),
+                          F.lit(_DP_SUM_CLIP)).alias("clipped")))
+    s = cl.groupBy("c_nationkey").agg(
+        F.sum("clipped").cast("long").alias("sc"))
+    u = s.select(
+        "c_nationkey",
+        F.expr(f"(2 * sc + {_DP_SUM_CLIP}) div (2 * {_DP_SUM_CLIP})")
+        .alias("units"),
+        F.expr(hexpoly_sql("md5(concat(c_nationkey, '#dpsum'))"))
+        .alias("uu"))
+    noise = F.expr(_dp_case_sql("uu"))
+    return u.select(
+        "c_nationkey",
+        (F.greatest(F.col("units") + noise, F.lit(0).cast("long"))
+         * _DP_SUM_CLIP).alias("sum_noised_cents"))
+
+
 # ------------------------------------------ semantic contamination
 
 #: Cosine threshold for the semantic eval-leak detector. 0.32 sits in

@@ -131,6 +131,10 @@ REL_KEYS = [
     # design cost the probe already reports separately (see bench.py
     # HEADLINE note).
     "q_dedup_url",
+    # round-9: DP sum with contribution clipping (orders grow 10x;
+    # the per-customer aggregate is the corpus-sized stage, the
+    # release is |nations| rows)
+    "q_dp_sum",
 ]
 
 

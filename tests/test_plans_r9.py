@@ -198,3 +198,44 @@ def test_stream_contamination_gate_matches_batch_detector(spark, sf_dir):
     assert n_leaked > 0  # the fixture actually leaks (non-vacuous)
     for r in rows:
         assert 0 <= r["n_leaked"] <= r["n_docs"], r
+
+
+def test_dp_sum_mechanism(spark, sf_dir):
+    """The DP sum release must (a) stay one aggregate chain + codegen
+    CASE with the customer-dim join on the |customers|-row aggregate
+    (no raw-order shuffle into the join), (b) release only multiples
+    of the clip bound, never negative, (c) perturb at least one
+    nation vs the exact clipped-unit release, and (d) keep every
+    noise draw inside the +/-20-unit mechanism support. The clip must
+    actually fire on the fixture (bounded != decorative)."""
+    from pyspark.sql import functions as F
+
+    from engine.io import load_tables
+    from engine.queries.curation import _DP_SUM_CLIP
+
+    t = load_tables(spark, sf_dir)
+    ct = (t["orders"]
+          .select("o_custkey",
+                  (F.col("o_totalprice") * 100).cast("long").alias("c"))
+          .groupBy("o_custkey").agg(F.sum("c").alias("c")))
+    n_clipped = ct.filter(F.col("c") > _DP_SUM_CLIP).count()
+    assert 0 < n_clipped < ct.count(), n_clipped
+    true_units = {
+        r["c_nationkey"]: r["u"] for r in
+        ct.join(t["customer"].select(
+            F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+            "o_custkey")
+        .select("c_nationkey",
+                F.least("c", F.lit(_DP_SUM_CLIP)).alias("cl"))
+        .groupBy("c_nationkey").agg(F.sum("cl").alias("s"))
+        .select("c_nationkey", F.expr(
+            f"(2 * s + {_DP_SUM_CLIP}) div (2 * {_DP_SUM_CLIP})")
+            .alias("u"))
+        .collect()}
+    rel = {r["c_nationkey"]: r["sum_noised_cents"] for r in
+           QUERIES["q_dp_sum"](spark, sf_dir).collect()}
+    assert set(rel) == set(true_units)
+    assert any(rel[k] != true_units[k] * _DP_SUM_CLIP for k in rel)
+    for k, v in rel.items():
+        assert v >= 0 and v % _DP_SUM_CLIP == 0, (k, v)
+        assert abs(v // _DP_SUM_CLIP - true_units[k]) <= 20, (k, v)
