@@ -169,6 +169,7 @@ HEADLINE = [
     "q_tokenizer_apply",
     "q_stream_contamination_gate",
     "q_dp_sum",
+    "q_rank_fusion",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

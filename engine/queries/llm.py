@@ -2654,3 +2654,109 @@ def q_tokenizer_apply(spark, sf):
              F.sum(F.length("word")).cast("long").alias("n_chars"),
              F.sum("n_tok").cast("long").alias("n_tokens"))
     )
+
+
+# --------------------------------------------------- rank fusion
+
+_RRF_K = 60   # the standard reciprocal-rank-fusion damping constant
+_RRF_TOPK = 3
+
+
+@query("q_rank_fusion", oracle=f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+dl AS (SELECT doc_id, len(ws) AS dl FROM d WHERE len(ws) >= 1),
+tok AS (SELECT doc_id, w, count(*) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+        GROUP BY doc_id, w),
+dfw AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+top AS (SELECT w, df FROM dfw ORDER BY df DESC, w LIMIT 25),
+terms AS (SELECT CAST((r - 6) // 2 AS INT) AS query_id, w FROM (
+              SELECT w, row_number() OVER (ORDER BY df DESC, w) AS r
+              FROM top)
+          WHERE r BETWEEN 6 AND 25),
+cand AS (SELECT t.query_id, k.doc_id, CAST(sum(k.tf) AS BIGINT) AS tfsum
+         FROM tok k JOIN terms t ON k.w = t.w
+         GROUP BY t.query_id, k.doc_id),
+sc AS (SELECT c.query_id, c.doc_id, c.tfsum,
+              (c.tfsum * 1000000) // dl.dl AS tfnorm
+       FROM cand c JOIN dl USING (doc_id)),
+ra AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY tfsum DESC, doc_id) AS rka,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY tfnorm DESC, doc_id) AS rkb
+       FROM sc),
+fused AS (SELECT query_id, doc_id,
+                 floor((1.0 / ({_RRF_K} + rka) + 1.0 / ({_RRF_K} + rkb))
+                       * 1000000 + 0.5) / 1000000 AS rrf
+          FROM ra)
+SELECT query_id, rank, doc_id, rrf FROM (
+    SELECT query_id, doc_id, rrf,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM fused) WHERE rank <= {_RRF_TOPK}
+""")
+def q_rank_fusion(spark, sf):
+    """Reciprocal-rank fusion (Cormack et al. 2009, SIGIR — RRF:
+    score(d) = sum over systems of 1/(k + rank_s(d)), k=60) of two
+    retrieval systems over the q_rag_retrieve query workload (10
+    two-term queries derived from df-ranked corpus terms): system A
+    ranks candidates by raw query-term frequency, system B by
+    length-normalized term frequency (tf*1e6 div dl — exact integer
+    division, a crude TF-norm that genuinely reorders long vs short
+    docs). RRF is THE standard way production search fuses lexical +
+    vector + rerank lists without score calibration; this key makes
+    the fusion operator itself oracle-checked.
+
+    Determinism by construction (stronger than the margin
+    discipline): both rankers produce exact-integer scores with
+    doc_id tie-breaks, so ranks are integers; the fused score
+    1/(60+ra) + 1/(60+rb) is two IEEE correctly-rounded divisions
+    and one addition, written in the same operand order in both
+    engines — bit-identical cross-engine, no libm, no margin
+    analysis owed. Ties in rrf (symmetric (ra, rb) swaps) break by
+    doc_id.
+
+    Scale: candidates per query are posting-list-bounded (docs
+    containing a query term — the q_rag_retrieve shape); both
+    rankers and the fusion are windows over that bounded set keyed
+    by query_id, and every (query, doc) candidate appears in BOTH
+    rankers by construction (same tf rows), so the fusion is a
+    projection, not a join of partial lists. The term table (20
+    rows) broadcasts; the doc-length frame joins the candidate
+    aggregate, not the corpus."""
+    d = load_tables(spark, sf)["documents"].select(
+        "doc_id", F.split("text", " ").alias("ws"))
+    dl = (d.filter(F.size("ws") >= 1)
+          .select("doc_id", F.size("ws").cast("long").alias("dl")))
+    tok = (d.select("doc_id", F.explode("ws").alias("w"))
+           .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    dfw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    top = dfw.orderBy(F.col("df").desc(), "w").limit(25)
+    wr = W.orderBy(F.col("df").desc(), "w")
+    terms = (top.withColumn("r", F.row_number().over(wr))
+             .filter((F.col("r") >= 6) & (F.col("r") <= 25))
+             .select(F.expr("CAST((r - 6) div 2 AS INT)")
+                     .alias("query_id"), "w"))
+    cand = (tok.join(F.broadcast(terms), "w")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("tf").cast("long").alias("tfsum")))
+    sc = (cand.join(dl, "doc_id")
+          .select("query_id", "doc_id", "tfsum",
+                  F.expr("(tfsum * 1000000) div dl").alias("tfnorm")))
+    wa = W.partitionBy("query_id").orderBy(F.col("tfsum").desc(), "doc_id")
+    wb = W.partitionBy("query_id").orderBy(F.col("tfnorm").desc(), "doc_id")
+    ra = sc.select(
+        "query_id", "doc_id",
+        F.row_number().over(wa).alias("rka"),
+        F.row_number().over(wb).alias("rkb"))
+    rrf = (F.floor((F.lit(1.0) / (_RRF_K + F.col("rka"))
+                    + F.lit(1.0) / (_RRF_K + F.col("rkb")))
+                   * 1000000 + F.lit(0.5)) / 1000000)
+    fused = ra.select("query_id", "doc_id", rrf.alias("rrf"))
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (fused.withColumn("rank",
+                             F.row_number().over(wf).cast("long"))
+            .filter(F.col("rank") <= _RRF_TOPK)
+            .select("query_id", "rank", "doc_id", "rrf"))

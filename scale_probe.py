@@ -87,6 +87,9 @@ DOC_KEYS = [
     # table, so the probe documents sub-linear growth (types grow
     # slower than tokens).
     "q_tokenizer_fit", "q_tokenizer_apply",
+    # round-9: RRF fusion (documents grow 10x; candidates stay
+    # posting-list-bounded per query)
+    "q_rank_fusion",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -244,6 +247,9 @@ X100_KEYS = [
     # so the curve should flatten BELOW linear); apply adds the
     # broadcast stats join back to the exploded corpus (linear).
     "q_tokenizer_fit", "q_tokenizer_apply",
+    # round-9: RRF fusion (documents grow 10x; candidates stay
+    # posting-list-bounded per query)
+    "q_rank_fusion",
 ]
 
 

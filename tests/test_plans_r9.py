@@ -239,3 +239,51 @@ def test_dp_sum_mechanism(spark, sf_dir):
     for k, v in rel.items():
         assert v >= 0 and v % _DP_SUM_CLIP == 0, (k, v)
         assert abs(v // _DP_SUM_CLIP - true_units[k]) <= 20, (k, v)
+
+
+def test_rank_fusion_rrf_properties(spark, sf_dir):
+    """Behavior pins: exactly TOPK rows per query with dense ranks
+    1..k; rrf values strictly positive and bounded by 2/(k+1); the
+    fusion genuinely fuses — somewhere the fused winner is NOT the
+    raw-tf winner (system B's length normalization must actually
+    influence at least one query's podium, else the second ranker is
+    decorative)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from engine.queries.llm import _RRF_K, _RRF_TOPK
+
+    rows = QUERIES["q_rank_fusion"](spark, sf_dir).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r["query_id"]].append(r)
+        assert 0 < r["rrf"] <= 2.0 / (_RRF_K + 1) + 1e-6, r
+    assert len(per_q) == 10
+    for q, rs in per_q.items():
+        assert sorted(r["rank"] for r in rs) == list(
+            range(1, _RRF_TOPK + 1)), (q, rs)
+    # independent raw-tf winner per query (ranker A alone)
+    tok = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+           .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    dfw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    import pyspark.sql.window as _w
+    wr = _w.Window.orderBy(F.col("df").desc(), "w")
+    terms = (dfw.orderBy(F.col("df").desc(), "w").limit(25)
+             .withColumn("r", F.row_number().over(wr))
+             .filter((F.col("r") >= 6) & (F.col("r") <= 25))
+             .select(F.expr("CAST((r - 6) div 2 AS INT)")
+                     .alias("query_id"), "w"))
+    wa = _w.Window.partitionBy("query_id").orderBy(
+        F.col("tfsum").desc(), "doc_id")
+    a_winners = {r["query_id"]: r["doc_id"] for r in
+                 tok.join(F.broadcast(terms), "w")
+                 .groupBy("query_id", "doc_id")
+                 .agg(F.sum("tf").alias("tfsum"))
+                 .withColumn("rk", F.row_number().over(wa))
+                 .filter(F.col("rk") == 1).collect()}
+    fused_winners = {q: min(rs, key=lambda r: r["rank"])["doc_id"]
+                     for q, rs in per_q.items()}
+    assert any(fused_winners[q] != a_winners[q] for q in fused_winners), (
+        "fusion never disagrees with raw tf — ranker B is decorative")
