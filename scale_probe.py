@@ -88,8 +88,9 @@ DOC_KEYS = [
     # slower than tokens).
     "q_tokenizer_fit", "q_tokenizer_apply",
     # round-9: RRF fusion (documents grow 10x; candidates stay
-    # posting-list-bounded per query)
-    "q_rank_fusion",
+    # posting-list-bounded per query) + perceptual-hash dedup
+    # (payload bytes grow 10x; banding bounds the pair join)
+    "q_rank_fusion", "q_dedup_phash",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -248,8 +249,9 @@ X100_KEYS = [
     # broadcast stats join back to the exploded corpus (linear).
     "q_tokenizer_fit", "q_tokenizer_apply",
     # round-9: RRF fusion (documents grow 10x; candidates stay
-    # posting-list-bounded per query)
-    "q_rank_fusion",
+    # posting-list-bounded per query) + perceptual-hash dedup
+    # (payload bytes grow 10x; banding bounds the pair join)
+    "q_rank_fusion", "q_dedup_phash",
 ]
 
 

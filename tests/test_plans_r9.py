@@ -287,3 +287,48 @@ def test_rank_fusion_rrf_properties(spark, sf_dir):
                      for q, rs in per_q.items()}
     assert any(fused_winners[q] != a_winners[q] for q in fused_winners), (
         "fusion never disagrees with raw tf — ranker B is decorative")
+
+
+def test_dedup_phash_banding_recall_and_symmetry(spark, sf_dir):
+    """Recall pin (the pigeonhole guarantee): every pair with true
+    hamming <= 3 MUST be reported (hamming <= 3 over 4 bands means
+    at least one band is untouched, so band-equality candidates
+    cannot miss it) — verified against a brute-force all-pairs
+    recomputation of the hashes at fixture scale. Plus invariants:
+    d1 < d2, hamming within [0, threshold], and hash determinism
+    (the kernel's integer cross-multiplication replayed in numpy)."""
+    import itertools
+
+    import numpy as np
+
+    from engine.io import load_tables
+    from engine.queries.multimodal import _PHASH_HAM
+
+    rows = QUERIES["q_dedup_phash"](spark, sf_dir).collect()
+    got = {(r["d1"], r["d2"]): r["hamming"] for r in rows}
+    for (d1, d2), hm in got.items():
+        assert d1 < d2 and 0 <= hm <= _PHASH_HAM
+
+    docs = load_tables(spark, sf_dir)["documents"] \
+        .select("doc_id", "text").collect()
+    hashes = {}
+    for r in docs:
+        b = r["text"].encode()
+        n = len(b)
+        if n == 0:
+            continue
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        tot = int(arr.sum())
+        bits = []
+        for k in range(64):
+            s0, s1 = n * k // 64, n * (k + 1) // 64
+            bits.append(1 if int(arr[s0:s1].sum()) * n
+                        >= tot * (s1 - s0) else 0)
+        hashes[r["doc_id"]] = bits
+    must = []
+    for a, b2 in itertools.combinations(sorted(hashes), 2):
+        h = sum(x != y for x, y in zip(hashes[a], hashes[b2]))
+        if h <= 3:
+            must.append((a, b2, h))
+    for a, b2, h in must:
+        assert got.get((a, b2)) == h, (a, b2, h, got.get((a, b2)))
