@@ -196,7 +196,7 @@ _R09_NEW: set[str] = {
     "q_contamination_semantic", "q_stream_temperature_gate",
     "q_dedup_eval_semantic", "q_tokenizer_fit", "q_tokenizer_apply",
     "q_stream_contamination_gate", "q_dp_sum", "q_rank_fusion",
-    "q_dedup_phash",
+    "q_dedup_phash", "q_dedup_report",
 }
 
 

@@ -2760,3 +2760,94 @@ def q_rank_fusion(spark, sf):
                              F.row_number().over(wf).cast("long"))
             .filter(F.col("rank") <= _RRF_TOPK)
             .select("query_id", "rank", "doc_id", "rrf"))
+
+
+# the report composes oracles registered by sibling modules; import
+# them here so their @query decorators have run regardless of
+# registry.load_all()'s module order (neither imports llm back)
+from . import curation as _curation  # noqa: E402
+from . import multimodal as _multimodal  # noqa: E402
+
+
+@query("q_dedup_report", oracle=f"""
+SELECT 'exact' AS method, 'duplicate_docs' AS unit,
+       CAST(coalesce(sum(n_copies - 1), 0) AS BIGINT) AS n
+FROM ({_ORACLE['q_dedup_exact']}) t
+UNION ALL
+SELECT 'minhash_candidates', 'pairs', CAST(count(*) AS BIGINT)
+FROM ({_ORACLE['q_dedup_fuzzy_minhash']}) t
+UNION ALL
+SELECT 'simhash', 'pairs',
+       CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+FROM (SELECT count(*) AS c
+      FROM ({_ORACLE['q_dedup_simhash']}) t GROUP BY simhash) g
+UNION ALL
+SELECT 'ngram_jaccard', 'pairs', CAST(count(*) AS BIGINT)
+FROM ({_ORACLE['q_dedup_ngram_jaccard']}) t
+UNION ALL
+SELECT 'url', 'duplicate_events',
+       CAST(coalesce(sum(n_events - 1), 0) AS BIGINT)
+FROM ({_ORACLE['q_dedup_url']}) t
+UNION ALL
+SELECT 'phash', 'pairs', CAST(count(*) AS BIGINT)
+FROM ({_ORACLE['q_dedup_phash']}) t
+UNION ALL
+SELECT 'semantic', 'dropped_vectors', CAST(count(*) AS BIGINT)
+FROM ({_ORACLE['q_dedup_semantic']}) t
+""")
+def q_dedup_report(spark, sf):
+    """Dedup-method yield report — the completeness-critic dashboard
+    a corpus owner reads before choosing a dedup stack: ONE row per
+    registered dedup method with its finding count in its own unit
+    (exact -> duplicate docs beyond each keeper; MinHash banding ->
+    candidate pairs; simhash -> equal-fingerprint pairs;
+    n-gram Jaccard -> verified near-dup pairs; URL canonicalization
+    -> duplicate events beyond each canonical keeper; perceptual
+    hash -> verified low-hamming pairs; SemDeDup -> dropped
+    vectors). Every count is computed FROM the registered operator
+    (Spark side calls the q_* functions; the oracle wraps each key's
+    ORACLE string verbatim as a subquery — the q_dedup_eval
+    no-desync discipline, collision-free because each composition is
+    a closed subquery, not shared CTEs), so the report can never
+    disagree with the operators it summarizes.
+
+    Scale: each method's pipeline already carries its own 100 TB
+    plan (banding, bucketing, broadcast holdouts — see the
+    individual keys); the report adds one tiny aggregate per method
+    and a 7-row union. Deliberately NOT a bench HEADLINE entry (it
+    composes seven full pipelines — the q_dedup_eval precedent);
+    correctness-gated like every key."""
+    from .curation import q_dedup_url
+    from .multimodal import q_dedup_phash
+
+    def row(method, unit, agg_df):
+        return agg_df.select(
+            F.lit(method).alias("method"), F.lit(unit).alias("unit"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
+
+    exact = row("exact", "duplicate_docs",
+                q_dedup_exact(spark, sf)
+                .agg(F.sum(F.col("n_copies") - 1).alias("n")))
+    mh = row("minhash_candidates", "pairs",
+             q_dedup_fuzzy_minhash(spark, sf)
+             .agg(F.count(F.lit(1)).alias("n")))
+    sim = row("simhash", "pairs",
+              q_dedup_simhash(spark, sf)
+              .groupBy("simhash").agg(F.count(F.lit(1)).alias("c"))
+              .agg(F.expr("sum(c * (c - 1) div 2)").alias("n")))
+    ng = row("ngram_jaccard", "pairs",
+             q_dedup_ngram_jaccard(spark, sf)
+             .agg(F.count(F.lit(1)).alias("n")))
+    url = row("url", "duplicate_events",
+              q_dedup_url(spark, sf)
+              .agg(F.sum(F.col("n_events") - 1).alias("n")))
+    ph = row("phash", "pairs",
+             q_dedup_phash(spark, sf)
+             .agg(F.count(F.lit(1)).alias("n")))
+    sem = row("semantic", "dropped_vectors",
+              q_dedup_semantic(spark, sf)
+              .agg(F.count(F.lit(1)).alias("n")))
+    out = exact
+    for part in (mh, sim, ng, url, ph, sem):
+        out = out.union(part)
+    return out

@@ -332,3 +332,25 @@ def test_dedup_phash_banding_recall_and_symmetry(spark, sf_dir):
             must.append((a, b2, h))
     for a, b2, h in must:
         assert got.get((a, b2)) == h, (a, b2, h, got.get((a, b2)))
+
+
+def test_dedup_report_matches_operators(spark, sf_dir):
+    """No-desync pins: every method row must equal the count derived
+    from its registered operator, computed independently here."""
+    from pyspark.sql import functions as F
+
+    rows = {r["method"]: r for r in
+            QUERIES["q_dedup_report"](spark, sf_dir).collect()}
+    assert set(rows) == {"exact", "minhash_candidates", "simhash",
+                         "ngram_jaccard", "url", "phash", "semantic"}
+    assert rows["minhash_candidates"]["n"] == \
+        QUERIES["q_dedup_fuzzy_minhash"](spark, sf_dir).count()
+    assert rows["phash"]["n"] == \
+        QUERIES["q_dedup_phash"](spark, sf_dir).count()
+    assert rows["semantic"]["n"] == \
+        QUERIES["q_dedup_semantic"](spark, sf_dir).count()
+    exact = (QUERIES["q_dedup_exact"](spark, sf_dir)
+             .agg(F.sum(F.col("n_copies") - 1)).collect()[0][0]) or 0
+    assert rows["exact"]["n"] == exact
+    for r in rows.values():
+        assert r["n"] >= 0
