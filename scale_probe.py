@@ -365,6 +365,18 @@ def main() -> None:
 # "no unplanned superlinear key" claim stays honest.
 _QUADRATIC_BY_DESIGN = {"q_sim_topk"}
 
+# Superlinear flag tolerance. "Superlinear" means growth EXCEEDING
+# the 10x data factor beyond measurement noise: a truly-linear key
+# measures ~10x +/- the combined two-sided min-of-3 band (each side
+# wobbles ~20-30% run to run — measured across the three round-9
+# sweeps, where q_corpus_curate's ratio spanned 8.2-14.5 while the
+# per-stage tool pinned every stage at 6.99-9.66x), so a
+# zero-tolerance >10.0 flag flips forever on exactly-linear keys.
+# Keys above 10.0 but within the tolerance are reported LOUDLY in
+# "linear_band_keys" (never hidden); tools/curate_stage_timing.py is
+# the arbiter for anything that lingers there.
+_SUPERLINEAR_FACTOR = 12.0
+
 
 def emit_artifact(rows: dict[str, dict[str, float]],
                   path: str = "SCALE.json") -> None:
@@ -402,7 +414,13 @@ def emit_artifact(rows: dict[str, dict[str, float]],
         if worst_bd else None,
         "superlinear_keys": sorted(
             k for k, g in growth.items()
-            if g > 10.0 and k not in _QUADRATIC_BY_DESIGN),
+            if g > _SUPERLINEAR_FACTOR
+            and k not in _QUADRATIC_BY_DESIGN),
+        "linear_band_keys": {
+            k: g for k, g in sorted(growth.items())
+            if 10.0 < g <= _SUPERLINEAR_FACTOR
+            and k not in _QUADRATIC_BY_DESIGN},
+        "superlinear_tolerance": _SUPERLINEAR_FACTOR,
         "superlinear_by_design": sorted(
             k for k, g in growth.items()
             if g > 10.0 and k in _QUADRATIC_BY_DESIGN),

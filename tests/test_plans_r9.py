@@ -2,8 +2,14 @@
 q_contamination_semantic (broadcast-holdout GEMM eval-leak detector),
 q_stream_temperature_gate (speed-layer twin of the alpha-sampling
 gate), q_dedup_eval_semantic (semantic-path precision/recall vs
-brute-force cosine truth), and q_tokenizer_fit (BPE merge learning,
-+ the cross-engine replace-semantics pin its oracle relies on).
+brute-force cosine truth), q_tokenizer_fit (BPE merge learning, + the
+cross-engine replace-semantics pin its oracle relies on),
+q_tokenizer_apply (merge application + compression stats),
+q_stream_contamination_gate (stateless streaming eval-leak gate),
+q_dp_sum (clipped-contribution DP sum release), q_rank_fusion
+(reciprocal-rank fusion), q_dedup_phash (perceptual-hash near-dup
+detection, + the pigeonhole recall pin), and q_dedup_report (the
+cross-method dedup yield dashboard).
 """
 from __future__ import annotations
 
