@@ -18,12 +18,12 @@ registry.load_all()
 def test_waiting_keys_lead_the_window():
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
-    # round-9 newcomers are EXCLUDED from the waiting tier by design:
-    # the r8 verdict's top priority is earning first driver rows for
-    # the _R08_NEW cohort, so _R09_NEW keys go behind even the greens
-    # until round 10 (see the _R09_NEW comment).
+    # round-10 newcomers are EXCLUDED from the waiting tier by design:
+    # the r9 verdict's top priority is earning first driver rows for
+    # the _R09_NEW cohort, so _R10_NEW keys go behind even the greens
+    # until round 11 (see the _R10_NEW comment).
     waiting = [k for k in q
-               if k not in green and k not in entry._R09_NEW]
+               if k not in green and k not in entry._R10_NEW]
     # no green key may hold a window slot while a waiting key sits
     # outside it: the first min(|waiting|, 50) slots are all waiting
     head = q[:min(len(waiting), 50)]
@@ -34,38 +34,38 @@ def test_waiting_keys_lead_the_window():
         assert all(k in set(q[:50]) for k in waiting)
 
 
-def test_r08_newcomers_lead_the_round9_window():
-    """The _R07_NEW drain completed in CORRECTNESS_r08, so the round-8
-    verdict's top priority is the 9 _R08_NEW keys earning their
-    FIRST driver rows: every never-rowed _R08_NEW key must sort ahead
+def test_r09_newcomers_lead_the_round10_window():
+    """The _R08_NEW drain completed in CORRECTNESS_r09, so the round-9
+    verdict's top priority is the 10 _R09_NEW keys earning their
+    FIRST driver rows: every never-rowed _R09_NEW key must sort ahead
     of every driver-green key (i.e. inside the 50-key window)."""
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
-    waiting8 = [k for k in entry._R08_NEW if k not in green]
-    if not waiting8:  # all have driver rows now — nothing to pin
+    waiting9 = [k for k in entry._R09_NEW if k not in green]
+    if not waiting9:  # all have driver rows now — nothing to pin
         return
     first_green = min(q.index(k) for k in q if k in green)
-    for k in waiting8:
+    for k in waiting9:
         assert q.index(k) < first_green, (
             f"{k} sits behind a green key — it misses its first "
             f"driver row again")
         assert q.index(k) < 50, f"{k} outside the 50-key window"
 
 
-def test_r09_newcomers_sort_behind_every_green():
-    """Round-9 newcomers take NO window slot while _R08_NEW earns its
-    first driver rows: every never-rowed _R09_NEW key must sort after
-    every driver-green key (they get their first rows in round 10)."""
+def test_r10_newcomers_sort_behind_every_green():
+    """Round-10 newcomers take NO window slot while _R09_NEW earns its
+    first driver rows: every never-rowed _R10_NEW key must sort after
+    every driver-green key (they get their first rows in round 11)."""
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
-    back = [k for k in entry._R09_NEW
+    back = [k for k in entry._R10_NEW
             if k in set(q) and k not in green]
     if not back:  # all have driver rows now — demotion is over
         return
     last_green = max(q.index(k) for k in q if k in green)
     for k in back:
         assert q.index(k) > last_green, (
-            f"{k} holds a window slot while _R08_NEW keys wait for "
+            f"{k} holds a window slot while _R09_NEW keys wait for "
             f"their first driver row")
 
 
@@ -106,8 +106,10 @@ def test_round5_newcomers_wait_behind_older_keys():
     waiting = [k for k in q if k not in green]
 
     def tier(k):
+        if k in entry._R10_NEW:
+            return 8      # behind even the greens (round-11 cohort)
         if k in entry._R09_NEW:
-            return 7      # behind even the greens (round-10 cohort)
+            return 7
         if k in entry._R08_NEW:
             return 6
         if k in entry._R07_NEW:
@@ -137,7 +139,7 @@ def test_every_registered_key_is_cohorted_or_green():
     cohorts = (set(entry._R02_GREEN) | set(entry._R03_GREEN)
                | entry._R05_NEW | entry._R06_NEW | entry._R06B_NEW
                | entry._R06C_NEW | entry._R07_NEW | entry._R08_NEW
-               | entry._R09_NEW)
+               | entry._R09_NEW | entry._R10_NEW)
     stray = [k for k in registry.QUERIES
              if k not in green and k not in cohorts]
     assert not stray, (
