@@ -1254,8 +1254,8 @@ _DP_SUM_CLIP = 300_000_000  # per-customer contribution cap, in cents
 
 @query("q_dp_sum", oracle=f"""
 WITH ct AS (SELECT o_custkey,
-                   CAST(sum(CAST(o_totalprice * 100 AS BIGINT))
-                        AS BIGINT) AS cents
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
             FROM orders GROUP BY o_custkey),
 cl AS (SELECT c.c_nationkey,
               least(ct.cents, {_DP_SUM_CLIP}) AS clipped
@@ -1300,9 +1300,15 @@ def q_dp_sum(spark, sf):
     BIGINT, integer rounding, integer thresholds; a nation's clipped
     sum crosses int64 only past ~6e10 customers."""
     t = load_tables(spark, sf)
+    # repo cents convention (pipeline.py q_rfm_segment, analytics_extra
+    # q_gini): floor(x*100 + 0.5) → BIGINT on BOTH engines. A bare
+    # cast('long') truncates in Spark while DuckDB's CAST rounds, so
+    # per-row cents would diverge on ~5% of fixture orders and only
+    # the clip-unit quantization would hide it (round-9 ADVICE).
     ct = (t["orders"]
           .select("o_custkey",
-                  (F.col("o_totalprice") * 100).cast("long").alias("cents"))
+                  F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                  .cast("long").alias("cents"))
           .groupBy("o_custkey")
           .agg(F.sum("cents").cast("long").alias("cents")))
     cl = (ct.join(t["customer"].select(F.col("c_custkey").alias("o_custkey"),
@@ -1385,11 +1391,21 @@ def q_contamination_semantic(spark, sf):
 
     tau = _SEMCON_TAU
     e = load_tables(spark, sf)["embeddings"]
-    hold = (e.filter(F.col("vec_id") % 97 == 0)
-            .select("vec_id", "embedding").orderBy("vec_id").collect())
-    H = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                  for r in hold])
-    nh = np.sqrt((H * H).sum(1))
+    # memoize the collected holdout matrix per (session, sf) — the
+    # q_tokenizer_fit/q_dedup_phash discipline (round-9 ADVICE):
+    # repeated invocations must not re-scan embeddings just to
+    # rebuild the benchmark-bounded closure constant
+    per_session = session_cache(spark, "_engine_semcon_cache")
+    ck = sf.rstrip("/")
+    if ck in per_session:
+        H, nh = per_session[ck]
+    else:
+        hold = (e.filter(F.col("vec_id") % 97 == 0)
+                .select("vec_id", "embedding").orderBy("vec_id").collect())
+        H = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                      for r in hold])
+        nh = np.sqrt((H * H).sum(1))
+        per_session[ck] = (H, nh)
 
     def kernel(batches):
         for pdf in batches:

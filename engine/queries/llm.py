@@ -2629,7 +2629,18 @@ def q_tokenizer_apply(spark, sf):
     at vocabularies beyond broadcast reach). The corpus is touched by
     exactly two narrow passes (type extraction + the stats join) and
     one count aggregate. All-integer output: trivially hash-stable."""
-    merges = q_tokenizer_fit(spark, sf)
+    # collect the |merges|-row fit output ONCE (memoized per
+    # session/sf) and feed the pairs into the replace expressions as
+    # literals — three per-rank filter+broadcast frames would each
+    # re-execute the whole fit union per action (round-9 ADVICE)
+    per_session = session_cache(spark, "_engine_bpe_cache")
+    mk = ("merges", sf.rstrip("/"))
+    if mk in per_session:
+        pairs = per_session[mk]
+    else:
+        pairs = {int(r["rank"]): r["pair"]
+                 for r in q_tokenizer_fit(spark, sf).collect()}
+        per_session[mk] = pairs
     d = load_tables(spark, sf)["documents"]
     dw = (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
           .filter(F.length("word") > 0))
@@ -2639,11 +2650,10 @@ def q_tokenizer_apply(spark, sf):
                  F.trim(F.regexp_replace("word", "(.)", "$1  ")),
                  F.lit(" ")).alias("seq"))
     for r in range(1, _BPE_MERGES + 1):
-        s = (s.crossJoin(F.broadcast(
-                merges.filter(F.col("rank") == r).select("pair")))
-             .select("word", F.expr(
-                 "replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',"
-                 " ' ' || replace(pair, ' ', '') || ' ')").alias("seq")))
+        spaced = " " + pairs[r].replace(" ", "  ") + " "
+        fused = " " + pairs[r].replace(" ", "") + " "
+        s = s.select("word", F.replace(
+            F.col("seq"), F.lit(spaced), F.lit(fused)).alias("seq"))
     nt = s.select(
         "word",
         F.size(F.split(F.trim("seq"), "  ")).cast("long").alias("n_tok"))

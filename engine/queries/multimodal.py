@@ -228,10 +228,6 @@ def q_dedup_phash(spark, sf):
     import numpy as np
     import pandas as pd
 
-    d = load_tables(spark, sf)["documents"]
-    p = attach_payload(d).filter(F.col("n_bytes") > 0) \
-        .select("doc_id", "payload")
-
     def kernel(batches):
         for pdf in batches:
             if pdf.empty:
@@ -258,13 +254,18 @@ def q_dedup_phash(spark, sf):
             yield pd.DataFrame(
                 out, columns=["doc_id", "b0", "b1", "b2", "b3"])
 
-    h = p.mapInPandas(
-        kernel, "doc_id long, b0 long, b1 long, b2 long, b3 long")
+    # cache-check FIRST (the q_tokenizer_fit/q_basket_rules pattern,
+    # round-9 ADVICE): build the hash frame only on a miss
     per_session = session_cache(spark, "_engine_phash_cache")
     ck = sf.rstrip("/")
     if ck in per_session:
         h = per_session[ck]
     else:
+        d = load_tables(spark, sf)["documents"]
+        p = attach_payload(d).filter(F.col("n_bytes") > 0) \
+            .select("doc_id", "payload")
+        h = p.mapInPandas(
+            kernel, "doc_id long, b0 long, b1 long, b2 long, b3 long")
         h = h.persist()  # feeds banding + two pair-verification joins
         per_session[ck] = h
     bands = h.select(

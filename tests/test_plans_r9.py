@@ -220,24 +220,36 @@ def test_dp_sum_mechanism(spark, sf_dir):
     from engine.queries.curation import _DP_SUM_CLIP
 
     t = load_tables(spark, sf_dir)
+    # truth recomputed with the repo cents convention —
+    # floor(x*100 + 0.5) — the SAME rounding the query and its oracle
+    # use, so a truncate-vs-round regression in either is visible
     ct = (t["orders"]
           .select("o_custkey",
-                  (F.col("o_totalprice") * 100).cast("long").alias("c"))
+                  F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                  .cast("long").alias("c"))
           .groupBy("o_custkey").agg(F.sum("c").alias("c")))
     n_clipped = ct.filter(F.col("c") > _DP_SUM_CLIP).count()
     assert 0 < n_clipped < ct.count(), n_clipped
-    true_units = {
-        r["c_nationkey"]: r["u"] for r in
+    nation_sums = (
         ct.join(t["customer"].select(
             F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
             "o_custkey")
         .select("c_nationkey",
                 F.least("c", F.lit(_DP_SUM_CLIP)).alias("cl"))
         .groupBy("c_nationkey").agg(F.sum("cl").alias("s"))
-        .select("c_nationkey", F.expr(
+        .select("c_nationkey", "s", F.expr(
             f"(2 * s + {_DP_SUM_CLIP}) div (2 * {_DP_SUM_CLIP})")
             .alias("u"))
-        .collect()}
+        .collect())
+    true_units = {r["c_nationkey"]: r["u"] for r in nation_sums}
+    # round-9 ADVICE margin pin: no nation's clipped sum may sit
+    # within 10k cents of a half-unit rounding boundary (measured
+    # minimum margin ~3.2M cents at sf0.01/sf0.1), so a few-cent
+    # cross-engine drift can never flip a released unit
+    for r in nation_sums:
+        m = (2 * r["s"] + _DP_SUM_CLIP) % (2 * _DP_SUM_CLIP)
+        margin = min(m, 2 * _DP_SUM_CLIP - m)
+        assert margin >= 10_000, (r["c_nationkey"], r["s"], margin)
     rel = {r["c_nationkey"]: r["sum_noised_cents"] for r in
            QUERIES["q_dp_sum"](spark, sf_dir).collect()}
     assert set(rel) == set(true_units)
