@@ -205,7 +205,9 @@ _R09_NEW: set[str] = {
 # slot until the _R09_NEW cohort has earned its first driver rows;
 # they get theirs in round 11, covered until then by the local
 # check.py sweep + their tests.
-_R10_NEW: set[str] = set()
+_R10_NEW: set[str] = {
+    "q_dedup_substring_cut",
+}
 
 
 def _rotated(keys) -> list[str]:

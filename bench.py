@@ -171,6 +171,10 @@ HEADLINE = [
     "q_dp_sum",
     "q_rank_fusion",
     "q_dedup_phash",
+    # round-10 additions (q_dedup_eval_phash excluded for the
+    # q_dedup_eval reason: it composes the brute-force all-pairs
+    # hamming TRUTH baseline)
+    "q_dedup_substring_cut",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -905,8 +905,41 @@ _SUBDUP_G = 4  # gram width: the largest with cross-document collisions
 #                in the fixture (the q_contamination grain)
 
 
-@query("q_dedup_substring", oracle=f"""
-WITH w AS (
+def _subdup_grams(spark, sf):
+    """(doc_id, pos, gh) gram-hash frame shared by the substring-dedup
+    twins — the Spark mirror of the g CTE in _SUBDUP_CTES."""
+    gw = _SUBDUP_G
+    d = (load_tables(spark, sf)["documents"]
+         .filter(F.length("text") > 0)
+         .select("doc_id", F.split("text", " ").alias("l"))
+         .filter(F.size("l") >= gw))
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - (gw - 1)),
+                lambda s: F.md5(
+                    F.concat_ws(" ", F.slice("l", s, F.lit(gw)))
+                    .cast("binary")),
+            )
+        ).alias("pos0", "gh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+
+
+def _subdup_matches(g):
+    """Duplicated-gram positions (doc_id, pos) — the m CTE: grams
+    whose hash occurs in >= 2 distinct documents."""
+    dup = (g.groupBy("gh")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("gh"))
+    return g.join(dup, "gh").select("doc_id", "pos")
+
+
+#: Shared duplicated-gram CTE block — composed VERBATIM into both
+#: q_dedup_substring (the measurement) and q_dedup_substring_cut (the
+#: transformation) so the twins' notion of a duplicated gram can
+#: never desync (the TEMP_THR_SQL / SEM_PAIR_CTES discipline).
+_SUBDUP_CTES = f"""w AS (
   SELECT doc_id, string_split(text, ' ') AS l
   FROM documents WHERE length(text) > 0),
 ws AS (SELECT * FROM w WHERE len(l) >= {_SUBDUP_G}),
@@ -916,7 +949,11 @@ g AS (
   FROM ws, unnest(generate_series(1, len(l) - {_SUBDUP_G - 1})) AS t(s)),
 dup AS (SELECT gh FROM g GROUP BY gh
         HAVING count(DISTINCT doc_id) >= 2),
-m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh))"""
+
+
+@query("q_dedup_substring", oracle=f"""
+WITH {_SUBDUP_CTES},
 runs AS (
   SELECT doc_id,
          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
@@ -955,26 +992,8 @@ def q_dedup_substring(spark, sf):
     sized, co-partitioned with the back-join key so AQE reuses one
     exchange); the island window partitions by doc_id over only the
     MATCHED grams (|hits| ≪ |grams|)."""
-    gw = _SUBDUP_G
-    d = (load_tables(spark, sf)["documents"]
-         .filter(F.length("text") > 0)
-         .select("doc_id", F.split("text", " ").alias("l"))
-         .filter(F.size("l") >= gw))
-    g = d.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("l") - (gw - 1)),
-                lambda s: F.md5(
-                    F.concat_ws(" ", F.slice("l", s, F.lit(gw)))
-                    .cast("binary")),
-            )
-        ).alias("pos0", "gh"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
-    dup = (g.groupBy("gh")
-           .agg(F.countDistinct("doc_id").alias("nd"))
-           .filter(F.col("nd") >= 2).select("gh"))
-    m = g.join(dup, "gh").select("doc_id", "pos")
+    g = _subdup_grams(spark, sf)
+    m = _subdup_matches(g)
     from pyspark.sql import Window as W
     grp = (F.col("pos")
            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")))
@@ -992,6 +1011,116 @@ def q_dedup_substring(spark, sf):
                 F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
                 F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"))
     )
+
+
+_SUBCUT_R = 4  # min duplicated-gram run length to excise (span of
+#              _SUBCUT_R + _SUBDUP_G - 1 = 7 words); fires on 45/500
+#              (sf0.001), 45/500 (sf0.01), 1269/5000 (sf0.1) docs
+
+
+@query("q_dedup_substring_cut", oracle=f"""
+WITH {_SUBDUP_CTES},
+isl AS (
+  SELECT doc_id, min(pos) AS lo, max(pos) + {_SUBDUP_G - 1} AS hi
+  FROM (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM m)
+  GROUP BY doc_id, grp
+  HAVING count(*) >= {_SUBCUT_R}),
+wi AS (SELECT doc_id, i AS idx, l[i] AS word
+       FROM w, unnest(generate_series(1, len(l))) AS t(i)),
+keep AS (
+  SELECT wi.doc_id, wi.idx, wi.word,
+         NOT EXISTS (SELECT 1 FROM isl
+                     WHERE isl.doc_id = wi.doc_id
+                       AND wi.idx BETWEEN isl.lo AND isl.hi) AS kept
+  FROM wi)
+SELECT doc_id,
+       coalesce(string_agg(word, ' ' ORDER BY idx)
+                FILTER (WHERE kept), '') AS text_clean,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_words_kept,
+       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_words_cut,
+       CAST(coalesce(sum(length(word)) FILTER (WHERE kept), 0)
+            AS BIGINT) AS n_chars_kept,
+       CAST(coalesce(sum(length(word)) FILTER (WHERE NOT kept), 0)
+            AS BIGINT) AS n_chars_cut
+FROM keep GROUP BY doc_id
+""")
+def q_dedup_substring_cut(spark, sf):
+    """Substring-dedup REMOVAL — the transformation Lee et al. 2022
+    actually apply (round-9 verdict item 3): where q_dedup_substring
+    MEASURES duplicated spans, this operator CUTS them, re-emitting
+    each document's text with every duplicated run of >= {_SUBCUT_R}
+    consecutive grams (a shared span of >= {_SUBCUT_R + _SUBDUP_G - 1}
+    words — the word-grain analogue of the paper's 50-char rule)
+    excised, plus kept/cut word and char accounting. Duplicated grams
+    are the SAME notion as the measurement twin (hash in >= 2 distinct
+    docs; the oracle composes _SUBDUP_CTES verbatim), so cut spans and
+    measured runs cannot drift.
+
+    Island -> splice: qualifying islands become per-doc [lo, hi] word
+    intervals (a run of r grams starting at pos covers words
+    pos..pos+r-1+G-1; adjacent islands' word spans may overlap — the
+    union of intervals is what gets cut, handled by the per-word
+    coverage test, not interval arithmetic). The splice itself is pure
+    codegen: the word array is index-tagged with transform(), each
+    word keeps iff NO island interval covers its index (nested
+    exists() over the doc's own island array), and the kept words
+    re-join with single spaces. Docs below the gram width keep their
+    text verbatim (they have no grams, hence no islands).
+
+    Scale: the gram/dup/match frames are the measurement twin's —
+    only (doc_id, pos, 32-byte hash) ever shuffles there. The NEW
+    work is one |islands|-row aggregate (24-byte rows) joined back to
+    documents by doc_id: the islands side is tiny and broadcast-
+    eligible at fixture scale (AQE converts it); at 100 TB it is the
+    islands — never the text — that shuffle to meet doc_id-bucketed
+    documents. The splice adds zero exchanges: transform/filter/
+    exists/array_join are JVM expression evaluation on the already-
+    loaded text column, and counts fall out of the same arrays.
+
+    Consistency pins (tests/test_plans_r10.py): n_words_cut > 0 iff
+    the measurement twin reports max_dup_run >= {_SUBCUT_R};
+    kept+cut word/char totals reconcile with the raw text; splice
+    equals a brute-force Python re-implementation on the sf0.001
+    fixture."""
+    from pyspark.sql import Window as W
+    gw, rr = _SUBDUP_G, _SUBCUT_R
+    docs = (load_tables(spark, sf)["documents"]
+            .filter(F.length("text") > 0)
+            .select("doc_id", F.split("text", " ").alias("l")))
+    m = _subdup_matches(_subdup_grams(spark, sf))
+    grp = (F.col("pos")
+           - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")))
+    isl = (m.select("doc_id", "pos", grp.alias("grp"))
+           .groupBy("doc_id", "grp")
+           .agg(F.min("pos").alias("lo"),
+                (F.max("pos") + (gw - 1)).alias("hi"),
+                F.count(F.lit(1)).alias("run"))
+           .filter(F.col("run") >= rr)
+           .groupBy("doc_id")
+           .agg(F.collect_list(F.struct("lo", "hi")).alias("ivs")))
+    tagged = (docs.join(isl, "doc_id", "left")
+              .select("doc_id", "l",
+                      F.coalesce("ivs", F.array()).alias("ivs")))
+    wia = F.transform(
+        "l", lambda w, i: F.struct((i + 1).alias("idx"), w.alias("word")))
+    covered = lambda s: F.exists(  # noqa: E731
+        "ivs", lambda iv: (s["idx"] >= iv["lo"]) & (s["idx"] <= iv["hi"]))
+    kept = F.filter(wia, lambda s: ~covered(s))
+    cut = F.filter(wia, lambda s: covered(s))
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s["word"]))
+    return (tagged.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda s: s["word"]), " ")
+        .alias("text_clean"),
+        F.size(kept).cast("long").alias("n_words_kept"),
+        F.size(cut).cast("long").alias("n_words_cut"),
+        chars(kept).alias("n_chars_kept"),
+        chars(cut).alias("n_chars_cut"),
+    ))
 
 
 # --------------------------------------------------------- l-diversity

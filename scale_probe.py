@@ -91,6 +91,12 @@ DOC_KEYS = [
     # posting-list-bounded per query) + perceptual-hash dedup
     # (payload bytes grow 10x; banding bounds the pair join)
     "q_rank_fusion", "q_dedup_phash",
+    # round-10: substring-dedup removal (documents grow 10x; shares
+    # the measurement twin's hash-only shuffles, adds one
+    # |islands|-row aggregate + a codegen splice).
+    # q_dedup_eval_phash is excluded like q_dedup_eval (it composes
+    # the brute-force all-pairs hamming truth baseline).
+    "q_dedup_substring_cut",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -252,6 +258,9 @@ X100_KEYS = [
     # posting-list-bounded per query) + perceptual-hash dedup
     # (payload bytes grow 10x; banding bounds the pair join)
     "q_rank_fusion", "q_dedup_phash",
+    # round-10: substring-dedup removal joins the three-decade claim
+    # (linear doc op: hash-only shuffles + codegen splice)
+    "q_dedup_substring_cut",
 ]
 
 

@@ -1,0 +1,108 @@
+"""Round-10 plan pins + behavior tests for the _R10_NEW cohort:
+q_dedup_substring_cut (substring-dedup removal — the Lee et al. 2022
+transformation over the measurement twin's duplicated-gram islands).
+"""
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from engine.registry import QUERIES, load_all
+
+load_all()
+
+G = 4   # _SUBDUP_G
+R = 4   # _SUBCUT_R
+
+
+def _brute_force_cut(texts):
+    """Reference re-implementation of the cut on raw Python strings:
+    gram hash = md5 of the space-joined 4-gram, duplicated = in >= 2
+    distinct docs, islands of >= R consecutive duplicated grams cut
+    words [lo, hi=last+G-1]; returns {doc_id: (clean, kept, cut)}."""
+    grams = {}
+    words = {d: t.split(" ") for d, t in texts.items() if t}
+    for d, ws in words.items():
+        for s in range(len(ws) - G + 1):
+            gh = hashlib.md5(" ".join(ws[s:s + G]).encode()).hexdigest()
+            grams.setdefault(gh, set()).add(d)
+    dup = {gh for gh, ds in grams.items() if len(ds) >= 2}
+    out = {}
+    for d, ws in words.items():
+        pos = [s + 1 for s in range(len(ws) - G + 1)
+               if hashlib.md5(" ".join(ws[s:s + G]).encode())
+               .hexdigest() in dup]
+        cut_idx = set()
+        i = 0
+        while i < len(pos):
+            j = i
+            while j + 1 < len(pos) and pos[j + 1] == pos[j] + 1:
+                j += 1
+            if j - i + 1 >= R:
+                cut_idx.update(range(pos[i], pos[j] + G))  # lo..hi incl
+            i = j + 1
+        kept = [w for k, w in enumerate(ws, 1) if k not in cut_idx]
+        cut = [w for k, w in enumerate(ws, 1) if k in cut_idx]
+        out[d] = (" ".join(kept), kept, cut)
+    return out
+
+
+def test_substring_cut_matches_brute_force(spark, sf_dir):
+    """The splice must equal a from-scratch Python re-implementation
+    on the whole sf0.001 fixture — text, word counts, char counts."""
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select("doc_id", "text").collect() if r["text"]}
+    want = _brute_force_cut(texts)
+    got = {r["doc_id"]: r for r in
+           QUERIES["q_dedup_substring_cut"](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for d, (clean, kept, cut) in want.items():
+        g = got[d]
+        assert g["text_clean"] == clean, d
+        assert g["n_words_kept"] == len(kept), d
+        assert g["n_words_cut"] == len(cut), d
+        assert g["n_chars_kept"] == sum(len(w) for w in kept), d
+        assert g["n_chars_cut"] == sum(len(w) for w in cut), d
+
+
+def test_substring_cut_consistent_with_measurement_twin(spark, sf_dir):
+    """Islands -> splice consistency: a document loses words iff the
+    measurement twin reports a duplicated run >= R, and kept + cut
+    always reconciles with the raw text (no word invented or lost).
+    The cut must actually fire on the fixture (non-vacuous)."""
+    runs = {r["doc_id"]: r["max_dup_run"] for r in
+            QUERIES["q_dedup_substring"](spark, sf_dir).collect()}
+    cut = {r["doc_id"]: r for r in
+           QUERIES["q_dedup_substring_cut"](spark, sf_dir).collect()}
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select("doc_id", "text").collect() if r["text"]}
+    n_cut_docs = 0
+    for d, r in cut.items():
+        ws = texts[d].split(" ")
+        assert r["n_words_kept"] + r["n_words_cut"] == len(ws), d
+        assert (r["n_chars_kept"] + r["n_chars_cut"]
+                == sum(len(w) for w in ws)), d
+        # runs below the gram width are absent from the measurement
+        # frame (docs with < G words have no grams): default 0
+        if r["n_words_cut"] > 0:
+            n_cut_docs += 1
+            assert runs.get(d, 0) >= R, d
+        else:
+            assert runs.get(d, 0) < R, d
+    assert n_cut_docs > 0
+
+
+def test_substring_cut_splice_is_codegen_no_extra_text_shuffle(
+        spark, sf_dir):
+    """The splice adds no Python evaluation (no mapInPandas /
+    BatchEvalPython in the plan — transform/filter/exists/array_join
+    are JVM expressions) and the text column feeds the final project
+    from its scan side, not from inside the island aggregation."""
+    df = QUERIES["q_dedup_substring_cut"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
