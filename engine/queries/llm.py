@@ -2483,15 +2483,21 @@ def _bpe_ctes(n_merges: int) -> str:
     (semantics pinned cross-engine in tests/test_plans_r9.py)."""
     steps = []
     prev = "s0"
+    # s/b CTEs are MATERIALIZED: s{i} is referenced twice (t{i+1} and
+    # s{i+1}) and DuckDB's default inlining re-evaluates each
+    # reference, turning the chain exponential (measured 13 s at 10
+    # merges vs 0.15 s materialized at sf0.01); Spark's side persists
+    # the type table once for the same reason.
     for i in range(1, n_merges + 1):
         steps.append(f"""
 t{i} AS (SELECT string_split(trim(seq), '  ') AS ts, freq FROM {prev}),
 p{i} AS (SELECT ts[i] || ' ' || ts[i + 1] AS pair, sum(freq) AS n
         FROM t{i}, unnest(generate_series(1, len(ts) - 1)) AS g(i)
         GROUP BY 1),
-b{i} AS (SELECT pair, CAST(n AS BIGINT) AS n FROM p{i}
+b{i} AS MATERIALIZED (SELECT pair, CAST(n AS BIGINT) AS n FROM p{i}
         ORDER BY n DESC, pair LIMIT 1),
-s{i} AS (SELECT replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
+s{i} AS MATERIALIZED (
+        SELECT replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
                         ' ' || replace(pair, ' ', '') || ' ') AS seq,
                 freq
         FROM {prev}, b{i})""")
@@ -2507,25 +2513,30 @@ s0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g'))
 """
 
 
-_BPE_MERGES = 3
+#: Merge-round count. Raised 3 -> 12 in round 10 (verdict item 5) to
+#: show the fit shape holds beyond the toy count; the loop is fully
+#: parameterized — change this ONE constant and both engines' round
+#: structure, the oracles, and the tests follow.
+_BPE_MERGES = 12
+
+_BPE_RANK_UNION = " UNION ALL ".join(
+    f"SELECT {i}{' AS rank' if i == 1 else ''}, pair, n FROM b{i}"
+    for i in range(1, _BPE_MERGES + 1))
 
 
 @query("q_tokenizer_fit", oracle=f"""
 WITH {_bpe_ctes(_BPE_MERGES)}
-SELECT * FROM (
-    SELECT 1 AS rank, pair, n FROM b1
-    UNION ALL SELECT 2, pair, n FROM b2
-    UNION ALL SELECT 3, pair, n FROM b3)
+SELECT * FROM ({_BPE_RANK_UNION})
 """)
 def q_tokenizer_fit(spark, sf):
     """BPE tokenizer FITTING on-corpus (Sennrich et al. 2016,
     arXiv:1508.07909 — the byte-pair-encoding merge-learning loop
-    every LLM data pipeline runs before tokenizing): three unrolled
-    merge rounds, each counting adjacent token-pair frequencies over
-    the word-TYPE table, picking the most frequent pair
-    (deterministic tie-break: count desc, pair asc), and applying it
-    greedy-left to every sequence. Output: (rank, pair, count) per
-    learned merge — the merges file a tokenizer ships.
+    every LLM data pipeline runs before tokenizing): _BPE_MERGES (12)
+    parameterized merge rounds, each counting adjacent token-pair
+    frequencies over the word-TYPE table, picking the most frequent
+    pair (deterministic tie-break: count desc, pair asc), and
+    applying it greedy-left to every sequence. Output: (rank, pair,
+    count) per learned merge — the merges file a tokenizer ships.
 
     Mechanics: sequences are double-space-separated token strings
     with single-space sentinels, so applying a merge is ONE plain
@@ -2543,13 +2554,30 @@ def q_tokenizer_fit(spark, sf):
     corpus-size-INDEPENDENT after that first pass, which is why real
     tokenizer fits run on word counts, not raw text. The type table
     is persisted once (memoized per session/sf — the q_basket_rules
-    discipline), each round's argmax is a 1-row limit frame that
-    broadcasts back into the replace expression, and counts are
-    plain longs (bounded by corpus tokens, no products — the
-    decimal(38,0) rule does not trigger). Integer counts +
-    lexicographic tie-breaks end to end: nothing floats, trivially
-    hash-stable."""
+    discipline); each round collects its 1-row argmax (the bounded-
+    side-input discipline — BPE is inherently sequential, the
+    q_cluster_kmeans iterative shape) and feeds the pair back as
+    replace() LITERALS, so round r is ONE pass over the persisted
+    type table with r-1 codegen replaces — total work linear in
+    _BPE_MERGES, where the earlier lazy-union formulation re-executed
+    every prior round per action (the round-9 ADVICE note, now moot
+    at 12 merges). Counts are plain longs (bounded by corpus tokens,
+    no products — the decimal(38,0) rule does not trigger). Integer
+    counts + lexicographic tie-breaks end to end: nothing floats,
+    trivially hash-stable."""
+    return spark.createDataFrame(
+        [(r, p, n) for r, p, n in _bpe_fit_pairs(spark, sf)],
+        "rank long, pair string, n long")
+
+
+def _bpe_fit_pairs(spark, sf):
+    """Learned BPE merges [(rank, pair, n), ...] — the sequential
+    merge loop shared by q_tokenizer_fit and q_tokenizer_apply,
+    memoized per (session, sf) so the lifecycle runs the fit once."""
     per_session = session_cache(spark, "_engine_bpe_cache")
+    mk = ("merges", sf.rstrip("/"))
+    if mk in per_session:
+        return per_session[mk]
     ck = sf.rstrip("/")
     if ck in per_session:
         s = per_session[ck]
@@ -2564,25 +2592,41 @@ def q_tokenizer_fit(spark, sf):
                      F.lit(" ")).alias("seq"),
             "freq").persist()
         per_session[ck] = s
-    out = []
+    pairs = []
     for rank in range(1, _BPE_MERGES + 1):
         ts = F.split(F.trim(F.col("seq")), "  ")
         pair_expr = F.transform(
             F.sequence(F.lit(1), F.size(ts) - 1),
             lambda i: F.concat(F.element_at(ts, i), F.lit(" "),
                                F.element_at(ts, i + 1)))
-        p = (s.filter(F.size(ts) >= 2)
+        b = (s.filter(F.size(ts) >= 2)
              .select(F.explode(pair_expr).alias("pair"), "freq")
-             .groupBy("pair").agg(F.sum("freq").alias("n")))
-        b = p.orderBy(F.col("n").desc(), "pair").limit(1)
-        out.append(b.select(F.lit(rank).cast("long").alias("rank"),
-                            "pair", F.col("n").cast("long").alias("n")))
-        s = (s.crossJoin(F.broadcast(b.select("pair")))
-             .select(F.expr(
-                 "replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',"
-                 " ' ' || replace(pair, ' ', '') || ' ')").alias("seq"),
-                 "freq"))
-    return out[0].union(out[1]).union(out[2])
+             .groupBy("pair").agg(F.sum("freq").alias("n"))
+             .orderBy(F.col("n").desc(), "pair").limit(1).collect())[0]
+        pairs.append((rank, b["pair"], int(b["n"])))
+        spaced = " " + b["pair"].replace(" ", "  ") + " "
+        fused = " " + b["pair"].replace(" ", "") + " "
+        s = s.select(F.replace(
+            F.col("seq"), F.lit(spaced), F.lit(fused)).alias("seq"),
+            "freq")
+    per_session[mk] = pairs
+    return pairs
+
+
+def _bpe_apply_ctes(n_merges: int) -> str:
+    """Parametric merge-application CTE chain a1..aN over the
+    distinct-word table (a0), each consuming the fit's b{{i}} argmax —
+    MATERIALIZED for the same re-evaluation reason as _bpe_ctes."""
+    steps = []
+    prev = "a0"
+    for i in range(1, n_merges + 1):
+        steps.append(f"""
+a{i} AS MATERIALIZED (
+    SELECT word, replace(seq, ' ' || replace(b{i}.pair, ' ', '  ')
+                         || ' ', ' ' || replace(b{i}.pair, ' ', '')
+                         || ' ') AS seq FROM {prev}, b{i})""")
+        prev = f"a{i}"
+    return ",".join(steps)
 
 
 @query("q_tokenizer_apply", oracle=f"""
@@ -2593,17 +2637,9 @@ a0 AS (SELECT word,
               ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g'))
               || ' ' AS seq
        FROM (SELECT DISTINCT word FROM dw WHERE length(word) > 0)),
-a1 AS (SELECT word, replace(seq, ' ' || replace(b1.pair, ' ', '  ')
-                            || ' ', ' ' || replace(b1.pair, ' ', '')
-                            || ' ') AS seq FROM a0, b1),
-a2 AS (SELECT word, replace(seq, ' ' || replace(b2.pair, ' ', '  ')
-                            || ' ', ' ' || replace(b2.pair, ' ', '')
-                            || ' ') AS seq FROM a1, b2),
-a3 AS (SELECT word, replace(seq, ' ' || replace(b3.pair, ' ', '  ')
-                            || ' ', ' ' || replace(b3.pair, ' ', '')
-                            || ' ') AS seq FROM a2, b3),
+{_bpe_apply_ctes(_BPE_MERGES)},
 nt AS (SELECT word, len(string_split(trim(seq), '  ')) AS n_tok
-       FROM a3)
+       FROM a{_BPE_MERGES})
 SELECT dw.doc_id, count(*) AS n_words,
        CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
        CAST(sum(nt.n_tok) AS BIGINT) AS n_tokens
@@ -2623,24 +2659,16 @@ def q_tokenizer_apply(spark, sf):
 
     Scale (the fit's own shape, extended one join): merge application
     runs on the DISTINCT word-type table (corpus-size-independent),
-    the 3 merge pairs arrive as 1-row broadcast frames feeding plain
-    codegen replace calls, and the per-type token counts join back to
+    the _BPE_MERGES learned pairs arrive as replace() literals from
+    the memoized fit, and the per-type token counts join back to
     the exploded corpus as a broadcast (|vocab| rows — bucketed join
     at vocabularies beyond broadcast reach). The corpus is touched by
     exactly two narrow passes (type extraction + the stats join) and
     one count aggregate. All-integer output: trivially hash-stable."""
-    # collect the |merges|-row fit output ONCE (memoized per
-    # session/sf) and feed the pairs into the replace expressions as
-    # literals — three per-rank filter+broadcast frames would each
-    # re-execute the whole fit union per action (round-9 ADVICE)
-    per_session = session_cache(spark, "_engine_bpe_cache")
-    mk = ("merges", sf.rstrip("/"))
-    if mk in per_session:
-        pairs = per_session[mk]
-    else:
-        pairs = {int(r["rank"]): r["pair"]
-                 for r in q_tokenizer_fit(spark, sf).collect()}
-        per_session[mk] = pairs
+    # the learned merges come from the shared memoized fit loop, as
+    # replace() literals — the fit lineage executes once per session
+    # (round-9 ADVICE; now load-bearing at 12 merges)
+    pairs = {r: p for r, p, _ in _bpe_fit_pairs(spark, sf)}
     d = load_tables(spark, sf)["documents"]
     dw = (d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
           .filter(F.length("word") > 0))
