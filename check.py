@@ -14,6 +14,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 import sys
 import time
 
@@ -93,7 +94,7 @@ def main():
                 args.append(argv[i])
             i += 1
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as E
     from engine.session import get_spark
 
