@@ -206,7 +206,7 @@ _R09_NEW: set[str] = {
 # they get theirs in round 11, covered until then by the local
 # check.py sweep + their tests.
 _R10_NEW: set[str] = {
-    "q_dedup_substring_cut", "q_dedup_eval_phash",
+    "q_dedup_substring_cut", "q_dedup_eval_phash", "q_tokenizer_vocab",
 }
 
 

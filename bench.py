@@ -175,6 +175,7 @@ HEADLINE = [
     # q_dedup_eval reason: it composes the brute-force all-pairs
     # hamming TRUTH baseline)
     "q_dedup_substring_cut",
+    "q_tokenizer_vocab",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -2570,6 +2570,27 @@ def q_tokenizer_fit(spark, sf):
         "rank long, pair string, n long")
 
 
+def _bpe_type_table(spark, sf):
+    """The persisted (seq, freq) word-TYPE table every tokenizer key
+    starts from — seq is the initial char-split double-space form of
+    each distinct corpus word (length >= 2), freq its corpus count.
+    Memoized per (session, sf): the ONE corpus-sized aggregate of the
+    whole tokenizer lifecycle."""
+    per_session = session_cache(spark, "_engine_bpe_cache")
+    ck = sf.rstrip("/")
+    if ck not in per_session:
+        d = load_tables(spark, sf)["documents"]
+        w = (d.select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.length("word") >= 2)
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+        per_session[ck] = w.select(
+            F.concat(F.lit(" "),
+                     F.trim(F.regexp_replace("word", "(.)", "$1  ")),
+                     F.lit(" ")).alias("seq"),
+            "freq").persist()
+    return per_session[ck]
+
+
 def _bpe_fit_pairs(spark, sf):
     """Learned BPE merges [(rank, pair, n), ...] — the sequential
     merge loop shared by q_tokenizer_fit and q_tokenizer_apply,
@@ -2578,20 +2599,7 @@ def _bpe_fit_pairs(spark, sf):
     mk = ("merges", sf.rstrip("/"))
     if mk in per_session:
         return per_session[mk]
-    ck = sf.rstrip("/")
-    if ck in per_session:
-        s = per_session[ck]
-    else:
-        d = load_tables(spark, sf)["documents"]
-        w = (d.select(F.explode(F.split("text", " ")).alias("word"))
-             .filter(F.length("word") >= 2)
-             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
-        s = w.select(
-            F.concat(F.lit(" "),
-                     F.trim(F.regexp_replace("word", "(.)", "$1  ")),
-                     F.lit(" ")).alias("seq"),
-            "freq").persist()
-        per_session[ck] = s
+    s = _bpe_type_table(spark, sf)
     pairs = []
     for rank in range(1, _BPE_MERGES + 1):
         ts = F.split(F.trim(F.col("seq")), "  ")
@@ -2692,6 +2700,71 @@ def q_tokenizer_apply(spark, sf):
              F.sum(F.length("word")).cast("long").alias("n_chars"),
              F.sum("n_tok").cast("long").alias("n_tokens"))
     )
+
+
+@query("q_tokenizer_vocab", oracle=f"""
+WITH {_bpe_ctes(_BPE_MERGES)},
+chars AS (SELECT DISTINCT unnest(string_split(trim(seq), '  ')) AS token
+          FROM s0),
+merges AS (SELECT replace(pair, ' ', '') AS token,
+                  CAST(min(rank) AS BIGINT) AS rank
+           FROM ({_BPE_RANK_UNION}) GROUP BY 1),
+vocab AS (SELECT token, 'char' AS kind, CAST(0 AS BIGINT) AS rank
+          FROM chars
+          UNION ALL SELECT token, 'merge' AS kind, rank FROM merges),
+occ AS (SELECT t AS token, CAST(sum(freq) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(trim(seq), '  ')) AS t, freq
+              FROM s{_BPE_MERGES})
+        GROUP BY 1)
+SELECT v.token, v.kind, v.rank, COALESCE(o.n, 0) AS n
+FROM vocab v LEFT JOIN occ o USING (token)
+""")
+def q_tokenizer_vocab(spark, sf):
+    """BPE VOCABULARY construction — the third tokenizer-lifecycle
+    artifact (fit learns merges, vocab is what a tokenizer SHIPS):
+    the base character inventory of the corpus plus every merged
+    token, each with its merge rank (0 for base chars) and its
+    frequency-weighted occurrence count in the fully-merged corpus.
+    Tokens fully absorbed by later merges (e.g. 'th' once every
+    occurrence merged into 'the') stay in the vocab with n = 0 —
+    real tokenizers keep them so earlier merge steps remain
+    decodable. Two different pairs can fuse to the same surface
+    token ('a'+'bc' and 'ab'+'c'); the vocab deduplicates on the
+    fused form keeping the earliest rank, in both engines.
+
+    Scale (the fit's shape): merges arrive as bounded literals from
+    the memoized fit; the char inventory and the occurrence counts
+    are each ONE pass over the persisted |word types| table
+    (corpus-size-independent after the type aggregate), and the
+    final left join broadcasts the |vocab|-bounded occurrence frame.
+    All-integer counts, lexicographic kinds: hash-stable."""
+    pairs = _bpe_fit_pairs(spark, sf)
+    s = _bpe_type_table(spark, sf)
+    toks0 = F.split(F.trim("seq"), "  ")
+    chars = (s.select(F.explode(toks0).alias("token")).distinct()
+             .select("token", F.lit("char").alias("kind"),
+                     F.lit(0).cast("long").alias("rank")))
+    fused = {}
+    for r, p, _ in pairs:
+        t = p.replace(" ", "")
+        if t not in fused:
+            fused[t] = r
+    merges = spark.createDataFrame(
+        [(t, "merge", r) for t, r in fused.items()],
+        "token string, kind string, rank long")
+    # replay the learned merges over the type table (literal
+    # replaces, one narrow pass) to count final-token occurrences
+    seq = F.col("seq")
+    for r, p, _ in pairs:
+        seq = F.replace(seq, F.lit(" " + p.replace(" ", "  ") + " "),
+                        F.lit(" " + p.replace(" ", "") + " "))
+    occ = (s.select(F.explode(F.split(F.trim(seq), "  ")).alias("token"),
+                    "freq")
+           .groupBy("token").agg(F.sum("freq").cast("long").alias("n")))
+    vocab = chars.unionByName(merges)
+    return (vocab.join(F.broadcast(occ), "token", "left")
+            .select("token", "kind", "rank",
+                    F.coalesce("n", F.lit(0).cast("long")).alias("n")))
 
 
 # --------------------------------------------------- rank fusion

@@ -97,6 +97,9 @@ DOC_KEYS = [
     # q_dedup_eval_phash is excluded like q_dedup_eval (it composes
     # the brute-force all-pairs hamming truth baseline).
     "q_dedup_substring_cut",
+    # round-10: vocab construction rides the tokenizer shape (one
+    # pass over the |word types| table after the memoized fit).
+    "q_tokenizer_vocab",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

@@ -160,3 +160,54 @@ def test_substring_cut_splice_is_codegen_no_extra_text_shuffle(
     assert "BatchEvalPython" not in plan, plan
     assert "MapInPandas" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tokenizer_vocab_structure_and_fit_consistency(spark, sf_dir):
+    """Vocab pins: (a) the merge rows are exactly the fused forms of
+    q_tokenizer_fit's learned pairs (earliest rank kept on surface
+    collisions); (b) base chars are single characters at rank 0 and
+    cover every character of every merge token; (c) occurrence
+    counts are non-negative and total exactly the corpus-weighted
+    final token count replayed from the fit's merges; (d) no token
+    appears twice within a kind."""
+    from engine.queries.llm import _BPE_MERGES
+    fit = QUERIES["q_tokenizer_fit"](spark, sf_dir).collect()
+    fused = {}
+    for r in sorted(fit, key=lambda r: r["rank"]):
+        fused.setdefault(r["pair"].replace(" ", ""), r["rank"])
+    rows = QUERIES["q_tokenizer_vocab"](spark, sf_dir).collect()
+    merges = {r["token"]: r["rank"] for r in rows if r["kind"] == "merge"}
+    chars = {r["token"]: r["rank"] for r in rows if r["kind"] == "char"}
+    assert len(rows) == len(merges) + len(chars)
+    assert merges == fused
+    assert all(len(t) == 1 and rk == 0 for t, rk in chars.items())
+    assert all(c in chars for t in merges for c in t)
+    assert all(r["n"] >= 0 for r in rows)
+    # replay the merge loop in Python over the corpus word types
+    texts = [r["text"] for r in
+             spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select("text").collect() if r["text"]]
+    freq = {}
+    for t in texts:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                freq[w] = freq.get(w, 0) + 1
+    order = sorted(fused, key=fused.get)
+    pairs_by_rank = {r["rank"]: tuple(r["pair"].split(" ")) for r in fit}
+    total = 0
+    for w, n in freq.items():
+        seq = list(w)
+        for rk in range(1, _BPE_MERGES + 1):
+            a, b = pairs_by_rank[rk]
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+    # greedy-left replay gives the exact final token multiset
+        total += n * len(seq)
+    assert sum(r["n"] for r in rows) == total
