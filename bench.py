@@ -176,6 +176,7 @@ HEADLINE = [
     # hamming TRUTH baseline)
     "q_dedup_substring_cut",
     "q_tokenizer_vocab",
+    "q_token_budget",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -124,6 +124,75 @@ def q_dataset_mix(spark, sf):
     )
 
 
+@query("q_token_budget", oracle="""
+WITH c AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                      AS n_tokens
+           FROM documents GROUP BY source),
+w AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight FROM c),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS s,
+             CAST(2 * sum(n_tokens) AS BIGINT) AS b
+      FROM w),
+a AS (SELECT w.*, t.s, t.b,
+             CAST(CAST(b AS HUGEINT) * weight // s AS BIGINT)
+                 AS alloc_tokens
+      FROM w, t)
+SELECT source, n_docs, n_tokens, weight,
+       CAST(1000000 * weight // s AS BIGINT) AS share_ppm,
+       alloc_tokens,
+       CAST(alloc_tokens // n_tokens AS BIGINT) AS full_epochs,
+       CAST(CAST(alloc_tokens % n_tokens AS HUGEINT) * 1000000
+            // n_tokens AS BIGINT) AS tail_ppm
+FROM a
+""")
+def q_token_budget(spark, sf):
+    """Per-source token-budget PLANNER — the recipe table a
+    pre-training run is configured from (the GPT-3 / Llama data-mix
+    appendix): per source, the available docs/tokens, a temperature
+    target share (alpha = 0.5: weight = floor(sqrt(n_tokens)), the
+    correctly-rounded-sqrt discipline of q_sample_temperature), and
+    the allocation against a 2x-corpus token budget expressed as
+    integer FULL passes plus a ppm tail — up-sampling by REPETITION,
+    the regime q_dataset_mix/q_sample_temperature (down-sample-only
+    filters) cannot express. full_epochs >= 1 means the source
+    repeats; the tail_ppm is the deterministic keep-rate for the
+    final partial pass.
+
+    Arithmetic: budget x weight and tail x 1e6 products cross 2^63
+    at 100 TB scale (B ~ 4e13 tokens x weight ~ 4.5e6), so both run
+    in the 128-bit lane (decimal(38,0) on Spark, HUGEINT in the
+    oracle — the prod128 rule) with the bounded results cast back to
+    BIGINT. Everything else is exact integer math off ONE map-side
+    combinable corpus aggregate; the |sources|-row stats frame
+    cross-joins the 1-row total broadcast — zero further corpus
+    passes, the q_dataset_mix plan shape."""
+    d = load_tables(spark, sf)["documents"]
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long")
+         .alias("n_tokens"))
+    w = c.select("*", F.floor(F.sqrt("n_tokens")).cast("long")
+                 .alias("weight"))
+    t = w.agg(F.sum("weight").cast("long").alias("s"),
+              (F.lit(2) * F.sum("n_tokens")).cast("long").alias("b"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .withColumn("alloc_tokens", F.expr(
+            "CAST(CAST(b AS DECIMAL(38,0)) * weight div s AS BIGINT)"))
+        .select(
+            "source", "n_docs", "n_tokens", "weight",
+            F.expr("CAST(1000000 * weight div s AS BIGINT)")
+             .alias("share_ppm"),
+            "alloc_tokens",
+            F.expr("CAST(alloc_tokens div n_tokens AS BIGINT)")
+             .alias("full_epochs"),
+            F.expr("CAST(CAST(alloc_tokens % n_tokens AS DECIMAL(38,0))"
+                   " * 1000000 div n_tokens AS BIGINT)")
+             .alias("tail_ppm"),
+        )
+    )
+
+
 @query("q_token_histogram", oracle=f"""
 SELECT CAST(len(string_split(text, ' ')) // 16 AS BIGINT) AS bucket,
        count(*) AS n_docs,

@@ -100,6 +100,9 @@ DOC_KEYS = [
     # round-10: vocab construction rides the tokenizer shape (one
     # pass over the |word types| table after the memoized fit).
     "q_tokenizer_vocab",
+    # round-10: token-budget planner (documents grow 10x; one
+    # map-side aggregate, |sources|-row integer math after).
+    "q_token_budget",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

@@ -211,3 +211,40 @@ def test_tokenizer_vocab_structure_and_fit_consistency(spark, sf_dir):
     # greedy-left replay gives the exact final token multiset
         total += n * len(seq)
     assert sum(r["n"] for r in rows) == total
+
+
+def test_token_budget_exact_integer_replay(spark, sf_dir):
+    """Re-derive the whole planner in exact Python integer math from
+    the raw per-source token counts and require equality, then pin
+    the planner invariants: shares sum to <= 1e6 (floor rounding),
+    allocations sum to <= budget with deficit < |sources| x max
+    source (floor of each), and alloc == full_epochs * n + tail
+    reconstruction within one ppm quantum."""
+    import math
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = {r["source"]: (r["nd"], r["nt"]) for r in
+           d.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("nd"),
+                F.sum(F.size(F.split("text", " "))).alias("nt"))
+           .collect()}
+    w = {s: math.isqrt(nt) for s, (nd, nt) in raw.items()}
+    S = sum(w.values())
+    B = 2 * sum(nt for _, nt in raw.values())
+    rows = {r["source"]: r for r in
+            QUERIES["q_token_budget"](spark, sf_dir).collect()}
+    assert set(rows) == set(raw)
+    for s, (nd, nt) in raw.items():
+        r = rows[s]
+        alloc = B * w[s] // S
+        assert (r["n_docs"], r["n_tokens"], r["weight"]) == (nd, nt, w[s])
+        assert r["share_ppm"] == 1000000 * w[s] // S
+        assert r["alloc_tokens"] == alloc
+        assert r["full_epochs"] == alloc // nt
+        assert r["tail_ppm"] == (alloc % nt) * 1000000 // nt
+        # tail is a proper fraction; a full extra epoch would have
+        # landed in full_epochs
+        assert 0 <= r["tail_ppm"] < 1000000
+    assert sum(r["share_ppm"] for r in rows.values()) <= 1000000
+    total_alloc = sum(r["alloc_tokens"] for r in rows.values())
+    # each floor loses < 1 token of the exact B*w/S share
+    assert B - len(raw) < total_alloc <= B
