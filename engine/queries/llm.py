@@ -109,26 +109,32 @@ def q_dedup_fuzzy_minhash(spark, sf):
     return _minhash_candidate_pairs(_shingle_hashes(spark, sf))
 
 
-def _minhash_candidate_pairs(hv):
-    """Banded-MinHash candidate pairs (d1 < d2) from a (doc_id, h)
-    shingle-hash frame — the ONE Python-side construction of the
-    signature/band/pair chain, shared by q_dedup_fuzzy_minhash and
-    q_dedup_containment exactly like _MINHASH_CTES is shared on the
-    SQL side, so the two candidate sets can never drift."""
-    sig = hv.groupBy("doc_id").agg(*[
+def _minhash_signatures(hv):
+    """(doc_id, h0..h7) MinHash signature frame from a (doc_id, h)
+    shingle-hash frame — one map-side-combinable aggregate."""
+    return hv.groupBy("doc_id").agg(*[
         F.min((F.lit(a) * F.col("h") + b) % _P).alias(f"h{s}")
         for s, (a, b) in enumerate(_AB)
     ])
+
+
+def _band_pairs(sig, n_bands, rows_per_band):
+    """Banded candidate pairs (d1 < d2) from a signature frame for a
+    (bands, rows-per-band) configuration over the 8 signatures: band
+    i hashes signatures h[i*r .. i*r+r-1]. (4, 2) is the production
+    config every minhash key ships with; the other factorizations of
+    8 exist for q_dedup_eval_bands' S-curve grading."""
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(band).alias("band_id"),
-                F.md5(F.concat_ws(
-                    ",", F.col(f"h{2*band}"), F.col(f"h{2*band+1}")
-                ).cast("binary")).alias("bh"),
+                F.md5(F.concat_ws(",", *[
+                    F.col(f"h{band * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]).cast("binary")).alias("bh"),
             )
-            for band in range(4)
+            for band in range(n_bands)
         ])).alias("b"),
     ).select("doc_id", "b.band_id", "b.bh")
     x, y = bands.alias("x"), bands.alias("y")
@@ -139,6 +145,15 @@ def _minhash_candidate_pairs(hv):
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
     )
+
+
+def _minhash_candidate_pairs(hv):
+    """Banded-MinHash candidate pairs (d1 < d2) from a (doc_id, h)
+    shingle-hash frame — the ONE Python-side construction of the
+    signature/band/pair chain, shared by q_dedup_fuzzy_minhash and
+    q_dedup_containment exactly like _MINHASH_CTES is shared on the
+    SQL side, so the two candidate sets can never drift."""
+    return _band_pairs(_minhash_signatures(hv), 4, 2)
 
 
 # connected-components closure over the banded-MinHash pairs, shared
@@ -2387,6 +2402,102 @@ def q_dedup_eval(spark, sf):
         rnd(nh / F.nullif(F.col("n_truth"), F.lit(0)), 6)
             .alias("recall"),
     )
+
+
+#: Every (bands, rows-per-band) factorization of the 8 minhash
+#: signatures; (4, 2) is the production config of every minhash key.
+_BAND_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+
+def _band_cte_sql(n_bands: int, rows_per_band: int) -> str:
+    """SQL band frame for one configuration over the m signature CTE
+    — the same hash form as _MINHASH_CTES' b (which IS the (4, 2)
+    instance and is reused verbatim for it)."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band_id, md5(concat_ws(',', "
+        + ", ".join(f"CAST(h{band * rows_per_band + r} AS VARCHAR)"
+                    for r in range(rows_per_band))
+        + ")) AS bh FROM m"
+        for band in range(n_bands))
+
+
+def _bands_eval_oracle() -> str:
+    ctes, unions = [], []
+    for B, R in _BAND_CONFIGS:
+        bcte = "b" if (B, R) == (4, 2) else f"b{B}_{R}"
+        if bcte != "b":
+            ctes.append(f"{bcte} AS ({_band_cte_sql(B, R)})")
+        ctes.append(f"""
+c{B}_{R} AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             FROM {bcte} x
+             JOIN {bcte} y ON x.band_id = y.band_id AND x.bh = y.bh
+             WHERE x.doc_id < y.doc_id)""")
+        unions.append(f"""
+SELECT {B} AS n_bands, {R} AS rows_per_band,
+       (SELECT count(*) FROM c{B}_{R}) AS n_candidates,
+       (SELECT count(*) FROM truth) AS n_truth,
+       (SELECT count(*) FROM c{B}_{R} JOIN truth USING (d1, d2))
+           AS n_hit""")
+    return f"""
+WITH {_MINHASH_CTES},
+truth AS (SELECT d1, d2 FROM ({_ORACLE['q_dedup_ngram_jaccard']}) tt),
+{",".join(ctes)}
+SELECT n_bands, rows_per_band, n_candidates, n_truth, n_hit,
+       {sql_rnd('CAST(n_hit AS DOUBLE) / nullif(n_candidates, 0)', 6)}
+           AS prec,
+       {sql_rnd('CAST(n_hit AS DOUBLE) / nullif(n_truth, 0)', 6)}
+           AS recall
+FROM ({" UNION ALL ".join(unions)})
+"""
+
+
+@query("q_dedup_eval_bands", oracle=_bands_eval_oracle())
+def q_dedup_eval_bands(spark, sf):
+    """LSH banding S-CURVE evaluation — the (bands, rows-per-band)
+    tuning table an operator consults before committing a MinHash
+    config to a 100 TB run: for EVERY factorization of the 8
+    signatures (8x1, 4x2, 2x4, 1x8), the candidate count and
+    precision/recall against the exact n-gram-Jaccard truth
+    (q_dedup_ngram_jaccard, nested verbatim). More rows per band
+    moves along the S-curve from recall-1.0/low-precision (8x1:
+    any single matching signature pairs the docs) to
+    high-precision/low-recall (1x8: all 8 must match) — measured on
+    the committed fixtures, not asserted. The production (4, 2)
+    row grades the very CTE every minhash key ships (_MINHASH_CTES'
+    b, reused verbatim), so the graded config cannot drift.
+
+    Scale: the signature frame is computed ONCE and persisted (8
+    longs per doc), each config's band join is the operator's own
+    banded plan (never all-pairs), and each config reduces through
+    ONE full-outer join + ONE aggregate (the q_dedup_eval lineage
+    discipline). Like the other eval keys this composes the exact
+    truth baseline, so it is fixture-grade by design and excluded
+    from bench HEADLINE and scale probes."""
+    sig = _minhash_signatures(_shingle_hashes(spark, sf)).persist()
+    truth = (q_dedup_ngram_jaccard(spark, sf)
+             .select("d1", "d2").withColumn("t", F.lit(1)).persist())
+    out = None
+    for B, R in _BAND_CONFIGS:
+        cand = _band_pairs(sig, B, R).withColumn("c", F.lit(1))
+        j = cand.join(truth, ["d1", "d2"], "full_outer")
+        s = j.agg(
+            F.count("c").alias("n_candidates"),
+            F.count("t").alias("n_truth"),
+            F.count(F.when(F.col("c").isNotNull()
+                           & F.col("t").isNotNull(), 1)).alias("n_hit"),
+        )
+        nh = F.col("n_hit").cast("double")
+        row = s.select(
+            F.lit(B).alias("n_bands"),
+            F.lit(R).alias("rows_per_band"),
+            "n_candidates", "n_truth", "n_hit",
+            rnd(nh / F.nullif(F.col("n_candidates"), F.lit(0)), 6)
+                .alias("prec"),
+            rnd(nh / F.nullif(F.col("n_truth"), F.lit(0)), 6)
+                .alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 @query("q_dedup_eval_semantic", oracle=f"""

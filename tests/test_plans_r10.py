@@ -248,3 +248,38 @@ def test_token_budget_exact_integer_replay(spark, sf_dir):
     total_alloc = sum(r["alloc_tokens"] for r in rows.values())
     # each floor loses < 1 token of the exact B*w/S share
     assert B - len(raw) < total_alloc <= B
+
+
+def test_dedup_eval_bands_scurve_nesting(spark, sf_dir):
+    """The four configs factorize the SAME 8 signatures with aligned
+    boundaries, so candidate sets nest by construction: all-8-match
+    implies each half matches implies each pair matches. Pins: set
+    containment 1x8 <= 2x4 <= 4x2 <= 8x1, counts monotone, recall
+    non-decreasing / precision non-increasing along the same order
+    (where defined), n_truth identical everywhere, and the (4, 2)
+    row equal to q_dedup_eval's production grading."""
+    from engine.queries.llm import (_BAND_CONFIGS, _band_pairs,
+                                    _minhash_signatures,
+                                    _shingle_hashes)
+    rows = {(r["n_bands"], r["rows_per_band"]): r
+            for r in QUERIES["q_dedup_eval_bands"](spark, sf_dir).collect()}
+    assert set(rows) == set(_BAND_CONFIGS)
+    order = [(1, 8), (2, 4), (4, 2), (8, 1)]  # coarse -> fine bands
+    truths = {r["n_truth"] for r in rows.values()}
+    assert len(truths) == 1
+    for a, b in zip(order, order[1:]):
+        assert rows[a]["n_candidates"] <= rows[b]["n_candidates"]
+        assert rows[a]["n_hit"] <= rows[b]["n_hit"]
+        if rows[a]["recall"] is not None:
+            assert rows[a]["recall"] <= rows[b]["recall"]
+    sig = _minhash_signatures(_shingle_hashes(spark, sf_dir))
+    sets = {c: {(r["d1"], r["d2"])
+                for r in _band_pairs(sig, *c).collect()}
+            for c in order}
+    assert sets[(1, 8)] <= sets[(2, 4)] <= sets[(4, 2)] <= sets[(8, 1)]
+    prod = QUERIES["q_dedup_eval"](spark, sf_dir).collect()[0]
+    r42 = rows[(4, 2)]
+    assert (r42["n_candidates"], r42["n_truth"], r42["n_hit"],
+            r42["prec"], r42["recall"]) == (
+        prod["n_candidates"], prod["n_truth"], prod["n_hit"],
+        prod["prec"], prod["recall"])
