@@ -177,6 +177,7 @@ HEADLINE = [
     "q_dedup_substring_cut",
     "q_tokenizer_vocab",
     "q_token_budget",
+    "q_contamination_cut",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -237,12 +237,44 @@ def q_text_redact(spark, sf):
 
 
 # ----------------------------------------------------------- contamination
-@query("q_contamination", oracle="""
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-g AS (SELECT doc_id, md5(array_to_string(l[s:s+3], ' ')) AS gh
+#: Shared holdout-gram CTE block — composed VERBATIM into both
+#: q_contamination (the measurement) and q_contamination_cut (the
+#: excision) so the twins' notion of a leaked gram can never desync
+#: (the _SUBDUP_CTES discipline). g carries the gram position; the
+#: measurement ignores it, the cut spans from it.
+_CONTAM_CTES = """tok AS (SELECT doc_id, string_split(text, ' ') AS l
+       FROM documents),
+g AS (SELECT doc_id, s AS pos, md5(array_to_string(l[s:s+3], ' ')) AS gh
       FROM tok, unnest(generate_series(1, len(l) - 3)) AS t(s)
       WHERE len(l) >= 4),
-hold AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+hold AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)"""
+
+
+def _contam_grams(spark, sf):
+    """(doc_id, pos, gh): positioned 4-gram hashes of every document
+    — the Spark twin of _CONTAM_CTES' g, shared by q_contamination
+    and q_contamination_cut."""
+    d = load_tables(spark, sf)["documents"]
+    # token array materialized first — see q_word_pmi: split() inside
+    # the transform lambda would re-split the text per gram
+    tk = d.select("doc_id", F.split("text", " ").alias("l")) \
+          .filter(F.size("l") >= 4)
+    return tk.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 3),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice("l", i, F.lit(4)))
+                          .cast("binary")).alias("gh")),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.gh")
+
+
+@query("q_contamination", oracle=f"""
+WITH {_CONTAM_CTES},
 hits AS (SELECT DISTINCT g.doc_id, g.gh
          FROM g JOIN hold USING (gh)
          WHERE g.doc_id % 97 <> 0)
@@ -262,23 +294,7 @@ def q_contamination(spark, sf):
     corpus side streams through a broadcast-hash semi-join with no
     shuffle of corpus grams; per-doc dedup of matched grams is the
     only exchange, keyed by doc_id and sized by |hits| ≪ |grams|."""
-    d = load_tables(spark, sf)["documents"]
-    # token array materialized first — see q_word_pmi: split() inside
-    # the transform lambda would re-split the text per gram
-    tk = d.select("doc_id", F.split("text", " ").alias("l")) \
-          .filter(F.size("l") >= 4)
-    grams = (
-        tk.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("l") - 3),
-                    lambda i: F.concat_ws(" ", F.slice("l", i, F.lit(4))),
-                )
-            ).alias("gram"),
-        )
-        .select("doc_id", F.md5(F.col("gram").cast("binary")).alias("gh"))
-    )
+    grams = _contam_grams(spark, sf)
     hold = (grams.filter(F.col("doc_id") % 97 == 0)
             .select("gh").distinct())
     corpus = grams.filter(F.col("doc_id") % 97 != 0)
@@ -1017,18 +1033,11 @@ _SUBCUT_R = 4  # min duplicated-gram run length to excise (span of
 #              _SUBCUT_R + _SUBDUP_G - 1 = 7 words); fires on 45/500
 #              (sf0.001), 45/500 (sf0.01), 1269/5000 (sf0.1) docs
 
-
-@query("q_dedup_substring_cut", oracle=f"""
-WITH {_SUBDUP_CTES},
-isl AS (
-  SELECT doc_id, min(pos) AS lo, max(pos) + {_SUBDUP_G - 1} AS hi
-  FROM (SELECT doc_id, pos,
-               pos - row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY pos) AS grp
-        FROM m)
-  GROUP BY doc_id, grp
-  HAVING count(*) >= {_SUBCUT_R}),
-wi AS (SELECT doc_id, i AS idx, l[i] AS word
+#: Word-splice SQL over CTEs `w` (doc_id, l word array) and `isl`
+#: (doc_id, lo, hi word intervals to cut) — composed VERBATIM into
+#: q_dedup_substring_cut and q_contamination_cut so the two cut
+#: operators' splice semantics can never desync.
+_SPLICE_SQL = """wi AS (SELECT doc_id, i AS idx, l[i] AS word
        FROM w, unnest(generate_series(1, len(l))) AS t(i)),
 keep AS (
   SELECT wi.doc_id, wi.idx, wi.word,
@@ -1045,7 +1054,52 @@ SELECT doc_id,
             AS BIGINT) AS n_chars_kept,
        CAST(coalesce(sum(length(word)) FILTER (WHERE NOT kept), 0)
             AS BIGINT) AS n_chars_cut
-FROM keep GROUP BY doc_id
+FROM keep GROUP BY doc_id"""
+
+
+def _splice_cut(docs, isl):
+    """Shared codegen word-splice: given docs (doc_id, l word array)
+    and isl (doc_id, lo, hi intervals), cut every word covered by any
+    interval and re-emit text plus kept/cut accounting — the Spark
+    twin of _SPLICE_SQL, shared by q_dedup_substring_cut and
+    q_contamination_cut. The intervals collapse to a per-doc array
+    (islands are few) and the splice is pure JVM expression work:
+    transform/filter/exists/array_join add zero exchanges."""
+    ivs = (isl.groupBy("doc_id")
+           .agg(F.collect_list(F.struct("lo", "hi")).alias("ivs")))
+    tagged = (docs.join(ivs, "doc_id", "left")
+              .select("doc_id", "l",
+                      F.coalesce("ivs", F.array()).alias("ivs")))
+    wia = F.transform(
+        "l", lambda w, i: F.struct((i + 1).alias("idx"), w.alias("word")))
+    covered = lambda s: F.exists(  # noqa: E731
+        "ivs", lambda iv: (s["idx"] >= iv["lo"]) & (s["idx"] <= iv["hi"]))
+    kept = F.filter(wia, lambda s: ~covered(s))
+    cut = F.filter(wia, lambda s: covered(s))
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s["word"]))
+    return tagged.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda s: s["word"]), " ")
+        .alias("text_clean"),
+        F.size(kept).cast("long").alias("n_words_kept"),
+        F.size(cut).cast("long").alias("n_words_cut"),
+        chars(kept).alias("n_chars_kept"),
+        chars(cut).alias("n_chars_cut"),
+    )
+
+
+@query("q_dedup_substring_cut", oracle=f"""
+WITH {_SUBDUP_CTES},
+isl AS (
+  SELECT doc_id, min(pos) AS lo, max(pos) + {_SUBDUP_G - 1} AS hi
+  FROM (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM m)
+  GROUP BY doc_id, grp
+  HAVING count(*) >= {_SUBCUT_R}),
+{_SPLICE_SQL}
 """)
 def q_dedup_substring_cut(spark, sf):
     """Substring-dedup REMOVAL — the transformation Lee et al. 2022
@@ -1098,29 +1152,63 @@ def q_dedup_substring_cut(spark, sf):
            .agg(F.min("pos").alias("lo"),
                 (F.max("pos") + (gw - 1)).alias("hi"),
                 F.count(F.lit(1)).alias("run"))
-           .filter(F.col("run") >= rr)
-           .groupBy("doc_id")
-           .agg(F.collect_list(F.struct("lo", "hi")).alias("ivs")))
-    tagged = (docs.join(isl, "doc_id", "left")
-              .select("doc_id", "l",
-                      F.coalesce("ivs", F.array()).alias("ivs")))
-    wia = F.transform(
-        "l", lambda w, i: F.struct((i + 1).alias("idx"), w.alias("word")))
-    covered = lambda s: F.exists(  # noqa: E731
-        "ivs", lambda iv: (s["idx"] >= iv["lo"]) & (s["idx"] <= iv["hi"]))
-    kept = F.filter(wia, lambda s: ~covered(s))
-    cut = F.filter(wia, lambda s: covered(s))
-    chars = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s["word"]))
-    return (tagged.select(
-        "doc_id",
-        F.array_join(F.transform(kept, lambda s: s["word"]), " ")
-        .alias("text_clean"),
-        F.size(kept).cast("long").alias("n_words_kept"),
-        F.size(cut).cast("long").alias("n_words_cut"),
-        chars(kept).alias("n_chars_kept"),
-        chars(cut).alias("n_chars_cut"),
-    ))
+           .filter(F.col("run") >= rr))
+    return _splice_cut(docs, isl)
+
+
+@query("q_contamination_cut", oracle=f"""
+WITH {_CONTAM_CTES},
+m AS (SELECT g.doc_id, g.pos FROM g JOIN hold USING (gh)
+      WHERE g.doc_id % 97 <> 0),
+isl AS (
+  SELECT doc_id, min(pos) AS lo, max(pos) + 3 AS hi
+  FROM (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM m)
+  GROUP BY doc_id, grp),
+w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE doc_id % 97 <> 0 AND length(text) > 0),
+{_SPLICE_SQL}
+""")
+def q_contamination_cut(spark, sf):
+    """Decontamination EXCISION — the surgical alternative to
+    dropping whole contaminated documents: every corpus span that
+    shares a 4-gram with the held-out evaluation slice
+    (q_contamination's leak notion, _CONTAM_CTES composed verbatim)
+    is cut out of the text, and each non-holdout document re-emits
+    with kept/cut word and char accounting (the _SPLICE_SQL splice,
+    shared verbatim with q_dedup_substring_cut). Unlike the dedup
+    cut there is NO minimum run: a single leaked eval 4-gram is
+    already memorizable, so every matched gram's word span
+    [pos, pos+3] goes (adjacent/overlapping matches merge via
+    gaps-and-islands into one interval). Holdout documents are
+    excluded from the output entirely — they are the benchmark, not
+    training data.
+
+    Scale: the leak-position frame shuffles only (doc_id, pos)
+    after a BROADCAST semi-join against the benchmark-bounded
+    holdout gram set (the q_contamination shape — corpus grams never
+    shuffle); islands reduce to |leaks|-row intervals joined back to
+    documents by doc_id; the splice is zero-exchange JVM expression
+    work (see _splice_cut). Output is corpus-sized but narrow, and
+    every count is a plain long: hash-stable."""
+    docs = (load_tables(spark, sf)["documents"]
+            .filter((F.col("doc_id") % 97 != 0) & (F.length("text") > 0))
+            .select("doc_id", F.split("text", " ").alias("l")))
+    grams = _contam_grams(spark, sf)
+    hold = (grams.filter(F.col("doc_id") % 97 == 0)
+            .select("gh").distinct())
+    m = (grams.filter(F.col("doc_id") % 97 != 0)
+         .join(F.broadcast(hold), "gh").select("doc_id", "pos"))
+    from pyspark.sql import Window as W
+    grp = (F.col("pos")
+           - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")))
+    isl = (m.select("doc_id", "pos", grp.alias("grp"))
+           .groupBy("doc_id", "grp")
+           .agg(F.min("pos").alias("lo"),
+                (F.max("pos") + 3).alias("hi")))
+    return _splice_cut(docs, isl)
 
 
 # --------------------------------------------------------- l-diversity

@@ -103,6 +103,10 @@ DOC_KEYS = [
     # round-10: token-budget planner (documents grow 10x; one
     # map-side aggregate, |sources|-row integer math after).
     "q_token_budget",
+    # round-10: decontamination excision (documents grow 10x; rides
+    # q_contamination's broadcast-holdout shape + the zero-exchange
+    # splice).
+    "q_contamination_cut",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

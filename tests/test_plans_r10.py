@@ -283,3 +283,55 @@ def test_dedup_eval_bands_scurve_nesting(spark, sf_dir):
             r42["prec"], r42["recall"]) == (
         prod["n_candidates"], prod["n_truth"], prod["n_hit"],
         prod["prec"], prod["recall"])
+
+
+def test_contamination_cut_consistent_with_measurement_twin(
+        spark, sf_dir):
+    """Excision <-> measurement consistency on the full fixture:
+    exactly the docs q_contamination flags lose words (no run
+    threshold — any leaked gram cuts), holdout docs are absent from
+    the output, kept + cut reconciles with the raw text, every cut
+    span covers >= one gram width (4 words), and the cut fires
+    non-vacuously. Cut word counts are re-derived from a brute-force
+    Python interval union over the leaked gram positions."""
+    flagged = {r["doc_id"] for r in
+               QUERIES["q_contamination"](spark, sf_dir).collect()}
+    cut = {r["doc_id"]: r for r in
+           QUERIES["q_contamination_cut"](spark, sf_dir).collect()}
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select("doc_id", "text").collect()
+             if r["text"] and r["doc_id"] % 97 != 0}
+    assert set(cut) == set(texts)
+    assert all(d % 97 != 0 for d in cut)
+    # brute-force leak positions: holdout gram hashes from raw text
+    import hashlib
+
+    def grams(t):
+        ws = t.split(" ")
+        return {s: hashlib.md5(" ".join(ws[s:s + 4]).encode())
+                .hexdigest() for s in range(len(ws) - 3)}
+    hold_texts = {r["doc_id"]: r["text"] for r in
+                  spark.read.parquet(f"{sf_dir}/documents.parquet")
+                  .select("doc_id", "text").collect()
+                  if r["text"] and r["doc_id"] % 97 == 0}
+    hold = {gh for t in hold_texts.values() for gh in grams(t).values()}
+    n_cut_docs = 0
+    for d, r in cut.items():
+        ws = texts[d].split(" ")
+        assert r["n_words_kept"] + r["n_words_cut"] == len(ws), d
+        assert (r["n_chars_kept"] + r["n_chars_cut"]
+                == sum(len(w) for w in ws)), d
+        idx = set()
+        for s, gh in grams(texts[d]).items():
+            if gh in hold:
+                idx.update(range(s, s + 4))
+        assert r["n_words_cut"] == len(idx), d
+        assert (d in flagged) == (r["n_words_cut"] > 0), d
+        if idx:
+            n_cut_docs += 1
+            expect = " ".join(w for k, w in enumerate(ws) if k not in idx)
+            assert r["text_clean"] == expect, d
+    assert n_cut_docs > 0
+    assert set(flagged) == {d for d, r in cut.items()
+                            if r["n_words_cut"] > 0}
