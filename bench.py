@@ -178,6 +178,7 @@ HEADLINE = [
     "q_tokenizer_vocab",
     "q_token_budget",
     "q_contamination_cut",
+    "q_quality_ablation",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -846,39 +846,37 @@ def q_text_langid(spark, sf):
     )
 
 
-@query("q_text_quality", oracle=f"""
-WITH stop AS (
+#: Shared quality-feature CTE block (learned stopword list + integer
+#: per-doc counts) — composed VERBATIM into q_text_quality (the float
+#: score) and q_quality_ablation (the exact-integer threshold sweep)
+#: so the twins' feature extraction can never desync.
+_QUALITY_FEAT_CTES = """stop AS (
     SELECT word FROM (
         SELECT word, count(*) AS cnt,
                row_number() OVER (ORDER BY count(*) DESC, word) AS rn
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         GROUP BY word) WHERE rn <= 20),
-t AS (
+feat AS (
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_words,
            CAST(list_sum(list_transform(string_split(text, ' '),
-                w -> length(w))) AS DOUBLE) AS sum_len,
+                w -> length(w))) AS BIGINT) AS sum_len,
            CAST(len(list_filter(string_split(text, ' '),
-                w -> length(w) >= 8)) AS DOUBLE) AS n_long,
+                w -> length(w) >= 8)) AS BIGINT) AS n_long,
            CAST((SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(x)
-                 WHERE x IN (SELECT word FROM stop)) AS DOUBLE) AS n_stop
-    FROM documents)
-SELECT doc_id, n_words,
-       {sql_rnd('sum_len / n_words')} AS avg_word_len,
-       {sql_rnd('n_stop / n_words')} AS stop_ratio,
-       {sql_rnd('n_long / n_words')} AS long_ratio,
-       {sql_rnd('0.4 * (n_stop / n_words) + 0.3 * (n_long / n_words)'
-                ' + 0.3 * least(sum_len / n_words / 10.0, 1.0)')} AS quality
-FROM t
-""")
-def q_text_quality(spark, sf):
-    """Document quality scoring: length/stopword/long-word features
-    combined into one score — all array folds, zero extra shuffles
-    beyond the one broadcast of the learned stopword list."""
+                 WHERE x IN (SELECT word FROM stop)) AS BIGINT) AS n_stop
+    FROM documents)"""
+
+
+def _quality_features(spark, sf):
+    """(doc_id, n_words, sum_len, n_long, n_stop) integer feature
+    frame — the Spark twin of _QUALITY_FEAT_CTES' feat, shared by
+    q_text_quality and q_quality_ablation. One stopword broadcast,
+    all array folds, zero extra shuffles."""
     d0 = load_tables(spark, sf)["documents"]
-    # materialize the token array once: the four feature expressions
-    # below each take the array as input, and a named column splits
-    # once per row instead of once per expression
+    # materialize the token array once: the feature expressions below
+    # each take the array as input, and a named column splits once
+    # per row instead of once per expression
     d = d0.select("doc_id", F.split("text", " ").alias("ws"))
     ws = F.col("ws")
     # Global top-20 via orderBy+limit → TakeOrderedAndProject (per-partition
@@ -891,26 +889,129 @@ def q_text_quality(spark, sf):
         .limit(20)
         .agg(F.collect_list("word").alias("stopwords"))
     )
-    t = d.crossJoin(F.broadcast(stop)).select(
+    return d.crossJoin(F.broadcast(stop)).select(
         "doc_id",
         F.size(ws).alias("n_words"),
         F.aggregate(F.transform(ws, lambda w: F.length(w)),
-                    F.lit(0), lambda a, x: a + x).cast("double").alias("sum_len"),
+                    F.lit(0), lambda a, x: a + x).cast("long")
+         .alias("sum_len"),
         F.size(F.filter(ws, lambda w: F.length(w) >= 8))
-            .cast("double").alias("n_long"),
+            .cast("long").alias("n_long"),
         F.size(F.filter(ws, lambda w: F.array_contains(F.col("stopwords"), w)))
-            .cast("double").alias("n_stop"),
+            .cast("long").alias("n_stop"),
     )
+
+
+@query("q_text_quality", oracle=f"""
+WITH {_QUALITY_FEAT_CTES}
+SELECT doc_id, n_words,
+       {sql_rnd('CAST(sum_len AS DOUBLE) / n_words')} AS avg_word_len,
+       {sql_rnd('CAST(n_stop AS DOUBLE) / n_words')} AS stop_ratio,
+       {sql_rnd('CAST(n_long AS DOUBLE) / n_words')} AS long_ratio,
+       {sql_rnd('0.4 * (CAST(n_stop AS DOUBLE) / n_words)'
+                ' + 0.3 * (CAST(n_long AS DOUBLE) / n_words)'
+                ' + 0.3 * least(CAST(sum_len AS DOUBLE) / n_words / 10.0,'
+                ' 1.0)')} AS quality
+FROM feat
+""")
+def q_text_quality(spark, sf):
+    """Document quality scoring: length/stopword/long-word features
+    combined into one score — all array folds, zero extra shuffles
+    beyond the one broadcast of the learned stopword list (features
+    shared with q_quality_ablation via _quality_features)."""
+    t = _quality_features(spark, sf)
     nw = F.col("n_words")
-    quality = (0.4 * (F.col("n_stop") / nw) + 0.3 * (F.col("n_long") / nw)
-               + 0.3 * F.least(F.col("sum_len") / nw / 10.0, F.lit(1.0)))
+    sl = F.col("sum_len").cast("double")
+    nl = F.col("n_long").cast("double")
+    ns = F.col("n_stop").cast("double")
+    quality = (0.4 * (ns / nw) + 0.3 * (nl / nw)
+               + 0.3 * F.least(sl / nw / 10.0, F.lit(1.0)))
     return t.select(
         "doc_id", "n_words",
-        rnd(F.col("sum_len") / nw).alias("avg_word_len"),
-        rnd(F.col("n_stop") / nw).alias("stop_ratio"),
-        rnd(F.col("n_long") / nw).alias("long_ratio"),
+        rnd(sl / nw).alias("avg_word_len"),
+        rnd(ns / nw).alias("stop_ratio"),
+        rnd(nl / nw).alias("long_ratio"),
         rnd(quality).alias("quality"),
     )
+
+
+#: Quality thresholds graded by q_quality_ablation, in permille of
+#: the q_text_quality score.
+_ABLATION_THRS = list(range(0, 1000, 100))
+
+
+def _ablation_oracle() -> str:
+    aggs, rows = [], []
+    for t in _ABLATION_THRS:
+        keep = f"score >= 10 * {t} * n_words"
+        aggs.append(
+            f"CAST(count(*) FILTER (WHERE {keep}) AS BIGINT) AS d{t},\n"
+            f"  CAST(coalesce(sum(n_words) FILTER (WHERE {keep}), 0)"
+            f" AS BIGINT) AS k{t}")
+        rows.append(f"""
+SELECT CAST({t} AS BIGINT) AS thr_permille, d{t} AS n_docs,
+       k{t} AS n_tokens,
+       CAST(1000000 * d{t} // nullif(d0, 0) AS BIGINT) AS doc_ppm,
+       CAST(CAST(k{t} AS HUGEINT) * 1000000 // nullif(k0, 0)
+            AS BIGINT) AS token_ppm
+FROM a""")
+    return f"""
+WITH {_QUALITY_FEAT_CTES},
+q AS (SELECT n_words,
+             4000 * n_stop + 3000 * n_long
+                 + 300 * least(sum_len, 10 * n_words) AS score
+      FROM feat),
+a AS (SELECT {", ".join(aggs)} FROM q)
+{" UNION ALL ".join(rows)}
+"""
+
+
+@query("q_quality_ablation", oracle=_ablation_oracle())
+def q_quality_ablation(spark, sf):
+    """Quality-filter ABLATION curve — the yield table consulted
+    before committing a quality threshold to a 100 TB filtering run
+    (the q_dedup_eval_bands discipline applied to the quality gate):
+    for each threshold t (permille of the q_text_quality score), the
+    documents and tokens that survive `quality >= t/1000`, absolute
+    and as ppm of the corpus. Feature extraction is composed verbatim
+    from the score key (_QUALITY_FEAT_CTES / _quality_features), and
+    the comparison is EXACT-INTEGER algebra, not a float replay:
+    quality = Q / (10000 * n_words) with
+    Q = 4000*n_stop + 3000*n_long + 300*least(sum_len, 10*n_words),
+    so `quality >= t/1000` is precisely `Q >= 10*t*n_words` — integer
+    both sides, no rounding boundary for either engine to disagree
+    on (the no-libm-in-decision-lanes rule taken to its limit: no
+    floats at all).
+
+    Scale: ONE pass over the feature frame with 2x|thresholds|
+    map-side-combinable conditional aggregates into a single row,
+    unstacked to |thresholds| rows driver-free; the token-ppm
+    product crosses 2^63 at 100 TB (2e13 tokens x 1e6) so it runs in
+    the 128-bit lane (decimal(38,0) / HUGEINT). Output is
+    |thresholds| rows regardless of corpus size."""
+    q = _quality_features(spark, sf).select(
+        "n_words",
+        (4000 * F.col("n_stop") + 3000 * F.col("n_long")
+         + 300 * F.least(F.col("sum_len"), 10 * F.col("n_words")))
+        .alias("score"))
+    aggs = []
+    for t in _ABLATION_THRS:
+        cond = F.col("score") >= 10 * t * F.col("n_words")
+        aggs.append(F.count(F.when(cond, 1)).alias(f"d{t}"))
+        aggs.append(F.coalesce(F.sum(F.when(cond, F.col("n_words"))),
+                               F.lit(0)).cast("long").alias(f"k{t}"))
+    a = q.agg(*aggs)
+    rows = F.explode(F.array(*[
+        F.struct(
+            F.lit(t).cast("long").alias("thr_permille"),
+            F.col(f"d{t}").alias("n_docs"),
+            F.col(f"k{t}").alias("n_tokens"),
+            F.expr(f"CAST(1000000 * d{t} div nullif(d0, 0) AS BIGINT)")
+             .alias("doc_ppm"),
+            F.expr(f"CAST(CAST(k{t} AS DECIMAL(38,0)) * 1000000"
+                   f" div nullif(k0, 0) AS BIGINT)").alias("token_ppm"),
+        ) for t in _ABLATION_THRS])).alias("r")
+    return a.select(rows).select("r.*")
 
 
 @query("q_text_fingerprint", oracle=f"""

@@ -107,6 +107,9 @@ DOC_KEYS = [
     # q_contamination's broadcast-holdout shape + the zero-exchange
     # splice).
     "q_contamination_cut",
+    # round-10: quality-threshold ablation (documents grow 10x; one
+    # conditional-aggregate pass, |thresholds|-row output).
+    "q_quality_ablation",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

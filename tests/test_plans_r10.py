@@ -335,3 +335,37 @@ def test_contamination_cut_consistent_with_measurement_twin(
     assert n_cut_docs > 0
     assert set(flagged) == {d for d, r in cut.items()
                             if r["n_words_cut"] > 0}
+
+
+def test_quality_ablation_matches_score_key_and_is_monotone(
+        spark, sf_dir):
+    """The ablation's integer-algebra keep decision must agree with a
+    replay over q_text_quality's own per-doc output computed as exact
+    fractions from the raw features (the float `quality` column is
+    rounded, so the replay recomputes the exact rational from the
+    unrounded feature frame), t=0 keeps the whole corpus, and
+    docs/tokens are non-increasing in the threshold."""
+    from fractions import Fraction
+
+    from engine.queries.llm import _ABLATION_THRS, _quality_features
+    feats = _quality_features(spark, sf_dir).collect()
+    rows = {r["thr_permille"]: r for r in
+            QUERIES["q_quality_ablation"](spark, sf_dir).collect()}
+    assert sorted(rows) == _ABLATION_THRS
+    assert rows[0]["n_docs"] == len(feats)
+    assert rows[0]["n_tokens"] == sum(r["n_words"] for r in feats)
+    assert rows[0]["doc_ppm"] == rows[0]["token_ppm"] == 1000000
+    for t in _ABLATION_THRS:
+        kept = [r for r in feats if
+                Fraction(4 * r["n_stop"] + 3 * r["n_long"], 10)
+                + Fraction(3 * min(r["sum_len"], 10 * r["n_words"]), 100)
+                >= Fraction(t * r["n_words"], 1000)]
+        assert rows[t]["n_docs"] == len(kept), t
+        assert rows[t]["n_tokens"] == sum(r["n_words"] for r in kept), t
+        assert (rows[t]["doc_ppm"]
+                == 1000000 * len(kept) // len(feats)), t
+    for a, b in zip(_ABLATION_THRS, _ABLATION_THRS[1:]):
+        assert rows[a]["n_docs"] >= rows[b]["n_docs"]
+        assert rows[a]["n_tokens"] >= rows[b]["n_tokens"]
+    # the sweep must actually separate the fixture (non-degenerate)
+    assert rows[_ABLATION_THRS[-1]]["n_docs"] < rows[0]["n_docs"]
