@@ -179,6 +179,7 @@ HEADLINE = [
     "q_token_budget",
     "q_contamination_cut",
     "q_quality_ablation",
+    "q_pack_efficiency",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

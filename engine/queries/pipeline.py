@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..io import load_tables
-from ..registry import query
+from ..registry import ORACLE as _ORACLE, query
 from ..layout import z_expr_sql
 from ..skew import salted_join
 from .util import (dsum, hex32_sql, hexpoly_col, hexpoly_sql, rnd,
@@ -1125,6 +1125,62 @@ def q_pack_sequences(spark, sf):
         F.expr(f"(cum - n_tok) div {k}").alias("start_seq"),
         F.expr(f"(cum - 1) div {k}").alias("end_seq"),
         ((F.col("cum") - F.col("n_tok")) % k).alias("seq_offset"))
+
+
+@query("q_pack_efficiency", oracle=f"""
+WITH p AS ({_ORACLE['q_pack_sequences']})
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(max(end_seq) + 1 AS BIGINT) AS n_seqs,
+       CAST((max(end_seq) + 1) * {_PACK_LEN} - sum(n_tok) AS BIGINT)
+           AS tail_pad,
+       CAST(count(*) FILTER (WHERE end_seq > start_seq) AS BIGINT)
+           AS n_crossing,
+       CAST(1000000 * ((max(end_seq) + 1) * {_PACK_LEN} - sum(n_tok))
+            // ((max(end_seq) + 1) * {_PACK_LEN}) AS BIGINT) AS pad_ppm,
+       CAST(1000000 * count(*) FILTER (WHERE end_seq > start_seq)
+            // count(*) AS BIGINT) AS crossing_ppm
+FROM p GROUP BY shard
+""")
+def q_pack_efficiency(spark, sf):
+    """Packing-efficiency report — the eval twin of q_pack_sequences
+    (the q_dedup_eval discipline applied to the packing stage): per
+    shard, the document/token/sequence counts, the tail padding the
+    last partial sequence wastes, and how many documents CROSS a
+    sequence boundary — the two numbers a training team actually
+    watches (pad waste = paid-for tokens that train nothing;
+    boundary-crossing docs need attention-mask resets, so their rate
+    prices the packing-vs-truncation tradeoff). Composes the
+    REGISTERED q_pack_sequences manifest directly (Spark side calls
+    it; the oracle nests its SQL verbatim as a closed subquery), so
+    the graded packing can never drift from the operator.
+
+    Identities (pinned in tests/test_plans_r10.py): n_seqs =
+    ceil(n_tokens / {_PACK_LEN}) = max(end_seq)+1 because the cumsum
+    is gapless; tail_pad = n_seqs*{_PACK_LEN} - n_tokens < {_PACK_LEN};
+    every count/ppm is exact integer arithmetic (the manifest's own
+    div/mod lanes — nothing floats).
+
+    Scale: one groupBy over the manifest (|docs| rows in, |shards|
+    rows out, map-side combinable); the window cumsum inside the
+    manifest remains the only exchange. Output is |shards| rows at
+    any corpus size."""
+    k = _PACK_LEN
+    p = q_pack_sequences(spark, sf)
+    crossing = F.when(F.col("end_seq") > F.col("start_seq"), 1)
+    a = p.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        (F.max("end_seq") + 1).cast("long").alias("n_seqs"),
+        F.count(crossing).cast("long").alias("n_crossing"))
+    return a.select(
+        "shard", "n_docs", "n_tokens", "n_seqs",
+        (F.col("n_seqs") * k - F.col("n_tokens")).alias("tail_pad"),
+        "n_crossing",
+        F.expr(f"CAST(1000000 * (n_seqs * {k} - n_tokens)"
+               f" div (n_seqs * {k}) AS BIGINT)").alias("pad_ppm"),
+        F.expr("CAST(1000000 * n_crossing div n_docs AS BIGINT)")
+         .alias("crossing_ppm"))
 
 
 # ------------------------------------------- temperature sampling

@@ -110,6 +110,11 @@ DOC_KEYS = [
     # round-10: quality-threshold ablation (documents grow 10x; one
     # conditional-aggregate pass, |thresholds|-row output).
     "q_quality_ablation",
+    # q_pack_efficiency is excluded (probe-exclusion rule): it is one
+    # map-side |shards|-row aggregate OVER q_pack_sequences' manifest,
+    # which is itself in this tier — its growth IS the manifest's.
+    # q_dedup_eval_bands is excluded like q_dedup_eval (it composes
+    # the brute-force n-gram-Jaccard truth baseline).
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -274,6 +279,13 @@ X100_KEYS = [
     # round-10: substring-dedup removal joins the three-decade claim
     # (linear doc op: hash-only shuffles + codegen splice)
     "q_dedup_substring_cut",
+    # round-10: vocab construction (type-table-bound — the fit's
+    # sub-linear curve), token-budget planner + quality ablation
+    # (single map-side aggregates — scan-bound curves), and
+    # decontamination excision (broadcast holdout + codegen splice —
+    # linear)
+    "q_tokenizer_vocab", "q_token_budget", "q_quality_ablation",
+    "q_contamination_cut",
 ]
 
 

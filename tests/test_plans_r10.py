@@ -369,3 +369,34 @@ def test_quality_ablation_matches_score_key_and_is_monotone(
         assert rows[a]["n_tokens"] >= rows[b]["n_tokens"]
     # the sweep must actually separate the fixture (non-degenerate)
     assert rows[_ABLATION_THRS[-1]]["n_docs"] < rows[0]["n_docs"]
+
+
+def test_pack_efficiency_identities_vs_manifest(spark, sf_dir):
+    """Per-shard identities re-derived from the registered manifest:
+    n_seqs = ceil(n_tokens / 512) (the cumsum is gapless), tail_pad
+    = n_seqs*512 - n_tokens in [0, 512), n_crossing counts exactly
+    the manifest rows with end_seq > start_seq, ppms are the exact
+    integer divisions, and every shard of the manifest appears."""
+    man = QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    eff = {r["shard"]: r for r in
+           QUERIES["q_pack_efficiency"](spark, sf_dir).collect()}
+    shards = {}
+    for r in man:
+        s = shards.setdefault(r["shard"],
+                              {"docs": 0, "tok": 0, "cross": 0, "mx": 0})
+        s["docs"] += 1
+        s["tok"] += r["n_tok"]
+        s["cross"] += r["end_seq"] > r["start_seq"]
+        s["mx"] = max(s["mx"], r["end_seq"])
+    assert set(eff) == set(shards)
+    for sh, s in shards.items():
+        r = eff[sh]
+        n_seqs = -(-s["tok"] // 512)
+        assert r["n_docs"] == s["docs"]
+        assert r["n_tokens"] == s["tok"]
+        assert r["n_seqs"] == n_seqs == s["mx"] + 1
+        assert r["tail_pad"] == n_seqs * 512 - s["tok"]
+        assert 0 <= r["tail_pad"] < 512
+        assert r["n_crossing"] == s["cross"]
+        assert r["pad_ppm"] == 1000000 * r["tail_pad"] // (n_seqs * 512)
+        assert r["crossing_ppm"] == 1000000 * s["cross"] // s["docs"]
