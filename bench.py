@@ -180,6 +180,7 @@ HEADLINE = [
     "q_contamination_cut",
     "q_quality_ablation",
     "q_pack_efficiency",
+    "q_dedup_cross_source",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -2601,6 +2601,53 @@ def q_dedup_eval_bands(spark, sf):
     return out
 
 
+@query("q_dedup_cross_source", oracle=f"""
+WITH t AS ({_ORACLE['q_dedup_ngram_jaccard']}),
+s AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       count(*) AS n_pairs
+FROM t JOIN s sa ON t.d1 = sa.doc_id
+       JOIN s sb ON t.d2 = sb.doc_id
+GROUP BY 1, 2
+""")
+def q_dedup_cross_source(spark, sf):
+    """Cross-source duplication MATRIX — which crawls copy which:
+    the VERIFIED near-dup pairs (q_dedup_ngram_jaccard at its
+    threshold, composed from the registered key so the pair set
+    cannot drift) attributed to unordered source pairs, one row per
+    (source_a <= source_b) with the pair count. Off-diagonal rows are
+    the report that catches a curated dataset silently re-ingested
+    through a web crawl — they price how much of one source's
+    'unique' token budget is another source in disguise
+    (q_token_budget's shares assume sources are distinct corpora);
+    the diagonal (same-source pairs) is within-crawl redundancy. On
+    the committed fixtures most verified pairs are CROSS-source
+    (36/38 at sf0.01) — exactly the leak the matrix exists to show,
+    and why this key uses the near-dup notion: exact-hash duplicate
+    groups never span sources in the fixtures (a 0-row matrix would
+    be a vacuous check).
+
+    Scale: the pair set is already candidate-bounded (banded MinHash
+    → verified intersections — never all-pairs); attributing sources
+    is two joins of the tiny pair frame against the (doc_id, source)
+    projection — at 100 TB the pair side broadcasts, the corpus side
+    is a two-column scan, and the output is at most |sources|^2
+    rows. All-integer counts: hash-stable."""
+    d = load_tables(spark, sf)["documents"].select("doc_id", "source")
+    t = q_dedup_ngram_jaccard(spark, sf).select("d1", "d2")
+    sa = d.withColumnRenamed("doc_id", "d1").withColumnRenamed(
+        "source", "sa")
+    sb = d.withColumnRenamed("doc_id", "d2").withColumnRenamed(
+        "source", "sb")
+    return (
+        t.join(sa, "d1").join(sb, "d2")
+        .groupBy(F.least("sa", "sb").alias("source_a"),
+                 F.greatest("sa", "sb").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 @query("q_dedup_eval_semantic", oracle=f"""
 WITH {SEM_PAIR_CTES},
 cand AS (SELECT v1, v2 FROM cosp WHERE cos_sim >= {_SEM_TAU}),

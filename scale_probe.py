@@ -115,6 +115,9 @@ DOC_KEYS = [
     # which is itself in this tier — its growth IS the manifest's.
     # q_dedup_eval_bands is excluded like q_dedup_eval (it composes
     # the brute-force n-gram-Jaccard truth baseline).
+    # q_dedup_cross_source is excluded for the same composed-over
+    # reason: two broadcast joins + a |sources|^2-row aggregate OVER
+    # q_dedup_ngram_jaccard's verified pairs (the probed pipeline).
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

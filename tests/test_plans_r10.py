@@ -400,3 +400,26 @@ def test_pack_efficiency_identities_vs_manifest(spark, sf_dir):
         assert r["n_crossing"] == s["cross"]
         assert r["pad_ppm"] == 1000000 * r["tail_pad"] // (n_seqs * 512)
         assert r["crossing_ppm"] == 1000000 * s["cross"] // s["docs"]
+
+
+def test_dedup_cross_source_matrix_reconciles_with_pairs(spark, sf_dir):
+    """The matrix must be exactly the verified near-dup pair set
+    attributed to sources: total n_pairs == |q_dedup_ngram_jaccard|,
+    every cell re-derivable from the pairs + the (doc_id, source)
+    projection, source_a <= source_b everywhere, and the fixture
+    yields at least one OFF-diagonal (cross-source) cell."""
+    src = {r["doc_id"]: r["source"] for r in
+           spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", "source").collect()}
+    pairs = [(r["d1"], r["d2"]) for r in
+             QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).collect()]
+    want = {}
+    for d1, d2 in pairs:
+        key = tuple(sorted((src[d1], src[d2])))
+        want[key] = want.get(key, 0) + 1
+    got = {(r["source_a"], r["source_b"]): r["n_pairs"] for r in
+           QUERIES["q_dedup_cross_source"](spark, sf_dir).collect()}
+    assert got == want
+    assert sum(got.values()) == len(pairs) > 0
+    assert all(a <= b for a, b in got)
+    assert any(a != b for a, b in got)
