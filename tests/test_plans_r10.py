@@ -423,3 +423,18 @@ def test_dedup_cross_source_matrix_reconciles_with_pairs(spark, sf_dir):
     assert sum(got.values()) == len(pairs) > 0
     assert all(a <= b for a, b in got)
     assert any(a != b for a, b in got)
+
+
+def test_r10_cohort_plans_stay_jvm_side(spark, sf_dir):
+    """Plan hygiene for every round-10 key with a JVM-only design:
+    no row-at-a-time Python eval, no Pandas exchange, no cartesian
+    product anywhere in the executed plan."""
+    for k in ["q_tokenizer_vocab", "q_token_budget",
+              "q_quality_ablation", "q_contamination_cut",
+              "q_pack_efficiency", "q_dedup_cross_source",
+              "q_dedup_eval_bands"]:
+        plan = (QUERIES[k](spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        for word in ("BatchEvalPython", "MapInPandas",
+                     "CartesianProduct"):
+            assert word not in plan, (k, word)
