@@ -171,9 +171,9 @@ HEADLINE = [
     "q_dp_sum",
     "q_rank_fusion",
     "q_dedup_phash",
-    # round-10 additions (q_dedup_eval_phash excluded for the
-    # q_dedup_eval reason: it composes the brute-force all-pairs
-    # hamming TRUTH baseline)
+    # round-10 additions (q_dedup_eval_phash, q_dedup_eval_bands and
+    # q_sim_eval_ivf excluded for the q_dedup_eval reason: each
+    # composes a brute-force all-pairs TRUTH baseline)
     "q_dedup_substring_cut",
     "q_tokenizer_vocab",
     "q_token_budget",

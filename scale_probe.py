@@ -118,6 +118,9 @@ DOC_KEYS = [
     # q_dedup_cross_source is excluded for the same composed-over
     # reason: two broadcast joins + a |sources|^2-row aggregate OVER
     # q_dedup_ngram_jaccard's verified pairs (the probed pipeline).
+    # q_sim_eval_ivf is excluded like q_dedup_eval (it composes the
+    # brute-force all-pairs cosine truth baseline, q_sim_topk — the
+    # deliberate quadratic reference point).
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

@@ -438,3 +438,29 @@ def test_r10_cohort_plans_stay_jvm_side(spark, sf_dir):
         for word in ("BatchEvalPython", "MapInPandas",
                      "CartesianProduct"):
             assert word not in plan, (k, word)
+
+
+def test_sim_eval_ivf_recall_curve(spark, sf_dir):
+    """The nprobe curve must be coherent: one row per grid point,
+    recall non-decreasing in nprobe, the production nprobe=4 point at
+    the >= 0.9 pin (matching tests/test_llm_quality.py's standing
+    bound), both sets top-20-sized so prec == recall, and the
+    nprobe=4 candidate set identical to the registered
+    q_sim_ivf_topk's pairs."""
+    from engine.queries.llm import _IVF_EVAL_NPROBES, _ivf_topk_pairs
+    rows = {r["nprobe"]: r for r in
+            QUERIES["q_sim_eval_ivf"](spark, sf_dir).collect()}
+    assert sorted(rows) == _IVF_EVAL_NPROBES
+    prev = -1.0
+    for npr in _IVF_EVAL_NPROBES:
+        r = rows[npr]
+        assert r["n_candidates"] == r["n_truth"] == 20
+        assert r["prec"] == r["recall"]
+        assert r["recall"] >= prev
+        prev = r["recall"]
+    assert rows[4]["recall"] >= 0.9
+    reg = {(r["v1"], r["v2"]) for r in
+           QUERIES["q_sim_ivf_topk"](spark, sf_dir).collect()}
+    ours = {(r["v1"], r["v2"]) for r in
+            _ivf_topk_pairs(spark, sf_dir, 4).collect()}
+    assert reg == ours
