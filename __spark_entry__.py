@@ -209,7 +209,7 @@ _R10_NEW: set[str] = {
     "q_dedup_substring_cut", "q_dedup_eval_phash", "q_tokenizer_vocab",
     "q_token_budget", "q_dedup_eval_bands", "q_contamination_cut",
     "q_quality_ablation", "q_pack_efficiency", "q_dedup_cross_source",
-    "q_sim_eval_ivf",
+    "q_sim_eval_ivf", "q_contamination_report",
 }
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..io import load_tables, session_cache
-from ..registry import query
+from ..registry import ORACLE as _ORACLE, query
 from .util import dsum, hexpoly_sql, rnd, sql_dsum, sql_rnd
 
 
@@ -1656,3 +1656,74 @@ def q_contamination_semantic(spark, sf):
         .mapInPandas(kernel,
                      "vec_id long, n_holdout_hits long, max_cos double")
     )
+
+
+@query("q_contamination_report", oracle=f"""
+SELECT 'ngram_doc' AS method, 'flagged_docs/shared_grams' AS unit,
+       CAST(count(*) AS BIGINT) AS n_flagged,
+       CAST(coalesce(sum(n_shared), 0) AS BIGINT) AS n_findings
+FROM ({_ORACLE['q_contamination']}) t
+UNION ALL
+SELECT 'ngram_chunk', 'flagged_docs/contam_chunks',
+       CAST(count(*) FILTER (WHERE n_contam_chunks > 0) AS BIGINT),
+       CAST(coalesce(sum(n_contam_chunks), 0) AS BIGINT)
+FROM ({_ORACLE['q_contamination_chunk']}) t
+UNION ALL
+SELECT 'semantic', 'flagged_vectors/holdout_hits',
+       CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_holdout_hits), 0) AS BIGINT)
+FROM ({_ORACLE['q_contamination_semantic']}) t
+UNION ALL
+SELECT 'cut', 'cut_docs/words_cut',
+       CAST(count(*) FILTER (WHERE n_words_cut > 0) AS BIGINT),
+       CAST(coalesce(sum(n_words_cut), 0) AS BIGINT)
+FROM ({_ORACLE['q_contamination_cut']}) t
+""")
+def q_contamination_report(spark, sf):
+    """Decontamination GOVERNANCE dashboard — the q_dedup_report
+    discipline applied to the contamination family: ONE row per
+    registered detector with how many training items it flags and
+    its finding count in its own unit (doc-grain n-gram detector ->
+    flagged docs / shared grams; chunk-grain -> flagged docs /
+    contaminated chunks; semantic -> flagged vectors / holdout hits;
+    the excision operator -> cut docs / words excised). Every number
+    is computed FROM the registered operator (Spark calls the q_*
+    functions; the oracle wraps each key's ORACLE verbatim as a
+    closed subquery), so the dashboard can never disagree with the
+    detectors it summarizes — the report a data-governance review
+    reads to pick a decontamination stance (drop, cut, or re-split).
+
+    Scale: each detector is its own already-bounded pipeline
+    (broadcast-holdout shapes throughout — see the operators); the
+    report adds ONE single-row aggregate per method and a 4-row
+    union. NOT a bench entry (it composes four pipelines — the
+    q_dedup_eval / q_dedup_report precedent); excluded from scale
+    probes for the same composed-over reason."""
+    c1 = q_contamination(spark, sf).agg(
+        F.count(F.lit(1)).alias("n_flagged"),
+        F.coalesce(F.sum("n_shared"), F.lit(0)).cast("long")
+         .alias("n_findings"))
+    c2 = q_contamination_chunk(spark, sf).agg(
+        F.count(F.when(F.col("n_contam_chunks") > 0, 1))
+         .alias("n_flagged"),
+        F.coalesce(F.sum("n_contam_chunks"), F.lit(0)).cast("long")
+         .alias("n_findings"))
+    c3 = q_contamination_semantic(spark, sf).agg(
+        F.count(F.lit(1)).alias("n_flagged"),
+        F.coalesce(F.sum("n_holdout_hits"), F.lit(0)).cast("long")
+         .alias("n_findings"))
+    c4 = q_contamination_cut(spark, sf).agg(
+        F.count(F.when(F.col("n_words_cut") > 0, 1)).alias("n_flagged"),
+        F.coalesce(F.sum("n_words_cut"), F.lit(0)).cast("long")
+         .alias("n_findings"))
+    rows = [("ngram_doc", "flagged_docs/shared_grams", c1),
+            ("ngram_chunk", "flagged_docs/contam_chunks", c2),
+            ("semantic", "flagged_vectors/holdout_hits", c3),
+            ("cut", "cut_docs/words_cut", c4)]
+    out = None
+    for method, unit, frame in rows:
+        r = frame.select(F.lit(method).alias("method"),
+                         F.lit(unit).alias("unit"),
+                         "n_flagged", "n_findings")
+        out = r if out is None else out.unionByName(r)
+    return out

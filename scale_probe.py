@@ -121,6 +121,9 @@ DOC_KEYS = [
     # q_sim_eval_ivf is excluded like q_dedup_eval (it composes the
     # brute-force all-pairs cosine truth baseline, q_sim_topk — the
     # deliberate quadratic reference point).
+    # q_contamination_report is excluded like q_dedup_report (a
+    # 4-row union of single-row aggregates OVER the four probed
+    # contamination pipelines).
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

@@ -464,3 +464,32 @@ def test_sim_eval_ivf_recall_curve(spark, sf_dir):
     ours = {(r["v1"], r["v2"]) for r in
             _ivf_topk_pairs(spark, sf_dir, 4).collect()}
     assert reg == ours
+
+
+def test_contamination_report_reconciles_with_detectors(spark, sf_dir):
+    """Every dashboard row must equal a re-aggregation of its
+    registered detector's own output, and the fixture must light up
+    every method (non-vacuous at sf0.001 by fixture design)."""
+    rep = {r["method"]: r for r in
+           QUERIES["q_contamination_report"](spark, sf_dir).collect()}
+    assert set(rep) == {"ngram_doc", "ngram_chunk", "semantic", "cut"}
+    c1 = QUERIES["q_contamination"](spark, sf_dir).collect()
+    assert rep["ngram_doc"]["n_flagged"] == len(c1)
+    assert rep["ngram_doc"]["n_findings"] == sum(r["n_shared"] for r in c1)
+    c2 = QUERIES["q_contamination_chunk"](spark, sf_dir).collect()
+    assert rep["ngram_chunk"]["n_flagged"] == sum(
+        1 for r in c2 if r["n_contam_chunks"] > 0)
+    assert rep["ngram_chunk"]["n_findings"] == sum(
+        r["n_contam_chunks"] for r in c2)
+    c3 = QUERIES["q_contamination_semantic"](spark, sf_dir).collect()
+    assert rep["semantic"]["n_flagged"] == len(c3)
+    assert rep["semantic"]["n_findings"] == sum(
+        r["n_holdout_hits"] for r in c3)
+    c4 = QUERIES["q_contamination_cut"](spark, sf_dir).collect()
+    assert rep["cut"]["n_flagged"] == sum(
+        1 for r in c4 if r["n_words_cut"] > 0)
+    assert rep["cut"]["n_findings"] == sum(r["n_words_cut"] for r in c4)
+    assert all(r["n_flagged"] > 0 for r in rep.values())
+    # the cut excises a superset of the doc-grain flags (no run
+    # threshold), so flagged doc counts must agree
+    assert rep["cut"]["n_flagged"] == rep["ngram_doc"]["n_flagged"]
