@@ -180,7 +180,14 @@ HEADLINE = [
     "q_contamination_cut",
     "q_quality_ablation",
     "q_pack_efficiency",
-    "q_dedup_cross_source",
+    # q_dedup_cross_source is NOT a bench entry (the q_dedup_report
+    # precedent): it composes the ENTIRE verified n-gram-Jaccard
+    # pipeline (measured 2.8 s of its 3.1 s at sf0.1 is the composed
+    # q_dedup_ngram_jaccard lineage — the matrix itself adds ~0.3 s),
+    # so a gate on it would re-grade the already-benched truth
+    # pipeline. Removed in-round before any driver BENCH artifact
+    # recorded it, so the append-only cross-round diff rule is
+    # unaffected.
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that
