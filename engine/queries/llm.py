@@ -1234,11 +1234,17 @@ def q_sim_eval_ivf(spark, sf):
 
     Scale: exact truth is fixture-grade by design (the brute-force
     baseline exists only as the reference point — the q_dedup_eval
-    precedent), computed ONCE and persisted; each nprobe's candidate
-    set reduces through ONE full-outer join + ONE aggregate. Output
-    is |nprobe grid| rows."""
-    truth = (q_sim_topk(spark, sf)
-             .select("v1", "v2").withColumn("t", F.lit(1)).persist())
+    precedent), computed ONCE, persisted, and memoized per
+    (session, sf) — the cache-check-first discipline; each nprobe's
+    candidate set reduces through ONE full-outer join + ONE
+    aggregate. Output is |nprobe grid| rows."""
+    cache = session_cache(spark, "_engine_ivf_eval_cache")
+    ck = sf.rstrip("/")
+    if ck not in cache:
+        cache[ck] = (q_sim_topk(spark, sf)
+                     .select("v1", "v2").withColumn("t", F.lit(1))
+                     .persist())
+    truth = cache[ck]
     out = None
     for npr in _IVF_EVAL_NPROBES:
         cand = (_ivf_topk_pairs(spark, sf, npr)
@@ -2637,10 +2643,17 @@ def q_dedup_eval_bands(spark, sf):
     ONE full-outer join + ONE aggregate (the q_dedup_eval lineage
     discipline). Like the other eval keys this composes the exact
     truth baseline, so it is fixture-grade by design and excluded
-    from bench HEADLINE and scale probes."""
-    sig = _minhash_signatures(_shingle_hashes(spark, sf)).persist()
-    truth = (q_dedup_ngram_jaccard(spark, sf)
-             .select("d1", "d2").withColumn("t", F.lit(1)).persist())
+    from bench HEADLINE and scale probes. The persisted signature and
+    truth frames are memoized per (session, sf) — the cache-check-
+    first discipline, so repeated invocations re-persist nothing."""
+    cache = session_cache(spark, "_engine_bands_eval_cache")
+    ck = sf.rstrip("/")
+    if ck not in cache:
+        cache[ck] = (
+            _minhash_signatures(_shingle_hashes(spark, sf)).persist(),
+            q_dedup_ngram_jaccard(spark, sf)
+            .select("d1", "d2").withColumn("t", F.lit(1)).persist())
+    sig, truth = cache[ck]
     out = None
     for B, R in _BAND_CONFIGS:
         cand = _band_pairs(sig, B, R).withColumn("c", F.lit(1))
