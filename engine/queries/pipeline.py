@@ -163,20 +163,34 @@ def q_token_budget(spark, sf):
     in the 128-bit lane (decimal(38,0) on Spark, HUGEINT in the
     oracle — the prod128 rule) with the bounded results cast back to
     BIGINT. Everything else is exact integer math off ONE map-side
-    combinable corpus aggregate; the |sources|-row stats frame
-    cross-joins the 1-row total broadcast — zero further corpus
-    passes, the q_dataset_mix plan shape."""
-    d = load_tables(spark, sf)["documents"]
-    c = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("long")
-         .alias("n_tokens"))
-    w = c.select("*", F.floor(F.sqrt("n_tokens")).cast("long")
-                 .alias("weight"))
-    t = w.agg(F.sum("weight").cast("long").alias("s"),
-              (F.lit(2) * F.sum("n_tokens")).cast("long").alias("b"))
+    combinable corpus aggregate; the 1-row (S, B) total is a bounded
+    side-input collected to literals (the BPE-argmax discipline —
+    a crossJoin against the lazy total frame re-executed the whole
+    aggregate lineage on the broadcast side, i.e. a SECOND corpus
+    scan, caught by the plan pin in tests/test_plans_r10.py). ONE
+    FileScan at any corpus size."""
+    from ..io import session_cache
+    cache = session_cache(spark, "_engine_token_budget_cache")
+    ck = sf.rstrip("/")
+    if ck not in cache:
+        d = load_tables(spark, sf)["documents"]
+        c = d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long")
+             .alias("n_tokens"))
+        w = (c.select("*", F.floor(F.sqrt("n_tokens")).cast("long")
+                      .alias("weight"))
+             .persist())
+        tot = w.agg(
+            F.sum("weight").cast("long").alias("s"),
+            (F.lit(2) * F.sum("n_tokens")).cast("long").alias("b")
+        ).collect()[0]
+        cache[ck] = (w, int(tot["s"]), int(tot["b"]))
+    w, s_tot, b_tot = cache[ck]
+    tot = {"s": s_tot, "b": b_tot}
     return (
-        w.crossJoin(F.broadcast(t))
+        w.withColumn("s", F.lit(int(tot["s"])).cast("long"))
+        .withColumn("b", F.lit(int(tot["b"])).cast("long"))
         .withColumn("alloc_tokens", F.expr(
             "CAST(CAST(b AS DECIMAL(38,0)) * weight div s AS BIGINT)"))
         .select(

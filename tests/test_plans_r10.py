@@ -493,3 +493,25 @@ def test_contamination_report_reconciles_with_detectors(spark, sf_dir):
     # the cut excises a superset of the doc-grain flags (no run
     # threshold), so flagged doc counts must agree
     assert rep["cut"]["n_flagged"] == rep["ngram_doc"]["n_flagged"]
+
+
+def test_contamination_cut_broadcasts_holdout_and_single_scan_budget(
+        spark, sf_dir):
+    """Scale-shape pins for two round-10 keys: (a) q_contamination_cut
+    probes the benchmark-bounded holdout gram set via broadcast — the
+    corpus gram side must never sort-merge for the membership join
+    (the q_contamination pin extended to the cut); (b) q_token_budget
+    touches the documents table exactly ONCE (one map-side aggregate;
+    everything after is |sources|-row math on a broadcast total)."""
+    plan = (QUERIES["q_contamination_cut"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    bplan = (QUERIES["q_token_budget"](spark, sf_dir)
+             ._jdf.queryExecution().executedPlan().toString())
+    # the planner reads the persisted |sources|-row stats frame and
+    # applies LITERAL totals — no join, no second corpus pass (a
+    # crossJoin against the lazy total frame used to re-execute the
+    # whole aggregate lineage on the broadcast side)
+    assert "InMemoryTableScan" in bplan, bplan
+    assert "Join" not in bplan, bplan
