@@ -199,18 +199,26 @@ _R09_NEW: set[str] = {
     "q_dedup_phash", "q_dedup_report",
 }
 
-# Keys first registered in round 10: the newest cohort, demoted
-# behind EVERY green key (the same discipline _R07_NEW/_R08_NEW/
-# _R09_NEW got on registration) — round-10 newcomers take no window
-# slot until the _R09_NEW cohort has earned its first driver rows;
-# they get theirs in round 11, covered until then by the local
-# check.py sweep + their tests.
+# Keys first registered in round 10. In round 10 this cohort was
+# demoted behind EVERY green key so the _R09_NEW drain could take
+# the window first. That drain completed in CORRECTNESS_r10 (all 10
+# earned green first rows, 0 fails), so per the round-10 verdict's
+# top priority these 11 now LEAD the round-11 window as the NEWEST
+# waiting cohort — nothing is registered ahead of them.
 _R10_NEW: set[str] = {
     "q_dedup_substring_cut", "q_dedup_eval_phash", "q_tokenizer_vocab",
     "q_token_budget", "q_dedup_eval_bands", "q_contamination_cut",
     "q_quality_ablation", "q_pack_efficiency", "q_dedup_cross_source",
     "q_sim_eval_ivf", "q_contamination_report",
 }
+
+# Keys first registered in round 11: the newest cohort, demoted
+# behind EVERY green key (the same discipline _R07_NEW.._R10_NEW got
+# on registration) — round-11 newcomers take no window slot until
+# the _R10_NEW cohort has earned its first driver rows; they get
+# theirs in round 12, covered until then by the local check.py
+# sweep + their tests.
+_R11_NEW: set[str] = set()
 
 
 def _rotated(keys) -> list[str]:
@@ -223,16 +231,16 @@ def _rotated(keys) -> list[str]:
     between rounds; the static _R0N_GREEN lists remain only as
     documentation of earlier rounds."""
     def tiered(waiting):
-        # newer cohorts demote behind older waiting keys; _R10_NEW
-        # is handled separately (behind even the greens). _R09_NEW
-        # rejoins the waiting tiers this round: the _R08_NEW drain
-        # it was demoted for completed in CORRECTNESS_r09, so per
-        # the round-9 verdict these 10 now LEAD the round-10 window.
+        # newer cohorts demote behind older waiting keys; _R11_NEW
+        # is handled separately (behind even the greens). _R10_NEW
+        # rejoins the waiting tiers this round: the _R09_NEW drain
+        # it was demoted for completed in CORRECTNESS_r10, so per
+        # the round-10 verdict these 11 now LEAD the round-11 window.
         older = [k for k in waiting if k not in _R05_NEW
                  and k not in _R06_NEW and k not in _R06B_NEW
                  and k not in _R06C_NEW and k not in _R07_NEW
                  and k not in _R08_NEW and k not in _R09_NEW
-                 and k not in _R10_NEW]
+                 and k not in _R10_NEW and k not in _R11_NEW]
         return (older
                 + [k for k in waiting if k in _R05_NEW]
                 + [k for k in waiting if k in _R06_NEW]
@@ -240,24 +248,25 @@ def _rotated(keys) -> list[str]:
                 + [k for k in waiting if k in _R06C_NEW]
                 + [k for k in waiting if k in _R07_NEW]
                 + [k for k in waiting if k in _R08_NEW]
-                + [k for k in waiting if k in _R09_NEW])
+                + [k for k in waiting if k in _R09_NEW]
+                + [k for k in waiting if k in _R10_NEW])
 
     green = _driver_green()
     if not green:  # artifacts missing (fresh checkout): static fallback
         r2, r3 = set(_R02_GREEN), set(_R03_GREEN)
         waiting = tiered(
             [k for k in keys if k not in r2 and k not in r3
-             and k not in _R10_NEW])
+             and k not in _R11_NEW])
         return (waiting + [k for k in keys if k in r2]
                 + [k for k in keys if k in r3]
-                + [k for k in keys if k in _R10_NEW])
-    waiting = tiered([k for k in keys if k not in green and k not in _R10_NEW])
+                + [k for k in keys if k in _R11_NEW])
+    waiting = tiered([k for k in keys if k not in green and k not in _R11_NEW])
     seen = sorted((k for k in keys if k in green),
                   key=lambda k: green[k])  # stable: registry order within a round
-    # round-10 newcomers with no driver row yet go BEHIND the greens
-    # (see _R10_NEW comment); once a newcomer has a green row it
+    # round-11 newcomers with no driver row yet go BEHIND the greens
+    # (see _R11_NEW comment); once a newcomer has a green row it
     # sorts into `seen` like everyone else and this tail is empty
-    back = [k for k in keys if k in _R10_NEW and k not in green]
+    back = [k for k in keys if k in _R11_NEW and k not in green]
     return waiting + seen + back
 
 
