@@ -212,13 +212,19 @@ _R10_NEW: set[str] = {
     "q_sim_eval_ivf", "q_contamination_report",
 }
 
-# Keys first registered in round 11: the newest cohort, demoted
-# behind EVERY green key (the same discipline _R07_NEW.._R10_NEW got
-# on registration) — round-11 newcomers take no window slot until
-# the _R10_NEW cohort has earned its first driver rows; they get
-# theirs in round 12, covered until then by the local check.py
-# sweep + their tests.
+# Keys first registered in round 11. Round 11 was a rotation-only
+# micro-round — no keys were registered, so this cohort is empty and
+# its tiered() slot (folded in at round-12 start, the same discipline
+# _R07_NEW.._R10_NEW got) is trivially vacant.
 _R11_NEW: set[str] = set()
+
+# Keys first registered in round 12: the newest cohort, demoted
+# behind EVERY green key (the same discipline _R07_NEW.._R11_NEW got
+# on registration) — round-12 newcomers take no window slot while the
+# round-12 window re-verifies the longest-waiting greens (the r6
+# staleness drain); they earn their first driver rows in round 13,
+# covered until then by the local check.py sweep + their tests.
+_R12_NEW: set[str] = set()
 
 
 def _rotated(keys) -> list[str]:
@@ -231,42 +237,36 @@ def _rotated(keys) -> list[str]:
     between rounds; the static _R0N_GREEN lists remain only as
     documentation of earlier rounds."""
     def tiered(waiting):
-        # newer cohorts demote behind older waiting keys; _R11_NEW
-        # is handled separately (behind even the greens). _R10_NEW
-        # rejoins the waiting tiers this round: the _R09_NEW drain
-        # it was demoted for completed in CORRECTNESS_r10, so per
-        # the round-10 verdict these 11 now LEAD the round-11 window.
-        older = [k for k in waiting if k not in _R05_NEW
-                 and k not in _R06_NEW and k not in _R06B_NEW
-                 and k not in _R06C_NEW and k not in _R07_NEW
-                 and k not in _R08_NEW and k not in _R09_NEW
-                 and k not in _R10_NEW and k not in _R11_NEW]
-        return (older
-                + [k for k in waiting if k in _R05_NEW]
-                + [k for k in waiting if k in _R06_NEW]
-                + [k for k in waiting if k in _R06B_NEW]
-                + [k for k in waiting if k in _R06C_NEW]
-                + [k for k in waiting if k in _R07_NEW]
-                + [k for k in waiting if k in _R08_NEW]
-                + [k for k in waiting if k in _R09_NEW]
-                + [k for k in waiting if k in _R10_NEW])
+        # Newer cohorts demote behind older waiting keys; _R12_NEW is
+        # ALSO appended here (last) so tiered() is total over every
+        # registered key — callers still pre-filter _R12_NEW to place
+        # it behind the greens, but a missed upstream filter can no
+        # longer silently drop a registry key (round-11 ADVICE).
+        # _R11_NEW rejoined the waiting tiers at round-12 start (the
+        # usual fold-in; the cohort is empty, so the slot is vacant).
+        cohorts = (_R05_NEW, _R06_NEW, _R06B_NEW, _R06C_NEW, _R07_NEW,
+                   _R08_NEW, _R09_NEW, _R10_NEW, _R11_NEW, _R12_NEW)
+        older = [k for k in waiting
+                 if not any(k in c for c in cohorts)]
+        return older + sum(([k for k in waiting if k in c]
+                            for c in cohorts), [])
 
     green = _driver_green()
     if not green:  # artifacts missing (fresh checkout): static fallback
         r2, r3 = set(_R02_GREEN), set(_R03_GREEN)
         waiting = tiered(
             [k for k in keys if k not in r2 and k not in r3
-             and k not in _R11_NEW])
+             and k not in _R12_NEW])
         return (waiting + [k for k in keys if k in r2]
                 + [k for k in keys if k in r3]
-                + [k for k in keys if k in _R11_NEW])
-    waiting = tiered([k for k in keys if k not in green and k not in _R11_NEW])
+                + [k for k in keys if k in _R12_NEW])
+    waiting = tiered([k for k in keys if k not in green and k not in _R12_NEW])
     seen = sorted((k for k in keys if k in green),
                   key=lambda k: green[k])  # stable: registry order within a round
-    # round-11 newcomers with no driver row yet go BEHIND the greens
-    # (see _R11_NEW comment); once a newcomer has a green row it
+    # round-12 newcomers with no driver row yet go BEHIND the greens
+    # (see _R12_NEW comment); once a newcomer has a green row it
     # sorts into `seen` like everyone else and this tail is empty
-    back = [k for k in keys if k in _R11_NEW and k not in green]
+    back = [k for k in keys if k in _R12_NEW and k not in green]
     return waiting + seen + back
 
 

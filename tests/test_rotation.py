@@ -18,12 +18,12 @@ registry.load_all()
 def test_waiting_keys_lead_the_window():
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
-    # round-10 newcomers are EXCLUDED from the waiting tier by design:
-    # the r9 verdict's top priority is earning first driver rows for
-    # the _R09_NEW cohort, so _R10_NEW keys go behind even the greens
-    # until round 11 (see the _R10_NEW comment).
+    # round-12 newcomers are EXCLUDED from the waiting tier by design:
+    # the r11 verdict dedicates the round-12 window to the staleness
+    # drain (re-verifying the longest-waiting greens), so _R12_NEW
+    # keys go behind even the greens until round 13.
     waiting = [k for k in q
-               if k not in green and k not in entry._R10_NEW]
+               if k not in green and k not in entry._R12_NEW]
     # no green key may hold a window slot while a waiting key sits
     # outside it: the first min(|waiting|, 50) slots are all waiting
     head = q[:min(len(waiting), 50)]
@@ -52,21 +52,53 @@ def test_r09_newcomers_lead_the_round10_window():
         assert q.index(k) < 50, f"{k} outside the 50-key window"
 
 
-def test_r10_newcomers_sort_behind_every_green():
-    """Round-10 newcomers take NO window slot while _R09_NEW earns its
-    first driver rows: every never-rowed _R10_NEW key must sort after
-    every driver-green key (they get their first rows in round 11)."""
+def test_r12_newcomers_sort_behind_every_green():
+    """Round-12 newcomers take NO window slot while the round-12
+    staleness drain re-verifies the longest-waiting greens: every
+    never-rowed _R12_NEW key must sort after every driver-green key
+    (they get their first rows in round 13)."""
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
-    back = [k for k in entry._R10_NEW
+    back = [k for k in entry._R12_NEW
             if k in set(q) and k not in green]
     if not back:  # all have driver rows now — demotion is over
         return
     last_green = max(q.index(k) for k in q if k in green)
     for k in back:
         assert q.index(k) > last_green, (
-            f"{k} holds a window slot while _R09_NEW keys wait for "
-            f"their first driver row")
+            f"{k} holds a window slot while the staleness drain "
+            f"waits for re-verification slots")
+
+
+def test_tiered_is_total_over_cohorted_keys():
+    """tiered() must return every key it is given (round-11 ADVICE:
+    a missed upstream _R12_NEW filter must not silently drop a
+    registry key) — even keys of the newest cohort."""
+    sample = (list(entry._R10_NEW)[:3] + list(entry._R12_NEW)
+              + ["q_agg_pricing_summary", "q_stitch_3d"])
+    # exercise via _rotated with an input that skips the upstream
+    # _R12_NEW pre-filter path: call the inner ordering end-to-end
+    out = entry._rotated(sample)
+    assert sorted(out) == sorted(sample), (
+        f"_rotated dropped keys: {set(sample) - set(out)}")
+
+
+def test_oldest_greens_lead_the_round12_window():
+    """Verdict r11 item 7 (staleness drain): with zero waiting keys,
+    the window head must be the oldest-confirmed greens — every key
+    whose latest green row is the minimum round leads the window."""
+    q = list(entry._rotated(registry.QUERIES))
+    green = entry._driver_green()
+    waiting = [k for k in q
+               if k not in green and k not in entry._R12_NEW]
+    if waiting:  # drain only applies when everything is green
+        return
+    oldest = min(green[k] for k in q if k in green)
+    stalest = [k for k in q if green.get(k) == oldest]
+    for k in stalest[:50]:
+        assert q.index(k) < 50, (
+            f"{k} (green since r{oldest}) missed the re-verification "
+            f"window")
 
 
 def test_green_tiers_ordered_oldest_first():
@@ -106,8 +138,12 @@ def test_round5_newcomers_wait_behind_older_keys():
     waiting = [k for k in q if k not in green]
 
     def tier(k):
+        if k in entry._R12_NEW:
+            return 10     # behind even the greens (round-12 cohort)
+        if k in entry._R11_NEW:
+            return 9
         if k in entry._R10_NEW:
-            return 8      # behind even the greens (round-11 cohort)
+            return 8
         if k in entry._R09_NEW:
             return 7
         if k in entry._R08_NEW:
@@ -139,7 +175,8 @@ def test_every_registered_key_is_cohorted_or_green():
     cohorts = (set(entry._R02_GREEN) | set(entry._R03_GREEN)
                | entry._R05_NEW | entry._R06_NEW | entry._R06B_NEW
                | entry._R06C_NEW | entry._R07_NEW | entry._R08_NEW
-               | entry._R09_NEW | entry._R10_NEW)
+               | entry._R09_NEW | entry._R10_NEW | entry._R11_NEW
+               | entry._R12_NEW)
     stray = [k for k in registry.QUERIES
              if k not in green and k not in cohorts]
     assert not stray, (
