@@ -224,7 +224,9 @@ _R11_NEW: set[str] = set()
 # round-12 window re-verifies the longest-waiting greens (the r6
 # staleness drain); they earn their first driver rows in round 13,
 # covered until then by the local check.py sweep + their tests.
-_R12_NEW: set[str] = set()
+_R12_NEW: set[str] = {
+    "q_sim_eval_lsh",
+}
 
 
 def _rotated(keys) -> list[str]:

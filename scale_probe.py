@@ -121,6 +121,10 @@ DOC_KEYS = [
     # q_sim_eval_ivf is excluded like q_dedup_eval (it composes the
     # brute-force all-pairs cosine truth baseline, q_sim_topk — the
     # deliberate quadratic reference point).
+    # q_sim_eval_lsh is excluded for the identical reason: same
+    # composed brute-force truth (_sim_truth / q_sim_topk), candidate
+    # side rides the already-probed q_sim_lsh_topk pipeline across
+    # the width grid.
     # q_contamination_report is excluded like q_dedup_report (a
     # 4-row union of single-row aggregates OVER the four probed
     # contamination pipelines).

@@ -1,0 +1,63 @@
+"""Round-12 behavior pins for the _R12_NEW cohort:
+
+q_sim_eval_lsh — the SRP-LSH bucket-width recall curve graded against
+the exact brute-force truth (the q_sim_eval_ivf template applied to
+the last ungraded candidate generator).
+"""
+from __future__ import annotations
+
+from engine.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_sim_eval_lsh_recall_curve(spark, sf_dir):
+    """The width curve must be coherent: one row per grid point
+    (grid ∪ {production width}), exactly one is_production row at
+    _lsh_nplanes, truth always the exact top-20, candidates capped at
+    20 (the global cut), the production point at the ≥ 0.9 pin
+    (matching tests/test_llm_quality.py's standing recall bound), and
+    the narrowest bucket never beating the production width (the
+    coarse trend — per-seed recall is NOT strictly monotone in b
+    because each width draws its own plane matrix, so the pin is the
+    endpoints, not the full ordering)."""
+    from engine.queries.llm import _LSH_EVAL_NPLANES, _lsh_nplanes
+    prod = _lsh_nplanes(spark, sf_dir)
+    grid = sorted(set(_LSH_EVAL_NPLANES) | {prod})
+    rows = {r["nplanes"]: r for r in
+            QUERIES["q_sim_eval_lsh"](spark, sf_dir).collect()}
+    assert sorted(rows) == grid
+    assert [b for b, r in rows.items() if r["is_production"]] == [prod]
+    for r in rows.values():
+        assert r["n_truth"] == 20
+        assert 0 <= r["n_candidates"] <= 20
+        assert r["n_hit"] <= min(r["n_candidates"], r["n_truth"])
+    assert rows[prod]["recall"] >= 0.9
+    assert rows[max(grid)]["recall"] <= rows[prod]["recall"]
+
+
+def test_sim_eval_lsh_production_width_matches_registered_key(
+        spark, sf_dir):
+    """The production-width pipeline the eval grades must be the
+    REGISTERED q_sim_lsh_topk, pair for pair — the _ivf_topk_pairs
+    no-drift discipline applied to _lsh_topk_pairs."""
+    from engine.queries.llm import _lsh_nplanes, _lsh_topk_pairs
+    prod = _lsh_nplanes(spark, sf_dir)
+    reg = {(r["v1"], r["v2"]) for r in
+           QUERIES["q_sim_lsh_topk"](spark, sf_dir).collect()}
+    ours = {(r["v1"], r["v2"]) for r in
+            _lsh_topk_pairs(spark, sf_dir, prod).collect()}
+    assert reg == ours
+
+
+def test_sim_truth_shared_and_memoized(spark, sf_dir):
+    """Both ANN evals grade against the SAME persisted truth frame:
+    _sim_truth returns the identical (cached) plan object on repeat
+    calls, so q_sim_eval_ivf and q_sim_eval_lsh cannot drift apart on
+    the baseline (and the brute-force quadratic runs once, not once
+    per eval key)."""
+    from engine.queries.llm import _sim_truth
+    t1 = _sim_truth(spark, sf_dir)
+    t2 = _sim_truth(spark, sf_dir)
+    assert t1 is t2
+    assert t1.storageLevel.useMemory  # persisted, not recomputed
