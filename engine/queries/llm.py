@@ -1493,7 +1493,11 @@ def q_fuzzy_match(spark, sf):
     )
 
 
-@query("q_dedup_incremental", oracle="""
+#: Shared oracle for the incremental-dedup LANES (batch
+#: q_dedup_incremental + streaming q_stream_dedup_incremental):
+#: one SQL string, two engines' results hashed against it — the
+#: TEMP_THR_SQL / QC_GATE_ORACLE verbatim-composition discipline.
+DEDUP_INCR_ORACLE = """
 WITH base AS (
   SELECT md5(text) AS h, min(doc_id) AS first_doc
   FROM documents WHERE doc_id % 10 <> 0 GROUP BY md5(text)),
@@ -1509,7 +1513,51 @@ SELECT doc_id, h,
        first_doc IS NOT NULL AS is_dup,
        coalesce(first_doc, -1) AS dup_of
 FROM hit
-""")
+"""
+
+
+def dedup_incr_index(d):
+    """The persisted-corpus content-hash index: (h, first_doc) over
+    the base slice (doc_id %10 != 0). Shared by the batch and
+    streaming incremental-dedup lanes so the index definition cannot
+    drift between them. Works on a batch frame; at 100 TB this is a
+    maintained table (the IVF-codebook persisted-artifact shape)."""
+    h = F.md5(F.col("text").cast("binary")).alias("h")
+    return (d.filter(F.col("doc_id") % 10 != 0)
+            .select(h, "doc_id")
+            .groupBy("h").agg(F.min("doc_id").alias("first_doc")))
+
+
+def dedup_incr_delta(d):
+    """The ingest delta: genuinely-new docs (the %10 slice held out
+    of the base) plus re-crawled docs (the %7 slice under fresh ids).
+    Pure narrow projections+union — works identically on a batch
+    frame and a streaming frame (the streaming twin feeds it the
+    readStream documents source)."""
+    h = F.md5(F.col("text").cast("binary")).alias("h")
+    return (
+        d.filter(F.col("doc_id") % 10 == 0).select("doc_id", h)
+        .unionAll(
+            d.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 1000000000).alias("doc_id"), h))
+    )
+
+
+def dedup_incr_verdict(delta, base):
+    """Per-doc duplicate verdict: hash-equi LEFT join of the delta
+    against the (h, first_doc) index — stateless per row, so it is
+    the same plan batch-side and as a stream-static join."""
+    return (
+        delta.join(base, "h", "left")
+        .select(
+            "doc_id", "h",
+            F.col("first_doc").isNotNull().alias("is_dup"),
+            F.coalesce("first_doc", F.lit(-1)).alias("dup_of"),
+        )
+    )
+
+
+@query("q_dedup_incremental", oracle=DEDUP_INCR_ORACLE)
 def q_dedup_incremental(spark, sf):
     """Incremental corpus dedup — the PRODUCTION dedup shape: a new
     document batch (the delta) is checked against the EXISTING
@@ -1532,26 +1580,12 @@ def q_dedup_incremental(spark, sf):
     persisted-artifact shape of the IVF codebook) rather than
     recomputed. Delta-vs-index is a hash-equi LEFT join — AQE
     broadcasts it whenever a day's delta index fits, and falls back
-    to shuffle cleanly when it doesn't."""
+    to shuffle cleanly when it doesn't. (Index, delta, and verdict
+    constructions are the shared dedup_incr_* helpers, so the
+    streaming twin q_stream_dedup_incremental runs the IDENTICAL
+    logic against the identical DEDUP_INCR_ORACLE.)"""
     d = load_tables(spark, sf)["documents"]
-    h = F.md5(F.col("text").cast("binary")).alias("h")
-    base = (d.filter(F.col("doc_id") % 10 != 0)
-            .select(h, "doc_id")
-            .groupBy("h").agg(F.min("doc_id").alias("first_doc")))
-    delta = (
-        d.filter(F.col("doc_id") % 10 == 0).select("doc_id", h)
-        .unionAll(
-            d.filter(F.col("doc_id") % 7 == 0)
-            .select((F.col("doc_id") + 1000000000).alias("doc_id"), h))
-    )
-    return (
-        delta.join(base, "h", "left")
-        .select(
-            "doc_id", "h",
-            F.col("first_doc").isNotNull().alias("is_dup"),
-            F.coalesce("first_doc", F.lit(-1)).alias("dup_of"),
-        )
-    )
+    return dedup_incr_verdict(dedup_incr_delta(d), dedup_incr_index(d))
 
 
 

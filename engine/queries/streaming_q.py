@@ -1225,3 +1225,57 @@ def q_stream_contamination_gate(spark, sf):
         q.stop()
         per_session[key] = name
     return spark.table(per_session[key])
+
+
+from .llm import (  # noqa: E402
+    DEDUP_INCR_ORACLE, dedup_incr_delta, dedup_incr_index,
+    dedup_incr_verdict,
+)
+
+
+@query("q_stream_dedup_incremental", oracle=DEDUP_INCR_ORACLE)
+def q_stream_dedup_incremental(spark, sf):
+    """Speed-layer twin of q_dedup_incremental (completes the
+    four-gate production ingest family: quality / temperature-mix /
+    eval-leak / dedup): the ingest delta replays as a file stream and
+    every arriving document is hash-checked against the PERSISTED
+    corpus content-hash index — (h, first_doc), built offline by the
+    shared dedup_incr_index helper and persisted so multi-batch
+    replays reuse it — emitting the per-doc keep/drop verdict the
+    dedup router consumes (is_dup=false rows are the kept docs whose
+    hashes a real pipeline appends back to the index; is_dup=true
+    rows carry dup_of for lineage).
+
+    All three constructions (index, delta, verdict) are the SAME
+    helpers the batch twin runs, and both lanes hash against the
+    SAME DEDUP_INCR_ORACLE string — the TEMP_THR_SQL verbatim-
+    composition discipline, so the lanes cannot drift. The emission
+    hash-matches under ANY micro-batch split because the pipeline is
+    STATELESS per row: narrow projections, a union, and a
+    stream-static hash-equi LEFT join in append mode — each input
+    row emits exactly once, no watermark, no dedup state to age out.
+
+    Scale: state is ZERO rows regardless of stream length (the index
+    is static-side, not stream state); each micro-batch joins O(Δ)
+    rows against the index — AQE broadcasts it when a day's index
+    fits, shuffle otherwise; the full corpus text never enters the
+    stream. On a cluster the same plan tails the crawler's Kafka
+    topic, and index maintenance (appending the novel hashes) is the
+    batch compaction job, not stream state."""
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "dedup_incremental")
+    if key not in per_session:
+        name = ("stream_dedup_incr_"
+                + hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8])
+        index = dedup_incr_index(
+            load_tables(spark, sf)["documents"]).persist()
+        src = _stage_source(sf, table="documents")
+        docs = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        out = dedup_incr_verdict(dedup_incr_delta(docs), index)
+        q = (out.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    return spark.table(per_session[key])

@@ -50,6 +50,41 @@ def test_sim_eval_lsh_production_width_matches_registered_key(
     assert reg == ours
 
 
+def test_stream_dedup_incremental_equals_batch_twin(spark, sf_dir):
+    """The streaming lane must emit EXACTLY the batch twin's verdict
+    rows (same helpers, same oracle — the verbatim-composition
+    discipline made observable), and the fixture must exercise both
+    branches (duplicates found in the index AND novel docs)."""
+    batch = {tuple(r) for r in
+             QUERIES["q_dedup_incremental"](spark, sf_dir).collect()}
+    stream = {tuple(r) for r in
+              QUERIES["q_stream_dedup_incremental"](spark, sf_dir)
+              .collect()}
+    assert stream == batch
+    dup_flags = {r[2] for r in stream}
+    assert dup_flags == {True, False}, (
+        "fixture no longer exercises both dedup branches")
+
+
+def test_stream_dedup_incremental_is_stateless_append():
+    """The stream plan must stay stateless (append mode, no watermark
+    or state store): determinism under ANY micro-batch split is the
+    correctness argument, and stateless-ness is what guarantees it.
+    Source-inspect the pipeline: the writeStream must be append-mode
+    and the builder must contain no stateful operator calls."""
+    import inspect
+
+    from engine.queries import streaming_q
+
+    src = inspect.getsource(streaming_q.q_stream_dedup_incremental)
+    assert 'outputMode("append")' in src
+    for stateful in ("withWatermark", "applyInPandasWithState",
+                     "dropDuplicates", "groupBy"):
+        assert stateful not in src, (
+            f"{stateful} would make the emission micro-batch-"
+            f"split-dependent")
+
+
 def test_sim_truth_shared_and_memoized(spark, sf_dir):
     """Both ANN evals grade against the SAME persisted truth frame:
     _sim_truth returns the identical (cached) plan object on repeat
