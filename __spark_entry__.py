@@ -225,7 +225,7 @@ _R11_NEW: set[str] = set()
 # staleness drain); they earn their first driver rows in round 13,
 # covered until then by the local check.py sweep + their tests.
 _R12_NEW: set[str] = {
-    "q_sim_eval_lsh", "q_stream_dedup_incremental",
+    "q_sim_eval_lsh", "q_stream_dedup_incremental", "q_mix_schedule",
 }
 
 

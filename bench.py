@@ -188,6 +188,13 @@ HEADLINE = [
     # pipeline. Removed in-round before any driver BENCH artifact
     # recorded it, so the append-only cross-round diff rule is
     # unaffected.
+    # round-12 additions. q_sim_eval_lsh is excluded for the
+    # q_dedup_eval reason (it composes the brute-force all-pairs
+    # cosine TRUTH baseline across a 5-point width grid);
+    # q_stream_dedup_incremental and q_mix_schedule are real
+    # pipeline operators and enter the gate.
+    "q_stream_dedup_incremental",
+    "q_mix_schedule",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -207,6 +207,79 @@ def q_token_budget(spark, sf):
     )
 
 
+@query("q_mix_schedule", oracle=f"""
+WITH tb AS ({_ORACLE['q_token_budget']}),
+d AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+j AS (SELECT d.doc_id, d.source, d.n_tok,
+             tb.full_epochs, tb.tail_ppm
+      FROM d JOIN tb USING (source)),
+f AS (SELECT source, doc_id, CAST(t.e AS BIGINT) AS epoch, n_tok,
+             FALSE AS is_tail
+      FROM j, unnest(generate_series(0, full_epochs - 1)) AS t(e)),
+tl AS (SELECT source, doc_id, full_epochs AS epoch, n_tok,
+              TRUE AS is_tail
+       FROM j
+       WHERE {hexpoly_sql("md5(concat(doc_id, '#mix'))")}
+             % 1000000 < tail_ppm)
+SELECT source, doc_id, epoch, n_tok, is_tail FROM f
+UNION ALL
+SELECT source, doc_id, epoch, n_tok, is_tail FROM tl
+""")
+def q_mix_schedule(spark, sf):
+    """Per-document training-mix MANIFEST — the materialization of
+    q_token_budget's plan: each source's (full_epochs, tail_ppm)
+    allocation becomes the deterministic repeat/keep schedule a
+    dataloader (q_pack_sequences' packing stage) consumes. Every doc
+    appears once per full epoch (epoch 0..full_epochs-1) and once
+    more in the tail pass (epoch = full_epochs) iff its md5 grid
+    coordinate falls under the source's tail_ppm keep-rate — the
+    q_sample_temperature md5-grid idiom under the '#mix' salt, so
+    the tail draw is reproducible, doc-content-independent, and
+    identical in both engines. Docs from a source with full_epochs=0
+    and a missed tail draw are (correctly) absent.
+
+    The oracle nests q_token_budget's SQL VERBATIM (the
+    q_pack_efficiency composition discipline), so the graded
+    schedule can never drift from the registered planner; pytest
+    cross-pins the epoch/tail identities (full-pass rows = n_docs x
+    full_epochs per source, tail flags exact against a hashlib
+    replay).
+
+    Scale: the planner table is |sources| rows — broadcast onto the
+    corpus scan; epochs are emitted by ONE explode of a per-doc
+    epoch array built narrowly (full passes + conditional tail
+    concat), so the plan is scan -> broadcast-hash-join -> project ->
+    generate, ZERO stream-side exchange at any corpus size. Row
+    inflation (sum of full_epochs per doc) is the point — the output
+    IS the training schedule; at 100 TB it writes back to a
+    manifest table, it never collects."""
+    tb = q_token_budget(spark, sf).select(
+        "source", "full_epochs", "tail_ppm")
+    d = (load_tables(spark, sf)["documents"]
+         .select("doc_id", "source",
+                 F.size(F.split("text", " ")).cast("long")
+                 .alias("n_tok")))
+    j = d.join(F.broadcast(tb), "source")
+    empty = F.array().cast("array<bigint>")
+    keep_tail = (
+        F.expr(hexpoly_sql("md5(concat(doc_id, '#mix'))")) % 1000000
+        < F.col("tail_ppm"))
+    epochs = F.concat(
+        F.when(F.col("full_epochs") > 0,
+               F.sequence(F.lit(0).cast("long"),
+                          F.col("full_epochs") - 1)).otherwise(empty),
+        F.when(keep_tail, F.array(F.col("full_epochs")))
+         .otherwise(empty))
+    return (
+        j.select("source", "doc_id", "n_tok", "full_epochs",
+                 F.explode(epochs).alias("epoch"))
+        .select("source", "doc_id", "epoch", "n_tok",
+                (F.col("epoch") == F.col("full_epochs")).alias("is_tail"))
+    )
+
+
 @query("q_token_histogram", oracle=f"""
 SELECT CAST(len(string_split(text, ' ')) // 16 AS BIGINT) AS bucket,
        count(*) AS n_docs,

@@ -110,6 +110,10 @@ DOC_KEYS = [
     # round-10: quality-threshold ablation (documents grow 10x; one
     # conditional-aggregate pass, |thresholds|-row output).
     "q_quality_ablation",
+    # round-12: mix-schedule manifest (documents grow 10x; broadcast
+    # planner join + one explode, zero stream-side exchange — output
+    # inflates by sum(full_epochs), by design linear in corpus size).
+    "q_mix_schedule",
     # q_pack_efficiency is excluded (probe-exclusion rule): it is one
     # map-side |shards|-row aggregate OVER q_pack_sequences' manifest,
     # which is itself in this tier — its growth IS the manifest's.

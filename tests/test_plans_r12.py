@@ -85,6 +85,73 @@ def test_stream_dedup_incremental_is_stateless_append():
             f"split-dependent")
 
 
+def _hexpoly(md5hex: str) -> int:
+    """Python replay of util.hexpoly_sql: BIGINT from the first 8 hex
+    chars by positional arithmetic."""
+    return int(md5hex[:8], 16)
+
+
+def test_mix_schedule_epoch_and_tail_cross_pins(spark, sf_dir):
+    """The manifest must reconcile EXACTLY with the registered
+    planner: per source, full-pass rows = n_docs x full_epochs and
+    full-pass tokens = n_tokens x full_epochs (every doc repeats
+    whole epochs); every tail row carries epoch == full_epochs; and
+    the tail keep set equals a hashlib replay of the md5 '#mix' grid
+    at the planner's tail_ppm — the brute-force exact-replay
+    discipline."""
+    import hashlib
+    from collections import Counter
+
+    plan = {r["source"]: r for r in
+            QUERIES["q_token_budget"](spark, sf_dir).collect()}
+    rows = QUERIES["q_mix_schedule"](spark, sf_dir).collect()
+    docs = {(r["doc_id"], r["source"]): r["n_tok"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id", "source",
+                        "cast(size(split(text, ' ')) as long) as n_tok")
+            .collect()}
+
+    full_rows = Counter()
+    full_toks = Counter()
+    tails = set()
+    for r in rows:
+        p = plan[r["source"]]
+        if r["is_tail"]:
+            assert r["epoch"] == p["full_epochs"]
+            tails.add((r["doc_id"], r["source"]))
+        else:
+            assert 0 <= r["epoch"] < p["full_epochs"]
+            full_rows[r["source"]] += 1
+            full_toks[r["source"]] += r["n_tok"]
+    for s, p in plan.items():
+        assert full_rows[s] == p["n_docs"] * p["full_epochs"], s
+        assert full_toks[s] == p["n_tokens"] * p["full_epochs"], s
+
+    expect_tails = set()
+    for (doc_id, source), _ in docs.items():
+        h = hashlib.md5(f"{doc_id}#mix".encode()).hexdigest()
+        if _hexpoly(h) % 1000000 < plan[source]["tail_ppm"]:
+            expect_tails.add((doc_id, source))
+    assert tails == expect_tails
+    assert tails, "fixture never exercises the tail pass"
+
+
+def test_mix_schedule_plan_is_broadcast_and_exchange_free(
+        spark, sf_dir):
+    """Scale-shape pin: the planner table rides a broadcast hash
+    join onto the corpus scan; the stream side is scan -> project ->
+    generate with ZERO exchange (no SortMergeJoin, no
+    CartesianProduct, no stream-side shuffle) — count semantic
+    markers, not FileScan occurrences (cached-relation plan-print
+    lesson)."""
+    plan = (QUERIES["q_mix_schedule"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    for word in ("SortMergeJoin", "CartesianProduct",
+                 "BatchEvalPython", "MapInPandas"):
+        assert word not in plan, word
+
+
 def test_sim_truth_shared_and_memoized(spark, sf_dir):
     """Both ANN evals grade against the SAME persisted truth frame:
     _sim_truth returns the identical (cached) plan object on repeat
