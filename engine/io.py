@@ -34,6 +34,24 @@ def session_cache(spark: SparkSession, name: str) -> dict:
     return d
 
 
+def evict_persisted_lru(cache: dict, keep: int = 3) -> None:
+    """Eviction hook for session caches that hold PERSISTED frames
+    (round-11 ADVICE): when a cache is about to grow past ``keep``
+    entries, unpersist and drop the oldest ones (dict insertion order
+    is the LRU order — entries are only ever inserted, never
+    re-inserted). Without this, a long-lived session cycling many
+    sf dirs accumulates persisted partitions in executor storage
+    until the memory-store evicts them unpredictably; with it, the
+    bound is explicit. Values may be a DataFrame or any tuple/list
+    containing DataFrames."""
+    while len(cache) >= max(1, keep):
+        v = cache.pop(next(iter(cache)))
+        stack = list(v) if isinstance(v, (tuple, list)) else [v]
+        for item in stack:
+            if hasattr(item, "unpersist"):
+                item.unpersist()
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all driver tables as DataFrames and register temp views.
 

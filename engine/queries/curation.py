@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..io import load_tables, session_cache
+from ..io import evict_persisted_lru, load_tables, session_cache
 from ..registry import ORACLE as _ORACLE, query
 from .util import dsum, hexpoly_sql, rnd, sql_dsum, sql_rnd
 
@@ -963,6 +963,9 @@ def _subdup_frames(spark, sf):
     per_session = session_cache(spark, "_engine_subdup_cache")
     ck = sf.rstrip("/")
     if ck not in per_session:
+        # bound the persisted footprint before inserting a new sf
+        # (unpersists + drops the oldest entries — round-11 ADVICE)
+        evict_persisted_lru(per_session, keep=3)
         g = _subdup_grams(spark, sf)
         m = _subdup_matches(g).persist()
         tot = (g.groupBy("doc_id")

@@ -297,6 +297,12 @@ def _phash_hashes(spark, sf):
 
 
 _PHASH_PIGEON = 3  # 4 intact-band pigeonhole bound: hamming <= 3
+
+#: Brute-force-truth input cap for q_dedup_eval_phash: ~1.25e9
+#: candidate pairs — the most the all-pairs hamming join should ever
+#: be asked to plan (largest committed fixture is 5k docs = 12.5M
+#: pairs, 400x under the cap).
+_PHASH_TRUTH_MAX_DOCS = 50_000
 #                    forces at least one of the four 16-bit bands
 #                    equal, so band recall at this radius is exactly 1
 
@@ -364,6 +370,19 @@ def q_dedup_eval_phash(spark, sf):
     unstack from that single row via stack(). ANSI: nullif guards on
     all denominators."""
     h = _phash_hashes(spark, sf)
+    # Row-count guard on the deliberate brute force (round-11 ADVICE):
+    # the truth side is an all-pairs inequality join — quadratic BY
+    # DESIGN and fixture-grade only. Fail loudly before planning it
+    # against an input where n(n-1)/2 pairs would hang the executor
+    # pool; at real scale the eval runs on a sampled slice instead.
+    n_hashes = h.count()  # h is memoized+persisted: the count is cheap
+    if n_hashes > _PHASH_TRUTH_MAX_DOCS:
+        raise ValueError(
+            f"q_dedup_eval_phash truth baseline is brute-force "
+            f"all-pairs ({n_hashes} docs -> "
+            f"~{n_hashes * (n_hashes - 1) // 2} pairs); it is capped "
+            f"at {_PHASH_TRUTH_MAX_DOCS} docs — evaluate on a sampled "
+            f"slice at larger scales")
     cand = _phash_band_pairs(h).withColumn("c", F.lit(1))
     x = h.select(F.col("doc_id").alias("d1"),
                  *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)])

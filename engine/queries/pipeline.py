@@ -129,7 +129,13 @@ WITH c AS (SELECT source, count(*) AS n_docs,
                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                       AS n_tokens
            FROM documents GROUP BY source),
-w AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight FROM c),
+w0 AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS r FROM c),
+w AS (SELECT source, n_docs, n_tokens,
+             r + (CASE WHEN (r + 1) * (r + 1) <= n_tokens
+                       THEN 1 ELSE 0 END)
+               - (CASE WHEN r * r > n_tokens THEN 1 ELSE 0 END)
+                 AS weight
+      FROM w0),
 t AS (SELECT CAST(sum(weight) AS BIGINT) AS s,
              CAST(2 * sum(n_tokens) AS BIGINT) AS b
       FROM w),
@@ -178,8 +184,21 @@ def q_token_budget(spark, sf):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size(F.split("text", " "))).cast("long")
              .alias("n_tokens"))
-        w = (c.select("*", F.floor(F.sqrt("n_tokens")).cast("long")
-                      .alias("weight"))
+        # floor(sqrt(double)) is exact only while n << 2^52; the
+        # one-step integer correction below makes weight == isqrt(n)
+        # at ANY corpus size (both lanes apply it identically, so the
+        # hash gate and the math.isqrt replay pin keep holding) —
+        # round-11 ADVICE item.
+        r = F.floor(F.sqrt("n_tokens")).cast("long")
+        w = (c.select("*", r.alias("r"))
+             .select(
+                 "source", "n_docs", "n_tokens",
+                 (F.col("r")
+                  + F.when((F.col("r") + 1) * (F.col("r") + 1)
+                           <= F.col("n_tokens"), 1).otherwise(0)
+                  - F.when(F.col("r") * F.col("r")
+                           > F.col("n_tokens"), 1).otherwise(0))
+                 .alias("weight"))
              .persist())
         tot = w.agg(
             F.sum("weight").cast("long").alias("s"),

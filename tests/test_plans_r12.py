@@ -163,3 +163,65 @@ def test_sim_truth_shared_and_memoized(spark, sf_dir):
     t2 = _sim_truth(spark, sf_dir)
     assert t1 is t2
     assert t1.storageLevel.useMemory  # persisted, not recomputed
+
+
+def test_isqrt_correction_exact_beyond_float_precision(spark):
+    """q_token_budget's weight lane: floor(sqrt(double)) alone rounds
+    WRONG once n_tokens crosses ~2^52; the one-step integer
+    correction must equal math.isqrt on adversarial values in BOTH
+    engines (round-11 ADVICE)."""
+    import math
+
+    import duckdb
+
+    adversarial = [
+        (2**30 + 1) ** 2 - 1,   # float sqrt rounds UP across the root
+        (2**31 - 1) ** 2,       # exact square at the long boundary
+        2**62 - 1, 2**52 + 1, 10**18 + 10**9, 4, 3, 1,
+    ]
+    corr = ("r + (CASE WHEN (r + 1) * (r + 1) <= n THEN 1 ELSE 0 END)"
+            "  - (CASE WHEN r * r > n THEN 1 ELSE 0 END)")
+    df = spark.createDataFrame([(n,) for n in adversarial], "n long")
+    got_spark = [r["w"] for r in (
+        df.selectExpr("n", "CAST(floor(sqrt(n)) AS BIGINT) AS r")
+        .selectExpr("n", f"{corr} AS w").orderBy("n").collect())]
+    got_duck = [r[0] for r in duckdb.sql(
+        "SELECT " + corr + " AS w FROM ("
+        "SELECT n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r"
+        " FROM (SELECT unnest($ns) AS n)) ORDER BY n",
+        params={"ns": adversarial}).fetchall()]
+    want = [math.isqrt(n) for n in sorted(adversarial)]
+    assert got_spark == want
+    assert got_duck == want
+
+
+def test_phash_truth_guard_trips_loudly(spark, sf_dir, monkeypatch):
+    """The brute-force truth join must refuse inputs past the cap
+    instead of planning an n^2 join (round-11 ADVICE)."""
+    import pytest
+
+    from engine.queries import multimodal as mm
+
+    monkeypatch.setattr(mm, "_PHASH_TRUTH_MAX_DOCS", 1)
+    with pytest.raises(ValueError, match="brute-force all-pairs"):
+        QUERIES["q_dedup_eval_phash"](spark, sf_dir)
+
+
+def test_evict_persisted_lru_unpersists_oldest():
+    """The session-cache eviction hook must unpersist and drop the
+    oldest entries, bounding the persisted footprint (round-11
+    ADVICE)."""
+    from engine.io import evict_persisted_lru
+
+    class Frame:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    a, b, c = Frame(), Frame(), Frame()
+    cache = {"sf_a": (a,), "sf_b": b, "sf_c": (c, "not-a-frame")}
+    evict_persisted_lru(cache, keep=2)
+    assert list(cache) == ["sf_c"]
+    assert a.unpersisted and b.unpersisted and not c.unpersisted
