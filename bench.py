@@ -195,6 +195,11 @@ HEADLINE = [
     # pipeline operators and enter the gate.
     "q_stream_dedup_incremental",
     "q_mix_schedule",
+    # q_pack_schedule composes q_mix_schedule + the shard window
+    # cumsum; it enters the gate on the q_pack_efficiency precedent
+    # (the composed planner side is memoized, so the entry measures
+    # the packing work).
+    "q_pack_schedule",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -1289,6 +1289,60 @@ def q_pack_efficiency(spark, sf):
          .alias("crossing_ppm"))
 
 
+@query("q_pack_schedule", oracle=f"""
+WITH m AS ({_ORACLE['q_mix_schedule']}),
+d AS (SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id, epoch, n_tok
+      FROM m),
+c AS (SELECT *,
+             sum(n_tok) OVER (PARTITION BY shard
+                              ORDER BY epoch, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+      FROM d)
+SELECT shard, doc_id, epoch, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST((cum - n_tok) // {_PACK_LEN} AS BIGINT) AS start_seq,
+       CAST((cum - 1) // {_PACK_LEN} AS BIGINT) AS end_seq,
+       CAST((cum - n_tok) % {_PACK_LEN} AS BIGINT) AS seq_offset
+FROM c
+""")
+def q_pack_schedule(spark, sf):
+    """Epoch-aware packing manifest — the END of the data-mix chain
+    (budget -> schedule -> packing): q_mix_schedule's repeat/keep
+    manifest (each doc once per scheduled epoch) is concatenated in
+    (epoch, doc_id) order within hash shards and tiled into
+    {_PACK_LEN}-token training sequences, exactly the q_pack_sequences
+    construction applied to the SCHEDULED corpus rather than the raw
+    one. (epoch, doc_id) is unique within a shard — a doc appears at
+    most once per epoch — so the running total is deterministic, and
+    epoch-major order means a repeated source's passes pack
+    sequentially (pass k completes before pass k+1 starts), the
+    curriculum a multi-epoch dataloader actually follows.
+
+    The oracle nests q_mix_schedule's SQL VERBATIM (which itself
+    nests q_token_budget's — two levels of the composition
+    discipline), so the packed schedule can never drift from either
+    upstream operator.
+
+    Scale: inherits q_mix_schedule's zero-exchange broadcast shape,
+    then adds the ONE shard-partitioned window cumsum that
+    q_pack_sequences already showed is the 100 TB packing shape
+    (shard-local, parallel with the cluster; never a global order).
+    Integer arithmetic end to end — div/mod on longs, nothing
+    floats."""
+    k, s = _PACK_LEN, _PACK_SHARDS
+    m = q_mix_schedule(spark, sf).select(
+        (F.col("doc_id") % s).alias("shard"),
+        "doc_id", "epoch", "n_tok")
+    w = (Window.partitionBy("shard").orderBy("epoch", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = m.withColumn("cum", F.sum("n_tok").over(w))
+    return c.select(
+        "shard", "doc_id", "epoch", "n_tok",
+        F.expr(f"(cum - n_tok) div {k}").alias("start_seq"),
+        F.expr(f"(cum - 1) div {k}").alias("end_seq"),
+        ((F.col("cum") - F.col("n_tok")) % k).alias("seq_offset"))
+
+
 # ------------------------------------------- temperature sampling
 
 # shared oracle fragment (batch key here + the streaming ingest-gate

@@ -114,6 +114,10 @@ DOC_KEYS = [
     # planner join + one explode, zero stream-side exchange — output
     # inflates by sum(full_epochs), by design linear in corpus size).
     "q_mix_schedule",
+    # q_pack_schedule is excluded (probe-exclusion rule): it is ONE
+    # shard-partitioned window cumsum OVER q_mix_schedule's manifest,
+    # which is itself in this tier — its growth IS the manifest's
+    # (the q_pack_efficiency precedent).
     # q_pack_efficiency is excluded (probe-exclusion rule): it is one
     # map-side |shards|-row aggregate OVER q_pack_sequences' manifest,
     # which is itself in this tier — its growth IS the manifest's.

@@ -225,3 +225,38 @@ def test_evict_persisted_lru_unpersists_oldest():
     evict_persisted_lru(cache, keep=2)
     assert list(cache) == ["sf_c"]
     assert a.unpersisted and b.unpersisted and not c.unpersisted
+
+
+def test_pack_schedule_tiling_and_epoch_major_order(spark, sf_dir):
+    """The epoch-aware packing must (a) reconcile row-for-row with
+    q_mix_schedule (same docs, same epochs — packing adds tiling, it
+    never adds or drops schedule rows), (b) tile gaplessly per shard
+    in (epoch, doc_id) order (replay the cumsum and recompute
+    start/end/offset exactly), and (c) be epoch-major: within a
+    shard, a doc of epoch e+1 never starts before the last epoch-e
+    doc (the multi-pass curriculum order)."""
+    from engine.queries.pipeline import _PACK_LEN, _PACK_SHARDS
+
+    sched = sorted(
+        ((r["doc_id"] % _PACK_SHARDS, r["epoch"], r["doc_id"],
+          r["n_tok"])
+         for r in QUERIES["q_mix_schedule"](spark, sf_dir).collect()))
+    packed = {(r["shard"], r["epoch"], r["doc_id"]): r for r in
+              QUERIES["q_pack_schedule"](spark, sf_dir).collect()}
+    assert len(packed) == len(sched)
+
+    cum = {}
+    prev_epoch = {}
+    for shard, epoch, doc_id, n_tok in sched:
+        c = cum.get(shard, 0) + n_tok
+        cum[shard] = c
+        r = packed[(shard, epoch, doc_id)]
+        assert r["n_tok"] == n_tok
+        assert r["start_seq"] == (c - n_tok) // _PACK_LEN
+        assert r["end_seq"] == (c - 1) // _PACK_LEN
+        assert r["seq_offset"] == (c - n_tok) % _PACK_LEN
+        assert epoch >= prev_epoch.get(shard, 0)
+        prev_epoch[shard] = epoch
+    assert any(e > 0 for _, e, _, _ in sched), (
+        "fixture never schedules a second epoch — the epoch-major "
+        "pin is vacuous")
