@@ -200,6 +200,7 @@ HEADLINE = [
     # (the composed planner side is memoized, so the entry measures
     # the packing work).
     "q_pack_schedule",
+    "q_dedup_incremental_minhash",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -118,13 +118,13 @@ def _minhash_signatures(hv):
     ])
 
 
-def _band_pairs(sig, n_bands, rows_per_band):
-    """Banded candidate pairs (d1 < d2) from a signature frame for a
-    (bands, rows-per-band) configuration over the 8 signatures: band
-    i hashes signatures h[i*r .. i*r+r-1]. (4, 2) is the production
-    config every minhash key ships with; the other factorizations of
-    8 exist for q_dedup_eval_bands' S-curve grading."""
-    bands = sig.select(
+def _band_frame(sig, n_bands, rows_per_band):
+    """(doc_id, band_id, bh) band-hash frame from a signature frame —
+    the banded INDEX representation itself, shared by the pair join
+    (_band_pairs) and the incremental gate
+    (q_dedup_incremental_minhash, which persists the base corpus's
+    frame as its maintained index)."""
+    return sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(
@@ -137,6 +137,15 @@ def _band_pairs(sig, n_bands, rows_per_band):
             for band in range(n_bands)
         ])).alias("b"),
     ).select("doc_id", "b.band_id", "b.bh")
+
+
+def _band_pairs(sig, n_bands, rows_per_band):
+    """Banded candidate pairs (d1 < d2) from a signature frame for a
+    (bands, rows-per-band) configuration over the 8 signatures: band
+    i hashes signatures h[i*r .. i*r+r-1]. (4, 2) is the production
+    config every minhash key ships with; the other factorizations of
+    8 exist for q_dedup_eval_bands' S-curve grading."""
+    bands = _band_frame(sig, n_bands, rows_per_band)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
@@ -1586,6 +1595,98 @@ def q_dedup_incremental(spark, sf):
     logic against the identical DEDUP_INCR_ORACLE.)"""
     d = load_tables(spark, sf)["documents"]
     return dedup_incr_verdict(dedup_incr_delta(d), dedup_incr_index(d))
+
+
+@query("q_dedup_incremental_minhash", oracle=f"""
+WITH {_MINHASH_CTES},
+base AS (SELECT doc_id, band_id, bh FROM b WHERE doc_id % 10 <> 0),
+delta_docs AS (
+  SELECT doc_id AS new_id, doc_id AS src
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000000, doc_id
+  FROM documents WHERE doc_id % 7 = 0),
+delta AS (SELECT dd.new_id AS doc_id, b.band_id, b.bh
+          FROM delta_docs dd JOIN b ON b.doc_id = dd.src),
+hit AS (SELECT d.doc_id, base.doc_id AS match_id
+        FROM delta d
+        JOIN base ON base.band_id = d.band_id AND base.bh = d.bh
+        GROUP BY d.doc_id, base.doc_id),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+               min(match_id) AS m
+        FROM hit GROUP BY doc_id)
+SELECT dd.new_id AS doc_id,
+       a.doc_id IS NOT NULL AS is_near_dup,
+       coalesce(a.n_matches, 0) AS n_matches,
+       coalesce(a.m, -1) AS dup_of
+FROM delta_docs dd LEFT JOIN agg a ON a.doc_id = dd.new_id
+""")
+def q_dedup_incremental_minhash(spark, sf):
+    """Incremental NEAR-dup gate — q_dedup_incremental's O(Δ)
+    discipline applied to banded MinHash: the ingest delta (the same
+    %10-new / %7-recrawled split, so the two incremental gates align
+    doc for doc) is checked against the base corpus's PERSISTED
+    banded signature index (doc_id, band_id, bh — the _band_frame
+    representation at the production (4, 2) config) instead of
+    re-running the all-corpus band self-join. Per delta doc: whether
+    ANY band collides with the index, how many distinct base docs it
+    collides with, and the min matching base doc (the keeper a
+    near-dup router would dedup against). Docs under 3 words carry no
+    shingles and are (correctly) never near-dup, but still report.
+
+    A re-crawled doc's signatures are IDENTICAL to its base twin's
+    (the minhash transform is deterministic on text), so every %7
+    delta doc whose original sits in the base is a guaranteed hit —
+    the duplicate branch is exercised at every fixture scale, and
+    pytest pins exactly that identity plus both branches non-empty.
+
+    Scale: the index is 4 rows per base doc, maintained (the
+    IVF-codebook persisted-artifact shape) rather than recomputed;
+    delta-vs-index is a (band_id, bh)-equi join — both sides
+    co-partition on the band hash, the delta side is O(Δ), and the
+    corpus never self-joins. Hot bands (boilerplate shingles) bound
+    the per-key fan-in exactly as in q_dedup_fuzzy_minhash — the
+    128-bit md5 band hash keeps accidental collisions nil, and AQE's
+    skew split handles the real ones. Shares _MINHASH_CTES /
+    _minhash_signatures / _band_frame verbatim with every other
+    minhash key, so the index definition cannot drift."""
+    hv = _shingle_hashes(spark, sf)
+    bands = _band_frame(_minhash_signatures(hv), 4, 2)
+    cache = session_cache(spark, "_engine_minhash_index_cache")
+    ck = sf.rstrip("/")
+    if ck not in cache:
+        cache[ck] = bands.filter(F.col("doc_id") % 10 != 0).persist()
+    base = cache[ck]
+    d = load_tables(spark, sf)["documents"]
+    delta_docs = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("new_id"),
+                F.col("doc_id").alias("src"))
+        .unionAll(
+            d.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 1000000000).alias("new_id"),
+                    F.col("doc_id").alias("src")))
+    )
+    delta = (delta_docs.join(bands, bands.doc_id == F.col("src"))
+             .select(F.col("new_id").alias("doc_id"),
+                     "band_id", "bh"))
+    m = base.select(F.col("doc_id").alias("match_id"),
+                    "band_id", "bh")
+    hit = (delta.join(m, ["band_id", "bh"])
+           .select("doc_id", "match_id").distinct())
+    agg = hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("match_id").alias("m"))
+    return (
+        delta_docs.join(agg, agg.doc_id == delta_docs.new_id, "left")
+        .select(
+            F.col("new_id").alias("doc_id"),
+            agg.doc_id.isNotNull().alias("is_near_dup"),
+            F.coalesce("n_matches", F.lit(0).cast("long"))
+             .alias("n_matches"),
+            F.coalesce("m", F.lit(-1).cast("long")).alias("dup_of"),
+        )
+    )
 
 
 

@@ -48,6 +48,9 @@ DOC_KEYS = [
     # tokenizer-coverage gate (fit-once literal apply), O(Δ)
     # delta-vs-index dedup, product quantization, IVFADC+refine ANN
     "q_group_topk_sketch", "q_vocab_coverage", "q_dedup_incremental",
+    # round-12: the near-dup twin of the incremental gate (documents
+    # grow 10x; band-index equi-join, O(delta) stream side).
+    "q_dedup_incremental_minhash",
     "q_embed_pq", "q_sim_ivfpq_topk", "q_bm25_score",
     "q_text_perplexity",
     # round-6 final wave: chunk-level dedup, Zipf token fit,

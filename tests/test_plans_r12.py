@@ -260,3 +260,46 @@ def test_pack_schedule_tiling_and_epoch_major_order(spark, sf_dir):
     assert any(e > 0 for _, e, _, _ in sched), (
         "fixture never schedules a second epoch — the epoch-major "
         "pin is vacuous")
+
+
+def test_dedup_incremental_minhash_recrawl_identity(spark, sf_dir):
+    """The near-dup gate must align with the exact gate's delta split
+    and exercise both branches; and every %7 re-crawled doc whose
+    original sits in the base (i.e. original %10 != 0 and >= 3 words)
+    MUST hit — identical text gives identical signatures, so at least
+    one band collides with the original's index rows, and dup_of is
+    at most the original id."""
+    rows = {r["doc_id"]: r for r in
+            QUERIES["q_dedup_incremental_minhash"](spark, sf_dir)
+            .collect()}
+    exact = {r["doc_id"] for r in
+             QUERIES["q_dedup_incremental"](spark, sf_dir).collect()}
+    assert set(rows) == exact  # same delta universe, doc for doc
+    flags = {r["is_near_dup"] for r in rows.values()}
+    assert flags == {True, False}
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").collect()}
+    checked = 0
+    for doc_id, text in docs.items():
+        if doc_id % 7 or doc_id % 10 == 0:
+            continue  # not re-crawled, or original held out of base
+        if len(text.split(" ")) < 3:
+            continue  # no shingles -> no signature -> no claim
+        r = rows[doc_id + 1000000000]
+        assert r["is_near_dup"], doc_id
+        assert r["dup_of"] <= doc_id
+        checked += 1
+    assert checked, "fixture has no re-crawled doc with a based twin"
+
+
+def test_dedup_incremental_minhash_index_is_persisted(spark, sf_dir):
+    """The base band index is the maintained artifact: memoized per
+    (session, sf) and persisted, so a second invocation reuses it
+    instead of recomputing the corpus signatures."""
+    from engine.io import session_cache
+
+    QUERIES["q_dedup_incremental_minhash"](spark, sf_dir)
+    cache = session_cache(spark, "_engine_minhash_index_cache")
+    idx = cache[sf_dir.rstrip("/")]
+    assert idx.storageLevel.useMemory
