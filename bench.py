@@ -201,6 +201,10 @@ HEADLINE = [
     # the packing work).
     "q_pack_schedule",
     "q_dedup_incremental_minhash",
+    # q_langid_eval composes q_text_langid (never itself a bench
+    # entry) + two |langs|-row aggregates — the whole lineage enters
+    # the gate through this one entry.
+    "q_langid_eval",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -907,7 +907,10 @@ def q_tfidf_top(spark, sf):
     )
 
 
-@query("q_text_langid", oracle="""
+#: Shared langid-verdict SQL — composed verbatim into q_text_langid
+#: (the per-doc verdicts) and q_langid_eval (the per-class report) so
+#: the graded classifier cannot drift from the operator.
+LANGID_ORACLE = """
 WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
 c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word),
 sig AS (SELECT lang AS sig_lang, word FROM (
@@ -924,7 +927,10 @@ g AS (SELECT *, row_number() OVER (PARTITION BY doc_id
 SELECT doc_id, lang, sig_lang AS lang_guess,
        (lang = sig_lang) AS is_match
 FROM g WHERE rn = 1
-""")
+"""
+
+
+@query("q_text_langid", oracle=LANGID_ORACLE)
 def q_text_langid(spark, sf):
     """Signature-word language ID: the per-language top-5 word lists
     (learned from the corpus itself, one aggregate) act as the n-gram
@@ -952,6 +958,59 @@ def q_text_langid(spark, sf):
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("sig_lang").alias("lang_guess"),
                 (F.col("lang") == F.col("sig_lang")).alias("is_match"))
+    )
+
+
+@query("q_langid_eval", oracle=f"""
+WITH p AS ({LANGID_ORACLE}),
+t AS (SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(count(CASE WHEN is_match THEN 1 END) AS BIGINT)
+                 AS n_correct
+      FROM p GROUP BY lang),
+g AS (SELECT lang_guess AS lang, CAST(count(*) AS BIGINT) AS n_pred
+      FROM p GROUP BY lang_guess)
+SELECT t.lang, t.n_true, coalesce(g.n_pred, 0) AS n_pred, t.n_correct,
+       {sql_rnd('t.n_correct / CAST(nullif(g.n_pred, 0) AS DOUBLE)', 6)}
+           AS prec,
+       {sql_rnd('t.n_correct / CAST(t.n_true AS DOUBLE)', 6)} AS recall
+FROM t LEFT JOIN g USING (lang)
+""")
+def q_langid_eval(spark, sf):
+    """Language-ID QUALITY report — the eval discipline applied to
+    the n-gram-heuristic classifier: per true language, how many docs
+    exist (n_true), how many the classifier assigned to it (n_pred),
+    how many it got right (n_correct), and the resulting
+    precision/recall — the per-class table a corpus team reads
+    before trusting lang-conditioned sampling (q_sample_temperature
+    keys off this very label). Composes the REGISTERED q_text_langid
+    verdicts directly (Spark side calls it; the oracle nests its SQL
+    verbatim — the q_dedup_report discipline), so the graded
+    classifier cannot drift from the operator.
+
+    Scale: two |docs|-row aggregates over the verdict frame (both
+    map-side combinable to |langs| rows) + one |langs|-row join.
+    The verdict frame itself is the langid plan (signature lexicons
+    broadcast); output is |langs| rows at any corpus size."""
+    p = q_text_langid(spark, sf)
+    t = p.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.count(F.when(F.col("is_match"), 1)).cast("long")
+         .alias("n_correct"))
+    g = (p.groupBy(F.col("lang_guess").alias("lang"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_pred")))
+    return (
+        t.join(g, "lang", "left")
+        .select(
+            "lang", "n_true",
+            F.coalesce("n_pred", F.lit(0).cast("long")).alias("n_pred"),
+            "n_correct",
+            rnd(F.col("n_correct")
+                / F.nullif(F.col("n_pred"), F.lit(0)).cast("double"), 6)
+            .alias("prec"),
+            rnd(F.col("n_correct") / F.col("n_true").cast("double"), 6)
+            .alias("recall"),
+        )
     )
 
 

@@ -303,3 +303,29 @@ def test_dedup_incremental_minhash_index_is_persisted(spark, sf_dir):
     cache = session_cache(spark, "_engine_minhash_index_cache")
     idx = cache[sf_dir.rstrip("/")]
     assert idx.storageLevel.useMemory
+
+
+def test_langid_eval_reconciles_with_verdicts(spark, sf_dir):
+    """Every report row must equal a re-aggregation of the registered
+    classifier's own verdicts (the q_dedup_report reconciliation
+    discipline), the doc universe must balance (sum n_true == sum
+    n_pred == |verdicts|), and the fixture must be non-vacuous (some
+    language has an imperfect recall — otherwise the eval grades
+    nothing)."""
+    from collections import Counter
+
+    verdicts = QUERIES["q_text_langid"](spark, sf_dir).collect()
+    rep = {r["lang"]: r for r in
+           QUERIES["q_langid_eval"](spark, sf_dir).collect()}
+    true_c = Counter(v["lang"] for v in verdicts)
+    pred_c = Counter(v["lang_guess"] for v in verdicts)
+    correct_c = Counter(v["lang"] for v in verdicts if v["is_match"])
+    assert set(rep) == set(true_c)
+    for lang, r in rep.items():
+        assert r["n_true"] == true_c[lang]
+        assert r["n_pred"] == pred_c.get(lang, 0)
+        assert r["n_correct"] == correct_c.get(lang, 0)
+    assert sum(r["n_true"] for r in rep.values()) == len(verdicts)
+    assert sum(r["n_pred"] for r in rep.values()) == len(verdicts)
+    assert any(r["n_correct"] < r["n_true"] for r in rep.values()), (
+        "classifier is perfect on the fixture — eval is vacuous")
