@@ -205,6 +205,7 @@ HEADLINE = [
     # entry) + two |langs|-row aggregates — the whole lineage enters
     # the gate through this one entry.
     "q_langid_eval",
+    "q_tokenizer_eval",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

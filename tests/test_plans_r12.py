@@ -329,3 +329,30 @@ def test_langid_eval_reconciles_with_verdicts(spark, sf_dir):
     assert sum(r["n_pred"] for r in rep.values()) == len(verdicts)
     assert any(r["n_correct"] < r["n_true"] for r in rep.values()), (
         "classifier is perfect on the fixture — eval is vacuous")
+
+
+def test_tokenizer_eval_curve_and_vocab_identity(spark, sf_dir):
+    """The compression curve must be coherent: one row per grid
+    budget, n_tokens strictly decreasing in k (every learned merge
+    fires somewhere on the fixture), compression_ppm an exact-integer
+    replay (1e6 * n_tokens // baseline), the k=0 row equal to the
+    char-split baseline of the type table, and the production k=12
+    total EQUAL to q_tokenizer_vocab's frequency-weighted occurrence
+    sum (both are 'total tokens in the fully-merged corpus' — the
+    lifecycle artifacts must agree)."""
+    from engine.queries.llm import _BPE_EVAL_GRID
+
+    rows = {r["n_merges"]: r for r in
+            QUERIES["q_tokenizer_eval"](spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(_BPE_EVAL_GRID)
+    base = rows[0]["n_tokens"]
+    toks = [rows[k]["n_tokens"] for k in sorted(rows)]
+    assert toks == sorted(toks, reverse=True)
+    assert len(set(toks)) == len(toks), "a merge budget bought nothing"
+    for r in rows.values():
+        assert r["compression_ppm"] == 1000000 * r["n_tokens"] // base
+        assert r["n_words"] == rows[0]["n_words"]
+    vocab_total = sum(
+        r["n"] for r in QUERIES["q_tokenizer_vocab"](spark, sf_dir)
+        .collect())
+    assert rows[max(rows)]["n_tokens"] == vocab_total
