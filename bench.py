@@ -206,6 +206,7 @@ HEADLINE = [
     # the gate through this one entry.
     "q_langid_eval",
     "q_tokenizer_eval",
+    "q_stream_dedup_incremental_minhash",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

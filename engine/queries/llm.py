@@ -156,6 +156,41 @@ def _band_pairs(sig, n_bands, rows_per_band):
     )
 
 
+def _band_structs_rowlocal(text_col):
+    """Array of (band_id, bh) band-hash structs computed ROW-LOCALLY
+    from a text column — the narrow (shuffle-free) twin of
+    _shingle_hashes -> _minhash_signatures -> _band_frame at the
+    production (4, 2) config, for contexts where a per-doc groupBy is
+    unavailable (the stateless stream side of
+    q_stream_dedup_incremental_minhash). Same shingles, same md5/
+    hexpoly hash, same (a*h+b) % P min — a doc's band hashes are
+    bit-identical to the batch index's (pinned by the stream==batch
+    twin test). Empty array for docs under 3 words (no shingles)."""
+    ws = F.split(text_col, " ")
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2),
+            F.element_at(ws, i + 3)))
+    hs = F.transform(
+        tri, lambda s: F.conv(
+            F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10)
+        .cast("long"))
+    sig = [F.array_min(F.transform(
+        hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P)))
+        for a, b in _AB]
+    bands = F.array(*[
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.md5(F.concat_ws(
+                ",", sig[2 * band], sig[2 * band + 1]).cast("binary"))
+            .alias("bh"))
+        for band in range(4)
+    ])
+    return F.when(F.size(ws) >= 3, bands).otherwise(
+        F.array().cast("array<struct<band_id:int,bh:string>>"))
+
+
 def _minhash_candidate_pairs(hv):
     """Banded-MinHash candidate pairs (d1 < d2) from a (doc_id, h)
     shingle-hash frame — the ONE Python-side construction of the
@@ -1656,7 +1691,26 @@ def q_dedup_incremental(spark, sf):
     return dedup_incr_verdict(dedup_incr_delta(d), dedup_incr_index(d))
 
 
-@query("q_dedup_incremental_minhash", oracle=f"""
+def minhash_base_index(spark, sf):
+    """The persisted banded-signature index of the base corpus
+    (doc_id %10 != 0) at the production (4, 2) config — the
+    maintained artifact both incremental near-dup lanes (batch +
+    streaming) join their deltas against, memoized per (session, sf)
+    so the lanes share ONE materialization."""
+    cache = session_cache(spark, "_engine_minhash_index_cache")
+    ck = sf.rstrip("/")
+    if ck not in cache:
+        bands = _band_frame(
+            _minhash_signatures(_shingle_hashes(spark, sf)), 4, 2)
+        cache[ck] = bands.filter(F.col("doc_id") % 10 != 0).persist()
+    return cache[ck]
+
+
+#: Shared oracle for the incremental NEAR-dup lanes (batch
+#: q_dedup_incremental_minhash + streaming
+#: q_stream_dedup_incremental_minhash) — the DEDUP_INCR_ORACLE
+#: discipline applied to the banded gate.
+DEDUP_INCR_MINHASH_ORACLE = f"""
 WITH {_MINHASH_CTES},
 base AS (SELECT doc_id, band_id, bh FROM b WHERE doc_id % 10 <> 0),
 delta_docs AS (
@@ -1679,7 +1733,10 @@ SELECT dd.new_id AS doc_id,
        coalesce(a.n_matches, 0) AS n_matches,
        coalesce(a.m, -1) AS dup_of
 FROM delta_docs dd LEFT JOIN agg a ON a.doc_id = dd.new_id
-""")
+"""
+
+
+@query("q_dedup_incremental_minhash", oracle=DEDUP_INCR_MINHASH_ORACLE)
 def q_dedup_incremental_minhash(spark, sf):
     """Incremental NEAR-dup gate — q_dedup_incremental's O(Δ)
     discipline applied to banded MinHash: the ingest delta (the same
@@ -1711,11 +1768,7 @@ def q_dedup_incremental_minhash(spark, sf):
     minhash key, so the index definition cannot drift."""
     hv = _shingle_hashes(spark, sf)
     bands = _band_frame(_minhash_signatures(hv), 4, 2)
-    cache = session_cache(spark, "_engine_minhash_index_cache")
-    ck = sf.rstrip("/")
-    if ck not in cache:
-        cache[ck] = bands.filter(F.col("doc_id") % 10 != 0).persist()
-    base = cache[ck]
+    base = minhash_base_index(spark, sf)
     d = load_tables(spark, sf)["documents"]
     delta_docs = (
         d.filter(F.col("doc_id") % 10 == 0)

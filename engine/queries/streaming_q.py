@@ -1279,3 +1279,77 @@ def q_stream_dedup_incremental(spark, sf):
         q.stop()
         per_session[key] = name
     return spark.table(per_session[key])
+
+
+from .llm import (  # noqa: E402
+    DEDUP_INCR_MINHASH_ORACLE, _band_structs_rowlocal,
+    minhash_base_index,
+)
+
+
+@query("q_stream_dedup_incremental_minhash",
+       oracle=DEDUP_INCR_MINHASH_ORACLE)
+def q_stream_dedup_incremental_minhash(spark, sf):
+    """Speed-layer twin of q_dedup_incremental_minhash — the live
+    NEAR-dup ingest gate: the same %10-new / %7-recrawled delta
+    replays as a file stream, each arriving doc's banded MinHash is
+    computed ROW-LOCALLY (_band_structs_rowlocal — the shuffle-free
+    twin of the batch signature groupBy, bit-identical band hashes),
+    band-joined against the PERSISTED base index (shared
+    minhash_base_index — the same materialization the batch lane
+    uses), and the per-doc match set accumulates in ONE complete-mode
+    collect_set aggregate. The distinct/min/count verdict columns are
+    a batch projection over the memory sink (the q_stream_tdigest
+    post-processing pattern): streaming aggregations cannot chain
+    distinct into count, but a set-valued state CAN merge across
+    micro-batches order-independently, which is exactly what makes
+    the emission deterministic under any micro-batch split. Both
+    lanes hash against the SAME DEDUP_INCR_MINHASH_ORACLE string.
+
+    Scale: stream state is |delta| keyed rows whose sets are bounded
+    by band fan-in (the q_dedup_fuzzy_minhash hot-band argument) —
+    the per-day delta bound, not the corpus; docs under 3 words carry
+    an empty band array (explode_outer keeps them, they report
+    is_near_dup = false). On a cluster the same plan tails the
+    crawler topic; the index refresh is the batch compaction job."""
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "dedup_incremental_minhash")
+    if key not in per_session:
+        name = ("stream_dedup_incr_mh_"
+                + hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8])
+        base = minhash_base_index(spark, sf).select(
+            F.col("doc_id").alias("match_id"), "band_id", "bh")
+        src = _stage_source(sf, table="documents")
+        docs = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        delta = (
+            docs.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text")
+            .unionAll(
+                docs.filter(F.col("doc_id") % 7 == 0)
+                .select((F.col("doc_id") + 1000000000).alias("doc_id"),
+                        "text"))
+        )
+        banded = delta.select(
+            "doc_id",
+            F.explode_outer(_band_structs_rowlocal(F.col("text")))
+            .alias("b")
+        ).select("doc_id", F.col("b.band_id").alias("band_id"),
+                 F.col("b.bh").alias("bh"))
+        hits = banded.join(base, ["band_id", "bh"], "left")
+        g = hits.groupBy("doc_id").agg(
+            F.collect_set("match_id").alias("matches"))
+        q = (g.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    emitted = spark.table(per_session[key])
+    n = F.size("matches")
+    return emitted.select(
+        "doc_id",
+        (n > 0).alias("is_near_dup"),
+        n.cast("long").alias("n_matches"),
+        F.coalesce(F.array_min("matches"), F.lit(-1).cast("long"))
+         .alias("dup_of"),
+    )

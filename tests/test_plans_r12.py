@@ -356,3 +356,19 @@ def test_tokenizer_eval_curve_and_vocab_identity(spark, sf_dir):
         r["n"] for r in QUERIES["q_tokenizer_vocab"](spark, sf_dir)
         .collect())
     assert rows[max(rows)]["n_tokens"] == vocab_total
+
+
+def test_stream_dedup_incremental_minhash_equals_batch_twin(
+        spark, sf_dir):
+    """The streaming near-dup lane must emit EXACTLY the batch twin's
+    verdict rows — this pin is what certifies the row-local band
+    computation (_band_structs_rowlocal) bit-matches the batch
+    signature groupBy path (_band_frame), match set for match set."""
+    batch = {tuple(r) for r in
+             QUERIES["q_dedup_incremental_minhash"](spark, sf_dir)
+             .collect()}
+    stream = {tuple(r) for r in
+              QUERIES["q_stream_dedup_incremental_minhash"](
+                  spark, sf_dir).collect()}
+    assert stream == batch
+    assert {r[1] for r in stream} == {True, False}
