@@ -1906,7 +1906,25 @@ def q_sim_ivfpq_topk(spark, sf):
     Recall@20 vs the exact brute-force top-k is pinned in
     tests/test_queries.py next to the LSH/IVF pins (on random
     near-uniform vectors — PQ's adversarial case — the shortlist
-    stage is what keeps recall near the IVF ceiling)."""
+    stage is what keeps recall near the IVF ceiling);
+    q_sim_eval_ivfpq measures the full recall-vs-shortlist curve."""
+    return _ivfpq_topk_pairs(spark, sf, IVFPQ_SHORTLIST)
+
+
+#: Total ADC candidates kept per query for the exact refine stage —
+#: the IVFPQ-specific knob (the refine read budget). The production
+#: setting every IVFPQ key ships with; q_sim_eval_ivfpq grades the
+#: recall curve around it.
+IVFPQ_SHORTLIST = 50
+
+
+def _ivfpq_topk_pairs(spark, sf, shortlist):
+    """The IVFADC encode→probe→ADC-shortlist→exact-refine pipeline at
+    an explicit refine budget — the ONE construction of the IVFPQ
+    query path, shared by q_sim_ivfpq_topk (at IVFPQ_SHORTLIST) and
+    q_sim_eval_ivfpq (across the shortlist grid), so the graded path
+    cannot drift (the _ivf_topk_pairs / _lsh_topk_pairs
+    discipline)."""
     import numpy as np
     import pandas as pd
 
@@ -1930,7 +1948,6 @@ def q_sim_ivfpq_topk(spark, sf):
         "vec_id long, embedding array<float>, cell int")
 
     k = 20
-    shortlist = 50  # total ADC candidates per query kept for refine
     # per-(cell, query) cap: a query probes npr cells, so its global
     # shortlist is split across them (plus slack for uneven cells)
     cell_cap = max(8, shortlist // npr + 5)
@@ -1998,6 +2015,50 @@ def q_sim_ivfpq_topk(spark, sf):
         exact.orderBy(F.col("cos_sim").desc(), "v1", "v2")
         .limit(k)
     )
+
+
+#: refine-budget grid graded by q_sim_eval_ivfpq (IVFPQ_SHORTLIST =
+#: 50 is the production setting; nprobe stays at IVF_NPROBE so the
+#: curve isolates the PQ-specific knob).
+_IVFPQ_EVAL_SHORTLISTS = [10, 25, 50, 100]
+
+
+@query("q_sim_eval_ivfpq")  # rows-only: IVFADC internals (persisted
+#                             k-means + PQ codebooks, numpy ADC) are
+#                             engine-defined, not SQL-expressible;
+#                             the engine-side bound test pins the
+#                             curve.
+def q_sim_eval_ivfpq(spark, sf):
+    """ANN refine-budget RECALL CURVE — the eval discipline applied
+    to the LAST candidate generator (every ANN path now ships with
+    its tuning table: IVF/nprobe, LSH/bucket-width, IVFPQ/shortlist):
+    for each per-query ADC shortlist size in _IVFPQ_EVAL_SHORTLISTS,
+    the IVFADC+refine top-20 (the REGISTERED pipeline via
+    _ivfpq_topk_pairs — same persisted codebooks, same ADC tables,
+    same einsum refine) graded against the exact brute-force top-20
+    (_sim_truth — the one persisted baseline all three ANN evals now
+    share): candidate/truth/hit counts + precision + recall per
+    budget. The tradeoff an operator prices: the shortlist IS the
+    stage-2 raw-vector read budget (n·shortlist rows at serving
+    time), and recall rises in it toward the IVF-probe ceiling —
+    measured on the committed fixtures instead of asserted (tests
+    pin the curve's endpoint trend and the production row's standing
+    recall bound).
+
+    Scale: truth fixture-grade by design, computed once; each
+    budget's candidate set reduces through ONE full-outer join + ONE
+    aggregate (_ann_eval_row). Output is |grid| rows."""
+    truth = _sim_truth(spark, sf)
+    out = None
+    for sl in _IVFPQ_EVAL_SHORTLISTS:
+        cand = (_ivfpq_topk_pairs(spark, sf, sl)
+                .select("v1", "v2").withColumn("c", F.lit(1)))
+        row = _ann_eval_row(
+            spark, truth, cand, "shortlist", sl,
+            extra_cols=[("is_production",
+                         F.lit(sl == IVFPQ_SHORTLIST).cast("boolean"))])
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 # BM25 parameters + fixed query terms (Robertson/Sparck Jones; the

@@ -136,6 +136,10 @@ DOC_KEYS = [
     # composed brute-force truth (_sim_truth / q_sim_topk), candidate
     # side rides the already-probed q_sim_lsh_topk pipeline across
     # the width grid.
+    # q_sim_eval_ivfpq is excluded for the identical reason (third
+    # ANN eval over the same composed _sim_truth baseline; candidate
+    # side rides the benched q_sim_ivfpq_topk pipeline across the
+    # shortlist grid).
     # q_contamination_report is excluded like q_dedup_report (a
     # 4-row union of single-row aggregates OVER the four probed
     # contamination pipelines).

@@ -372,3 +372,33 @@ def test_stream_dedup_incremental_minhash_equals_batch_twin(
                   spark, sf_dir).collect()}
     assert stream == batch
     assert {r[1] for r in stream} == {True, False}
+
+
+def test_sim_eval_ivfpq_recall_curve(spark, sf_dir):
+    """The shortlist curve must be coherent: one row per grid budget,
+    exactly one production row at IVFPQ_SHORTLIST, sets top-20-sized,
+    the endpoint trend non-decreasing (with exact refine scoring,
+    recall is monotone in candidate-set inclusion and the per-cell
+    cap grows with the budget), and the production row at the
+    standing >= 0.6 recall bound (tests/test_queries.py pins 12/20
+    for the registered key)."""
+    from engine.queries.llm import (
+        _IVFPQ_EVAL_SHORTLISTS, IVFPQ_SHORTLIST, _ivfpq_topk_pairs,
+    )
+    rows = {r["shortlist"]: r for r in
+            QUERIES["q_sim_eval_ivfpq"](spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(_IVFPQ_EVAL_SHORTLISTS)
+    assert [s for s, r in rows.items() if r["is_production"]] == [
+        IVFPQ_SHORTLIST]
+    for r in rows.values():
+        assert r["n_truth"] == 20
+        assert 0 <= r["n_candidates"] <= 20
+    grid = sorted(rows)
+    assert rows[grid[-1]]["recall"] >= rows[grid[0]]["recall"]
+    assert rows[IVFPQ_SHORTLIST]["recall"] >= 0.6
+    reg = {(r["v1"], r["v2"]) for r in
+           QUERIES["q_sim_ivfpq_topk"](spark, sf_dir).collect()}
+    ours = {(r["v1"], r["v2"]) for r in
+            _ivfpq_topk_pairs(spark, sf_dir, IVFPQ_SHORTLIST)
+            .collect()}
+    assert reg == ours

@@ -31,9 +31,9 @@ def test_every_key_has_oracle_or_reason():
         "q_agg_approx_distinct", "q_agg_approx_quantile",
         "q_cluster_kmeans", "q_embed_opq", "q_embed_pca",
         "q_embed_pq", "q_embed_whiten", "q_hll_rollup",
-        "q_ivf_refresh", "q_sim_eval_ivf", "q_sim_eval_lsh",
-        "q_sim_ivf_topk", "q_sim_ivfpq_topk", "q_sim_lsh_topk",
-        "q_stream_tdigest", "q_tdigest_quantile",
+        "q_ivf_refresh", "q_sim_eval_ivf", "q_sim_eval_ivfpq",
+        "q_sim_eval_lsh", "q_sim_ivf_topk", "q_sim_ivfpq_topk",
+        "q_sim_lsh_topk", "q_stream_tdigest", "q_tdigest_quantile",
     ]
 
 
