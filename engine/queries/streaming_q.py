@@ -1150,7 +1150,10 @@ def q_stream_temperature_gate(spark, sf):
     return spark.table(per_session[key])
 
 
-@query("q_stream_contamination_gate", oracle="""
+#: Shared oracle for the eval-leak ingest gate — composed verbatim
+#: into q_stream_contamination_gate and q_ingest_report (the
+#: dashboard cannot disagree with the gate).
+CONTAM_GATE_ORACLE = """
 WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS l
              FROM documents),
 g AS (SELECT doc_id, md5(array_to_string(l[s:s+3], ' ')) AS gh
@@ -1164,7 +1167,10 @@ d AS (SELECT doc_id, source FROM tok WHERE doc_id % 97 <> 0)
 SELECT d.source, count(*) AS n_docs, count(h.doc_id) AS n_leaked
 FROM d LEFT JOIN hits h USING (doc_id)
 GROUP BY d.source
-""")
+"""
+
+
+@query("q_stream_contamination_gate", oracle=CONTAM_GATE_ORACLE)
 def q_stream_contamination_gate(spark, sf):
     """Speed-layer twin of q_contamination (completes the ingest-gate
     triad: quality / temperature-mix / eval-leak): the held-out
@@ -1353,3 +1359,66 @@ def q_stream_dedup_incremental_minhash(spark, sf):
         F.coalesce(F.array_min("matches"), F.lit(-1).cast("long"))
          .alias("dup_of"),
     )
+
+
+@query("q_ingest_report", oracle=f"""
+WITH qg AS ({QC_GATE_ORACLE}),
+tg AS ({TEMP_GATE_ORACLE}),
+cg AS ({CONTAM_GATE_ORACLE}),
+dg AS ({DEDUP_INCR_ORACLE})
+SELECT 'quality' AS gate, 'docs' AS unit,
+       CAST(sum(n_docs) AS BIGINT) AS n_seen,
+       CAST(sum(n_keep) AS BIGINT) AS n_kept
+FROM qg
+UNION ALL
+SELECT 'temperature', 'docs', CAST(sum(n_seen) AS BIGINT),
+       CAST(sum(n_kept) AS BIGINT)
+FROM tg
+UNION ALL
+SELECT 'contamination', 'docs', CAST(sum(n_docs) AS BIGINT),
+       CAST(sum(n_docs) - sum(n_leaked) AS BIGINT)
+FROM cg
+UNION ALL
+SELECT 'dedup', 'delta docs', CAST(count(*) AS BIGINT),
+       CAST(count(CASE WHEN NOT is_dup THEN 1 END) AS BIGINT)
+FROM dg
+""")
+def q_ingest_report(spark, sf):
+    """Ingest-pipeline GOVERNANCE dashboard — the q_dedup_report /
+    q_contamination_report discipline applied to the four-gate
+    streaming ingest family: ONE row per REGISTERED gate
+    (quality / temperature-mix / eval-leak / dedup) with the items it
+    saw and the items it kept, each in the gate's own unit. The Spark
+    side aggregates the registered q_stream_* gate keys' own
+    emissions (the memoized memory sinks — the dashboard literally
+    reads the gates), and the oracle wraps each gate's shared oracle
+    constant verbatim as a closed subquery, so the dashboard can
+    never disagree with the gates it summarizes. The keep-rate column
+    pair is what an ingest operator actually watches per day: how
+    much traffic arrived, how much survived each screen.
+
+    Scale: four single-row aggregates over |sources|/|langs|/|delta|-
+    row gate outputs — the gates themselves carry all corpus-sized
+    work (each already graded separately); output is exactly 4 rows.
+    NOT a bench entry (composes four full pipelines — the
+    q_dedup_report precedent)."""
+    qg = q_stream_quality_gate(spark, sf).agg(
+        F.lit("quality").alias("gate"), F.lit("docs").alias("unit"),
+        F.sum("n_docs").cast("long").alias("n_seen"),
+        F.sum("n_keep").cast("long").alias("n_kept"))
+    tg = q_stream_temperature_gate(spark, sf).agg(
+        F.lit("temperature").alias("gate"), F.lit("docs").alias("unit"),
+        F.sum("n_seen").cast("long").alias("n_seen"),
+        F.sum("n_kept").cast("long").alias("n_kept"))
+    cg = q_stream_contamination_gate(spark, sf).agg(
+        F.lit("contamination").alias("gate"),
+        F.lit("docs").alias("unit"),
+        F.sum("n_docs").cast("long").alias("n_seen"),
+        (F.sum("n_docs") - F.sum("n_leaked")).cast("long")
+         .alias("n_kept"))
+    dg = q_stream_dedup_incremental(spark, sf).agg(
+        F.lit("dedup").alias("gate"), F.lit("delta docs").alias("unit"),
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+        F.count(F.when(~F.col("is_dup"), 1)).cast("long")
+         .alias("n_kept"))
+    return qg.unionByName(tg).unionByName(cg).unionByName(dg)

@@ -402,3 +402,33 @@ def test_sim_eval_ivfpq_recall_curve(spark, sf_dir):
             _ivfpq_topk_pairs(spark, sf_dir, IVFPQ_SHORTLIST)
             .collect()}
     assert reg == ours
+
+
+def test_ingest_report_reconciles_with_gates(spark, sf_dir):
+    """Every dashboard row must equal a re-aggregation of its
+    registered gate's own emission (the q_contamination_report
+    reconciliation discipline), and each gate must actually drop
+    something on the fixture (n_kept < n_seen — a gate that filters
+    nothing is vacuously summarized)."""
+    rep = {r["gate"]: r for r in
+           QUERIES["q_ingest_report"](spark, sf_dir).collect()}
+    assert set(rep) == {"quality", "temperature", "contamination",
+                        "dedup"}
+    qg = QUERIES["q_stream_quality_gate"](spark, sf_dir).collect()
+    assert rep["quality"]["n_seen"] == sum(r["n_docs"] for r in qg)
+    assert rep["quality"]["n_kept"] == sum(r["n_keep"] for r in qg)
+    tg = QUERIES["q_stream_temperature_gate"](spark, sf_dir).collect()
+    assert rep["temperature"]["n_seen"] == sum(r["n_seen"] for r in tg)
+    assert rep["temperature"]["n_kept"] == sum(r["n_kept"] for r in tg)
+    cg = QUERIES["q_stream_contamination_gate"](
+        spark, sf_dir).collect()
+    assert rep["contamination"]["n_seen"] == sum(
+        r["n_docs"] for r in cg)
+    assert rep["contamination"]["n_kept"] == sum(
+        r["n_docs"] - r["n_leaked"] for r in cg)
+    dg = QUERIES["q_stream_dedup_incremental"](spark, sf_dir).collect()
+    assert rep["dedup"]["n_seen"] == len(dg)
+    assert rep["dedup"]["n_kept"] == sum(
+        1 for r in dg if not r["is_dup"])
+    for gate, r in rep.items():
+        assert r["n_kept"] < r["n_seen"], f"{gate} gate is vacuous"
