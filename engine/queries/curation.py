@@ -1570,6 +1570,59 @@ def q_dp_sum(spark, sf):
          * _DP_SUM_CLIP).alias("sum_noised_cents"))
 
 
+#: DP-histogram suppression threshold: a released bucket's NOISED
+#: count must reach τ — the thresholding step that protects the
+#: data-dependent bucket set itself (partition selection).
+_DP_HIST_TAU = 3
+
+
+@query("q_dp_histogram", oracle=f"""
+WITH h AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+                  AS bucket, count(*) AS n
+           FROM documents GROUP BY bucket),
+u AS (SELECT bucket, n,
+             {hexpoly_sql("md5(concat(bucket, '#dph'))")} AS uu
+      FROM h),
+r AS (SELECT bucket,
+             greatest(n + ({_dp_case_sql('uu')}), 0) AS n_released
+      FROM u)
+SELECT bucket, n_released FROM r WHERE n_released >= {_DP_HIST_TAU}
+""")
+def q_dp_histogram(spark, sf):
+    """Differentially-private HISTOGRAM release with thresholding —
+    completes the DP release family (count / sum / histogram): the
+    EXACT document token-length histogram (width-1 buckets — the
+    grain where tail buckets hold 1-2 docs, i.e. where a histogram
+    release actually endangers individuals and thresholding earns
+    its keep) released under the same ε=1 two-sided-geometric
+    mechanism as q_dp_count (the shared _dp_case_sql literal
+    thresholds — one mechanism, three releases), PLUS the step a
+    histogram release NEEDS that a keyed count release doesn't:
+    suppression of buckets whose noised count falls below τ
+    ({_DP_HIST_TAU}). The bucket set of a histogram is
+    DATA-DEPENDENT — publishing an empty-but-present bucket leaks
+    that some doc had that length — so the release only keeps
+    noisy counts ≥ τ (the standard partition-selection thresholding;
+    both branches exercised on the fixtures and pinned). Same honest
+    caveat as q_dp_count: the md5 uniform stands in for the
+    production CSPRNG so the release replays bit-for-bit — swap the
+    column and the plan is unchanged.
+
+    Scale: one map-side-combined count aggregate (|buckets| rows
+    out), a |buckets|-row codegen CASE, and a literal filter —
+    nothing else moves at any corpus size."""
+    d = load_tables(spark, sf)["documents"]
+    h = (d.groupBy(F.size(F.split("text", " "))
+                   .cast("long").alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    u = h.withColumn(
+        "uu", F.expr(hexpoly_sql("md5(concat(bucket, '#dph'))")))
+    noised = F.greatest(F.col("n") + F.expr(_dp_case_sql("uu")),
+                        F.lit(0).cast("long"))
+    return (u.select("bucket", noised.alias("n_released"))
+            .filter(F.col("n_released") >= _DP_HIST_TAU))
+
+
 # ------------------------------------------ semantic contamination
 
 #: Cosine threshold for the semantic eval-leak detector. 0.32 sits in

@@ -432,3 +432,36 @@ def test_ingest_report_reconciles_with_gates(spark, sf_dir):
         1 for r in dg if not r["is_dup"])
     for gate, r in rep.items():
         assert r["n_kept"] < r["n_seen"], f"{gate} gate is vacuous"
+
+
+def test_dp_histogram_mechanism_replay_and_suppression(spark, sf_dir):
+    """The release must equal a from-scratch Python replay of the
+    mechanism (exact bucket counts + the literal-threshold geometric
+    noise off the md5 '#dph' uniform, τ-suppressed), and BOTH
+    branches must be exercised on the fixture (some buckets released,
+    some suppressed — the thresholding step is the point of the
+    key)."""
+    import hashlib
+    from collections import Counter
+
+    from engine.queries.curation import _DP_HIST_TAU, _DP_THS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("text").collect()
+    counts = Counter(len(r["text"].split(" ")) for r in docs)
+
+    def noise(bucket):
+        u = int(hashlib.md5(f"{bucket}#dph".encode())
+                .hexdigest()[:8], 16)
+        for k, t in _DP_THS:
+            if u < t:
+                return k
+        return _DP_THS[-1][0]
+
+    expect = {b: max(n + noise(b), 0) for b, n in counts.items()}
+    expect = {b: v for b, v in expect.items() if v >= _DP_HIST_TAU}
+    got = {r["bucket"]: r["n_released"] for r in
+           QUERIES["q_dp_histogram"](spark, sf_dir).collect()}
+    assert got == expect
+    assert len(got) < len(counts), "suppression branch is vacuous"
+    assert got, "release is empty"
