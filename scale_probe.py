@@ -314,6 +314,11 @@ X100_KEYS = [
     # linear)
     "q_tokenizer_vocab", "q_token_budget", "q_quality_ablation",
     "q_contamination_cut",
+    # round-12: the mix-schedule manifest (broadcast planner +
+    # explode — scan-bound plus the contracted output inflation) and
+    # the near-dup incremental gate (band-index equi-join, O(delta)
+    # delta side — linear) join the three-decade claim.
+    "q_mix_schedule", "q_dedup_incremental_minhash",
 ]
 
 
