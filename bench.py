@@ -207,6 +207,7 @@ HEADLINE = [
     "q_langid_eval",
     "q_tokenizer_eval",
     "q_stream_dedup_incremental_minhash",
+    "q_dp_histogram",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that
