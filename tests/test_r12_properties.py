@@ -1,0 +1,116 @@
+"""Hypothesis properties for the round-12 shared kernels, driven on
+GENERATED data (not the fixtures) so they cover shapes the fixtures
+never produce:
+
+- _band_structs_rowlocal (the stateless stream side of the near-dup
+  gate) must emit byte-identical band hashes to the batch
+  shingle→signature→band pipeline for ARBITRARY texts — including
+  docs under 3 words, repeated words, and single-character words.
+- the q_mix_schedule epoch construction (full passes + md5-grid tail)
+  must reproduce a Python replay for ARBITRARY (full_epochs,
+  tail_ppm) planner rows — including full_epochs = 0 (the Spark
+  sequence(0,-1) footgun the engine guards with when()).
+"""
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+WORD = st.text(alphabet="abcde", min_size=1, max_size=5)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(WORD, min_size=0, max_size=9),
+                min_size=1, max_size=10))
+def test_rowlocal_bands_equal_batch_pipeline(spark, docs):
+    """Row-local band hashes == the batch explode→groupBy→band path
+    on arbitrary texts (the certification behind the streaming
+    near-dup twin's determinism claim)."""
+    from engine.queries.llm import (
+        _band_frame, _band_structs_rowlocal, _minhash_signatures,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    local = {
+        (r["doc_id"], r["b"]["band_id"], r["b"]["bh"])
+        for r in d.select(
+            "doc_id",
+            F.explode(_band_structs_rowlocal(F.col("text")))
+            .alias("b")).collect()
+    }
+
+    # batch path: the _shingle_hashes transform inlined on the same
+    # frame (the registered helper reads from parquet fixtures)
+    ws = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2),
+            F.element_at(ws, i + 3)))
+    hv = (d.filter(F.size(ws) >= 3)
+          .select("doc_id", F.explode(tri).alias("s"))
+          .select("doc_id",
+                  F.conv(F.substring(
+                      F.md5(F.col("s").cast("binary")), 1, 8), 16, 10)
+                  .cast("long").alias("h")))
+    batch = {
+        (r["doc_id"], r["band_id"], r["bh"])
+        for r in _band_frame(_minhash_signatures(hv), 4, 2).collect()
+    }
+    assert local == batch
+
+
+def _hexpoly(md5hex: str) -> int:
+    return int(md5hex[:8], 16)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 4),            # full_epochs
+              st.integers(0, 1_000_000),    # tail_ppm
+              st.integers(1, 40)),          # docs in this source
+    min_size=1, max_size=5))
+def test_mix_epoch_construction_matches_python(spark, plan):
+    """The epochs-array construction (full passes concat conditional
+    tail) on ARBITRARY planner rows — including full_epochs = 0,
+    tail_ppm = 0, and tail_ppm = 1e6 — equals the Python replay.
+    Guards the sequence(0, -1) footgun: Spark's sequence yields
+    [0, -1] for an empty range, so the when() guard is
+    correctness-bearing, not style."""
+    docs = []
+    doc_id = 0
+    for s, (fe, ppm, ndocs) in enumerate(plan):
+        for _ in range(ndocs):
+            docs.append((doc_id, f"s{s}", fe, ppm))
+            doc_id += 1
+    d = spark.createDataFrame(
+        docs, "doc_id long, source string, full_epochs long, "
+              "tail_ppm long")
+
+    from engine.queries.util import hexpoly_sql
+    empty = F.array().cast("array<bigint>")
+    keep_tail = (
+        F.expr(hexpoly_sql("md5(concat(doc_id, '#mix'))")) % 1000000
+        < F.col("tail_ppm"))
+    epochs = F.concat(
+        F.when(F.col("full_epochs") > 0,
+               F.sequence(F.lit(0).cast("long"),
+                          F.col("full_epochs") - 1)).otherwise(empty),
+        F.when(keep_tail, F.array(F.col("full_epochs")))
+         .otherwise(empty))
+    got = {(r["doc_id"], r["epoch"]) for r in
+           d.select("doc_id", F.explode(epochs).alias("epoch"))
+           .collect()}
+
+    want = set()
+    for doc, src, fe, ppm in docs:
+        for e in range(fe):
+            want.add((doc, e))
+        u = _hexpoly(hashlib.md5(f"{doc}#mix".encode()).hexdigest())
+        if u % 1_000_000 < ppm:
+            want.add((doc, fe))
+    assert got == want
