@@ -1035,7 +1035,7 @@ def q_langid_eval(spark, sf):
     g = (p.groupBy(F.col("lang_guess").alias("lang"))
          .agg(F.count(F.lit(1)).cast("long").alias("n_pred")))
     return (
-        t.join(g, "lang", "left")
+        t.join(F.broadcast(g), "lang", "left")
         .select(
             "lang", "n_true",
             F.coalesce("n_pred", F.lit(0).cast("long")).alias("n_pred"),

@@ -465,3 +465,23 @@ def test_dp_histogram_mechanism_replay_and_suppression(spark, sf_dir):
     assert got == expect
     assert len(got) < len(counts), "suppression branch is vacuous"
     assert got, "release is empty"
+
+
+def test_r12_cohort_plan_hygiene(spark, sf_dir):
+    """Executed-plan pins for the round-12 batch keys: no cartesian
+    product and no row-at-a-time Python eval anywhere; the
+    JVM-only designs additionally show no Pandas exchange; the
+    DP histogram is exactly ONE exchange (the count aggregate —
+    count semantic markers, not FileScans)."""
+    jvm_only = ["q_mix_schedule", "q_pack_schedule", "q_langid_eval",
+                "q_dp_histogram", "q_tokenizer_eval",
+                "q_dedup_incremental_minhash"]
+    for k in jvm_only:
+        plan = (QUERIES[k](spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        for word in ("CartesianProduct", "BatchEvalPython",
+                     "MapInPandas", "FlatMapGroupsInPandas"):
+            assert word not in plan, (k, word)
+    dp = (QUERIES["q_dp_histogram"](spark, sf_dir)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert dp.count("Exchange") == 1
