@@ -208,6 +208,7 @@ HEADLINE = [
     "q_tokenizer_eval",
     "q_stream_dedup_incremental_minhash",
     "q_dp_histogram",
+    "q_mix_curriculum",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -1343,6 +1343,56 @@ def q_pack_schedule(spark, sf):
         ((F.col("cum") - F.col("n_tok")) % k).alias("seq_offset"))
 
 
+from .llm import (  # noqa: E402  (quality fragments shared verbatim)
+    QC_BUCKET_SQL, QC_LOGIT_SQL, QC_T_SQL, qc_score,
+)
+
+
+@query("q_mix_curriculum", oracle=f"""
+WITH m AS ({_ORACLE['q_mix_schedule']}),
+t AS ({QC_T_SQL}),
+s AS (SELECT doc_id, {QC_LOGIT_SQL} AS logit FROM t),
+qb AS (SELECT doc_id, {QC_BUCKET_SQL} AS bucket FROM s)
+SELECT m.epoch, qb.bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(m.n_tok) AS BIGINT) AS n_tokens
+FROM m JOIN qb USING (doc_id)
+GROUP BY m.epoch, qb.bucket
+""")
+def q_mix_curriculum(spark, sf):
+    """Training CURRICULUM report — what quality mix each epoch
+    actually sees: the scheduled manifest (q_mix_schedule — every
+    (doc, epoch) instance, repeats included) crossed with the
+    quality classifier's calibration buckets (the SAME literal-
+    weights logit and low/mid/high cuts as q_quality_classifier /
+    q_stream_quality_gate, via the shared qc_score fragments), one
+    row per (epoch, bucket) with scheduled doc instances and tokens.
+    This is the table a curriculum/annealing decision reads: if late
+    epochs should up-weight high-quality data, this is where the
+    current schedule's per-epoch quality profile is measured before
+    and after the change. Oracle nests q_mix_schedule's SQL verbatim
+    AND the QC_* fragments verbatim (two independent lineages, both
+    composition-locked).
+
+    Scale: the bucket frame is one narrow pass over the corpus
+    (q_quality_classifier's zero-shuffle shape); the join key is
+    doc_id against the manifest — co-partitioned equi-join, AQE
+    broadcasts the smaller side when a day's manifest fits; output
+    is |epochs| x 3 rows at any corpus size."""
+    m = q_mix_schedule(spark, sf).select("doc_id", "epoch", "n_tok")
+    b = qc_score(load_tables(spark, sf)["documents"]).select(
+        "doc_id",
+        F.when(F.col("logit") < -0.5, "low")
+         .when(F.col("logit") < 0.5, "mid")
+         .otherwise("high").alias("bucket"))
+    return (
+        m.join(b, "doc_id")
+        .groupBy("epoch", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+
+
 # ------------------------------------------- temperature sampling
 
 # shared oracle fragment (batch key here + the streaming ingest-gate

@@ -485,3 +485,32 @@ def test_r12_cohort_plan_hygiene(spark, sf_dir):
     dp = (QUERIES["q_dp_histogram"](spark, sf_dir)
           ._jdf.queryExecution().executedPlan().toString())
     assert dp.count("Exchange") == 1
+
+
+def test_mix_curriculum_reconciles_with_schedule_and_classifier(
+        spark, sf_dir):
+    """Every curriculum cell must equal a re-aggregation of the
+    registered schedule joined to the registered classifier's own
+    bucket cuts, the totals must balance to the full manifest, and
+    the fixture must populate multiple epochs AND multiple buckets
+    (a one-cell table grades nothing)."""
+    from collections import Counter
+
+    sched = QUERIES["q_mix_schedule"](spark, sf_dir).collect()
+    buckets = {}
+    for r in QUERIES["q_quality_classifier"](spark, sf_dir).collect():
+        buckets[r["doc_id"]] = r["bucket"]
+    cells_docs = Counter()
+    cells_toks = Counter()
+    for r in sched:
+        cell = (r["epoch"], buckets[r["doc_id"]])
+        cells_docs[cell] += 1
+        cells_toks[cell] += r["n_tok"]
+    got = {(r["epoch"], r["bucket"]): (r["n_docs"], r["n_tokens"])
+           for r in QUERIES["q_mix_curriculum"](spark, sf_dir)
+           .collect()}
+    assert got == {c: (cells_docs[c], cells_toks[c])
+                   for c in cells_docs}
+    assert sum(v[0] for v in got.values()) == len(sched)
+    assert len({e for e, _ in got}) > 1, "single-epoch fixture"
+    assert len({b for _, b in got}) > 1, "single-bucket fixture"
