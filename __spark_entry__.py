@@ -229,7 +229,8 @@ _R12_NEW: set[str] = {
     "q_pack_schedule", "q_dedup_incremental_minhash", "q_langid_eval",
     "q_tokenizer_eval", "q_stream_dedup_incremental_minhash",
     "q_sim_eval_ivfpq", "q_ingest_report", "q_dp_histogram",
-    "q_mix_curriculum",
+    "q_mix_curriculum", "q_dedup_eval_simhash", "q_shuffle_shards",
+    "q_interleave_sources", "q_pack_mask_spans", "q_embed_dim_stats",
 }
 
 

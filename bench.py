@@ -209,6 +209,16 @@ HEADLINE = [
     "q_stream_dedup_incremental_minhash",
     "q_dp_histogram",
     "q_mix_curriculum",
+    # round-12 second wave (q_dedup_eval_simhash is excluded: its
+    # candidate side is the guarded fixture-grade all-pairs XOR scan
+    # and its truth composes the brute-force n-gram-Jaccard baseline
+    # — the q_dedup_eval precedent; q_pack_mask_spans enters as the
+    # packing lineage's mask view — its timing includes recomputing
+    # the composed manifest, like q_pack_efficiency's entry).
+    "q_shuffle_shards",
+    "q_interleave_sources",
+    "q_pack_mask_spans",
+    "q_embed_dim_stats",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -3778,3 +3778,117 @@ def q_dedup_report(spark, sf):
     for part in (mh, sim, ng, url, ph, sem):
         out = out.union(part)
     return out
+
+
+# -------------------------------------------- simhash eval
+#: Hamming thresholds graded by q_dedup_eval_simhash; 16-bit
+#: signatures put unrelated docs at expected distance 8, so the
+#: useful operating range is the low-distance head.
+_SIMHAM_GRID = [0, 1, 2, 3]
+#: Row-count guard on the eval's deliberate all-pairs truth scan
+#: (the q_dedup_eval_phash discipline): n(n-1)/2 16-bit XORs are
+#: fixture-grade only — at real scale the eval runs on a sampled
+#: slice.
+_SIMHAM_TRUTH_MAX_DOCS = 20_000
+
+
+def _simhash_eval_oracle() -> str:
+    rows = ",\n".join(
+        f"""g{d} AS (
+    SELECT {d} AS ham_max,
+           (SELECT count(*) FROM cand WHERE ham <= {d}) AS n_candidates,
+           (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand JOIN truth USING (d1, d2)
+            WHERE ham <= {d}) AS n_hit)"""
+        for d in _SIMHAM_GRID)
+    union = " UNION ALL ".join(f"SELECT * FROM g{d}" for d in _SIMHAM_GRID)
+    return f"""
+WITH sim AS ({_ORACLE['q_dedup_simhash']}),
+pr AS (SELECT x.doc_id AS d1, y.doc_id AS d2,
+              bit_count(xor(x.simhash, y.simhash)) AS ham
+       FROM sim x JOIN sim y ON x.doc_id < y.doc_id),
+cand AS (SELECT d1, d2, ham FROM pr
+         WHERE ham <= {max(_SIMHAM_GRID)}),
+truth AS (SELECT d1, d2 FROM ({_ORACLE['q_dedup_ngram_jaccard']}) tt),
+{rows}
+SELECT ham_max, n_candidates, n_truth, n_hit,
+       {sql_rnd('CAST(n_hit AS DOUBLE) / nullif(n_candidates, 0)', 6)}
+           AS prec,
+       {sql_rnd('CAST(n_hit AS DOUBLE) / nullif(n_truth, 0)', 6)}
+           AS recall
+FROM ({union})
+"""
+
+
+@query("q_dedup_eval_simhash", oracle=_simhash_eval_oracle())
+def q_dedup_eval_simhash(spark, sf):
+    """SimHash Hamming-threshold TUNING TABLE — the last candidate
+    generator to get its eval key (MinHash bands, pHash bands,
+    semantic, LSH/IVF/IVFPQ all have one): for each Hamming cutoff in
+    {0,1,2,3} over the REGISTERED 16-bit signatures (q_dedup_simhash,
+    composed verbatim on both sides), the candidate-pair count and
+    precision/recall against the exact n-gram-Jaccard truth
+    (q_dedup_ngram_jaccard, nested verbatim). Recall rises and
+    precision falls as the cutoff widens — the curve an operator
+    reads before committing a simhash radius to a 100 TB sweep,
+    measured on the committed fixtures rather than asserted.
+
+    The candidate side is a deliberate all-pairs XOR scan: unlike
+    MinHash, a Hamming ball of radius 3 over 16 bits has no exact
+    equi-join banding (pigeonhole needs 4+ bands and the bands here
+    are 4 bits — collisions lose recall), so the honest fixture-grade
+    baseline is brute force, guarded by the same row-count cap as
+    q_dedup_eval_phash's truth join and excluded from bench HEADLINE
+    and the scale probes (the q_dedup_eval rationale: at scale this
+    runs on a sampled slice). Signature and truth frames are memoized
+    per (session, sf) and persisted; all grid rows reduce through ONE
+    full-outer join + ONE aggregate, unstacked via stack()."""
+    cache = session_cache(spark, "_engine_simhash_eval_cache")
+    ck = sf.rstrip("/")
+    if ck not in cache:
+        cache[ck] = (
+            q_dedup_simhash(spark, sf).persist(),
+            q_dedup_ngram_jaccard(spark, sf)
+            .select("d1", "d2").withColumn("t", F.lit(1)).persist())
+    sim, truth = cache[ck]
+    n_docs = sim.count()  # memoized+persisted: the count is cheap
+    if n_docs > _SIMHAM_TRUTH_MAX_DOCS:
+        raise ValueError(
+            f"q_dedup_eval_simhash candidate scan is brute-force "
+            f"all-pairs ({n_docs} docs -> "
+            f"~{n_docs * (n_docs - 1) // 2} pairs); it is capped at "
+            f"{_SIMHAM_TRUTH_MAX_DOCS} docs — evaluate on a sampled "
+            f"slice at larger scales")
+    x = sim.select(F.col("doc_id").alias("d1"),
+                   F.col("simhash").alias("s1"))
+    y = sim.select(F.col("doc_id").alias("d2"),
+                   F.col("simhash").alias("s2"))
+    cand = (
+        x.join(y, F.col("d1") < F.col("d2"))
+        .select("d1", "d2",
+                F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+                .alias("ham"))
+        .filter(F.col("ham") <= max(_SIMHAM_GRID))
+    )
+    j = cand.join(truth, ["d1", "d2"], "full_outer")
+    aggs = [F.count("t").alias("n_truth")]
+    for d in _SIMHAM_GRID:
+        aggs.append(F.count(F.when(F.col("ham") <= d, 1))
+                    .alias(f"c{d}"))
+        aggs.append(F.count(F.when((F.col("ham") <= d)
+                                   & F.col("t").isNotNull(), 1))
+                    .alias(f"h{d}"))
+    s = j.agg(*aggs)
+    stack = ", ".join(f"{d}, c{d}, h{d}" for d in _SIMHAM_GRID)
+    out = s.selectExpr(
+        f"stack({len(_SIMHAM_GRID)}, {stack})"
+        f" AS (ham_max, n_candidates, n_hit)",
+        "n_truth")
+    nh = F.col("n_hit").cast("double")
+    return out.select(
+        "ham_max", "n_candidates", "n_truth", "n_hit",
+        rnd(nh / F.nullif(F.col("n_candidates"), F.lit(0)), 6)
+            .alias("prec"),
+        rnd(nh / F.nullif(F.col("n_truth"), F.lit(0)), 6)
+            .alias("recall"),
+    )

@@ -1470,3 +1470,192 @@ def q_sample_temperature(spark, sf):
         .filter((h % 10000) < F.col("threshold"))
         .select("doc_id", "lang", "threshold")
     )
+
+
+# ------------------------------------------------- training-order keys
+#: Round-robin width of the deterministic corpus shuffle: kept docs
+#: hash into this many shard streams, each shard is an independently
+#: sorted file a dataloader worker consumes.
+_SHUF_SHARDS = 16
+
+
+@query("q_shuffle_shards", oracle=f"""
+WITH k AS (SELECT doc_id,
+                  {hexpoly_sql("md5(concat(doc_id, '#shuf'))")} AS skey
+           FROM documents)
+SELECT doc_id, CAST(skey % {_SHUF_SHARDS} AS BIGINT) AS shard,
+       row_number() OVER (PARTITION BY skey % {_SHUF_SHARDS}
+                          ORDER BY skey, doc_id) AS shard_pos
+FROM k
+""")
+def q_shuffle_shards(spark, sf):
+    """Deterministic SEEDED corpus shuffle — the global-shuffle step
+    every pre-training run does between curation and packing: each
+    document draws a reproducible shuffle key (md5 of doc_id + a seed
+    tag — content-independent, so re-runs and engine swaps agree),
+    lands in one of {_SHUF_SHARDS} shard streams by key hash, and gets
+    its position in the shard's key-sorted order. (shard, shard_pos)
+    IS the training read order: workers consume shards round-robin,
+    which realizes the usual approximation of a uniform permutation
+    (hash-random shard + random order within shard) without any
+    global total order.
+
+    Scale shape: this is the 100 TB shuffle pattern itself — ONE
+    exchange keyed by shard, then a per-shard window sort
+    (repartition + sortWithinPartitions in dataloader terms). No
+    global row_number (a single-partition window would serialize the
+    corpus); shard count scales with the cluster like
+    q_pack_sequences' packing shards. All-integer output —
+    hash-stable by construction."""
+    d = load_tables(spark, sf)["documents"]
+    k = d.select(
+        "doc_id",
+        F.expr(hexpoly_sql("md5(concat(doc_id, '#shuf'))")).alias("skey"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        k.withColumn("shard", F.col("skey") % _SHUF_SHARDS)
+        .select("doc_id", "shard",
+                F.row_number().over(w).alias("shard_pos"))
+    )
+
+
+@query("q_interleave_sources", oracle=f"""
+WITH w AS (SELECT source,
+                  sum(len(string_split(text, ' '))) AS wt,
+                  count(*) AS n_docs
+           FROM documents GROUP BY source),
+p AS (SELECT d.doc_id, d.source,
+             row_number() OVER (
+                 PARTITION BY d.source
+                 ORDER BY {hexpoly_sql("md5(concat(d.doc_id, '#il'))")},
+                          d.doc_id) AS src_pos
+      FROM documents d),
+r AS (SELECT p.doc_id, p.source, p.src_pos,
+             sum(least((wo.wt * (2 * p.src_pos - 1) + ws.wt)
+                       // (2 * ws.wt), wo.n_docs)) AS global_rank
+      FROM p
+      JOIN w ws ON ws.source = p.source
+      CROSS JOIN w wo
+      GROUP BY p.doc_id, p.source, p.src_pos)
+SELECT doc_id, source, CAST(src_pos AS BIGINT) AS src_pos,
+       CAST(global_rank AS BIGINT) AS global_rank
+FROM r
+""")
+def q_interleave_sources(spark, sf):
+    """Deterministic PROPORTIONAL source interleave — the order in
+    which a sequential trainer visits source streams, weighted by
+    each source's token budget (stride scheduling, the classic
+    deterministic-fair-queueing schedule): pick p of source s has
+    virtual time v = (2p-1)/(2*w_s), and the global read order sorts
+    all picks by v. Heavier sources are visited proportionally more
+    often per unit of virtual time — the deterministic twin of
+    weighted sampling, with none of sampling's variance. Weights here
+    are the per-source token totals (the fixture's doc counts are
+    uniform by construction, which would tie every pick); a mix plan
+    (q_token_budget / q_dataset_mix) slots in as the same
+    |sources|-row frame.
+
+    The global rank is CLOSED-FORM, not a global sort: the number of
+    picks of source t at or before v is least(floor((w_t*(2p-1) + w_s)
+    / (2*w_s)), n_docs_t) — exact BIGINT arithmetic, capped at t's
+    actual stream length so exhausted sources stop contributing — so
+    each doc's rank is a sum of |sources| integer terms folded into
+    ONE narrow codegen expression (weights collected as literals, the q_feature_scale
+    fit idiom; the oracle spells the same sum as a join against the
+    weight CTE — identical integers either way). Simultaneous picks
+    tie and share a rank (documented rank semantics, deterministic
+    in both engines). No exchange beyond the |sources|-row weight
+    aggregate and the per-source position window; at 100 TB the
+    window becomes the standard two-pass position assignment
+    (range-partition by key, per-partition counts -> offsets) with
+    the closed-form rank unchanged."""
+    d = load_tables(spark, sf)["documents"]
+    wdf = (d.select("source", F.size(F.split("text", " ")).alias("n_tok"))
+           .groupBy("source").agg(F.sum("n_tok").alias("wt"),
+                                  F.count(F.lit(1)).alias("n_docs")))
+    weights = [(int(r["wt"]), int(r["n_docs"]))
+               for r in wdf.collect()]
+    key = F.expr(hexpoly_sql("md5(concat(doc_id, '#il'))"))
+    win = Window.partitionBy("source").orderBy(key, F.col("doc_id"))
+    p = d.select(
+        "doc_id", "source",
+        F.row_number().over(win).cast("long").alias("src_pos"),
+    ).join(F.broadcast(wdf.select("source", "wt")), "source")
+    rank = None
+    for wo, no in weights:
+        # picks of the other source at or before this virtual time,
+        # capped at its actual stream length (exhausted sources stop
+        # contributing — the replay-tested finite-stream semantics)
+        term = F.expr(
+            f"least((CAST({wo} AS BIGINT) * (2 * src_pos - 1) + wt)"
+            f" div (2 * wt), CAST({no} AS BIGINT))")
+        rank = term if rank is None else rank + term
+    return p.select("doc_id", "source", "src_pos",
+                    rank.alias("global_rank"))
+
+
+@query("q_pack_mask_spans", oracle=f"""
+WITH p AS ({_ORACLE['q_pack_sequences']}),
+x AS (SELECT shard, doc_id, n_tok,
+             start_seq * {_PACK_LEN} + seq_offset + n_tok AS cum,
+             unnest(generate_series(start_seq, end_seq)) AS seq_id
+      FROM p),
+o AS (SELECT shard, seq_id,
+             least((seq_id + 1) * {_PACK_LEN}, cum)
+             - greatest(seq_id * {_PACK_LEN}, cum - n_tok) AS fill,
+             (cum - n_tok < seq_id * {_PACK_LEN}) AS begins_mid,
+             (cum > (seq_id + 1) * {_PACK_LEN}) AS ends_mid
+      FROM x)
+SELECT shard, CAST(seq_id AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(fill) AS BIGINT) AS fill_tokens,
+       max(begins_mid) AS begins_mid_doc,
+       max(ends_mid) AS ends_mid_doc
+FROM o GROUP BY shard, seq_id
+""")
+def q_pack_mask_spans(spark, sf):
+    """Per-SEQUENCE attention-mask manifest — the other half of the
+    packing contract: q_pack_sequences says where each DOCUMENT
+    lands; the trainer's collator needs it per SEQUENCE — how many
+    documents a packed sequence contains (n_docs - 1 interior
+    attention resets for the block-diagonal mask), whether it begins
+    or ends mid-document (the boundary-truncation flags), and how
+    many real tokens fill it (the rest is tail padding, loss-masked).
+    Composes the REGISTERED manifest directly (Spark side calls
+    q_pack_sequences; the oracle nests its SQL verbatim) and derives
+    the running total back from the manifest's own columns
+    (cum = start_seq*len + seq_offset + n_tok), so the mask view can
+    never desync from the packing.
+
+    One explode of each doc's spanned-sequence range (total rows =
+    |docs| + |crossings| — bounded by the manifest itself) and ONE
+    (shard, seq) aggregate, shard-local like the packing. Integer
+    arithmetic end to end; per-shard fill_tokens totals reconcile
+    with q_pack_efficiency's n_tokens by construction (pinned in
+    tests)."""
+    k = _PACK_LEN
+    m = q_pack_sequences(spark, sf)
+    cum = (F.col("start_seq") * k + F.col("seq_offset")
+           + F.col("n_tok")).alias("cum")
+    x = m.select(
+        "shard", "n_tok", cum,
+        F.explode(F.sequence("start_seq", "end_seq")).alias("seq_id"),
+    )
+    fill = (F.least((F.col("seq_id") + 1) * k, F.col("cum"))
+            - F.greatest(F.col("seq_id") * k,
+                         F.col("cum") - F.col("n_tok")))
+    return (
+        x.select(
+            "shard", "seq_id",
+            fill.alias("fill"),
+            (F.col("cum") - F.col("n_tok")
+             < F.col("seq_id") * k).alias("begins_mid"),
+            (F.col("cum") > (F.col("seq_id") + 1) * k).alias("ends_mid"),
+        )
+        .groupBy("shard", "seq_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("fill").alias("fill_tokens"),
+             F.max("begins_mid").alias("begins_mid_doc"),
+             F.max("ends_mid").alias("ends_mid_doc"))
+    )

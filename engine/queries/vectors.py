@@ -660,3 +660,68 @@ def q_embed_pq(spark, sf):
 
     return e.mapInPandas(
         assign, "vec_id long, sub int, code int, sq_err double")
+
+
+@query("q_embed_dim_stats", oracle=f"""
+WITH x AS ({_UNNEST_SQL}),
+g AS (
+  SELECT ord, count(*) AS n,
+         sum(CAST(floor(CAST(val AS DOUBLE) * {_S} + 0.5) AS BIGINT))
+             AS sv,
+         sum(CAST(floor(CAST(val AS DOUBLE) * {_S} + 0.5) AS BIGINT)
+             * CAST(floor(CAST(val AS DOUBLE) * {_S} + 0.5) AS BIGINT))
+             AS sq,
+         min(CAST(val AS DOUBLE)) AS vmin,
+         max(CAST(val AS DOUBLE)) AS vmax,
+         count(*) FILTER (WHERE CAST(floor(CAST(val AS DOUBLE) * {_S}
+                                           + 0.5) AS BIGINT) = 0)
+             AS n_zero
+  FROM x GROUP BY ord)
+SELECT CAST(ord AS INT) AS pos, n AS n_vecs,
+       {sql_rnd(_MU_SQL, 6)} AS mean_val,
+       {sql_rnd(_SIG_SQL, 6)} AS std_val,
+       vmin, vmax, n_zero
+FROM g
+""")
+def q_embed_dim_stats(spark, sf):
+    """Per-DIMENSION embedding health profile — the table an
+    embedding-pipeline operator reads before trusting a new encoder
+    drop: for every vector dimension, count, mean, std, min, max and
+    the number of (quantized-)zero entries. Dead dimensions
+    (n_zero == n_vecs, std 0), exploding dimensions (|vmin|/|vmax|
+    outliers) and mean drift between two encoder versions all show up
+    here first; downstream whitening/PQ keys assume none of them.
+
+    Same fit lane as q_feature_scale: posexplode -> ONE groupBy on
+    the dimension index with map-side partial aggregation — the
+    shuffle carries |partitions| x d partial rows, d rows come out,
+    and nothing else moves. At 100 TB this is the cheapest full pass
+    the embedding table admits (a pure scan + tiny exchange); the
+    d-row result is dashboard-sized. Moments accumulate over scaled
+    BIGINTs (the engine's exact-sum convention) so mean/std are
+    bit-identical across engines and partitionings; min/max are raw
+    input floats widened to double (exact in IEEE), and n_zero counts
+    quantized-zero cells in the SAME scaled lane the moments use, so
+    the three dead-dim signals can never disagree with each other."""
+    e = load_tables(spark, sf)["embeddings"]
+    ex = e.select(F.posexplode("embedding").alias("pos", "val"))
+    sv = F.floor(F.col("val").cast("double") * _S + F.lit(0.5)) \
+        .cast("long")
+    g = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sv).alias("sv"),
+        F.sum(sv * sv).alias("sq"),
+        F.min(F.col("val").cast("double")).alias("vmin"),
+        F.max(F.col("val").cast("double")).alias("vmax"),
+        F.count(F.when(sv == 0, 1)).alias("n_zero"),
+    )
+    mu = F.col("sv").cast("double") / F.col("n").cast("double") / 1000000.0
+    sig = F.sqrt(F.col("sq").cast("double") / F.col("n").cast("double")
+                 / 1000000000000.0 - mu * mu)
+    return g.select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("n").alias("n_vecs"),
+        rnd(mu, 6).alias("mean_val"),
+        rnd(sig, 6).alias("std_val"),
+        "vmin", "vmax", "n_zero",
+    )

@@ -143,6 +143,18 @@ DOC_KEYS = [
     # q_contamination_report is excluded like q_dedup_report (a
     # 4-row union of single-row aggregates OVER the four probed
     # contamination pipelines).
+    # round-12 second wave: seeded shuffle manifest + stride
+    # interleave (documents grow 10x; both are one exchange + one
+    # window / one literal-folded projection) and the per-dimension
+    # embedding profile (embeddings grow 10x; one map-side groupBy).
+    "q_shuffle_shards", "q_interleave_sources", "q_embed_dim_stats",
+    # q_pack_mask_spans is excluded (probe-exclusion rule): one
+    # bounded explode + one shard-local aggregate OVER
+    # q_pack_sequences' manifest, which is itself in this tier.
+    # q_dedup_eval_simhash is excluded like q_dedup_eval_phash (its
+    # candidate side is the deliberate guarded all-pairs XOR scan,
+    # and its truth composes the brute-force n-gram-Jaccard
+    # baseline).
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

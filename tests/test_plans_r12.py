@@ -6,6 +6,8 @@ the last ungraded candidate generator).
 """
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from engine.registry import QUERIES, load_all
 
 load_all()
@@ -514,3 +516,198 @@ def test_mix_curriculum_reconciles_with_schedule_and_classifier(
     assert sum(v[0] for v in got.values()) == len(sched)
     assert len({e for e, _ in got}) > 1, "single-epoch fixture"
     assert len({b for _, b in got}) > 1, "single-bucket fixture"
+
+
+# ---------------------------------------------- round-12b cohort
+# (q_dedup_eval_simhash / q_shuffle_shards / q_interleave_sources /
+#  q_pack_mask_spans / q_embed_dim_stats)
+
+
+def test_r12b_cohort_plan_hygiene(spark, sf_dir):
+    """Executed-plan pins for the second round-12 batch: the four
+    production-path keys show no cartesian product and no Python
+    eval of any kind; q_embed_dim_stats is exactly ONE exchange
+    (the dimension groupBy — map-side partials in, d rows out).
+    q_dedup_eval_simhash is deliberately absent: its candidate scan
+    is a guarded fixture-grade all-pairs join (see its guard test)."""
+    for k in ["q_shuffle_shards", "q_interleave_sources",
+              "q_pack_mask_spans", "q_embed_dim_stats"]:
+        plan = (QUERIES[k](spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        for word in ("CartesianProduct", "BatchEvalPython",
+                     "MapInPandas", "FlatMapGroupsInPandas"):
+            assert word not in plan, (k, word)
+    dim = (QUERIES["q_embed_dim_stats"](spark, sf_dir)
+           ._jdf.queryExecution().executedPlan().toString())
+    assert dim.count("Exchange") == 1
+
+
+def test_dedup_eval_simhash_curve(spark, sf_dir):
+    """The Hamming tuning table must be coherent: one row per grid
+    cutoff; candidates, hits and recall all non-decreasing in the
+    cutoff (a wider ball only adds pairs — unlike the per-seed LSH
+    widths this IS exactly monotone, same signatures throughout);
+    truth constant, positive, and equal to the registered
+    q_dedup_ngram_jaccard pair count; hits bounded by both sides;
+    and the d=0 candidate count equal to the exact signature-
+    collision pair count (sum of C(n,2) over simhash groups) — the
+    all-pairs scan cross-checked against a groupBy identity."""
+    from engine.queries.llm import _SIMHAM_GRID
+
+    rows = {r["ham_max"]: r for r in
+            QUERIES["q_dedup_eval_simhash"](spark, sf_dir).collect()}
+    assert sorted(rows) == _SIMHAM_GRID
+    truth_n = QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).count()
+    assert truth_n > 0
+    prev_c = prev_h = -1
+    for d in _SIMHAM_GRID:
+        r = rows[d]
+        assert r["n_truth"] == truth_n
+        assert r["n_hit"] <= min(r["n_candidates"], r["n_truth"])
+        assert r["n_candidates"] >= prev_c
+        assert r["n_hit"] >= prev_h
+        prev_c, prev_h = r["n_candidates"], r["n_hit"]
+    assert rows[max(_SIMHAM_GRID)]["recall"] >= rows[0]["recall"]
+    assert rows[max(_SIMHAM_GRID)]["n_hit"] > 0, "vacuous curve"
+    groups = (QUERIES["q_dedup_simhash"](spark, sf_dir)
+              .groupBy("simhash").count().collect())
+    exact_pairs = sum(r["count"] * (r["count"] - 1) // 2
+                      for r in groups)
+    assert rows[0]["n_candidates"] == exact_pairs
+
+
+def test_dedup_eval_simhash_truth_guard(spark, sf_dir, monkeypatch):
+    """The deliberate all-pairs scan must refuse inputs past its cap
+    (the q_dedup_eval_phash row-count-guard discipline) — fail loudly
+    before planning n(n-1)/2 pairs, never hang an executor pool."""
+    import pytest
+
+    from engine.queries import llm
+
+    monkeypatch.setattr(llm, "_SIMHAM_TRUTH_MAX_DOCS", 1)
+    with pytest.raises(ValueError, match="all-pairs"):
+        QUERIES["q_dedup_eval_simhash"](spark, sf_dir)
+
+
+def test_shuffle_shards_is_deterministic_permutation(spark, sf_dir):
+    """The shuffle manifest must be a permutation (every doc exactly
+    once; per-shard positions contiguous from 1), reproducible call
+    to call, content-independent — and actually SHUFFLED: within a
+    shard the key order must not be the doc_id order (md5 keys are
+    order-free by construction; a sorted-by-doc_id 'shuffle' would
+    mean the seed tag fell out of the key)."""
+    rows = QUERIES["q_shuffle_shards"](spark, sf_dir).collect()
+    n = len(rows)
+    assert len({r["doc_id"] for r in rows}) == n
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(16))
+    scrambled = 0
+    for shard, rs in by_shard.items():
+        pos = sorted(r["shard_pos"] for r in rs)
+        assert pos == list(range(1, len(rs) + 1)), shard
+        order = [r["doc_id"] for r in
+                 sorted(rs, key=lambda r: r["shard_pos"])]
+        if order != sorted(order):
+            scrambled += 1
+    assert scrambled > 0, "shard order degenerate: doc_id order"
+    again = QUERIES["q_shuffle_shards"](spark, sf_dir).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+
+
+def test_interleave_matches_exact_fraction_replay(spark, sf_dir):
+    """The closed-form BIGINT rank must equal an exact-rational
+    replay of stride scheduling: v(s, p) = (2p-1)/(2*w_s) computed
+    with Fractions, rank = |{picks with v' <= v}| (ties counted both
+    ways — the documented shared-rank semantics). Also pins the
+    weights to the per-source token totals and the within-source rank
+    order to src_pos order."""
+    from fractions import Fraction
+
+    rows = QUERIES["q_interleave_sources"](spark, sf_dir).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = {r["source"]: r["wt"] for r in
+         d.select("source", F.size(F.split("text", " ")).alias("n"))
+         .groupBy("source").agg(F.sum("n").alias("wt")).collect()}
+    vs = [Fraction(2 * r["src_pos"] - 1, 2 * w[r["source"]])
+          for r in rows]
+    svs = sorted(vs)
+    import bisect
+    for r, v in zip(rows, vs):
+        assert r["global_rank"] == bisect.bisect_right(svs, v), r
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for rs in by_source.values():
+        rs.sort(key=lambda r: r["src_pos"])
+        ranks = [r["global_rank"] for r in rs]
+        assert ranks == sorted(ranks)
+        assert len(set(ranks)) == len(ranks)
+
+
+def test_pack_mask_spans_reconciles_with_packing(spark, sf_dir):
+    """The per-sequence mask view must reconcile with the packing it
+    composes: per shard, fill totals == q_pack_efficiency's token
+    totals, sequence counts == n_seqs, doc multiplicity == manifest
+    spans; every fill within (0, 512]; and the boundary flags must
+    CHAIN — sequence s ends mid-doc iff sequence s+1 begins mid-doc
+    (the same crossing seen from both sides), with sequence 0 never
+    beginning mid-doc."""
+    spans = QUERIES["q_pack_mask_spans"](spark, sf_dir).collect()
+    eff = {r["shard"]: r for r in
+           QUERIES["q_pack_efficiency"](spark, sf_dir).collect()}
+    man = QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    by_shard = {}
+    for r in spans:
+        by_shard.setdefault(r["shard"], {})[r["seq_id"]] = r
+    exp_docs = {}
+    for m in man:
+        exp_docs[m["shard"]] = (exp_docs.get(m["shard"], 0)
+                                + m["end_seq"] - m["start_seq"] + 1)
+    assert set(by_shard) == set(eff)
+    for shard, seqs in by_shard.items():
+        assert sorted(seqs) == list(range(len(seqs)))
+        assert len(seqs) == eff[shard]["n_seqs"]
+        assert sum(r["fill_tokens"] for r in seqs.values()) \
+            == eff[shard]["n_tokens"]
+        assert sum(r["n_docs"] for r in seqs.values()) \
+            == exp_docs[shard]
+        assert not seqs[0]["begins_mid_doc"]
+        for s in range(len(seqs)):
+            r = seqs[s]
+            assert 0 < r["fill_tokens"] <= 512
+            if s + 1 in seqs:
+                assert r["ends_mid_doc"] \
+                    == seqs[s + 1]["begins_mid_doc"], (shard, s)
+
+
+def test_embed_dim_stats_matches_numpy_replay(spark, sf_dir):
+    """Every published statistic must equal a from-scratch numpy
+    replay under the engine's own scaled-BIGINT conventions — mean
+    and std through the exact integer sums then the shared IEEE
+    expression and 1e-6 quantization, min/max as raw float-widened
+    doubles, n_zero in the same scaled lane."""
+    import math
+
+    import numpy as np
+
+    rows = {r["pos"]: r for r in
+            QUERIES["q_embed_dim_stats"](spark, sf_dir).collect()}
+    emb = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding").collect()])
+    n, dims = emb.shape
+    assert sorted(rows) == list(range(dims))
+    sv = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+    for pos in range(dims):
+        r = rows[pos]
+        assert r["n_vecs"] == n
+        mu = sv[:, pos].sum() / n / 1e6
+        sig = math.sqrt((sv[:, pos] ** 2).sum() / n / 1e12 - mu * mu)
+        assert r["mean_val"] == math.floor(mu * 1e6 + 0.5) / 1e6
+        assert r["std_val"] == math.floor(sig * 1e6 + 0.5) / 1e6
+        assert r["vmin"] == emb[:, pos].min()
+        assert r["vmax"] == emb[:, pos].max()
+        assert r["n_zero"] == int((sv[:, pos] == 0).sum())
