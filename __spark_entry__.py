@@ -231,6 +231,9 @@ _R12_NEW: set[str] = {
     "q_sim_eval_ivfpq", "q_ingest_report", "q_dp_histogram",
     "q_mix_curriculum", "q_dedup_eval_simhash", "q_shuffle_shards",
     "q_interleave_sources", "q_pack_mask_spans", "q_embed_dim_stats",
+    "q_embed_outlier_vecs", "q_file_skipping_stats",
+    "q_minhash_calibration", "q_contamination_bloom_eval",
+    "q_pii_report", "q_stream_pii_gate",
 }
 
 

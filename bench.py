@@ -219,6 +219,24 @@ HEADLINE = [
     "q_interleave_sources",
     "q_pack_mask_spans",
     "q_embed_dim_stats",
+    # round-12 third wave. q_minhash_calibration is excluded: its
+    # candidate stage is DELIBERATELY the loosest (8,1) banding, and
+    # on the closed-vocabulary fixtures that pair mass grows
+    # quadratically with the corpus (a fixture artifact — real
+    # open-vocabulary corpora keep it Jaccard-bounded); same reason
+    # it sits out of the scale probes. q_embed_outlier_vecs and
+    # q_file_skipping_stats are plain production paths; the bloom
+    # eval is linear (semi-joins, no brute truth) and grades the
+    # decontamination scale mechanism itself.
+    "q_embed_outlier_vecs",
+    "q_file_skipping_stats",
+    "q_contamination_bloom_eval",
+    # round-12 fourth wave: the PII governance pair (the streaming
+    # gate measures its memoized sink read, like the other gate
+    # entries; q_ingest_report stays excluded — it now composes FIVE
+    # full pipelines).
+    "q_pii_report",
+    "q_stream_pii_gate",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

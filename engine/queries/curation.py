@@ -1802,3 +1802,201 @@ def q_contamination_report(spark, sf):
                          "n_flagged", "n_findings")
         out = r if out is None else out.unionByName(r)
     return out
+
+
+# ------------------------------------------ bloom pre-filter eval
+#: Bloom sizes (bits) graded by q_contamination_bloom_eval; k = 3
+#: hash functions throughout (near the optimum for the fixture
+#: holdout's fill factors at these sizes).
+_BLOOM_SIZES = [4096, 16384, 65536]
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(col: str, j: int, m: int) -> str:
+    """Bit position j of gram-hash column ``col`` in an m-bit bloom:
+    positional-arithmetic md5 of the tagged hash — deterministic and
+    engine-identical like every engine content hash."""
+    tagged = f"md5(concat({col}, '#b{j}'))"
+    return f"({hexpoly_sql(tagged)} % {m})"
+
+
+def _bloom_eval_oracle() -> str:
+    per_m = []
+    for m in _BLOOM_SIZES:
+        bits = " UNION ".join(
+            f"SELECT {_bloom_pos_sql('gh', j, m)} AS p FROM hold"
+            for j in range(_BLOOM_K))
+        probes = " UNION ALL ".join(
+            f"SELECT gh, {_bloom_pos_sql('gh', j, m)} AS p FROM corp"
+            for j in range(_BLOOM_K))
+        per_m.append(f"""
+SELECT {m} AS m_bits,
+       (SELECT count(*) FROM corp) AS n_tested,
+       (SELECT count(*) FROM corp JOIN hold USING (gh)) AS n_true,
+       (SELECT count(*) FROM (
+            SELECT gh FROM ({probes}) pr
+            JOIN ({bits}) bt USING (p)
+            GROUP BY gh HAVING count(DISTINCT p) = {_BLOOM_K}))
+           AS n_pass""")
+    return f"""
+WITH {_CONTAM_CTES},
+corp AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 <> 0),
+u AS ({" UNION ALL ".join(per_m)})
+SELECT m_bits, n_tested, n_true, n_pass,
+       CAST(1000000 * (n_pass - n_true)
+            // nullif(n_tested - n_true, 0) AS BIGINT) AS fp_ppm
+FROM u
+"""
+
+
+@query("q_contamination_bloom_eval", oracle=_bloom_eval_oracle())
+def q_contamination_bloom_eval(spark, sf):
+    """Bloom PRE-FILTER sizing table for decontamination — grades the
+    very mechanism this engine names as q_contamination's 100 TB
+    design ("n-gram bloom/semi-join"): for each filter size m, the
+    holdout's 4-gram hashes set k=3 md5-derived bit positions, every
+    distinct corpus gram probes its 3 positions, and a gram passes
+    only if all 3 are set. True members always pass (no false
+    negatives, by construction — the bits they would probe are
+    exactly the bits they set), so the one number that matters is
+    the false-positive rate: fp_ppm prices how much post-filter
+    exact-join work each size buys away. Doubling m past the
+    holdout's fill point collapses FP — measured on the committed
+    fixtures per size, not asserted from the 0.6185^(m/n) formula.
+
+    The bloom is built IN-PLAN as a distinct bit-position set
+    (engine-portable md5 positional arithmetic — no engine-native
+    bloom object, so DuckDB replays it bit-identically); at 100 TB
+    the set is eval-benchmark-sized (≤ m bits regardless of corpus
+    size), broadcast exactly like q_contamination's holdout gram
+    set, and the corpus side streams through the position semi-join
+    with per-gram map-side combine. Composes _CONTAM_CTES verbatim —
+    the same grams, the same holdout slice as the production
+    detector twins."""
+    grams = _contam_grams(spark, sf)
+    hold = (grams.filter(F.col("doc_id") % 97 == 0)
+            .select("gh").distinct())
+    corp = (grams.filter(F.col("doc_id") % 97 != 0)
+            .select("gh").distinct())
+    # everything stays LAZY — per size, three 1-row aggregates are
+    # cross-joined and the sizes unioned, so the whole table is ONE
+    # action (eager per-size .count() actions re-scanned the gram
+    # lineage 8 times; measured 2.5x slower at sf0.1)
+    tested = corp.agg(F.count(F.lit(1)).alias("n_tested"))
+    true_ = (corp.join(F.broadcast(hold), "gh")
+             .agg(F.count(F.lit(1)).alias("n_true")))
+    out = None
+    for m in _BLOOM_SIZES:
+        pos = [F.expr(_bloom_pos_sql("gh", j, m))
+               for j in range(_BLOOM_K)]
+        bits = (hold.select(F.explode(F.array(*pos)).alias("p"))
+                .distinct())
+        probes = corp.select(
+            "gh", F.explode(F.array(*pos)).alias("p"))
+        passed = (probes.join(F.broadcast(bits), "p")
+                  .groupBy("gh")
+                  .agg(F.countDistinct("p").alias("k"))
+                  .filter(F.col("k") == _BLOOM_K)
+                  .agg(F.count(F.lit(1)).alias("n_pass")))
+        row = (passed.crossJoin(F.broadcast(tested))
+               .crossJoin(F.broadcast(true_))
+               .select(F.lit(m).cast("long").alias("m_bits"),
+                       "n_tested", "n_true", "n_pass"))
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "m_bits", "n_tested", "n_true", "n_pass",
+        F.expr("(1000000 * (n_pass - n_true))"
+               " div nullif(n_tested - n_true, 0)")
+        .cast("long").alias("fp_ppm"),
+    )
+
+
+# ------------------------------------------------------ PII screen
+#: Quarantine threshold for the PII DENSITY gate, in ppm of document
+#: characters that are PII spans. The fixture PII augmentation
+#: (_AUG_SQL) is constant per doc, so density varies with document
+#: length; 80000 ppm sits at the corpus median at every committed
+#: scale (measured p25~55k / p50~75k / p75~115k), keeping both gate
+#: branches exercised.
+_PII_TAU = 80_000
+
+#: Shared (doc_id, source, density_ppm) CTE — composed VERBATIM into
+#: q_pii_report, PII_GATE_ORACLE (streaming_q) and q_ingest_report's
+#: PII row, the _CONTAM_CTES no-desync discipline. Density = PII
+#: characters (length removed by stripping both PII patterns) per
+#: million document characters, exact integer arithmetic.
+PII_DENSITY_SQL = f"""pii_d AS (
+    SELECT doc_id, source, {_AUG_SQL} AS t FROM documents),
+pii AS (
+    SELECT doc_id, source,
+           1000000 * (length(t) - length(regexp_replace(
+               regexp_replace(t, '{_EMAIL_RE}', '', 'g'),
+               '{_NUM_RE}', '', 'g'))) // length(t) AS density_ppm
+    FROM pii_d)"""
+
+
+def pii_density(d):
+    """Spark twin of PII_DENSITY_SQL: documents -> (doc_id, source,
+    density_ppm). Pure narrow expressions (regexp + length + integer
+    div), so it applies identically to the batch table and a file
+    stream — the qc_score construction."""
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or 555-"),
+        (F.col("doc_id") % 10000).cast("string"))
+    stripped = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, ""), _NUM_RE, "")
+    t = d.select(
+        "doc_id", "source", F.length(aug).alias("lt"),
+        F.length(stripped).alias("ls"))
+    return t.select(
+        "doc_id", "source",
+        F.expr("(cast(1000000 as bigint) * (lt - ls)) div lt")
+            .alias("density_ppm"),
+    )
+
+
+@query("q_pii_report", oracle=f"""
+WITH r AS ({_ORACLE['q_text_redact']}),
+{PII_DENSITY_SQL}
+SELECT p.source, count(*) AS n_docs,
+       CAST(sum(r.n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(r.n_nums) AS BIGINT) AS n_nums,
+       count(CASE WHEN p.density_ppm > {_PII_TAU} THEN 1 END)
+           AS n_quarantined,
+       CAST(1000000 * count(CASE WHEN p.density_ppm > {_PII_TAU}
+                            THEN 1 END) // count(*) AS BIGINT)
+           AS quarantine_ppm
+FROM pii p JOIN r USING (doc_id)
+GROUP BY p.source
+""")
+def q_pii_report(spark, sf):
+    """Per-SOURCE PII governance report — the table a privacy review
+    reads before a source ships: match counts from the REGISTERED
+    redaction key (q_text_redact composed verbatim — the report can
+    never disagree with what redaction would actually strip) plus the
+    quarantine screen: documents whose PII DENSITY (PII characters
+    per million, the shared PII_DENSITY_SQL kernel) exceeds
+    {_PII_TAU} ppm are flagged for manual review rather than
+    auto-redaction — the standard two-tier policy (redact the normal
+    tail, quarantine the outliers). q_stream_pii_gate is the
+    speed-layer twin of the screen.
+
+    Scale: both lineages are narrow per-row regex work over one
+    corpus scan each; the join is doc_id-keyed and the output is
+    |sources| rows. Integer end to end."""
+    d = load_tables(spark, sf)["documents"]
+    r = q_text_redact(spark, sf).select("doc_id", "n_emails", "n_nums")
+    p = pii_density(d)
+    g = p.join(r, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_nums").alias("n_nums"),
+        F.count(F.when(F.col("density_ppm") > _PII_TAU, 1))
+            .alias("n_quarantined"),
+    )
+    return g.select(
+        "source", "n_docs", "n_emails", "n_nums", "n_quarantined",
+        F.expr("(1000000 * n_quarantined) div n_docs")
+        .alias("quarantine_ppm"),
+    )

@@ -3892,3 +3892,105 @@ def q_dedup_eval_simhash(spark, sf):
         rnd(nh / F.nullif(F.col("n_truth"), F.lit(0)), 6)
             .alias("recall"),
     )
+
+
+def _minhash_calibration_oracle() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM m x "
+        f"JOIN m y ON x.h{s} = y.h{s} AND x.doc_id < y.doc_id"
+        for s in range(8))
+    return f"""
+WITH {_MINHASH_CTES},
+nm AS (SELECT d1, d2, count(*) AS n_match
+       FROM ({unions}) GROUP BY d1, d2),
+du AS (SELECT DISTINCT doc_id, h FROM hv),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM du GROUP BY doc_id),
+iv AS (SELECT nm.d1, nm.d2, count(*) AS n_common
+       FROM nm
+       JOIN du a ON a.doc_id = nm.d1
+       JOIN du b ON b.doc_id = nm.d2 AND b.h = a.h
+       GROUP BY nm.d1, nm.d2),
+j AS (SELECT nm.n_match,
+             CAST(coalesce(iv.n_common, 0) AS DOUBLE)
+             / (s1.n_sh + s2.n_sh - coalesce(iv.n_common, 0)) AS jac
+      FROM nm
+      LEFT JOIN iv ON iv.d1 = nm.d1 AND iv.d2 = nm.d2
+      JOIN sz s1 ON s1.doc_id = nm.d1
+      JOIN sz s2 ON s2.doc_id = nm.d2)
+SELECT n_match, count(*) AS n_pairs,
+       {sql_rnd('CAST(n_match AS DOUBLE) / 8.0', 6)} AS est_jaccard,
+       {sql_rnd(
+           'CAST(sum(CAST(floor(jac * 1000000 + 0.5) AS BIGINT))'
+           ' AS DOUBLE) / count(*) / 1000000.0', 6)} AS mean_jaccard
+FROM j GROUP BY n_match
+"""
+
+
+@query("q_minhash_calibration", oracle=_minhash_calibration_oracle())
+def q_minhash_calibration(spark, sf):
+    """MinHash sketch-FIDELITY calibration — what the agreement count
+    actually tells you about the true Jaccard, measured: for every
+    pair that agrees on at least one of the 8 signature positions,
+    bucket by n_match and put the naive estimate (n_match/8) next to
+    the bucket's mean EXACT Jaccard. The measured table shows BOTH
+    regimes an operator must know: at high agreement the estimator
+    tracks (8/8 -> mean J ~0.83, 7/8 -> ~0.65 on the fixtures), while
+    the low-agreement buckets sit far BELOW their naive estimate —
+    conditioning on >=1 match selects the chance-collision mass, the
+    selection bias that is the entire reason banding ANDs rows
+    together before ORing bands (q_dedup_eval_bands tunes that cut;
+    this key shows why a single matching row must not be trusted).
+    The exact side is computed over the SAME distinct-shingle
+    universe the signatures hash (_MINHASH_CTES' hv — not the
+    rare-filtered truth set of q_dedup_ngram_jaccard, which estimates
+    a different denominator).
+
+    Scale: candidates are signature-equi-joins (8 of them — the
+    (8,1) banding, the loosest config, never all-pairs); the exact
+    intersections are computed ONLY for candidate pairs by joining
+    the pair list back to the shingle frame (the production
+    verify-after-band shape, cost = sum of candidate intersection
+    sizes); output is at most 8 rows. Mean Jaccard accumulates
+    quantized scaled BIGINTs (order-independent, the dsum
+    convention); est_jaccard is exact-literal arithmetic."""
+    hv = _shingle_hashes(spark, sf)
+    sig = _minhash_signatures(hv)
+    # one (position, value) equi-join instead of 8 unioned per-column
+    # self-joins: posexplode the signature row, join on (s, h) —
+    # identical pair/agreement multiset, ONE shuffle (measured 2.7x
+    # faster at sf0.1)
+    ex = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"h{s}") for s in range(8)]))
+        .alias("s", "h"))
+    x = ex.select(F.col("doc_id").alias("d1"), "s", "h")
+    y = ex.select(F.col("doc_id").alias("d2"), "s", "h")
+    nm = (x.join(y, ["s", "h"]).filter(F.col("d1") < F.col("d2"))
+          .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("n_match")))
+    du = hv.distinct()
+    sz = du.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = du.select(F.col("doc_id").alias("d1"), "h")
+    b = du.select(F.col("doc_id").alias("d2"), "h")
+    iv = (nm.select("d1", "d2")
+          .join(a, "d1").join(b, ["d2", "h"])
+          .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("n_common")))
+    s1 = sz.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sz.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    jac = (F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+           / (F.col("n1") + F.col("n2")
+              - F.coalesce(F.col("n_common"), F.lit(0))))
+    j = (nm.join(iv, ["d1", "d2"], "left")
+         .join(s1, "d1").join(s2, "d2")
+         .select("n_match", jac.alias("jac")))
+    g = j.groupBy("n_match").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.floor(F.col("jac") * 1000000 + F.lit(0.5))
+              .cast("long")).alias("sj"),
+    )
+    return g.select(
+        "n_match", "n_pairs",
+        rnd(F.col("n_match").cast("double") / 8.0, 6)
+            .alias("est_jaccard"),
+        rnd(F.col("sj").cast("double") / F.col("n_pairs") / 1000000.0, 6)
+            .alias("mean_jaccard"),
+    )

@@ -1659,3 +1659,89 @@ def q_pack_mask_spans(spark, sf):
              F.max("begins_mid").alias("begins_mid_doc"),
              F.max("ends_mid").alias("ends_mid_doc"))
     )
+
+
+#: Zone-map pruning predicates graded by q_file_skipping_stats:
+#: (name, ub_lo, ub_hi, vb_lo, vb_hi) — None bounds mean the
+#: predicate does not constrain that dimension.
+_SKIP_PREDS = [
+    # one predicate per clustered dimension plus the conjunction;
+    # vb 8..16 = event values 32..67, a mid-selectivity band of the
+    # skewed value distribution (its p50 is ~35), so the vb row
+    # measures real pruning rather than a nearly-empty range
+    ("ub_8_23", 8, 23, None, None),
+    ("vb_8_16", None, None, 8, 16),
+    ("ub_8_23_and_vb_8_16", 8, 23, 8, 16),
+]
+
+
+def _skip_pred_sql(ub_lo, ub_hi, vb_lo, vb_hi) -> str:
+    terms = []
+    if ub_lo is not None:
+        terms += [f"ub_max < {ub_lo}", f"ub_min > {ub_hi}"]
+    if vb_lo is not None:
+        terms += [f"vb_max < {vb_lo}", f"vb_min > {vb_hi}"]
+    return " OR ".join(terms)
+
+
+@query("q_file_skipping_stats", oracle=f"""
+WITH zc AS ({_ORACLE['q_zorder_cells']}),
+p AS ({" UNION ALL ".join(
+    f"SELECT '{name}' AS predicate, "
+    f"({_skip_pred_sql(ul, uh, vl, vh)}) AS can_skip, n FROM zc"
+    for name, ul, uh, vl, vh in _SKIP_PREDS)})
+SELECT predicate, count(*) AS n_cells,
+       count(*) FILTER (WHERE can_skip) AS n_skipped,
+       CAST(sum(n) AS BIGINT) AS rows_total,
+       CAST(coalesce(sum(n) FILTER (WHERE can_skip), 0) AS BIGINT)
+           AS rows_skipped,
+       CAST(1000000 * coalesce(sum(n) FILTER (WHERE can_skip), 0)
+            // sum(n) AS BIGINT) AS skip_ppm
+FROM p GROUP BY predicate
+""")
+def q_file_skipping_stats(spark, sf):
+    """Zone-map PRUNING report over the z-ordered layout — the
+    economics table behind every lakehouse Z-ORDER decision: for each
+    representative predicate (one per clustered dimension plus their
+    conjunction), how many z-cells a min/max footer check eliminates
+    without reading them, in cells and in rows (skip_ppm is the
+    fraction of the table a scan never touches). Composes the
+    REGISTERED q_zorder_cells bounding boxes verbatim on both sides,
+    so the graded layout is exactly the one the layout writer ships
+    (engine/layout.py writes real parquet in this cell order;
+    tests/test_layout.py measures real footers). A cell is skippable
+    iff its bounding box is disjoint from the predicate box on ANY
+    constrained dimension — the same conservative test a parquet
+    reader applies per row group.
+
+    Scale: the cell audit is the probed q_zorder_cells aggregate
+    (|cells| rows out); grading |predicates| x |cells| literal
+    comparisons is dashboard-sized. At 100 TB this IS the mechanism
+    that makes selective scans cheap — the report prices it before a
+    layout rewrite is committed. All-integer output."""
+    zc = q_zorder_cells(spark, sf)
+    parts = []
+    for name, ul, uh, vl, vh in _SKIP_PREDS:
+        skip = F.lit(False)
+        if ul is not None:
+            skip = skip | (F.col("ub_max") < ul) | (F.col("ub_min") > uh)
+        if vl is not None:
+            skip = skip | (F.col("vb_max") < vl) | (F.col("vb_min") > vh)
+        parts.append(zc.select(F.lit(name).alias("predicate"),
+                               skip.alias("can_skip"), "n"))
+    p = parts[0]
+    for q in parts[1:]:
+        p = p.unionByName(q)
+    agg = p.groupBy("predicate").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count(F.when(F.col("can_skip"), 1)).alias("n_skipped"),
+        F.sum("n").alias("rows_total"),
+        F.coalesce(F.sum(F.when(F.col("can_skip"), F.col("n"))),
+                   F.lit(0)).alias("rows_skipped"),
+    )
+    return agg.select(
+        "predicate", "n_cells", "n_skipped", "rows_total",
+        "rows_skipped",
+        F.expr("(1000000 * rows_skipped) div rows_total")
+            .alias("skip_ppm"),
+    )

@@ -1361,11 +1361,60 @@ def q_stream_dedup_incremental_minhash(spark, sf):
     )
 
 
+from .curation import PII_DENSITY_SQL, _PII_TAU, pii_density  # noqa: E402
+
+PII_GATE_ORACLE = f"""
+WITH {PII_DENSITY_SQL}
+SELECT source, count(*) AS n_seen,
+       count(CASE WHEN density_ppm <= {_PII_TAU} THEN 1 END) AS n_kept
+FROM pii GROUP BY source
+"""
+
+
+@query("q_stream_pii_gate", oracle=PII_GATE_ORACLE)
+def q_stream_pii_gate(spark, sf):
+    """Speed-layer PII screen — the FIFTH production ingest gate
+    (quality / temperature-mix / eval-leak / dedup / PII): the
+    document stream is scored with the SAME narrow PII-density kernel
+    as the batch report (curation.pii_density — regex strip + integer
+    ppm, zero state per row), and the stream maintains per-source
+    seen/kept counts in complete mode; a doc is KEPT when its density
+    is at or under the {_PII_TAU} ppm quarantine cut (the over-cut
+    tail routes to manual review — q_pii_report's two-tier policy,
+    same shared fragment, same oracle constant discipline).
+
+    Scale: state is |sources| rows regardless of stream length; each
+    micro-batch contributes map-side-combined count partials — the
+    q_stream_quality_gate shape exactly. Emission hash-matches the
+    batch oracle because the per-row density is exact integer
+    arithmetic and the counts are mergeable."""
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "pii_gate")
+    if key not in per_session:
+        name = ("stream_pii_gate_"
+                + hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8])
+        src = _stage_source(sf, table="documents")
+        docs = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        p = pii_density(docs)
+        g = p.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.count(F.when(F.col("density_ppm") <= _PII_TAU, 1))
+                .alias("n_kept"))
+        q = (g.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    return spark.table(per_session[key])
+
+
 @query("q_ingest_report", oracle=f"""
 WITH qg AS ({QC_GATE_ORACLE}),
 tg AS ({TEMP_GATE_ORACLE}),
 cg AS ({CONTAM_GATE_ORACLE}),
-dg AS ({DEDUP_INCR_ORACLE})
+dg AS ({DEDUP_INCR_ORACLE}),
+pg AS ({PII_GATE_ORACLE})
 SELECT 'quality' AS gate, 'docs' AS unit,
        CAST(sum(n_docs) AS BIGINT) AS n_seen,
        CAST(sum(n_keep) AS BIGINT) AS n_kept
@@ -1382,13 +1431,17 @@ UNION ALL
 SELECT 'dedup', 'delta docs', CAST(count(*) AS BIGINT),
        CAST(count(CASE WHEN NOT is_dup THEN 1 END) AS BIGINT)
 FROM dg
+UNION ALL
+SELECT 'pii', 'docs', CAST(sum(n_seen) AS BIGINT),
+       CAST(sum(n_kept) AS BIGINT)
+FROM pg
 """)
 def q_ingest_report(spark, sf):
     """Ingest-pipeline GOVERNANCE dashboard — the q_dedup_report /
-    q_contamination_report discipline applied to the four-gate
+    q_contamination_report discipline applied to the five-gate
     streaming ingest family: ONE row per REGISTERED gate
-    (quality / temperature-mix / eval-leak / dedup) with the items it
-    saw and the items it kept, each in the gate's own unit. The Spark
+    (quality / temperature-mix / eval-leak / dedup / PII) with the
+    items it saw and the items it kept, each in the gate's own unit. The Spark
     side aggregates the registered q_stream_* gate keys' own
     emissions (the memoized memory sinks — the dashboard literally
     reads the gates), and the oracle wraps each gate's shared oracle
@@ -1397,10 +1450,10 @@ def q_ingest_report(spark, sf):
     pair is what an ingest operator actually watches per day: how
     much traffic arrived, how much survived each screen.
 
-    Scale: four single-row aggregates over |sources|/|langs|/|delta|-
+    Scale: five single-row aggregates over |sources|/|langs|/|delta|-
     row gate outputs — the gates themselves carry all corpus-sized
-    work (each already graded separately); output is exactly 4 rows.
-    NOT a bench entry (composes four full pipelines — the
+    work (each already graded separately); output is exactly 5 rows.
+    NOT a bench entry (composes five full pipelines — the
     q_dedup_report precedent)."""
     qg = q_stream_quality_gate(spark, sf).agg(
         F.lit("quality").alias("gate"), F.lit("docs").alias("unit"),
@@ -1421,4 +1474,10 @@ def q_ingest_report(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n_seen"),
         F.count(F.when(~F.col("is_dup"), 1)).cast("long")
          .alias("n_kept"))
-    return qg.unionByName(tg).unionByName(cg).unionByName(dg)
+    pg = q_stream_pii_gate(spark, sf).agg(
+        F.lit("pii").alias("gate"), F.lit("docs").alias("unit"),
+        F.sum("n_seen").cast("long").alias("n_seen"),
+        F.sum("n_kept").cast("long").alias("n_kept"))
+    return (qg.unionByName(tg).unionByName(cg).unionByName(dg)
+            .unionByName(pg))
+

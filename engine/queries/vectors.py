@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_tables
 from ..registry import query
-from .util import rnd, sql_rnd
+from .util import prod128, rnd, sql_rnd
 
 _S = 1_000_000  # fixed-point scale for embedding values
 
@@ -724,4 +724,76 @@ def q_embed_dim_stats(spark, sf):
         rnd(mu, 6).alias("mean_val"),
         rnd(sig, 6).alias("std_val"),
         "vmin", "vmax", "n_zero",
+    )
+
+
+@query("q_embed_outlier_vecs", oracle=f"""
+WITH n AS (
+  SELECT vec_id,
+         sum(CAST(floor(CAST(val AS DOUBLE) * {_S} + 0.5) AS BIGINT)
+             * CAST(floor(CAST(val AS DOUBLE) * {_S} + 0.5) AS BIGINT))
+             AS nsq
+  FROM ({_UNNEST_SQL}) GROUP BY vec_id),
+s AS (SELECT count(*) AS n, sum(nsq) AS sv,
+             sum(nsq * nsq) AS sq
+      FROM n),
+z AS (
+  SELECT vec_id,
+         {sql_rnd('CAST(nsq AS DOUBLE) / 1000000000000.0', 6)} AS norm_sq,
+         {sql_rnd(
+             '(CAST(nsq AS DOUBLE) - CAST(sv AS DOUBLE)'
+             ' / CAST(n AS DOUBLE))'
+             ' / sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)'
+             ' - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))'
+             ' * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))', 4)} AS z
+  FROM n CROSS JOIN s)
+SELECT vec_id, norm_sq, z, (abs(z) > 2.0) AS is_outlier
+FROM z
+""")
+def q_embed_outlier_vecs(spark, sf):
+    """Per-VECTOR norm outlier screen — the companion of
+    q_embed_dim_stats on the other axis: embeddings whose squared L2
+    norm sits more than 2 corpus standard deviations from the mean
+    are flagged (truncated inputs, encoder NaN-squashing and
+    un-normalized batches all land here; ANN recall quietly degrades
+    when they enter the index). Every vector is emitted with its
+    quantized norm and z-score so the flag is auditable, not just a
+    filtered list.
+
+    Plan: squared norms come from ONE narrow aggregate over the
+    array column (per-row work, no explode shuffle — the sum runs
+    inside the row); the corpus moments are a 1-row aggregate
+    collected as plan literals (the q_dataset_mix side-input
+    pattern; the oracle spells the same numbers as a CROSS JOIN of
+    its 1-row stats CTE). At 100 TB: one scan, one 1-row exchange,
+    zero joins. Determinism: norms accumulate over scaled BIGINTs,
+    the z expression is evaluated in the same textual order in both
+    engines, and the flag is cut on the QUANTIZED z so the boolean
+    can never disagree with the published score."""
+    e = load_tables(spark, sf)["embeddings"]
+    sv = lambda c: (F.floor(c.cast("double") * _S + F.lit(0.5))  # noqa: E731
+                    .cast("long"))
+    n = e.select(
+        "vec_id",
+        F.aggregate(
+            "embedding", F.lit(0).cast("long"),
+            lambda acc, x: acc + sv(x) * sv(x)).alias("nsq"),
+    )
+    # nsq ~ 1e13 on the fixtures, so nsq^2 crosses 2^63 per row:
+    # the second moment runs in the 128-bit lane (DuckDB widens its
+    # BIGINT sum to HUGEINT natively — the q_mann_whitney rule).
+    stats = n.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("nsq").alias("sv"),
+                  F.sum(prod128(F.col("nsq"), F.col("nsq")))
+                  .alias("sq")).collect()[0]
+    cnt, svv, sq = stats["n"], stats["sv"], stats["sq"]
+    mu = F.lit(float(svv)) / F.lit(float(cnt))
+    sig = F.sqrt(F.lit(float(sq)) / F.lit(float(cnt)) - mu * mu)
+    z = rnd((F.col("nsq").cast("double") - mu) / sig, 4)
+    return n.select(
+        "vec_id",
+        rnd(F.col("nsq").cast("double") / 1000000000000.0, 6)
+            .alias("norm_sq"),
+        z.alias("z"),
+        (F.abs(z) > 2.0).alias("is_outlier"),
     )

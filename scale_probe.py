@@ -155,6 +155,21 @@ DOC_KEYS = [
     # candidate side is the deliberate guarded all-pairs XOR scan,
     # and its truth composes the brute-force n-gram-Jaccard
     # baseline).
+    # round-12 third wave: norm-outlier screen (embeddings grow 10x;
+    # one narrow aggregate + 1-row literal moments) and the bloom
+    # pre-filter eval (documents grow 10x; rides q_contamination's
+    # gram lineage x3 sizes, all semi-joins).
+    # q_minhash_calibration is excluded: its (8,1) loosest-banding
+    # candidate mass is quadratic on the closed-vocabulary fixtures
+    # (min-values repeat across a bounded shingle universe) — a
+    # fixture artifact the probe would misread as an operator
+    # regression; the production banding shapes are probed via
+    # q_dedup_fuzzy_minhash / q_dedup_incremental_minhash.
+    "q_embed_outlier_vecs", "q_contamination_bloom_eval",
+    # round-12 fourth wave: per-source PII governance (documents grow
+    # 10x; two narrow regex scans + one doc_id join). The streaming
+    # gate twin is excluded like every q_stream_* key.
+    "q_pii_report",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -203,6 +218,10 @@ REL_KEYS = [
     # the per-customer aggregate is the corpus-sized stage, the
     # release is |nations| rows)
     "q_dp_sum",
+    # round-12 third wave: zone-map pruning report (events grow 10x;
+    # rides the probed q_zorder_cells aggregate + |preds| x |cells|
+    # literal comparisons)
+    "q_file_skipping_stats",
 ]
 
 

@@ -415,7 +415,7 @@ def test_ingest_report_reconciles_with_gates(spark, sf_dir):
     rep = {r["gate"]: r for r in
            QUERIES["q_ingest_report"](spark, sf_dir).collect()}
     assert set(rep) == {"quality", "temperature", "contamination",
-                        "dedup"}
+                        "dedup", "pii"}
     qg = QUERIES["q_stream_quality_gate"](spark, sf_dir).collect()
     assert rep["quality"]["n_seen"] == sum(r["n_docs"] for r in qg)
     assert rep["quality"]["n_kept"] == sum(r["n_keep"] for r in qg)
@@ -432,6 +432,9 @@ def test_ingest_report_reconciles_with_gates(spark, sf_dir):
     assert rep["dedup"]["n_seen"] == len(dg)
     assert rep["dedup"]["n_kept"] == sum(
         1 for r in dg if not r["is_dup"])
+    pg = QUERIES["q_stream_pii_gate"](spark, sf_dir).collect()
+    assert rep["pii"]["n_seen"] == sum(r["n_seen"] for r in pg)
+    assert rep["pii"]["n_kept"] == sum(r["n_kept"] for r in pg)
     for gate, r in rep.items():
         assert r["n_kept"] < r["n_seen"], f"{gate} gate is vacuous"
 
@@ -711,3 +714,261 @@ def test_embed_dim_stats_matches_numpy_replay(spark, sf_dir):
         assert r["vmin"] == emb[:, pos].min()
         assert r["vmax"] == emb[:, pos].max()
         assert r["n_zero"] == int((sv[:, pos] == 0).sum())
+
+
+# ---------------------------------------------- round-12c cohort
+# (q_embed_outlier_vecs / q_file_skipping_stats /
+#  q_minhash_calibration / q_contamination_bloom_eval)
+
+
+def test_r12c_cohort_plan_hygiene(spark, sf_dir):
+    """No cartesian product and no Python eval in any of the four
+    wave-3 keys — the calibration and bloom evals are equi-join-only
+    BY DESIGN (candidate-bounded verification, never all-pairs), so
+    unlike the simhash eval they carry the full hygiene pin."""
+    for k in ["q_embed_outlier_vecs", "q_file_skipping_stats",
+              "q_minhash_calibration", "q_contamination_bloom_eval"]:
+        plan = (QUERIES[k](spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        for word in ("CartesianProduct", "BatchEvalPython",
+                     "MapInPandas", "FlatMapGroupsInPandas"):
+            assert word not in plan, (k, word)
+
+
+def test_embed_outlier_vecs_matches_numpy_replay(spark, sf_dir):
+    """Norms, moments, z-scores and flags all reproduce from scratch
+    under the engine's scaled-BIGINT + shared-IEEE-expression rules;
+    the fixture must flag some vectors but not most."""
+    import math
+
+    import numpy as np
+
+    rows = {r["vec_id"]: r for r in
+            QUERIES["q_embed_outlier_vecs"](spark, sf_dir).collect()}
+    recs = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding").collect())
+    nsq = {}
+    for r in recs:
+        s = np.floor(np.asarray(r["embedding"], dtype=np.float64)
+                     * 1e6 + 0.5).astype(np.int64)
+        nsq[r["vec_id"]] = int((s * s).sum())
+    vals = list(nsq.values())
+    n = len(vals)
+    mu = float(sum(vals)) / float(n)
+    sig = math.sqrt(float(sum(v * v for v in vals)) / float(n)
+                    - mu * mu)
+    flagged = 0
+    for vid, v in nsq.items():
+        r = rows[vid]
+        assert r["norm_sq"] == math.floor(v / 1e12 * 1e6 + 0.5) / 1e6
+        z = math.floor((v - mu) / sig * 1e4 + 0.5) / 1e4
+        assert r["z"] == z
+        assert r["is_outlier"] == (abs(z) > 2.0)
+        flagged += r["is_outlier"]
+    assert 0 < flagged < n // 2
+
+
+def test_file_skipping_stats_matches_cell_replay(spark, sf_dir):
+    """Every row reproduces from the registered q_zorder_cells
+    bounding boxes under the conservative disjointness test, and
+    every predicate must land strictly BETWEEN 0 and total (a 0% or
+    100% row grades nothing about the layout)."""
+    from engine.queries.pipeline import _SKIP_PREDS
+
+    cells = QUERIES["q_zorder_cells"](spark, sf_dir).collect()
+    got = {r["predicate"]: r for r in
+           QUERIES["q_file_skipping_stats"](spark, sf_dir).collect()}
+    assert sorted(got) == sorted(p[0] for p in _SKIP_PREDS)
+    for name, ul, uh, vl, vh in _SKIP_PREDS:
+        skipped = rows_skipped = total = 0
+        for c in cells:
+            skip = False
+            if ul is not None:
+                skip = skip or c["ub_max"] < ul or c["ub_min"] > uh
+            if vl is not None:
+                skip = skip or c["vb_max"] < vl or c["vb_min"] > vh
+            skipped += skip
+            rows_skipped += c["n"] if skip else 0
+            total += c["n"]
+        r = got[name]
+        assert r["n_cells"] == len(cells)
+        assert r["n_skipped"] == skipped
+        assert r["rows_total"] == total
+        assert r["rows_skipped"] == rows_skipped
+        assert r["skip_ppm"] == 1000000 * rows_skipped // total
+        assert 0 < r["n_skipped"] < r["n_cells"], name
+
+
+def _py_shingle_hashes(text):
+    import hashlib
+
+    ws = text.split(" ")
+    out = set()
+    for i in range(len(ws) - 2):
+        s = " ".join(ws[i:i + 3])
+        out.add(int(hashlib.md5(s.encode()).hexdigest()[:8], 16))
+    return out
+
+
+def test_minhash_calibration_matches_python_replay(spark, sf_dir):
+    """The full calibration table reproduces from scratch: shingle
+    sets, the 8 (a*h+b) % P signatures, per-pair agreement counts
+    over all-pairs (the replay may brute-force; the engine may not),
+    exact Jaccard over the SAME distinct-shingle universe, and the
+    quantized bucket means. Also pins the measured shape the
+    docstring claims: the top bucket's mean Jaccard is high and the
+    bottom bucket's sits far below its naive estimate (the
+    selection-bias regime)."""
+    from engine.queries.llm import _AB, _P
+
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").collect()}
+    sh = {d: _py_shingle_hashes(t) for d, t in docs.items()
+          if len(t.split(" ")) >= 3}
+    sig = {d: tuple(min((a * h + b) % _P for h in hs)
+                    for a, b in _AB)
+           for d, hs in sh.items() if hs}
+    buckets = {}
+    ids = sorted(sig)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            nm = sum(x == y for x, y in zip(sig[d1], sig[d2]))
+            if not nm:
+                continue
+            inter = len(sh[d1] & sh[d2])
+            jac = inter / (len(sh[d1]) + len(sh[d2]) - inter)
+            n, sj = buckets.get(nm, (0, 0))
+            buckets[nm] = (n + 1, sj + math_floor(jac * 1e6 + 0.5))
+    got = {r["n_match"]: r for r in
+           QUERIES["q_minhash_calibration"](spark, sf_dir).collect()}
+    assert sorted(got) == sorted(buckets)
+    for nm, (n, sj) in buckets.items():
+        r = got[nm]
+        assert r["n_pairs"] == n
+        assert r["est_jaccard"] == math_floor(nm / 8.0 * 1e6 + 0.5) / 1e6
+        assert r["mean_jaccard"] == math_floor(
+            sj / n / 1e6 * 1e6 + 0.5) / 1e6
+    top = max(buckets)
+    assert got[top]["mean_jaccard"] >= 0.5
+    assert got[min(buckets)]["mean_jaccard"] \
+        < got[min(buckets)]["est_jaccard"] / 2
+
+
+def math_floor(x):
+    import math
+
+    return math.floor(x)
+
+
+def test_contamination_bloom_eval_matches_python_replay(spark, sf_dir):
+    """Counts for every filter size reproduce from a from-scratch
+    bloom replay (positions, fill, probes); members never fail
+    (n_pass >= n_true at every size); false positives are
+    non-increasing in m and the largest size must improve on the
+    smallest (otherwise the grid grades nothing)."""
+    import hashlib
+
+    from engine.queries.curation import _BLOOM_K, _BLOOM_SIZES
+
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").collect()}
+    def grams(text):
+        ws = text.split(" ")
+        return {hashlib.md5(" ".join(ws[i:i + 4]).encode()).hexdigest()
+                for i in range(len(ws) - 3)} if len(ws) >= 4 else set()
+    hold, corp = set(), set()
+    for d, t in docs.items():
+        (hold if d % 97 == 0 else corp).update(grams(t))
+    def pos(gh, j, m):
+        return int(hashlib.md5(f"{gh}#b{j}".encode())
+                   .hexdigest()[:8], 16) % m
+    got = {r["m_bits"]: r for r in
+           QUERIES["q_contamination_bloom_eval"](spark, sf_dir)
+           .collect()}
+    assert sorted(got) == sorted(_BLOOM_SIZES)
+    prev_pass = None
+    for m in sorted(_BLOOM_SIZES):
+        bits = {pos(gh, j, m) for gh in hold for j in range(_BLOOM_K)}
+        n_pass = sum(
+            all(pos(gh, j, m) in bits for j in range(_BLOOM_K))
+            for gh in corp)
+        r = got[m]
+        assert r["n_tested"] == len(corp)
+        assert r["n_true"] == len(corp & hold)
+        assert r["n_pass"] == n_pass
+        assert r["n_pass"] >= r["n_true"]
+        if prev_pass is not None:
+            assert r["n_pass"] <= prev_pass
+        prev_pass = r["n_pass"]
+    assert got[max(_BLOOM_SIZES)]["n_pass"] \
+        < got[min(_BLOOM_SIZES)]["n_pass"], "size grid grades nothing"
+
+
+# ---------------------------------------------- round-12d cohort
+# (q_pii_report / q_stream_pii_gate + the 5-gate ingest report)
+
+
+def test_pii_report_matches_regex_replay(spark, sf_dir):
+    """Every report cell reproduces from a from-scratch Python regex
+    replay of the shared density kernel plus the registered
+    redaction's own match counts; the quarantine cut must split the
+    corpus (both branches populated globally — the screen exists to
+    route a real tail)."""
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "text").collect()
+    email = re.compile("[a-zA-Z0-9._]+@[a-zA-Z0-9.]+")
+    num = re.compile("[0-9]+")
+    from collections import Counter
+
+    from engine.queries.curation import _PII_TAU
+
+    n_docs = Counter()
+    quar = Counter()
+    emails = Counter()
+    nums = Counter()
+    for r in docs:
+        t = (f"{r['text']} contact user{r['doc_id']}@example.com"
+             f" or 555-{r['doc_id'] % 10000}")
+        stripped = num.sub("", email.sub("", t))
+        density = 1000000 * (len(t) - len(stripped)) // len(t)
+        n_docs[r["source"]] += 1
+        quar[r["source"]] += density > _PII_TAU
+        t1 = email.sub("<EMAIL>", t)
+        emails[r["source"]] += len(email.findall(t))
+        nums[r["source"]] += len(num.findall(t1))
+    got = {r["source"]: r for r in
+           QUERIES["q_pii_report"](spark, sf_dir).collect()}
+    assert sorted(got) == sorted(n_docs)
+    for s in n_docs:
+        r = got[s]
+        assert r["n_docs"] == n_docs[s]
+        assert r["n_emails"] == emails[s]
+        assert r["n_nums"] == nums[s]
+        assert r["n_quarantined"] == quar[s]
+        assert r["quarantine_ppm"] == 1000000 * quar[s] // n_docs[s]
+    total_q = sum(quar.values())
+    assert 0 < total_q < sum(n_docs.values()), "quarantine cut vacuous"
+
+
+def test_stream_pii_gate_equals_batch_kernel(spark, sf_dir):
+    """The streaming gate's emission must equal a batch re-aggregation
+    of the SAME shared density kernel over the same table (the
+    stream==batch certification every gate twin carries), and the
+    fixture must exercise both branches."""
+    from engine.queries.curation import _PII_TAU, pii_density
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {r["source"]: (r["n_seen"], r["n_kept"]) for r in
+             pii_density(d).groupBy("source").agg(
+                 F.count(F.lit(1)).alias("n_seen"),
+                 F.count(F.when(F.col("density_ppm") <= _PII_TAU, 1))
+                 .alias("n_kept")).collect()}
+    stream = {r["source"]: (r["n_seen"], r["n_kept"]) for r in
+              QUERIES["q_stream_pii_gate"](spark, sf_dir).collect()}
+    assert stream == batch
+    assert any(k < s for s, k in stream.values())
+    assert any(k > 0 for _, k in stream.values())
