@@ -1873,11 +1873,32 @@ def q_contamination_bloom_eval(spark, sf):
     with per-gram map-side combine. Composes _CONTAM_CTES verbatim —
     the same grams, the same holdout slice as the production
     detector twins."""
-    grams = _contam_grams(spark, sf)
-    hold = (grams.filter(F.col("doc_id") % 97 == 0)
-            .select("gh").distinct())
-    corp = (grams.filter(F.col("doc_id") % 97 != 0)
-            .select("gh").distinct())
+    # the hold/corp gram frames feed NINE plan branches (bits x3,
+    # probes x3, tested, true x2), so they are memoized per
+    # (session, sf) and persisted — the gram-dup pipeline's r10
+    # headroom-buy pattern; blocks materialize once inside the first
+    # stage that needs them and every later branch reuses them. The
+    # k seed-tagged md5s are computed ONCE as columns inside the
+    # persisted frames (hex32_sql's own rule: md5 into a column +
+    # hexpoly_col, never the 8x-inlined textual form in engine
+    # plans); per-size positions are then one conv + one modulo.
+    cache = session_cache(spark, "_engine_bloom_eval_cache")
+    ck = sf.rstrip("/")
+    if ck not in cache:
+        def with_m(frame):
+            return frame.select("gh", *[
+                F.md5(F.concat(F.col("gh"), F.lit(f"#b{j}"))
+                      .cast("binary")).alias(f"m{j}")
+                for j in range(_BLOOM_K)])
+
+        grams = _contam_grams(spark, sf)
+        cache[ck] = (
+            with_m(grams.filter(F.col("doc_id") % 97 == 0)
+                   .select("gh").distinct()).persist(),
+            with_m(grams.filter(F.col("doc_id") % 97 != 0)
+                   .select("gh").distinct()).persist())
+    hold, corp = cache[ck]
+    from .util import hexpoly_col
     # everything stays LAZY — per size, three 1-row aggregates are
     # cross-joined and the sizes unioned, so the whole table is ONE
     # action (eager per-size .count() actions re-scanned the gram
@@ -1887,7 +1908,7 @@ def q_contamination_bloom_eval(spark, sf):
              .agg(F.count(F.lit(1)).alias("n_true")))
     out = None
     for m in _BLOOM_SIZES:
-        pos = [F.expr(_bloom_pos_sql("gh", j, m))
+        pos = [(hexpoly_col(f"m{j}") % m).alias(f"p{j}")
                for j in range(_BLOOM_K)]
         bits = (hold.select(F.explode(F.array(*pos)).alias("p"))
                 .distinct())
