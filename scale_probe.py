@@ -350,6 +350,14 @@ X100_KEYS = [
     # the near-dup incremental gate (band-index equi-join, O(delta)
     # delta side — linear) join the three-decade claim.
     "q_mix_schedule", "q_dedup_incremental_minhash",
+    # round-12 second session: seeded shuffle (16-shard window —
+    # hash-only shuffle), stride interleave (per-source window + a
+    # literal-folded projection), PII governance (narrow regex) and
+    # the bloom sizing eval (memoized gram frames; min-of-2 reports
+    # the persisted-frame pass — the q_ivf_refresh precedent) join
+    # the three-decade claim.
+    "q_shuffle_shards", "q_interleave_sources", "q_pii_report",
+    "q_contamination_bloom_eval",
 ]
 
 

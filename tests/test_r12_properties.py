@@ -114,3 +114,83 @@ def test_mix_epoch_construction_matches_python(spark, plan):
         if u % 1_000_000 < ppm:
             want.add((doc, fe))
     assert got == want
+
+
+# ---------------------------------------------------------------
+# round-12 second-session kernels: the stride-interleave closed form
+# and the pack-mask span arithmetic, both validated on GENERATED
+# configurations (ties, exhausted sources, single-source, boundary
+# docs) the committed fixtures never produce. Pure integer math —
+# the Spark expressions mirror these formulas textually and are
+# fixture-replay-pinned in tests/test_plans_r12.py.
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 50),      # weight w_s
+                          st.integers(0, 12)),     # stream length n_s
+                min_size=1, max_size=6))
+def test_stride_rank_closed_form_matches_fraction_replay(cfg):
+    """rank(s, p) = Σ_t min(floor((w_t(2p-1) + w_s) / (2 w_s)), n_t)
+    must equal |{picks q of any source with v_t(q) <= v_s(p)}| under
+    exact rational arithmetic — including all-equal weights (every
+    pick tied across sources), sources with zero docs, and sources
+    exhausted mid-schedule (the cap term)."""
+    from bisect import bisect_right
+    from fractions import Fraction
+
+    picks = [Fraction(2 * p - 1, 2 * w)
+             for w, n in cfg for p in range(1, n + 1)]
+    picks.sort()
+    for w_s, n_s in cfg:
+        for p in range(1, n_s + 1):
+            rank = sum(min((w_t * (2 * p - 1) + w_s) // (2 * w_s), n_t)
+                       for w_t, n_t in cfg)
+            v = Fraction(2 * p - 1, 2 * w_s)
+            assert rank == bisect_right(picks, v), (cfg, w_s, p)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(1, 30), min_size=1, max_size=20),
+       st.integers(2, 16))
+def test_pack_mask_span_arithmetic_matches_token_walk(lens, k):
+    """The per-(seq) fill / doc-count / boundary flags derived from
+    the manifest formula (fill = min((s+1)K, cum) - max(sK, cum -
+    n_tok), begins_mid = cum - n_tok < sK, ends_mid = cum > (s+1)K)
+    must equal a brute-force walk that assigns every token of the
+    concatenated stream to its (sequence, doc) cell — one shard, the
+    shard-local construction q_pack_sequences/q_pack_mask_spans
+    share."""
+    from collections import Counter, defaultdict
+
+    # manifest formula lane
+    cum = 0
+    cells = Counter()          # (seq) -> fill via formula
+    docs_in = defaultdict(set)
+    begins, ends = {}, {}
+    for i, n in enumerate(lens):
+        cum += n
+        start, end = (cum - n) // k, (cum - 1) // k
+        for s in range(start, end + 1):
+            fill = min((s + 1) * k, cum) - max(s * k, cum - n)
+            cells[s] += fill
+            docs_in[s].add(i)
+            begins[s] = begins.get(s, False) or (cum - n < s * k)
+            ends[s] = ends.get(s, False) or (cum > (s + 1) * k)
+    # brute token walk
+    walk = Counter()
+    wdocs = defaultdict(set)
+    pos = 0
+    for i, n in enumerate(lens):
+        for _ in range(n):
+            walk[pos // k] += 1
+            wdocs[pos // k].add(i)
+            pos += 1
+    assert cells == walk
+    assert docs_in == wdocs
+    for s in cells:
+        first_tok_doc_started_before = any(
+            sum(lens[:d]) < s * k for d in wdocs[s])
+        assert begins[s] == first_tok_doc_started_before, (lens, k, s)
+        last_doc_continues = any(
+            sum(lens[:d + 1]) > (s + 1) * k for d in wdocs[s])
+        assert ends[s] == last_doc_continues, (lens, k, s)
