@@ -237,6 +237,11 @@ HEADLINE = [
     # full pipelines).
     "q_pii_report",
     "q_stream_pii_gate",
+    # round-12 fifth wave: epoch reshuffle (enters like
+    # q_pack_schedule — the composed planner lineage is part of the
+    # measured work) and the span-corruption plan (linear doc op).
+    "q_shuffle_epoch",
+    "q_span_corruption_mask",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

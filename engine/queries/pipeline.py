@@ -1745,3 +1745,117 @@ def q_file_skipping_stats(spark, sf):
         F.expr("(1000000 * rows_skipped) div rows_total")
             .alias("skip_ppm"),
     )
+
+
+@query("q_shuffle_epoch", oracle=f"""
+WITH m AS ({_ORACLE['q_mix_schedule']}),
+k AS (SELECT doc_id, source, epoch, is_tail,
+             {hexpoly_sql("md5(concat(doc_id, '#e', epoch))")} AS skey
+      FROM m)
+SELECT doc_id, source, epoch, is_tail,
+       CAST(skey % {_SHUF_SHARDS} AS BIGINT) AS shard,
+       row_number() OVER (PARTITION BY epoch, skey % {_SHUF_SHARDS}
+                          ORDER BY skey, doc_id) AS shard_pos
+FROM k
+""")
+def q_shuffle_epoch(spark, sf):
+    """EPOCH-aware reshuffle of the training mix — the dataloader
+    behavior q_shuffle_shards provides for one pass, applied to the
+    multi-epoch manifest: every scheduled (doc, epoch) instance draws
+    its shuffle key from md5(doc_id + '#e' + epoch), so EACH EPOCH
+    GETS AN INDEPENDENT PERMUTATION (the standard
+    reshuffle-every-epoch contract — repeating one order every epoch
+    measurably hurts convergence) while staying fully deterministic
+    and content-independent. Composes the REGISTERED q_mix_schedule
+    manifest (oracle nests its SQL verbatim), so the shuffled stream
+    contains exactly the planner's repeats — budget → schedule →
+    shuffle, the complete mix chain.
+
+    Scale shape identical to q_shuffle_shards: the epoch-salted key
+    hashes each instance to one of {_SHUF_SHARDS} shards, ONE
+    exchange keyed by (epoch, shard), per-shard window sort — no
+    global order, shard count scales with the cluster. All-integer
+    output; per-epoch orders differ by construction (pinned)."""
+    m = q_mix_schedule(spark, sf)
+    k = m.select(
+        "doc_id", "source", "epoch", "is_tail",
+        F.expr(hexpoly_sql("md5(concat(doc_id, '#e', epoch))"))
+        .alias("skey"))
+    w = Window.partitionBy("epoch", "shard").orderBy("skey", "doc_id")
+    return (
+        k.withColumn("shard", F.col("skey") % _SHUF_SHARDS)
+        .select("doc_id", "source", "epoch", "is_tail", "shard",
+                F.row_number().over(w).alias("shard_pos"))
+    )
+
+
+#: Percent of token positions that seed a corruption mask — the
+#: T5-style denoising-objective rate (15% of tokens masked; adjacent
+#: masked positions merge into one sentinel span).
+_SC_RATE = 15
+
+
+@query("q_span_corruption_mask", oracle=f"""
+WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+             FROM documents WHERE length(text) > 0),
+p AS (SELECT doc_id, CAST(t.pos AS BIGINT) AS pos
+      FROM tok, unnest(generate_series(1, n)) AS t(pos)),
+mk AS (SELECT doc_id, pos FROM p
+       WHERE {hexpoly_sql("md5(concat(doc_id, '#sc', pos))")}
+             % 100 < {_SC_RATE}),
+g AS (SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS grp
+      FROM mk),
+s AS (SELECT doc_id, grp, min(pos) AS span_start,
+             count(*) AS span_len
+      FROM g GROUP BY doc_id, grp)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY span_start) - 1 AS BIGINT)
+           AS sentinel_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_len AS BIGINT) AS span_len
+FROM s
+""")
+def q_span_corruption_mask(spark, sf):
+    """Span-corruption PLAN for a denoising objective (T5/UL2): per
+    document, {_SC_RATE}% of token positions are selected by a
+    deterministic content-independent hash grid (md5(doc + '#sc' +
+    pos) — the q_sample_temperature grid idiom, so re-runs, engine
+    swaps and distributed re-partitions all agree), and ADJACENT
+    selected positions merge into sentinel spans — one manifest row
+    per span with its sentinel index, start and length, exactly what
+    the objective's input/target splitter consumes. Because the mask
+    is a pure function of (doc_id, pos), a 100 TB pipeline never
+    STORES it — this key materializes the manifest for auditing and
+    for the oracle, and the splitter recomputes it on the fly.
+
+    Plan: one bounded explode (|tokens| rows, the gram pipelines'
+    shape), a codegen hash filter, then TWO per-document windows
+    (island grouping via pos - row_number — the q_dedup_substring
+    island idiom — then sentinel numbering over |spans| rows).
+    Shuffles are keyed by doc_id only; all-integer output."""
+    d = load_tables(spark, sf)["documents"].filter(F.length("text") > 0)
+    tok = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n"))
+    p = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n")))
+        .alias("pos"))
+    mk = p.filter(
+        F.expr(hexpoly_sql("md5(concat(doc_id, '#sc', pos))"))
+        % 100 < _SC_RATE)
+    wg = Window.partitionBy("doc_id").orderBy("pos")
+    g = mk.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wg))
+    s = g.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        F.count(F.lit(1)).alias("span_len"))
+    ws = Window.partitionBy("doc_id").orderBy("span_start")
+    return s.select(
+        "doc_id",
+        (F.row_number().over(ws) - 1).cast("long").alias("sentinel_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )

@@ -170,6 +170,13 @@ DOC_KEYS = [
     # 10x; two narrow regex scans + one doc_id join). The streaming
     # gate twin is excluded like every q_stream_* key.
     "q_pii_report",
+    # round-12 fifth wave: span-corruption plan (documents grow 10x;
+    # position explode + codegen hash filter + two per-doc windows —
+    # the gram-pipeline shape).
+    # q_shuffle_epoch is excluded (probe-exclusion rule): one
+    # exchange + one window OVER q_mix_schedule's probed manifest —
+    # the q_pack_schedule rationale.
+    "q_span_corruption_mask",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -358,6 +365,10 @@ X100_KEYS = [
     # the three-decade claim.
     "q_shuffle_shards", "q_interleave_sources", "q_pii_report",
     "q_contamination_bloom_eval",
+    # round-12 fifth wave: the span-corruption plan joins the
+    # three-decade claim (linear doc op: position explode + hash
+    # filter + two doc-keyed windows).
+    "q_span_corruption_mask",
 ]
 
 

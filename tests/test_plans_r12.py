@@ -972,3 +972,106 @@ def test_stream_pii_gate_equals_batch_kernel(spark, sf_dir):
     assert stream == batch
     assert any(k < s for s, k in stream.values())
     assert any(k > 0 for _, k in stream.values())
+
+
+# ---------------------------------------------- round-12e cohort
+# (q_shuffle_epoch / q_span_corruption_mask)
+
+
+def test_r12e_cohort_plan_hygiene(spark, sf_dir):
+    """No cartesian product, no Python eval, in either wave-5 key."""
+    for k in ["q_shuffle_epoch", "q_span_corruption_mask"]:
+        plan = (QUERIES[k](spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        for word in ("CartesianProduct", "BatchEvalPython",
+                     "MapInPandas", "FlatMapGroupsInPandas"):
+            assert word not in plan, (k, word)
+
+
+def test_shuffle_epoch_is_per_epoch_permutation_and_reshuffles(
+        spark, sf_dir):
+    """Per epoch: exactly the scheduled instances, once each, with
+    contiguous per-shard positions; ACROSS epochs the order must
+    actually differ (the reshuffle-every-epoch contract — if two
+    epochs list their common docs in the same relative order, the
+    epoch salt fell out of the key)."""
+    sched = QUERIES["q_mix_schedule"](spark, sf_dir).collect()
+    rows = QUERIES["q_shuffle_epoch"](spark, sf_dir).collect()
+    assert len(rows) == len(sched)
+    from collections import defaultdict
+    want = defaultdict(set)
+    for r in sched:
+        want[r["epoch"]].add((r["doc_id"], r["is_tail"]))
+    got = defaultdict(set)
+    by_epoch_shard = defaultdict(list)
+    for r in rows:
+        got[r["epoch"]].add((r["doc_id"], r["is_tail"]))
+        by_epoch_shard[(r["epoch"], r["shard"])].append(r)
+    assert {e: s for e, s in got.items()} == dict(want)
+    for (e, sh), rs in by_epoch_shard.items():
+        pos = sorted(r["shard_pos"] for r in rs)
+        assert pos == list(range(1, len(rs) + 1)), (e, sh)
+
+    def order(epoch):
+        rs = [r for r in rows if r["epoch"] == epoch]
+        rs.sort(key=lambda r: (r["shard"], r["shard_pos"]))
+        return [r["doc_id"] for r in rs]
+
+    epochs = sorted({r["epoch"] for r in rows})
+    assert len(epochs) > 1, "single-epoch fixture grades no reshuffle"
+    o0, o1 = order(epochs[0]), order(epochs[1])
+    common = set(o0) & set(o1)
+    seq0 = [d for d in o0 if d in common]
+    seq1 = [d for d in o1 if d in common]
+    assert seq0 != seq1, "epochs share one permutation"
+
+
+def test_span_corruption_matches_hashlib_replay(spark, sf_dir):
+    """The full span manifest reproduces from a hashlib replay of the
+    position grid (mask -> merge adjacent runs -> number sentinels),
+    spans are disjoint, in-bounds and never adjacent (adjacent masked
+    positions must have merged), and global coverage sits near the
+    configured rate."""
+    import hashlib
+
+    from engine.queries.pipeline import _SC_RATE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .selectExpr("doc_id", "size(split(text, ' ')) as n",
+                    "length(text) as lt").collect()
+    expect = {}
+    total_tok = total_masked = 0
+    for r in docs:
+        if r["lt"] == 0:
+            continue
+        total_tok += r["n"]
+        masked = [pos for pos in range(1, r["n"] + 1)
+                  if int(hashlib.md5(f"{r['doc_id']}#sc{pos}".encode())
+                         .hexdigest()[:8], 16) % 100 < _SC_RATE]
+        total_masked += len(masked)
+        spans, start, prev = [], None, None
+        for pos in masked:
+            if start is None:
+                start = prev = pos
+            elif pos == prev + 1:
+                prev = pos
+            else:
+                spans.append((start, prev - start + 1))
+                start = prev = pos
+        if start is not None:
+            spans.append((start, prev - start + 1))
+        for sid, (st, ln) in enumerate(spans):
+            expect[(r["doc_id"], sid)] = (st, ln)
+    got = {(r["doc_id"], r["sentinel_id"]): (r["span_start"],
+                                             r["span_len"])
+           for r in QUERIES["q_span_corruption_mask"](spark, sf_dir)
+           .collect()}
+    assert got == expect
+    assert 0.10 < total_masked / total_tok < 0.20
+    by_doc = {}
+    for (d, sid), (st, ln) in got.items():
+        by_doc.setdefault(d, []).append((st, ln))
+    for d, spans in by_doc.items():
+        spans.sort()
+        for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+            assert s1 + l1 < s2, (d, spans)  # disjoint AND non-adjacent
