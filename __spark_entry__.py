@@ -234,7 +234,8 @@ _R12_NEW: set[str] = {
     "q_embed_outlier_vecs", "q_file_skipping_stats",
     "q_minhash_calibration", "q_contamination_bloom_eval",
     "q_pii_report", "q_stream_pii_gate",
-    "q_shuffle_epoch", "q_span_corruption_mask",
+    "q_shuffle_epoch", "q_span_corruption_mask", "q_pack_shuffled",
+    "q_quality_drift",
 }
 
 

@@ -242,6 +242,10 @@ HEADLINE = [
     # measured work) and the span-corruption plan (linear doc op).
     "q_shuffle_epoch",
     "q_span_corruption_mask",
+    # round-12 sixth wave: end-of-chain packing (enters like
+    # q_pack_schedule) and the PSI drift monitor (one corpus scan).
+    "q_pack_shuffled",
+    "q_quality_drift",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -3994,3 +3994,98 @@ def q_minhash_calibration(spark, sf):
         rnd(F.col("sj").cast("double") / F.col("n_pairs") / 1000000.0, 6)
             .alias("mean_jaccard"),
     )
+
+
+@query("q_quality_drift", oracle=f"""
+WITH t AS ({QC_T_SQL}),
+s AS (SELECT doc_id, source, {QC_LOGIT_SQL} AS logit FROM t),
+b AS (SELECT source, logit, {QC_BUCKET_SQL} AS bucket FROM s),
+grid AS (SELECT DISTINCT b.source, bk.bucket
+         FROM b CROSS JOIN (SELECT unnest(['low', 'mid', 'high'])
+                            AS bucket) bk),
+sc AS (SELECT source, bucket, count(*) AS n_sb
+       FROM b GROUP BY source, bucket),
+ns AS (SELECT source, count(*) AS n_s FROM b GROUP BY source),
+bc AS (SELECT bucket, count(*) AS n_b FROM b GROUP BY bucket),
+nn AS (SELECT count(*) AS n FROM b),
+c AS (SELECT g.source, g.bucket,
+             coalesce(sc.n_sb, 0) AS n_sb, ns.n_s, bc.n_b, nn.n
+      FROM grid g
+      LEFT JOIN sc ON sc.source = g.source AND sc.bucket = g.bucket
+      JOIN ns ON ns.source = g.source
+      JOIN bc ON bc.bucket = g.bucket
+      CROSS JOIN nn),
+term AS (SELECT source,
+                CAST(floor(((CAST(n_sb + 1 AS DOUBLE)
+                             / CAST(n_s + 3 AS DOUBLE)
+                             - CAST(n_b + 1 AS DOUBLE)
+                             / CAST(n + 3 AS DOUBLE))
+                            * ln((CAST(n_sb + 1 AS DOUBLE)
+                                  / CAST(n_s + 3 AS DOUBLE))
+                                 / (CAST(n_b + 1 AS DOUBLE)
+                                    / CAST(n + 3 AS DOUBLE))))
+                           * 1000000 + 0.5) AS BIGINT) AS tq,
+                n_s
+         FROM c)
+SELECT source, max(n_s) AS n_docs,
+       (CAST(sum(tq) AS DOUBLE) / 1000000.0) AS psi,
+       (CAST(sum(tq) AS DOUBLE) / 1000000.0 > 0.1) AS drifted
+FROM term GROUP BY source
+""")
+def q_quality_drift(spark, sf):
+    """Per-source quality-distribution DRIFT — the Population
+    Stability Index every production scoring pipeline watches: for
+    each source, how far its quality-bucket distribution (the SAME
+    literal-weights logit and low/mid/high cuts as
+    q_quality_classifier — QC_* fragments composed verbatim, so the
+    drift monitor can never disagree with the classifier it
+    monitors) sits from the corpus-wide baseline, as
+    PSI = sum_b (p_sb - p_b) * ln(p_sb / p_b) with add-one smoothing
+    so empty buckets contribute finitely. PSI > 0.1 is the standard
+    'investigate' threshold — a crawl whose quality mix shifted
+    under the classifier shows up here before it poisons the mix
+    plan (q_dataset_mix / q_token_budget assume stable per-source
+    quality).
+
+    Determinism: every probability derives from integer counts by
+    textually identical division expressions; each bucket term is
+    quantized to 1e-6 and the per-source PSI is the exact integer
+    sum of quantized terms (the dsum convention — ln on identical
+    IEEE inputs is the q_text_entropy-class risk, absorbed by the
+    quantization). The drifted flag cuts on the quantized PSI, so
+    flag and score cannot disagree.
+
+    Scale: one corpus scan into a (source, bucket) map-side
+    aggregate; everything after operates on |sources| x 3 rows."""
+    b = qc_score(load_tables(spark, sf)["documents"]).select(
+        "source",
+        F.when(F.col("logit") < -0.5, "low")
+         .when(F.col("logit") < 0.5, "mid")
+         .otherwise("high").alias("bucket"))
+    sc = b.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_sb"))
+    ns = b.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    bc = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    nn = b.agg(F.count(F.lit(1)).alias("n"))
+    grid = ns.select("source").crossJoin(
+        F.broadcast(spark.createDataFrame(
+            [("low",), ("mid",), ("high",)], "bucket string")))
+    c = (grid.join(sc, ["source", "bucket"], "left")
+         .join(F.broadcast(ns), "source")
+         .join(F.broadcast(bc), "bucket")
+         .crossJoin(F.broadcast(nn))
+         .select("source", "n_s",
+                 F.coalesce(F.col("n_sb"), F.lit(0)).alias("n_sb"),
+                 "n_b", "n"))
+    p_sb = ((F.col("n_sb") + 1).cast("double")
+            / (F.col("n_s") + 3).cast("double"))
+    p_b = ((F.col("n_b") + 1).cast("double")
+           / (F.col("n") + 3).cast("double"))
+    tq = F.floor(((p_sb - p_b) * F.log(p_sb / p_b)) * 1000000
+                 + F.lit(0.5)).cast("long")
+    g = c.select("source", "n_s", tq.alias("tq")).groupBy("source").agg(
+        F.max("n_s").alias("n_docs"),
+        F.sum("tq").alias("sq"))
+    psi = F.col("sq").cast("double") / 1000000.0
+    return g.select("source", "n_docs", psi.alias("psi"),
+                    (psi > 0.1).alias("drifted"))

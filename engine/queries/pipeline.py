@@ -1749,10 +1749,10 @@ def q_file_skipping_stats(spark, sf):
 
 @query("q_shuffle_epoch", oracle=f"""
 WITH m AS ({_ORACLE['q_mix_schedule']}),
-k AS (SELECT doc_id, source, epoch, is_tail,
+k AS (SELECT doc_id, source, epoch, is_tail, n_tok,
              {hexpoly_sql("md5(concat(doc_id, '#e', epoch))")} AS skey
       FROM m)
-SELECT doc_id, source, epoch, is_tail,
+SELECT doc_id, source, epoch, is_tail, n_tok,
        CAST(skey % {_SHUF_SHARDS} AS BIGINT) AS shard,
        row_number() OVER (PARTITION BY epoch, skey % {_SHUF_SHARDS}
                           ORDER BY skey, doc_id) AS shard_pos
@@ -1778,14 +1778,14 @@ def q_shuffle_epoch(spark, sf):
     output; per-epoch orders differ by construction (pinned)."""
     m = q_mix_schedule(spark, sf)
     k = m.select(
-        "doc_id", "source", "epoch", "is_tail",
+        "doc_id", "source", "epoch", "is_tail", "n_tok",
         F.expr(hexpoly_sql("md5(concat(doc_id, '#e', epoch))"))
         .alias("skey"))
     w = Window.partitionBy("epoch", "shard").orderBy("skey", "doc_id")
     return (
         k.withColumn("shard", F.col("skey") % _SHUF_SHARDS)
-        .select("doc_id", "source", "epoch", "is_tail", "shard",
-                F.row_number().over(w).alias("shard_pos"))
+        .select("doc_id", "source", "epoch", "is_tail", "n_tok",
+                "shard", F.row_number().over(w).alias("shard_pos"))
     )
 
 
@@ -1859,3 +1859,50 @@ def q_span_corruption_mask(spark, sf):
         F.col("span_start").cast("long").alias("span_start"),
         F.col("span_len").cast("long").alias("span_len"),
     )
+
+
+@query("q_pack_shuffled", oracle=f"""
+WITH sh AS ({_ORACLE['q_shuffle_epoch']}),
+c AS (SELECT doc_id, epoch, shard, shard_pos, n_tok,
+             sum(n_tok) OVER (PARTITION BY epoch, shard
+                              ORDER BY shard_pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+      FROM sh)
+SELECT doc_id, epoch, shard, shard_pos, n_tok,
+       CAST((cum - n_tok) // {_PACK_LEN} AS BIGINT) AS start_seq,
+       CAST((cum - 1) // {_PACK_LEN} AS BIGINT) AS end_seq,
+       CAST((cum - n_tok) % {_PACK_LEN} AS BIGINT) AS seq_offset
+FROM c
+""")
+def q_pack_shuffled(spark, sf):
+    """The END of the data-loading chain: budget -> schedule ->
+    per-epoch shuffle -> PACK. The q_pack_sequences construction
+    applied to q_shuffle_epoch's order — documents concatenate in
+    shuffled shard_pos order within each (epoch, shard) stream and
+    tile into {_PACK_LEN}-token training sequences. This is the
+    manifest an actual trainer reads: q_pack_schedule packs the
+    schedule in deterministic doc_id order (reproducible but
+    correlated — consecutive doc_ids share crawl locality), while
+    this key packs the RESHUFFLED stream, so each epoch's batches
+    draw from a different mix of the corpus. The oracle nests
+    q_shuffle_epoch's SQL verbatim — four composition levels
+    (token_budget -> mix_schedule -> shuffle_epoch -> pack), the
+    deepest verbatim-composed lineage in the engine, and the whole
+    chain is hash-checked end to end.
+
+    Plan: ONE window cumsum over the manifest, partitioned by the
+    same (epoch, shard) keys the shuffle already exchanged on —
+    at 100 TB the packing reuses the shuffle's partitioning (no new
+    exchange of corpus-sized data; AQE sees the same keys). Integer
+    arithmetic end to end (the q_pack_sequences div/mod lane)."""
+    k = _PACK_LEN
+    sh = q_shuffle_epoch(spark, sf)
+    w = (Window.partitionBy("epoch", "shard").orderBy("shard_pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = sh.withColumn("cum", F.sum("n_tok").over(w))
+    return c.select(
+        "doc_id", "epoch", "shard", "shard_pos", "n_tok",
+        F.expr(f"(cum - n_tok) div {k}").alias("start_seq"),
+        F.expr(f"(cum - 1) div {k}").alias("end_seq"),
+        ((F.col("cum") - F.col("n_tok")) % k).alias("seq_offset"))

@@ -175,8 +175,13 @@ DOC_KEYS = [
     # the gram-pipeline shape).
     # q_shuffle_epoch is excluded (probe-exclusion rule): one
     # exchange + one window OVER q_mix_schedule's probed manifest —
-    # the q_pack_schedule rationale.
+    # the q_pack_schedule rationale; q_pack_shuffled likewise (one
+    # further window over q_shuffle_epoch's manifest).
     "q_span_corruption_mask",
+    # round-12 sixth wave: PSI drift monitor (documents grow 10x;
+    # one map-side (source, bucket) aggregate, |sources|x3-row math
+    # after).
+    "q_quality_drift",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

@@ -1075,3 +1075,83 @@ def test_span_corruption_matches_hashlib_replay(spark, sf_dir):
         spans.sort()
         for (s1, l1), (s2, _) in zip(spans, spans[1:]):
             assert s1 + l1 < s2, (d, spans)  # disjoint AND non-adjacent
+
+
+def test_pack_shuffled_matches_tiling_replay(spark, sf_dir):
+    """The end-of-chain packing must equal a Python tiling replay
+    over the registered shuffle's own order: walk each (epoch,
+    shard) stream in shard_pos order, accumulate tokens, and derive
+    every manifest column; the plan must add NO exchange beyond the
+    shuffle's (epoch/shard-keyed window over the composed manifest
+    — no new SortMergeJoin, no cartesian, no Python eval)."""
+    sh = QUERIES["q_shuffle_epoch"](spark, sf_dir).collect()
+    got = {(r["doc_id"], r["epoch"]): r for r in
+           QUERIES["q_pack_shuffled"](spark, sf_dir).collect()}
+    assert len(got) == len(sh)
+    from collections import defaultdict
+    streams = defaultdict(list)
+    for r in sh:
+        streams[(r["epoch"], r["shard"])].append(r)
+    k = 512
+    for (e, s), rs in streams.items():
+        rs.sort(key=lambda r: r["shard_pos"])
+        cum = 0
+        for r in rs:
+            cum += r["n_tok"]
+            g = got[(r["doc_id"], e)]
+            assert g["shard"] == s
+            assert g["start_seq"] == (cum - r["n_tok"]) // k
+            assert g["end_seq"] == (cum - 1) // k
+            assert g["seq_offset"] == (cum - r["n_tok"]) % k
+    plan = (QUERIES["q_pack_shuffled"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    for word in ("SortMergeJoin", "CartesianProduct",
+                 "BatchEvalPython", "MapInPandas"):
+        assert word not in plan, word
+
+
+def test_quality_drift_matches_python_psi_replay(spark, sf_dir):
+    """Every PSI reproduces from a from-scratch replay over the
+    REGISTERED classifier's own buckets (smoothed probabilities,
+    math.log terms, 1e-6 per-term quantization, exact integer sum),
+    and the drifted flag equals the quantized score's threshold cut.
+    Also plan hygiene: no cartesian of corpus-sized inputs and no
+    Python eval (the grid/baseline cross joins are broadcast 1-to-3
+    row frames)."""
+    import math
+
+    docs = {r["doc_id"]: r["source"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source").collect()}
+    buckets = {r["doc_id"]: r["bucket"] for r in
+               QUERIES["q_quality_classifier"](spark, sf_dir)
+               .collect()}
+    from collections import Counter
+    sb = Counter()
+    ns = Counter()
+    nb = Counter()
+    for d, src in docs.items():
+        b = buckets[d]
+        sb[(src, b)] += 1
+        ns[src] += 1
+        nb[b] += 1
+    n = len(docs)
+    got = {r["source"]: r for r in
+           QUERIES["q_quality_drift"](spark, sf_dir).collect()}
+    assert sorted(got) == sorted(ns)
+    for src in ns:
+        tq = 0
+        for b in ("low", "mid", "high"):
+            p_sb = (sb[(src, b)] + 1) / (ns[src] + 3)
+            p_b = (nb[b] + 1) / (n + 3)
+            tq += math.floor((p_sb - p_b) * math.log(p_sb / p_b)
+                             * 1e6 + 0.5)
+        r = got[src]
+        assert r["n_docs"] == ns[src]
+        assert r["psi"] == tq / 1e6, src
+        assert r["psi"] >= 0  # PSI is a divergence
+        assert r["drifted"] == (r["psi"] > 0.1)
+    plan = (QUERIES["q_quality_drift"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    for word in ("BatchEvalPython", "MapInPandas"):
+        assert word not in plan, word
