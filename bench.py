@@ -246,6 +246,11 @@ HEADLINE = [
     # q_pack_schedule) and the PSI drift monitor (one corpus scan).
     "q_pack_shuffled",
     "q_quality_drift",
+    # round-12 seventh wave: length-bucketed batching (production
+    # path) and the live drift view (measures its memoized gate-sink
+    # projection, like the other stream entries).
+    "q_batch_by_length",
+    "q_stream_quality_drift",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -1906,3 +1906,84 @@ def q_pack_shuffled(spark, sf):
         F.expr(f"(cum - n_tok) div {k}").alias("start_seq"),
         F.expr(f"(cum - 1) div {k}").alias("end_seq"),
         ((F.col("cum") - F.col("n_tok")) % k).alias("seq_offset"))
+
+
+#: Length-bucket edges (tokens) and per-batch capacity for
+#: q_batch_by_length. Literal edges keep the bucket assignment pure
+#: integer codegen (a log2-derived bucket would ride float rounding
+#: at exact powers of two).
+_LB_EDGES = [16, 32, 64, 128, 256]
+_LB_BATCH = 8
+
+
+def _lb_bucket_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} <= {e} THEN {e}" for e in _LB_EDGES)
+    return f"(CASE {cases} ELSE {_LB_EDGES[-1] * 2} END)"
+
+
+@query("q_batch_by_length", oracle=f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents WHERE length(text) > 0),
+b AS (SELECT doc_id, n_tok,
+             CAST({_lb_bucket_sql('n_tok')} AS BIGINT) AS bucket,
+             row_number() OVER (
+                 PARTITION BY {_lb_bucket_sql('n_tok')}
+                 ORDER BY {hexpoly_sql("md5(concat(doc_id, '#lb'))")},
+                          doc_id) AS r
+      FROM d),
+m AS (SELECT doc_id, n_tok, bucket,
+             CAST((r - 1) // {_LB_BATCH} AS BIGINT) AS batch_id,
+             CAST((r - 1) % {_LB_BATCH} AS BIGINT) AS pos_in_batch
+      FROM b)
+SELECT doc_id, n_tok, bucket, batch_id, pos_in_batch,
+       max(n_tok) OVER (PARTITION BY bucket, batch_id) AS pad_to
+FROM m
+""")
+def q_batch_by_length(spark, sf):
+    """LENGTH-BUCKETED batching manifest — the padding-minimizing
+    batch sampler every variable-length (SFT / seq2seq) loader uses:
+    documents group into power-of-two token-length buckets (literal
+    CASE edges — pure integer codegen; a log2-derived bucket would
+    ride float rounding at exact powers), shuffle deterministically
+    WITHIN their bucket (md5 + seed tag), and fill fixed-size batches
+    in that order; each row carries its batch's dynamic padding
+    target (the batch max — what the collator actually pads to).
+    Batching by length bounds pad waste to the bucket width instead
+    of the corpus-max sequence length, while the in-bucket shuffle
+    keeps batches i.i.d. within a bucket — the standard
+    bucketing-vs-randomness tradeoff, materialized and auditable.
+
+    Scale shape: one narrow bucket projection, then per-(bucket)
+    window rank and per-(bucket, batch) max — all exchanges keyed by
+    the bucket grain ({len(_LB_EDGES) + 1} keys at any corpus size;
+    at 100 TB add the shard dimension exactly like q_pack_sequences
+    to keep per-partition sort volume bounded — same plan shape,
+    documented rather than needed at fixture scale). All-integer."""
+    d = (load_tables(spark, sf)["documents"]
+         .filter(F.length("text") > 0)
+         .select("doc_id",
+                 F.size(F.split("text", " ")).cast("long")
+                 .alias("n_tok")))
+    expr = None
+    for e in reversed(_LB_EDGES):
+        expr = (F.when(F.col("n_tok") <= e, F.lit(e)) if expr is None
+                else F.when(F.col("n_tok") <= e, F.lit(e))
+                .otherwise(expr))
+    # > last edge falls into one overflow bucket
+    expr = F.coalesce(
+        F.when(F.col("n_tok") <= _LB_EDGES[-1], expr),
+        F.lit(_LB_EDGES[-1] * 2)).cast("long")
+    key = F.expr(hexpoly_sql("md5(concat(doc_id, '#lb'))"))
+    b = d.withColumn("bucket", expr)
+    w = Window.partitionBy("bucket").orderBy(key, F.col("doc_id"))
+    m = b.select(
+        "doc_id", "n_tok", "bucket",
+        (F.row_number().over(w) - 1).alias("r"))
+    m = m.select(
+        "doc_id", "n_tok", "bucket",
+        F.expr(f"r div {_LB_BATCH}").cast("long").alias("batch_id"),
+        (F.col("r") % _LB_BATCH).cast("long").alias("pos_in_batch"))
+    wp = Window.partitionBy("bucket", "batch_id")
+    return m.withColumn("pad_to", F.max("n_tok").over(wp))

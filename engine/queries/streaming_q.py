@@ -29,7 +29,7 @@ import tempfile
 from pyspark.sql import Window as W, functions as F
 
 from ..io import load_tables, session_cache
-from ..registry import query
+from ..registry import ORACLE as _ORACLE, query
 from ..streaming import read_event_stream
 from .events import CDC_LOG_SQL
 from .analytics_extra import AB_WELCH_ORACLE, BENFORD_ORACLE
@@ -1481,3 +1481,67 @@ def q_ingest_report(spark, sf):
     return (qg.unionByName(tg).unionByName(cg).unionByName(dg)
             .unionByName(pg))
 
+
+
+@query("q_stream_quality_drift",
+       oracle=_ORACLE["q_quality_drift"])
+def q_stream_quality_drift(spark, sf):
+    """LIVE drift view — the PSI monitor computed from the STREAMING
+    quality gate's own state: q_stream_quality_gate already maintains
+    exactly the (source, bucket) counts PSI needs, so this key is a
+    batch projection over the registered gate's memoized emission
+    (the q_stream_tdigest post-processing pattern — the stream
+    carries mergeable counts, the divergence math runs on the
+    |sources| x 3-row sink). Smoothing, per-term quantization, the
+    exact integer sum and the threshold flag are the SAME lane as
+    the batch twin (q_quality_drift), and both twins hash against
+    the same QC-fragment-composed oracle — the live view and the
+    batch report cannot disagree.
+
+    Scale: the gate's complete-mode state is |sources| x 3 rows at
+    any stream length; this projection adds |sources|-row math and
+    zero stream-side work."""
+    g = q_stream_quality_gate(spark, sf).select(
+        "source", "bucket", "n_docs")
+    # the gate sink self-joins four ways below; SQL over a named view
+    # gives each branch its own resolved attributes (DataFrame-API
+    # self-joins of one MemorySink view hit conflicting-attribute
+    # analysis errors)
+    g.createOrReplaceTempView("_engine_psi_gate")
+    return spark.sql(f"""
+WITH sc AS (SELECT source, bucket, n_docs AS n_sb
+            FROM _engine_psi_gate),
+ns AS (SELECT source, sum(n_docs) AS n_s FROM _engine_psi_gate
+       GROUP BY source),
+bc AS (SELECT bucket, sum(n_docs) AS n_b FROM _engine_psi_gate
+       GROUP BY bucket),
+nn AS (SELECT sum(n_docs) AS n FROM _engine_psi_gate),
+grid AS (SELECT ns.source, bk.bucket
+         FROM ns CROSS JOIN (SELECT explode(array('low', 'mid',
+                                                  'high')) AS bucket)
+                            bk),
+c AS (SELECT grid.source, grid.bucket,
+             coalesce(sc.n_sb, 0) AS n_sb, ns.n_s, bc.n_b, nn.n
+      FROM grid
+      LEFT JOIN sc ON sc.source = grid.source
+                  AND sc.bucket = grid.bucket
+      JOIN ns ON ns.source = grid.source
+      JOIN bc ON bc.bucket = grid.bucket
+      CROSS JOIN nn),
+term AS (SELECT source,
+                CAST(floor(((CAST(n_sb + 1 AS DOUBLE)
+                             / CAST(n_s + 3 AS DOUBLE)
+                             - CAST(n_b + 1 AS DOUBLE)
+                             / CAST(n + 3 AS DOUBLE))
+                            * ln((CAST(n_sb + 1 AS DOUBLE)
+                                  / CAST(n_s + 3 AS DOUBLE))
+                                 / (CAST(n_b + 1 AS DOUBLE)
+                                    / CAST(n + 3 AS DOUBLE))))
+                           * 1000000 + 0.5) AS BIGINT) AS tq,
+                n_s
+         FROM c)
+SELECT source, max(n_s) AS n_docs,
+       (CAST(sum(tq) AS DOUBLE) / 1000000.0) AS psi,
+       (CAST(sum(tq) AS DOUBLE) / 1000000.0 > 0.1) AS drifted
+FROM term GROUP BY source
+""")

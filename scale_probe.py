@@ -182,6 +182,12 @@ DOC_KEYS = [
     # one map-side (source, bucket) aggregate, |sources|x3-row math
     # after).
     "q_quality_drift",
+    # round-12 seventh wave: length-bucketed batching (documents grow
+    # 10x; bucket projection + bucket-keyed window rank — at real
+    # scale the shard dimension bounds per-partition sort volume,
+    # see the key's docstring). The live drift view is excluded like
+    # every q_stream_* key.
+    "q_batch_by_length",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

@@ -1155,3 +1155,67 @@ def test_quality_drift_matches_python_psi_replay(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     for word in ("BatchEvalPython", "MapInPandas"):
         assert word not in plan, word
+
+
+def test_batch_by_length_matches_hashlib_replay(spark, sf_dir):
+    """The full batching manifest reproduces from scratch: literal
+    bucket edges, in-bucket md5 order, fixed batch capacity, dynamic
+    per-batch padding target. Every batch must be bucket-homogeneous
+    with dense positions, and the padding target must never exceed
+    the bucket edge (the bound that makes length-bucketing pay)."""
+    import hashlib
+    from collections import defaultdict
+
+    from engine.queries.pipeline import _LB_BATCH, _LB_EDGES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .selectExpr("doc_id", "size(split(text, ' ')) as n_tok",
+                    "length(text) as lt").collect()
+    def bucket(n):
+        for e in _LB_EDGES:
+            if n <= e:
+                return e
+        return _LB_EDGES[-1] * 2
+    per_bucket = defaultdict(list)
+    for r in docs:
+        if r["lt"] == 0:
+            continue
+        key = int(hashlib.md5(f"{r['doc_id']}#lb".encode())
+                  .hexdigest()[:8], 16)
+        per_bucket[bucket(r["n_tok"])].append(
+            (key, r["doc_id"], r["n_tok"]))
+    expect = {}
+    for b, rs in per_bucket.items():
+        rs.sort()
+        for i, (_, d, n) in enumerate(rs):
+            expect[d] = (n, b, i // _LB_BATCH, i % _LB_BATCH)
+    got = {r["doc_id"]: r for r in
+           QUERIES["q_batch_by_length"](spark, sf_dir).collect()}
+    assert sorted(got) == sorted(expect)
+    batches = defaultdict(list)
+    for d, r in got.items():
+        n, b, bid, pos = expect[d]
+        assert (r["n_tok"], r["bucket"], r["batch_id"],
+                r["pos_in_batch"]) == (n, b, bid, pos), d
+        batches[(r["bucket"], r["batch_id"])].append(r)
+    for (b, bid), rs in batches.items():
+        assert sorted(r["pos_in_batch"] for r in rs) \
+            == list(range(len(rs)))
+        top = max(r["n_tok"] for r in rs)
+        for r in rs:
+            assert r["pad_to"] == top
+            assert r["pad_to"] <= b
+    assert len({b for b, _ in batches}) > 1, "single-bucket fixture"
+
+
+def test_stream_quality_drift_equals_batch_twin(spark, sf_dir):
+    """The live PSI view (batch projection over the streaming gate's
+    own counts) must emit EXACTLY the batch monitor's rows — the
+    stream==batch certification, made direct (both already hash
+    against the same composed oracle)."""
+    batch = {tuple(r) for r in
+             QUERIES["q_quality_drift"](spark, sf_dir).collect()}
+    stream = {tuple(r) for r in
+              QUERIES["q_stream_quality_drift"](spark, sf_dir)
+              .collect()}
+    assert stream == batch
