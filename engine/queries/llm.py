@@ -4062,11 +4062,22 @@ def q_quality_drift(spark, sf):
         F.when(F.col("logit") < -0.5, "low")
          .when(F.col("logit") < 0.5, "mid")
          .otherwise("high").alias("bucket"))
-    sc = b.groupBy("source", "bucket").agg(
-        F.count(F.lit(1)).alias("n_sb"))
-    ns = b.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    bc = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
-    nn = b.agg(F.count(F.lit(1)).alias("n"))
+    # ONE corpus scan: the (source, bucket) count frame is tiny
+    # (|sources| x 3) and every marginal derives from it by a
+    # further |sources|x3-row aggregate — four independent groupBys
+    # over the documents table would rescan and re-score the corpus
+    # four times. Memoized+persisted per (session, sf) — the
+    # eval-key cache discipline, so repeated calls re-persist
+    # nothing and the cache is eviction-managed like its siblings.
+    cache = session_cache(spark, "_engine_qdrift_cache")
+    ck = sf.rstrip("/")
+    if ck not in cache:
+        cache[ck] = b.groupBy("source", "bucket").agg(
+            F.count(F.lit(1)).alias("n_sb")).persist()
+    sc = cache[ck]
+    ns = sc.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
+    bc = sc.groupBy("bucket").agg(F.sum("n_sb").alias("n_b"))
+    nn = sc.agg(F.sum("n_sb").alias("n"))
     grid = ns.select("source").crossJoin(
         F.broadcast(spark.createDataFrame(
             [("low",), ("mid",), ("high",)], "bucket string")))

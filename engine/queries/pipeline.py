@@ -1720,18 +1720,22 @@ def q_file_skipping_stats(spark, sf):
     that makes selective scans cheap — the report prices it before a
     layout rewrite is committed. All-integer output."""
     zc = q_zorder_cells(spark, sf)
-    parts = []
+    # ONE pass over the cell audit: each cell row explodes into its
+    # |predicates| verdicts as a literal struct array (a union of
+    # per-predicate branches re-ran the zorder aggregate once per
+    # predicate — 3 corpus-sized subtrees where 1 suffices; measured
+    # in the executed plan, 4 exchanges -> 2)
+    structs = []
     for name, ul, uh, vl, vh in _SKIP_PREDS:
         skip = F.lit(False)
         if ul is not None:
             skip = skip | (F.col("ub_max") < ul) | (F.col("ub_min") > uh)
         if vl is not None:
             skip = skip | (F.col("vb_max") < vl) | (F.col("vb_min") > vh)
-        parts.append(zc.select(F.lit(name).alias("predicate"),
-                               skip.alias("can_skip"), "n"))
-    p = parts[0]
-    for q in parts[1:]:
-        p = p.unionByName(q)
+        structs.append(F.struct(F.lit(name).alias("predicate"),
+                                skip.alias("can_skip")))
+    p = (zc.select(F.explode(F.array(*structs)).alias("v"), "n")
+         .select("v.predicate", "v.can_skip", "n"))
     agg = p.groupBy("predicate").agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.count(F.when(F.col("can_skip"), 1)).alias("n_skipped"),
