@@ -57,6 +57,21 @@ KEYS = [
     "q_group_sample_k",        # md5-rank stratum sample
     "q_graph_bfs",             # frontier joins; min(dist) order-free
     "q_session_capped",        # cross-batch scan state per user
+    # round-12 second-session manifest keys: every ordering below is
+    # hash-keyed with an explicit doc_id tiebreak, so a different
+    # physical partitioning must not move a single row
+    "q_shuffle_shards",        # per-shard md5-rank permutation
+    "q_interleave_sources",    # literal-folded closed-form rank
+    "q_pack_mask_spans",       # explode + shard-local aggregate
+    "q_embed_dim_stats",       # scaled-BIGINT dimension moments
+    "q_embed_outlier_vecs",    # 1-row literal moments + narrow map
+    "q_file_skipping_stats",   # zone-map verdict aggregate
+    "q_pii_report",            # regex counts + density quarantine
+    "q_span_corruption_mask",  # hash-grid islands per doc
+    "q_shuffle_epoch",         # epoch-salted per-shard permutation
+    "q_pack_shuffled",         # window cumsum over shuffled order
+    "q_quality_drift",         # smoothed PSI from exact counts
+    "q_batch_by_length",       # in-bucket md5-rank batching
 ]
 
 
