@@ -251,6 +251,8 @@ HEADLINE = [
     # projection, like the other stream entries).
     "q_batch_by_length",
     "q_stream_quality_drift",
+    # q_sim_eval_truncated is excluded (q_dedup_eval rule): four
+    # brute-force GEMM rankings composed against the brute truth.
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -188,6 +188,10 @@ DOC_KEYS = [
     # see the key's docstring). The live drift view is excluded like
     # every q_stream_* key.
     "q_batch_by_length",
+    # q_sim_eval_truncated is excluded like q_sim_eval_ivf/_lsh: every
+    # budget's ranking is the deliberate brute-force GEMM baseline
+    # (the shared _chunked_cos_topk kernel), composed against the
+    # same brute truth.
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",

@@ -1219,3 +1219,40 @@ def test_stream_quality_drift_equals_batch_twin(spark, sf_dir):
               QUERIES["q_stream_quality_drift"](spark, sf_dir)
               .collect()}
     assert stream == batch
+
+
+def test_sim_eval_truncated_identity_and_shape(spark, sf_dir):
+    """The dimension-budget table must grade itself: the full-width
+    row (d'=64) re-derives the truth through the SAME shared kernel,
+    so its recall is exactly 1.0 — any drift between
+    _chunked_cos_topk and the registered q_sim_topk shows up here
+    first. Shorter budgets are bounded by it, truth is always the
+    exact top-20, and the measured near-zero prefix recall on the
+    iid fixture embeddings is the honest reading (no Matryoshka
+    structure to exploit — exactly what the table exists to
+    reveal)."""
+    from engine.queries.llm import _TRUNC_DIMS
+
+    rows = {r["dim"]: r for r in
+            QUERIES["q_sim_eval_truncated"](spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(_TRUNC_DIMS)
+    full = max(_TRUNC_DIMS)
+    for d, r in rows.items():
+        assert r["n_truth"] == 20
+        assert r["n_candidates"] == 20
+        assert 0 <= r["n_hit"] <= 20
+        assert r["recall"] <= rows[full]["recall"]
+    assert rows[full]["n_hit"] == 20
+    assert rows[full]["recall"] == 1.0
+
+
+def test_sim_topk_unchanged_by_kernel_refactor(spark, sf_dir):
+    """q_sim_topk must be exactly the dp=64 instance of the shared
+    kernel — pair-for-pair, score-for-score."""
+    from engine.queries.llm import _chunked_cos_topk
+
+    reg = {tuple(r) for r in
+           QUERIES["q_sim_topk"](spark, sf_dir).collect()}
+    ours = {tuple(r) for r in
+            _chunked_cos_topk(spark, sf_dir, 64).collect()}
+    assert reg == ours
