@@ -236,7 +236,7 @@ _R12_NEW: set[str] = {
     "q_pii_report", "q_stream_pii_gate",
     "q_shuffle_epoch", "q_span_corruption_mask", "q_pack_shuffled",
     "q_quality_drift", "q_batch_by_length", "q_stream_quality_drift",
-    "q_sim_eval_truncated",
+    "q_sim_eval_truncated", "q_sim_eval_quantized",
 }
 
 

@@ -461,11 +461,17 @@ def q_sim_topk(spark, sf):
     return _chunked_cos_topk(spark, sf, 64)
 
 
-def _chunked_cos_topk(spark, sf, dp: int):
+def _chunked_cos_topk(spark, sf, dp: int, qmax: int | None = None):
     """The chunked-GEMM exact cosine top-20 over the FIRST ``dp``
-    vector dimensions — q_sim_topk IS the dp=64 instance, and
-    q_sim_eval_truncated grades the shorter prefixes against it.
-    One kernel: hash-chunking, one-quantum margin preselect, strict
+    vector dimensions — q_sim_topk IS the (dp=64, qmax=None)
+    instance; q_sim_eval_truncated grades the shorter prefixes and
+    q_sim_eval_quantized the integer precisions against it. With
+    ``qmax`` set, vectors are symmetric-quantized per row to the
+    integer grid ±qmax (scale = max|x|/qmax — the registered
+    q_embed_quantize codec, qmax=127 being its int8 instance) BEFORE
+    the ranking; cosine is scale-invariant per vector, so ranking the
+    integer vectors IS ranking the dequantized ones, exactly. One
+    kernel: hash-chunking, one-quantum margin preselect, strict
     ascending-element recompute, tie-aware per-group cut, global
     quantized cut with id tiebreaks."""
     import numpy as np
@@ -474,8 +480,20 @@ def _chunked_cos_topk(spark, sf, dp: int):
     e = load_tables(spark, sf)["embeddings"]
     n = table_count(spark, sf, "embeddings")
     C = max(2, -(-n // 1024))
+    vec = F.slice("embedding", 1, dp)
+    if qmax is not None:
+        scale = F.greatest(
+            F.array_max(F.transform(vec, lambda x:
+                                    F.abs(x.cast("double")))),
+            F.lit(1e-12)) / qmax
+        vec = F.transform(
+            vec, lambda x: F.greatest(
+                F.lit(float(-qmax)),
+                F.least(F.lit(float(qmax)),
+                        F.floor(x.cast("double") / scale + F.lit(0.5))))
+            .cast("double"))
     v = e.select("vec_id",
-                 F.slice("embedding", 1, dp).alias("embedding"),
+                 vec.alias("embedding"),
                  F.pmod(F.xxhash64("vec_id"), F.lit(C)).alias("chunk"))
     chunks = spark.range(C).select(F.col("id").alias("c1"))
     pairs = (
@@ -4189,4 +4207,92 @@ def q_sim_eval_truncated(spark, sf):
     nh = F.col("n_hit").cast("double")
     return out.select(
         "dim", "n_candidates", "n_truth", "n_hit",
+        rnd(nh / F.col("n_truth"), 6).alias("recall"))
+
+
+#: Integer grids graded by q_sim_eval_quantized: ±1 (ternary / 2-bit),
+#: ±7 (int4), ±127 (int8 — the registered q_embed_quantize codec).
+_QUANT_GRIDS = [1, 7, 127]
+
+
+def _quant_eval_oracle() -> str:
+    ctes, unions = [], []
+    for qm in _QUANT_GRIDS:
+        bits = {1: 2, 7: 4, 127: 8}[qm]
+        ctes.append(f"""
+e{qm} AS (SELECT vec_id,
+                 greatest(list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))), 1e-12) / {qm}
+                     AS scale,
+                 embedding
+          FROM embeddings),
+x{qm} AS (SELECT vec_id, i,
+                 greatest(-{qm}.0, least({qm}.0,
+                     floor(CAST(embedding[i] AS DOUBLE) / scale
+                           + 0.5))) AS v
+          FROM e{qm}, generate_series(1, 64) AS t(i)),
+nm{qm} AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM x{qm}
+           GROUP BY vec_id),
+dots{qm} AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+                    sum(a.v * b.v) AS dot
+             FROM x{qm} a JOIN x{qm} b ON a.i = b.i
+                                      AND a.vec_id < b.vec_id
+             GROUP BY a.vec_id, b.vec_id),
+top{qm} AS (SELECT v1, v2
+            FROM (SELECT v1, v2,
+                         {sql_rnd('dot / (n1.nrm * n2.nrm)')} AS cs
+                  FROM dots{qm}
+                  JOIN nm{qm} n1 ON n1.vec_id = v1
+                  JOIN nm{qm} n2 ON n2.vec_id = v2)
+            ORDER BY cs DESC, v1, v2 LIMIT 20)""")
+        unions.append(f"""
+SELECT {bits} AS bits, 20 AS n_candidates,
+       (SELECT count(*) FROM truth) AS n_truth,
+       (SELECT count(*) FROM top{qm} JOIN truth USING (v1, v2))
+           AS n_hit""")
+    return f"""
+WITH truth AS (SELECT v1, v2 FROM ({_ORACLE['q_sim_topk']}) tt),
+{",".join(ctes)}
+SELECT bits, n_candidates, n_truth, n_hit,
+       {sql_rnd('CAST(n_hit AS DOUBLE) / n_truth', 6)} AS recall
+FROM ({" UNION ALL ".join(unions)})
+"""
+
+
+@query("q_sim_eval_quantized", oracle=_quant_eval_oracle())
+def q_sim_eval_quantized(spark, sf):
+    """QUANTIZED-precision retrieval table — the other axis of the
+    index-compression decision (q_sim_eval_truncated prices the
+    dimension budget; this prices the bit budget): for each integer
+    grid (ternary / int4 / int8 — int8 being exactly the registered
+    q_embed_quantize codec), the exact cosine top-20 over the
+    per-vector symmetric-quantized integers graded against the
+    full-precision truth. Cosine is scale-invariant per vector, so
+    ranking the integer vectors IS ranking the dequantized floats —
+    the quantized lane is exact integer arithmetic end to end (dots
+    bounded by 64·qmax², far inside double exactness), making this
+    eval fully ORACLE-GREEN like its truncation sibling. The int8
+    row grades q_embed_quantize's rank-stability claim ('candidate
+    generation is rank-stable under it') with data instead of a
+    docstring assertion.
+
+    Fixture-grade brute GEMM rankings at every grid (the shared
+    _chunked_cos_topk kernel), composed against the shared brute
+    truth — excluded from bench HEADLINE and the scale probes like
+    every eval in the family."""
+    truth = _sim_truth(spark, sf)
+    n_truth = truth.count()  # persisted baseline: cheap
+    out = None
+    for qm in _QUANT_GRIDS:
+        bits = {1: 2, 7: 4, 127: 8}[qm]
+        top = (_chunked_cos_topk(spark, sf, 64, qmax=qm)
+               .select("v1", "v2"))
+        hit = top.join(truth, ["v1", "v2"]).count()
+        row = spark.createDataFrame(
+            [(bits, 20, n_truth, hit)],
+            "bits int, n_candidates long, n_truth long, n_hit long")
+        out = row if out is None else out.unionByName(row)
+    nh = F.col("n_hit").cast("double")
+    return out.select(
+        "bits", "n_candidates", "n_truth", "n_hit",
         rnd(nh / F.col("n_truth"), 6).alias("recall"))

@@ -1256,3 +1256,22 @@ def test_sim_topk_unchanged_by_kernel_refactor(spark, sf_dir):
     ours = {tuple(r) for r in
             _chunked_cos_topk(spark, sf_dir, 64).collect()}
     assert reg == ours
+
+
+def test_sim_eval_quantized_curve(spark, sf_dir):
+    """The bit-budget table must be coherent: one row per grid,
+    truth always the exact top-20, recall non-decreasing in bits
+    (same codec family, finer grid — unlike per-seed LSH widths this
+    ordering has no randomness to break it on the committed
+    fixtures), and the int8 row at >= 0.9 — the measured form of
+    q_embed_quantize's rank-stability claim."""
+    rows = {r["bits"]: r for r in
+            QUERIES["q_sim_eval_quantized"](spark, sf_dir).collect()}
+    assert sorted(rows) == [2, 4, 8]
+    prev = -1
+    for b in [2, 4, 8]:
+        r = rows[b]
+        assert r["n_truth"] == 20 and r["n_candidates"] == 20
+        assert r["n_hit"] >= prev
+        prev = r["n_hit"]
+    assert rows[8]["recall"] >= 0.9
