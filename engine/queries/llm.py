@@ -474,12 +474,21 @@ def _chunked_cos_topk(spark, sf, dp: int, qmax: int | None = None):
     kernel: hash-chunking, one-quantum margin preselect, strict
     ascending-element recompute, tie-aware per-group cut, global
     quantized cut with id tiebreaks."""
+    e = load_tables(spark, sf)["embeddings"]
+    n = table_count(spark, sf, "embeddings")
+    return _chunked_cos_topk_frame(spark, e, n, dp, qmax)
+
+
+def _chunked_cos_topk_frame(spark, e, n: int, dp: int,
+                            qmax: int | None = None,
+                            chunks: int | None = None):
+    """Frame-level form of the kernel (tests drive it on GENERATED
+    vector sets with a forced chunk count to exercise chunk-boundary
+    and tie cases the fixtures never produce)."""
     import numpy as np
     import pandas as pd
 
-    e = load_tables(spark, sf)["embeddings"]
-    n = table_count(spark, sf, "embeddings")
-    C = max(2, -(-n // 1024))
+    C = chunks if chunks is not None else max(2, -(-n // 1024))
     vec = F.slice("embedding", 1, dp)
     if qmax is not None:
         scale = F.greatest(

@@ -194,3 +194,44 @@ def test_pack_mask_span_arithmetic_matches_token_walk(lens, k):
         last_doc_continues = any(
             sum(lens[:d + 1]) > (s + 1) * k for d in wdocs[s])
         assert ends[s] == last_doc_continues, (lens, k, s)
+
+
+# half-integer grid: all dots/norms exact in float64, so the chunked
+# pipeline, the replay and any summation order agree bit-for-bit —
+# the property isolates CHUNKING/TIE machinery, not float noise
+_VEC = st.lists(st.sampled_from([-1.0, -0.5, 0.5, 1.0, 2.0]),
+                min_size=4, max_size=4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_VEC, min_size=2, max_size=28, unique_by=tuple),
+       st.integers(2, 5))
+def test_chunked_cos_topk_equals_brute_force(spark, vecs, chunks):
+    """The chunked-GEMM top-20 must equal a single brute-force pass
+    under the engine's exact semantics (1e-4-quantized cosine,
+    global (-cos, v1, v2) order, top-20) for ARBITRARY vector sets
+    and ANY forced chunk count — including duplicate-direction
+    vectors (cos exactly 1.0 ties at the cut boundary), the case the
+    margin-preselect + tie-aware per-group cut exists for. Grid
+    values keep every dot/norm exact in float64, so any mismatch is
+    chunking logic, never summation order."""
+    import math
+
+    from engine.queries.llm import _chunked_cos_topk_frame
+
+    d = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = [(r["v1"], r["v2"], r["cos_sim"]) for r in
+           _chunked_cos_topk_frame(spark, d, len(vecs), 4,
+                                   chunks=chunks).collect()]
+    brute = []
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            dot = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+            na = math.sqrt(sum(a * a for a in vecs[i]))
+            nb = math.sqrt(sum(b * b for b in vecs[j]))
+            cs = math.floor(dot / (na * nb) * 10000 + 0.5) / 10000
+            brute.append((i, j, cs))
+    brute.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert got == brute[:20]
