@@ -218,12 +218,12 @@ _R10_NEW: set[str] = {
 # _R07_NEW.._R10_NEW got) is trivially vacant.
 _R11_NEW: set[str] = set()
 
-# Keys first registered in round 12: the newest cohort, demoted
-# behind EVERY green key (the same discipline _R07_NEW.._R11_NEW got
-# on registration) — round-12 newcomers take no window slot while the
-# round-12 window re-verifies the longest-waiting greens (the r6
-# staleness drain); they earn their first driver rows in round 13,
-# covered until then by the local check.py sweep + their tests.
+# Keys first registered in round 12. In round 12 this cohort was
+# demoted behind EVERY green key so the staleness drain could take
+# the window first. That drain completed in CORRECTNESS_r12 (46
+# green + 4 rows-only-by-design, 0 fails), so per the round-12
+# verdict's top priority these 31 now LEAD the round-13 window as
+# the NEWEST waiting cohort — nothing is registered ahead of them.
 _R12_NEW: set[str] = {
     "q_sim_eval_lsh", "q_stream_dedup_incremental", "q_mix_schedule",
     "q_pack_schedule", "q_dedup_incremental_minhash", "q_langid_eval",
@@ -239,6 +239,15 @@ _R12_NEW: set[str] = {
     "q_sim_eval_truncated", "q_sim_eval_quantized",
 }
 
+# Keys first registered in round 13: the newest cohort, demoted
+# behind EVERY green key (the same discipline _R07_NEW.._R12_NEW got
+# on registration) — round-13 newcomers take no window slot while the
+# round-13 window gives the 31 _R12_NEW keys their first driver rows
+# and drains the remaining slots through the oldest greens; they earn
+# their first driver rows in round 14, covered until then by the
+# local check.py sweep + their tests.
+_R13_NEW: set[str] = set()
+
 
 def _rotated(keys) -> list[str]:
     """Waiting-longest-first key order (relative registration order
@@ -250,15 +259,17 @@ def _rotated(keys) -> list[str]:
     between rounds; the static _R0N_GREEN lists remain only as
     documentation of earlier rounds."""
     def tiered(waiting):
-        # Newer cohorts demote behind older waiting keys; _R12_NEW is
+        # Newer cohorts demote behind older waiting keys; _R13_NEW is
         # ALSO appended here (last) so tiered() is total over every
-        # registered key — callers still pre-filter _R12_NEW to place
+        # registered key — callers still pre-filter _R13_NEW to place
         # it behind the greens, but a missed upstream filter can no
         # longer silently drop a registry key (round-11 ADVICE).
-        # _R11_NEW rejoined the waiting tiers at round-12 start (the
-        # usual fold-in; the cohort is empty, so the slot is vacant).
+        # _R12_NEW rejoined the waiting tiers at round-13 start (the
+        # usual fold-in) — its 31 never-rowed keys now lead the
+        # window as the newest waiting cohort.
         cohorts = (_R05_NEW, _R06_NEW, _R06B_NEW, _R06C_NEW, _R07_NEW,
-                   _R08_NEW, _R09_NEW, _R10_NEW, _R11_NEW, _R12_NEW)
+                   _R08_NEW, _R09_NEW, _R10_NEW, _R11_NEW, _R12_NEW,
+                   _R13_NEW)
         older = [k for k in waiting
                  if not any(k in c for c in cohorts)]
         return older + sum(([k for k in waiting if k in c]
@@ -269,17 +280,17 @@ def _rotated(keys) -> list[str]:
         r2, r3 = set(_R02_GREEN), set(_R03_GREEN)
         waiting = tiered(
             [k for k in keys if k not in r2 and k not in r3
-             and k not in _R12_NEW])
+             and k not in _R13_NEW])
         return (waiting + [k for k in keys if k in r2]
                 + [k for k in keys if k in r3]
-                + [k for k in keys if k in _R12_NEW])
-    waiting = tiered([k for k in keys if k not in green and k not in _R12_NEW])
+                + [k for k in keys if k in _R13_NEW])
+    waiting = tiered([k for k in keys if k not in green and k not in _R13_NEW])
     seen = sorted((k for k in keys if k in green),
                   key=lambda k: green[k])  # stable: registry order within a round
-    # round-12 newcomers with no driver row yet go BEHIND the greens
-    # (see _R12_NEW comment); once a newcomer has a green row it
+    # round-13 newcomers with no driver row yet go BEHIND the greens
+    # (see _R13_NEW comment); once a newcomer has a green row it
     # sorts into `seen` like everyone else and this tail is empty
-    back = [k for k in keys if k in _R12_NEW and k not in green]
+    back = [k for k in keys if k in _R13_NEW and k not in green]
     return waiting + seen + back
 
 

@@ -18,12 +18,12 @@ registry.load_all()
 def test_waiting_keys_lead_the_window():
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
-    # round-12 newcomers are EXCLUDED from the waiting tier by design:
-    # the r11 verdict dedicates the round-12 window to the staleness
-    # drain (re-verifying the longest-waiting greens), so _R12_NEW
-    # keys go behind even the greens until round 13.
+    # round-13 newcomers are EXCLUDED from the waiting tier by design:
+    # the round-13 window belongs to the 31 _R12_NEW keys earning
+    # their first driver rows, so _R13_NEW keys go behind even the
+    # greens until round 14.
     waiting = [k for k in q
-               if k not in green and k not in entry._R12_NEW]
+               if k not in green and k not in entry._R13_NEW]
     # no green key may hold a window slot while a waiting key sits
     # outside it: the first min(|waiting|, 50) slots are all waiting
     head = q[:min(len(waiting), 50)]
@@ -52,22 +52,41 @@ def test_r09_newcomers_lead_the_round10_window():
         assert q.index(k) < 50, f"{k} outside the 50-key window"
 
 
-def test_r12_newcomers_sort_behind_every_green():
-    """Round-12 newcomers take NO window slot while the round-12
-    staleness drain re-verifies the longest-waiting greens: every
-    never-rowed _R12_NEW key must sort after every driver-green key
-    (they get their first rows in round 13)."""
+def test_r12_newcomers_lead_the_round13_window():
+    """The round-12 staleness drain completed in CORRECTNESS_r12
+    (0 fails), so the round-12 verdict's top priority is the 31
+    _R12_NEW keys earning their FIRST driver rows: every never-rowed
+    _R12_NEW key must sort ahead of every driver-green key (i.e.
+    inside the 50-key window)."""
     q = list(entry._rotated(registry.QUERIES))
     green = entry._driver_green()
-    back = [k for k in entry._R12_NEW
+    waiting12 = [k for k in entry._R12_NEW if k not in green]
+    if not waiting12:  # all have driver rows now — nothing to pin
+        return
+    first_green = min(q.index(k) for k in q if k in green)
+    for k in waiting12:
+        assert q.index(k) < first_green, (
+            f"{k} sits behind a green key — it misses its first "
+            f"driver row again")
+        assert q.index(k) < 50, f"{k} outside the 50-key window"
+
+
+def test_r13_newcomers_sort_behind_every_green():
+    """Round-13 newcomers take NO window slot while the round-13
+    window gives _R12_NEW its first rows and drains the oldest
+    greens: every never-rowed _R13_NEW key must sort after every
+    driver-green key (they get their first rows in round 14)."""
+    q = list(entry._rotated(registry.QUERIES))
+    green = entry._driver_green()
+    back = [k for k in entry._R13_NEW
             if k in set(q) and k not in green]
     if not back:  # all have driver rows now — demotion is over
         return
     last_green = max(q.index(k) for k in q if k in green)
     for k in back:
         assert q.index(k) > last_green, (
-            f"{k} holds a window slot while the staleness drain "
-            f"waits for re-verification slots")
+            f"{k} holds a window slot while longer-waiting keys "
+            f"sit outside it")
 
 
 def test_tiered_is_total_over_cohorted_keys():
@@ -138,8 +157,10 @@ def test_round5_newcomers_wait_behind_older_keys():
     waiting = [k for k in q if k not in green]
 
     def tier(k):
+        if k in entry._R13_NEW:
+            return 11     # behind even the greens (round-13 cohort)
         if k in entry._R12_NEW:
-            return 10     # behind even the greens (round-12 cohort)
+            return 10
         if k in entry._R11_NEW:
             return 9
         if k in entry._R10_NEW:
@@ -176,7 +197,7 @@ def test_every_registered_key_is_cohorted_or_green():
                | entry._R05_NEW | entry._R06_NEW | entry._R06B_NEW
                | entry._R06C_NEW | entry._R07_NEW | entry._R08_NEW
                | entry._R09_NEW | entry._R10_NEW | entry._R11_NEW
-               | entry._R12_NEW)
+               | entry._R12_NEW | entry._R13_NEW)
     stray = [k for k in registry.QUERIES
              if k not in green and k not in cohorts]
     assert not stray, (
