@@ -246,7 +246,9 @@ _R12_NEW: set[str] = {
 # and drains the remaining slots through the oldest greens; they earn
 # their first driver rows in round 14, covered until then by the
 # local check.py sweep + their tests.
-_R13_NEW: set[str] = set()
+_R13_NEW: set[str] = {
+    "q_token_budget_bpe", "q_dp_quantile",
+}
 
 
 def _rotated(keys) -> list[str]:

@@ -19,7 +19,7 @@ entirely in scaled-BIGINT arithmetic so both engines are bit-exact.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..io import evict_persisted_lru, load_tables, session_cache
 from ..registry import ORACLE as _ORACLE, query
@@ -1623,6 +1623,106 @@ def q_dp_histogram(spark, sf):
             .filter(F.col("n_released") >= _DP_HIST_TAU))
 
 
+#: Candidate domain for the DP quantile release: token lengths
+#: 1.._DPQ_DOMAIN as LITERALS — the released candidate set must be
+#: data-INDEPENDENT (a data-derived candidate list leaks support,
+#: the q_dp_histogram thresholding lesson from the other direction).
+#: Fixture lengths span 10-100 at every committed scale.
+_DPQ_DOMAIN = 128
+#: Released quantiles, in percent.
+_DPQ_PCTS = [25, 50, 75]
+#: Exponential-mechanism score, evaluated identically in both
+#: engines: eps=1 utility -|rank(v) - pct*n/100| with sensitivity 1
+#: kept in exact integers as -|100*cle - pct*n|/200, plus a
+#: Gumbel(0,1) draw from the md5 grid uniform (argmax of
+#: score+Gumbel IS an exponential-mechanism sample — the Gumbel-max
+#: identity), quantized at 1e-6 like the PSI ln terms so the float
+#: crossing is a single guarded boundary.
+_DPQ_SCORE_SQL = (
+    "CAST(floor((-abs(100 * cle - pct * n) / 200.0"
+    " + (- ln(- ln((uu + 0.5) / 4294967296.0))))"
+    " * 1000000 + 0.5) AS BIGINT)")
+
+
+@query("q_dp_quantile", oracle=f"""
+WITH h AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+                  count(*) AS cnt
+           FROM documents GROUP BY v),
+dom AS (SELECT CAST(i AS BIGINT) AS v
+        FROM generate_series(1, {_DPQ_DOMAIN}) t(i)),
+c AS (SELECT dom.v, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+      FROM dom LEFT JOIN h USING (v)),
+cc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cle,
+              CAST(sum(cnt) OVER () AS BIGINT) AS n
+       FROM c),
+s AS (SELECT p.pct, cc.v, cc.cle, cc.n,
+             {hexpoly_sql("md5(concat(cc.v, '#dpq', p.pct))")} AS uu
+      FROM cc CROSS JOIN
+           (SELECT CAST(unnest({_DPQ_PCTS}) AS BIGINT) AS pct) p),
+sq AS (SELECT pct, v, {_DPQ_SCORE_SQL} AS score_q FROM s),
+r AS (SELECT pct, v, row_number() OVER
+          (PARTITION BY pct ORDER BY score_q DESC, v) AS rn
+      FROM sq)
+SELECT pct, v AS value_released FROM r WHERE rn = 1
+""")
+def q_dp_quantile(spark, sf):
+    """Differentially-private QUANTILE release via the exponential
+    mechanism — completes the DP release family (count / sum /
+    histogram / quantile): for each target percentile the mechanism
+    scores every candidate token length v in the LITERAL domain
+    1..{_DPQ_DOMAIN} by how close v's rank sits to the target
+    (utility -|rank - pct*n/100|, sensitivity 1, eps=1) and samples
+    one candidate via the Gumbel-max identity (argmax of
+    utility/2 + Gumbel(0,1) is exactly an exponential-mechanism
+    draw — McSherry-Talwar 2007, the canonical DP median algorithm).
+    The domain is data-INDEPENDENT literals: a data-derived
+    candidate set would leak support, the same leak
+    q_dp_histogram's thresholding closes.
+
+    Determinism vs DP, stated honestly (the q_dp_count caveat): the
+    Gumbel draws come from the md5 grid uniform so the DuckDB oracle
+    replays the release bit-for-bit; swap the uniform column for a
+    CSPRNG and the plan is unchanged. Utilities stay exact integers
+    (-|100*cle - pct*n|/200 — the scaled-integer discipline); floats
+    enter only in the shared quantized score expression
+    (_DPQ_SCORE_SQL, the q_quality_drift ln-quantization precedent),
+    identical text in both engines.
+
+    Scale: ONE map-side-combined length histogram (≤|domain| rows
+    out of the corpus scan), then every stage is |domain|-row
+    bounded: the cumulative-rank window, |domain|x|pcts| scores, and
+    a |pcts|-row release. Nothing grows with the corpus."""
+    d = load_tables(spark, sf)["documents"]
+    h = (d.groupBy(F.size(F.split("text", " "))
+                   .cast("long").alias("v"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    dom = (spark.range(1, _DPQ_DOMAIN + 1)
+           .select(F.col("id").cast("long").alias("v")))
+    c = (dom.join(F.broadcast(h), "v", "left")
+         .select("v", F.coalesce("cnt", F.lit(0)).cast("long")
+                 .alias("cnt")))
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wn = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    cc = c.select(
+        "v",
+        F.sum("cnt").over(wc).cast("long").alias("cle"),
+        F.sum("cnt").over(wn).cast("long").alias("n"))
+    s = (cc.crossJoin(
+            F.broadcast(spark.range(1).select(F.explode(F.array(
+                *[F.lit(p) for p in _DPQ_PCTS])).alias("p"))
+                .select(F.col("p").cast("long").alias("pct"))))
+         .withColumn("uu", F.expr(
+             hexpoly_sql("md5(concat(v, '#dpq', pct))")))
+         .withColumn("score_q", F.expr(_DPQ_SCORE_SQL)))
+    wr = Window.partitionBy("pct").orderBy(
+        F.col("score_q").desc(), "v")
+    return (s.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select("pct", F.col("v").alias("value_released")))
+
+
 # ------------------------------------------ semantic contamination
 
 #: Cosine threshold for the semantic eval-leak detector. 0.32 sits in
@@ -1836,7 +1936,7 @@ SELECT {m} AS m_bits,
        (SELECT count(*) FROM (
             SELECT gh FROM ({probes}) pr
             JOIN ({bits}) bt USING (p)
-            GROUP BY gh HAVING count(DISTINCT p) = {_BLOOM_K}))
+            GROUP BY gh HAVING count(*) = {_BLOOM_K}))
            AS n_pass""")
     return f"""
 WITH {_CONTAM_CTES},
@@ -1914,9 +2014,16 @@ def q_contamination_bloom_eval(spark, sf):
                 .distinct())
         probes = corp.select(
             "gh", F.explode(F.array(*pos)).alias("p"))
+        # each gram contributes exactly k probe ROWS (one per hash
+        # slot, duplicate positions kept); bits is a DISTINCT
+        # position set, so a probe row survives the join iff its
+        # slot's bit is set, and count(*)==k tests every slot
+        # individually — real bloom membership even when a gram's
+        # md5-derived positions collide (countDistinct(p)==k failed
+        # such grams: a true member could be rejected)
         passed = (probes.join(F.broadcast(bits), "p")
                   .groupBy("gh")
-                  .agg(F.countDistinct("p").alias("k"))
+                  .agg(F.count(F.lit(1)).alias("k"))
                   .filter(F.col("k") == _BLOOM_K)
                   .agg(F.count(F.lit(1)).alias("n_pass")))
         row = (passed.crossJoin(F.broadcast(tested))

@@ -1506,16 +1506,21 @@ def q_stream_quality_drift(spark, sf):
     # the gate sink self-joins four ways below; SQL over a named view
     # gives each branch its own resolved attributes (DataFrame-API
     # self-joins of one MemorySink view hit conflicting-attribute
-    # analysis errors)
-    g.createOrReplaceTempView("_engine_psi_gate")
+    # analysis errors). The view name carries the sf digest like the
+    # sibling keys' memory-sink names, so invoking the key for two
+    # scale dirs (or concurrently) in one session never clobbers a
+    # live view.
+    view = ("_engine_psi_gate_"
+            + hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8])
+    g.createOrReplaceTempView(view)
     return spark.sql(f"""
 WITH sc AS (SELECT source, bucket, n_docs AS n_sb
-            FROM _engine_psi_gate),
-ns AS (SELECT source, sum(n_docs) AS n_s FROM _engine_psi_gate
+            FROM {view}),
+ns AS (SELECT source, sum(n_docs) AS n_s FROM {view}
        GROUP BY source),
-bc AS (SELECT bucket, sum(n_docs) AS n_b FROM _engine_psi_gate
+bc AS (SELECT bucket, sum(n_docs) AS n_b FROM {view}
        GROUP BY bucket),
-nn AS (SELECT sum(n_docs) AS n FROM _engine_psi_gate),
+nn AS (SELECT sum(n_docs) AS n FROM {view}),
 grid AS (SELECT ns.source, bk.bucket
          FROM ns CROSS JOIN (SELECT explode(array('low', 'mid',
                                                   'high')) AS bucket)

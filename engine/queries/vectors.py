@@ -743,11 +743,13 @@ z AS (
          {sql_rnd(
              '(CAST(nsq AS DOUBLE) - CAST(sv AS DOUBLE)'
              ' / CAST(n AS DOUBLE))'
-             ' / sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)'
+             ' / nullif(sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)'
              ' - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))'
-             ' * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))', 4)} AS z
+             ' * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))), 0)',
+             4)} AS z
   FROM n CROSS JOIN s)
-SELECT vec_id, norm_sq, z, (abs(z) > 2.0) AS is_outlier
+SELECT vec_id, norm_sq, z,
+       coalesce(abs(z) > 2.0, false) AS is_outlier
 FROM z
 """)
 def q_embed_outlier_vecs(spark, sf):
@@ -788,12 +790,18 @@ def q_embed_outlier_vecs(spark, sf):
                   .alias("sq")).collect()[0]
     cnt, svv, sq = stats["n"], stats["sv"], stats["sq"]
     mu = F.lit(float(svv)) / F.lit(float(cnt))
-    sig = F.sqrt(F.lit(float(sq)) / F.lit(float(cnt)) - mu * mu)
+    # zero-variance corpus (e.g. unit-normalized embeddings: every
+    # squared norm identical) → sig 0; nullif keeps z NULL and the
+    # flag false instead of divide-by-zero NaN/Inf, mirroring the
+    # oracle's nullif/coalesce pair
+    sig = F.nullif(
+        F.sqrt(F.lit(float(sq)) / F.lit(float(cnt)) - mu * mu),
+        F.lit(0.0))
     z = rnd((F.col("nsq").cast("double") - mu) / sig, 4)
     return n.select(
         "vec_id",
         rnd(F.col("nsq").cast("double") / 1000000000000.0, 6)
             .alias("norm_sq"),
         z.alias("z"),
-        (F.abs(z) > 2.0).alias("is_outlier"),
+        F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_outlier"),
     )

@@ -192,6 +192,18 @@ DOC_KEYS = [
     # budget's ranking is the deliberate brute-force GEMM baseline
     # (the shared _chunked_cos_topk kernel), composed against the
     # same brute truth.
+    # round-13 backfill (verdict r12 item 2 — the round-12 keys that
+    # had neither a probe row nor an exclusion note):
+    # q_dp_histogram (documents grow 10x; one map-side count
+    # aggregate to |buckets| rows, codegen noise CASE + literal
+    # threshold after),
+    # q_langid_eval (documents grow 10x; two map-side aggregates
+    # over the probed q_text_langid verdict frame + one |langs|-row
+    # broadcast join),
+    # q_tokenizer_eval (documents grow 10x in the memoized word-TYPE
+    # aggregate; the merge-grid loop then runs on the type table,
+    # which grows sub-linearly — the q_tokenizer_fit shape).
+    "q_dp_histogram", "q_langid_eval", "q_tokenizer_eval",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -453,13 +465,20 @@ def main() -> None:
         run_x100rel(spark)
         return
 
+    # positional args filter the probed keys (exact names) so a
+    # round's backfill can measure just its new keys; with a filter,
+    # --emit-json MERGES the new rows into the existing artifact
+    # instead of overwriting the full sweep.
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    probe_keys = [k for k in DOC_KEYS + REL_KEYS
+                  if not only or k in only]
     rows: dict[str, dict[str, float]] = {}
     for sf in ("/root/testdata/sf0.01", BASE, OUT):
         t = load_tables(spark, sf)
         for name in ("documents", "embeddings", "lineitem", "orders"):
             t[name].cache().count()
         row = {}
-        for k in DOC_KEYS + REL_KEYS:
+        for k in probe_keys:
             # min-of-2, third pass inside each scale's own noise
             # band: the growth RATIO divides base into x10, so a GC
             # tail on EITHER side distorts the flagged factor. The
@@ -487,7 +506,7 @@ def main() -> None:
         print(json.dumps({"scale": label, "seconds": row}), flush=True)
 
     if "--emit-json" in sys.argv:
-        emit_artifact(rows)
+        emit_artifact(rows, merge=bool(only))
 
 
 # Keys whose measured shape is quadratic ON PURPOSE: brute-force
@@ -511,7 +530,7 @@ _SUPERLINEAR_FACTOR = 12.0
 
 
 def emit_artifact(rows: dict[str, dict[str, float]],
-                  path: str = "SCALE.json") -> None:
+                  path: str = "SCALE.json", merge: bool = False) -> None:
     """Write the driver/judge-visible scaling artifact: raw measured
     seconds per (key, scale) plus the fitted 10x growth factor
     t(10x)/t(sf0.1) for every probed key.  A growth factor near 1 at
@@ -521,6 +540,18 @@ def emit_artifact(rows: dict[str, dict[str, float]],
     attaches the summary to its JSON line so the per-round BENCH
     artifact carries the scaling evidence, not just absolute times."""
     here = os.path.dirname(os.path.abspath(__file__))
+    if merge and os.path.exists(os.path.join(here, path)):
+        # targeted backfill: fold the new rows into the recorded full
+        # sweep, then recompute every derived field from the merged
+        # seconds so the artifact stays internally consistent
+        with open(os.path.join(here, path)) as f:
+            prior = json.load(f).get("seconds", {})
+        for scale, row in rows.items():
+            merged = dict(prior.get(scale, {}))
+            merged.update(row)
+            rows[scale] = merged
+        for scale, row in prior.items():
+            rows.setdefault(scale, row)
     x10 = rows.get("engine_scale_x10", {})
     base = rows.get("sf0.1", {})
     growth = {
