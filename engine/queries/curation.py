@@ -1978,42 +1978,57 @@ def q_contamination_bloom_eval(spark, sf):
     # (session, sf) and persisted — the gram-dup pipeline's r10
     # headroom-buy pattern; blocks materialize once inside the first
     # stage that needs them and every later branch reuses them. The
-    # k seed-tagged md5s are computed ONCE as columns inside the
-    # persisted frames (hex32_sql's own rule: md5 into a column +
-    # hexpoly_col, never the 8x-inlined textual form in engine
-    # plans); per-size positions are then one conv + one modulo.
+    # k seed-tagged positions are computed AND exploded once at the
+    # LARGEST size (every size divides it — asserted), so the
+    # persisted probe frames hold (gh, p64) longs and each size's
+    # probes/bits are a single integer modulo over the persisted
+    # rows: (x % M) % m == x % m whenever m | M. The round-12
+    # formulation recomputed 3 md5+conv per row per size (9x) and
+    # exploded per size; this stacked form was the remaining cost
+    # the round-12 verdict flagged against the 3 s gate.
+    from .util import hexpoly_col
+    m_top = max(_BLOOM_SIZES)
+    assert all(m_top % m == 0 for m in _BLOOM_SIZES), \
+        "stacked positions need every size to divide the largest"
     cache = session_cache(spark, "_engine_bloom_eval_cache")
     ck = sf.rstrip("/")
     if ck not in cache:
-        def with_m(frame):
-            return frame.select("gh", *[
-                F.md5(F.concat(F.col("gh"), F.lit(f"#b{j}"))
-                      .cast("binary")).alias(f"m{j}")
-                for j in range(_BLOOM_K)])
+        def px(frame):
+            pos = [
+                (hexpoly_col(
+                    F.md5(F.concat(F.col("gh"), F.lit(f"#b{j}"))
+                          .cast("binary"))) % m_top).alias(f"p{j}")
+                for j in range(_BLOOM_K)]
+            return (frame.select("gh", *pos)
+                    .select("gh", F.explode(F.array(
+                        *[f"p{j}" for j in range(_BLOOM_K)]))
+                        .alias("p64"))
+                    .persist())
 
         grams = _contam_grams(spark, sf)
         cache[ck] = (
-            with_m(grams.filter(F.col("doc_id") % 97 == 0)
-                   .select("gh").distinct()).persist(),
-            with_m(grams.filter(F.col("doc_id") % 97 != 0)
-                   .select("gh").distinct()).persist())
+            px(grams.filter(F.col("doc_id") % 97 == 0)
+               .select("gh").distinct()),
+            px(grams.filter(F.col("doc_id") % 97 != 0)
+               .select("gh").distinct()))
     hold, corp = cache[ck]
-    from .util import hexpoly_col
     # everything stays LAZY — per size, three 1-row aggregates are
     # cross-joined and the sizes unioned, so the whole table is ONE
     # action (eager per-size .count() actions re-scanned the gram
-    # lineage 8 times; measured 2.5x slower at sf0.1)
-    tested = corp.agg(F.count(F.lit(1)).alias("n_tested"))
-    true_ = (corp.join(F.broadcast(hold), "gh")
-             .agg(F.count(F.lit(1)).alias("n_true")))
+    # lineage 8 times; measured 2.5x slower at sf0.1). Gram counts
+    # come from the exploded frames (exactly k rows per gram).
+    tested = corp.agg((F.count(F.lit(1)) / _BLOOM_K).cast("long")
+                      .alias("n_tested"))
+    true_ = (corp.join(
+                F.broadcast(hold.select("gh").distinct()), "gh")
+             .agg((F.count(F.lit(1)) / _BLOOM_K).cast("long")
+                  .alias("n_true")))
     out = None
     for m in _BLOOM_SIZES:
-        pos = [(hexpoly_col(f"m{j}") % m).alias(f"p{j}")
-               for j in range(_BLOOM_K)]
-        bits = (hold.select(F.explode(F.array(*pos)).alias("p"))
+        bits = (hold.select((F.col("p64") % m).alias("p"))
                 .distinct())
         probes = corp.select(
-            "gh", F.explode(F.array(*pos)).alias("p"))
+            "gh", (F.col("p64") % m).alias("p"))
         # each gram contributes exactly k probe ROWS (one per hash
         # slot, duplicate positions kept); bits is a DISTINCT
         # position set, so a probe row survives the join iff its
