@@ -253,6 +253,12 @@ HEADLINE = [
     "q_stream_quality_drift",
     # q_sim_eval_truncated is excluded (q_dedup_eval rule): four
     # brute-force GEMM rankings composed against the brute truth.
+    # round 13: the BPE-unit budget planner (enters like
+    # q_pack_schedule — the composed tokenizer lineage is part of
+    # the measured work) and the exponential-mechanism quantile
+    # release (one corpus scan + |domain|-row windows).
+    "q_token_budget_bpe",
+    "q_dp_quantile",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that
