@@ -247,7 +247,7 @@ _R12_NEW: set[str] = {
 # their first driver rows in round 14, covered until then by the
 # local check.py sweep + their tests.
 _R13_NEW: set[str] = {
-    "q_token_budget_bpe", "q_dp_quantile",
+    "q_token_budget_bpe", "q_dp_quantile", "q_contamination_bloom",
 }
 
 

@@ -259,6 +259,10 @@ HEADLINE = [
     # release (one corpus scan + |domain|-row windows).
     "q_token_budget_bpe",
     "q_dp_quantile",
+    # round 13: the production bloom-prefiltered decontamination
+    # gate (the eval table's configured operator — broadcast bit-set
+    # + exact confirm over the pass subset only).
+    "q_contamination_bloom",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -2143,3 +2143,91 @@ def q_pii_report(spark, sf):
         F.expr("(1000000 * n_quarantined) div n_docs")
         .alias("quarantine_ppm"),
     )
+
+
+#: Production bloom size for q_contamination_bloom — read OFF the
+#: q_contamination_bloom_eval table (that is what the sizing table is
+#: for): the smallest graded size whose false-positive load stays a
+#: small multiple of true hits at every committed scale (4096 floods
+#: at sf0.1 — 122k of 209k grams pass; 65536 leaves the FP branch
+#: vacuous below sf0.1). Must divide max(_BLOOM_SIZES) so it shares
+#: the eval's stacked-position identity.
+_BLOOM_PROD_M = 16384
+
+
+def _bloom_prod_oracle() -> str:
+    bits = " UNION ".join(
+        f"SELECT {_bloom_pos_sql('gh', j, _BLOOM_PROD_M)} AS p FROM hold"
+        for j in range(_BLOOM_K))
+    probes = " UNION ALL ".join(
+        f"SELECT doc_id, gh, {_bloom_pos_sql('gh', j, _BLOOM_PROD_M)} AS p"
+        f" FROM corp" for j in range(_BLOOM_K))
+    return f"""
+WITH {_CONTAM_CTES},
+corp AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 97 <> 0),
+pass AS (SELECT doc_id, gh FROM ({probes}) pr
+         JOIN ({bits}) bt USING (p)
+         GROUP BY doc_id, gh HAVING count(*) = {_BLOOM_K})
+SELECT pa.doc_id, count(*) AS n_pass_bloom,
+       count(h.gh) AS n_shared
+FROM pass pa LEFT JOIN hold h USING (gh)
+GROUP BY pa.doc_id
+"""
+
+
+@query("q_contamination_bloom", oracle=_bloom_prod_oracle())
+def q_contamination_bloom(spark, sf):
+    """PRODUCTION bloom-prefiltered decontamination gate — the
+    operator the q_contamination_bloom_eval sizing table exists to
+    configure, closing the eval→production loop the way
+    q_sim_eval_ivf configures q_sim_ivf_topk: the holdout's 4-gram
+    hashes fill an m={_BLOOM_PROD_M}-bit bloom (k=3, the eval's
+    exact per-slot semantics — no false negatives by construction),
+    every distinct corpus (doc, gram) probes its 3 positions, and
+    only bloom-PASSING grams reach the exact holdout join. Output
+    per flagged doc: grams passing the filter and grams confirmed
+    shared — n_shared reproduces q_contamination EXACTLY for every
+    doc with a confirmed hit (pinned), while n_pass_bloom >
+    n_shared rows price the false-positive work the filter lets
+    through at this size.
+
+    Why this is the 100 TB shape: q_contamination broadcasts the
+    full holdout gram SET (hash strings — tens of MB at benchmark
+    scale); this gate broadcasts m bits worth of DISTINCT POSITIONS
+    (≤ 2 KB·k at m=16384) and the expensive exact join runs only
+    over the bloom-pass subset (5% of corpus grams at sf0.1 —
+    measured in the eval table). m is read off the registered eval
+    (smallest size whose FP load stays a small multiple of true
+    hits at every committed scale) and must divide the eval's
+    largest size, so the stacked-position identity
+    (x % 65536) % m == x % m keeps the two keys' positions
+    mutually consistent."""
+    grams = _contam_grams(spark, sf)
+    hold_g = (grams.filter(F.col("doc_id") % 97 == 0)
+              .select("gh").distinct())
+    corp = (grams.filter(F.col("doc_id") % 97 != 0)
+            .select("doc_id", "gh").distinct())
+
+    def pos(j):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.col("gh"), F.lit(f"#b{j}"))
+                  .cast("binary")), 1, 8), 16, 10).cast("long")
+            % _BLOOM_PROD_M)
+
+    bits = (hold_g.select(F.explode(F.array(
+                *[pos(j) for j in range(_BLOOM_K)])).alias("p"))
+            .distinct())
+    probes = corp.select(
+        "doc_id", "gh",
+        F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)]))
+        .alias("p"))
+    passed = (probes.join(F.broadcast(bits), "p")
+              .groupBy("doc_id", "gh")
+              .agg(F.count(F.lit(1)).alias("k"))
+              .filter(F.col("k") == _BLOOM_K))
+    return (passed.join(
+                F.broadcast(hold_g.withColumn("hit", F.lit(1))),
+                "gh", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pass_bloom"),
+                 F.count("hit").cast("long").alias("n_shared")))

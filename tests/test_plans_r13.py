@@ -146,3 +146,44 @@ def test_dp_quantile_matches_python_mechanism_replay(spark, sf_dir):
                   for x in range(1, _DPQ_DOMAIN + 1))
         got = -abs(100 * cle[v] - pct * n)
         assert (opt - got) / 100.0 <= 2 * (math.log(_DPQ_DOMAIN) + 5)
+
+
+def test_contamination_bloom_gate_reconciles_with_detector(
+        spark, sf_dir):
+    """The production gate must reproduce q_contamination exactly on
+    the confirmed lane: for every doc with n_shared > 0 the count
+    equals the registered detector's n_shared (no false negatives by
+    construction — the per-slot membership semantics), every
+    detector-flagged doc appears, n_pass_bloom >= n_shared
+    everywhere, and the FP branch is non-vacuous at the production
+    size (some row has n_pass_bloom > n_shared — otherwise the
+    filter grades nothing at this m)."""
+    det = {r["doc_id"]: r["n_shared"] for r in
+           QUERIES["q_contamination"](spark, sf_dir).collect()}
+    gate = {r["doc_id"]: r for r in
+            QUERIES["q_contamination_bloom"](spark, sf_dir).collect()}
+    confirmed = {d: r["n_shared"] for d, r in gate.items()
+                 if r["n_shared"] > 0}
+    assert confirmed == det
+    assert all(r["n_pass_bloom"] >= r["n_shared"]
+               for r in gate.values())
+    assert any(r["n_pass_bloom"] > r["n_shared"]
+               for r in gate.values()), (
+        "no bloom false positives at the production size — the "
+        "prefilter is vacuous on this fixture")
+
+
+def test_contamination_bloom_plan_is_broadcast_only(spark, sf_dir):
+    """Both joins (bit set, exact confirm) must be broadcast — the
+    corpus gram side never shuffles for a join; and the production
+    size must divide the eval's largest size (the stacked-position
+    identity both keys rely on)."""
+    from engine.queries.curation import _BLOOM_PROD_M, _BLOOM_SIZES
+
+    assert max(_BLOOM_SIZES) % _BLOOM_PROD_M == 0
+    plan = (QUERIES["q_contamination_bloom"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    for word in ("SortMergeJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BatchEvalPython"):
+        assert word not in plan, word
