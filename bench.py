@@ -263,6 +263,11 @@ HEADLINE = [
     # gate (the eval table's configured operator — broadcast bit-set
     # + exact confirm over the pass subset only).
     "q_contamination_bloom",
+    # round 13: join-key skew diagnostics (three map-side count
+    # aggregates) and the three-lane incremental join refresh
+    # (broadcast delta lanes + |groups|-row merge).
+    "q_join_skew_report",
+    "q_incr_join_refresh",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -934,3 +934,69 @@ def q_bitmap_rollup(spark, sf):
     days = daily.groupBy("event_type").agg(
         F.countDistinct("day").alias("n_days"))
     return users.join(F.broadcast(days), "event_type")
+
+
+@query("q_incr_join_refresh", oracle="""
+WITH j AS (SELECT o.o_orderstatus, c.c_mktsegment,
+                  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS cents
+           FROM orders o JOIN customer c
+             ON o.o_custkey = c.c_custkey)
+SELECT o_orderstatus, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM j GROUP BY o_orderstatus, c_mktsegment
+""")
+def q_incr_join_refresh(spark, sf):
+    """Incremental JOIN-view maintenance — the delta-join identity
+    every materialized join view at 100 TB lives by, completing the
+    incremental lane (q_incr_agg maintains an AGGREGATE under
+    appends; this maintains a JOIN): with deterministic delta slices
+    Δo (o_orderkey ≡ 0 mod 13) and Δc (c_custkey ≡ 0 mod 17), the
+    refreshed view is EXACTLY
+
+        base_o ⋈ base_c  ∪  Δo ⋈ c_full  ∪  base_o ⋈ Δc
+
+    (the standard ΔJ expansion — the Δo⋈Δc corner lives inside the
+    Δo⋈c_full term). The Spark side computes the three lanes, each
+    REDUCED to its partial (status, segment) aggregate, and
+    sum-merges them — the real refresh shape, where the base lane is
+    the standing MV you read, not recompute, and only the delta
+    lanes do new join work. The oracle is the full recompute over
+    the updated tables, so the driver hash proves the incremental
+    identity, not just plausibility.
+
+    Scale: the delta lanes join BROADCAST deltas (a day's arrivals
+    vs the corpus — plan-pinned); the merge is |groups| rows. At
+    100 TB the base lane is a stored table: total refresh work is
+    O(Δ) + |groups|, never a second full join."""
+    t = load_tables(spark, sf)
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+         .cast("long").alias("cents"))
+    c = t["customer"].select("c_custkey", "c_mktsegment")
+    base_o = o.filter(F.col("o_orderkey") % 13 != 0)
+    dlt_o = o.filter(F.col("o_orderkey") % 13 == 0)
+    base_c = c.filter(F.col("c_custkey") % 17 != 0)
+    dlt_c = c.filter(F.col("c_custkey") % 17 == 0)
+
+    def lane(orders, custs, bcast=None):
+        left = F.broadcast(orders) if bcast == "left" else orders
+        right = F.broadcast(custs) if bcast == "right" else custs
+        j = left.join(right, orders.o_custkey == custs.c_custkey)
+        return j.groupBy("o_orderstatus", "c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"))
+
+    # standing MV (recomputed here only because the fixture has no
+    # stored state; production reads it) + the two O(Δ) lanes, each
+    # broadcasting its DELTA side
+    mv = lane(base_o, base_c)
+    d1 = lane(dlt_o, c, bcast="left")         # Δo against full c
+    d2 = lane(base_o, dlt_c, bcast="right")   # base against Δc
+    return (mv.unionByName(d1).unionByName(d2)
+            .groupBy("o_orderstatus", "c_mktsegment")
+            .agg(F.sum("n_orders").cast("long").alias("n_orders"),
+                 F.sum("total_cents").cast("long")
+                 .alias("total_cents")))

@@ -269,3 +269,76 @@ def q_linreg_group(spark, sf):
             / F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy),
                        F.lit(0.0)), 6).alias("r2"),
     )
+
+
+#: (relation, key) pairs graded by q_join_skew_report — the three
+#: biggest fact-side join keys in the fixture star schema.
+_SKEW_KEYS = [("lineitem", "l_orderkey"), ("orders", "o_custkey"),
+              ("events", "user_id")]
+
+
+def _skew_oracle() -> str:
+    per = " UNION ALL ".join(
+        f"SELECT '{rel}' AS rel, '{key}' AS key,"
+        f" CAST(sum(n) AS BIGINT) AS n_rows,"
+        f" CAST(count(*) AS BIGINT) AS n_keys,"
+        f" CAST(max(n) AS BIGINT) AS max_rows FROM"
+        f" (SELECT {key} AS k, count(*) AS n FROM {rel} GROUP BY k) c"
+        for rel, key in _SKEW_KEYS)
+    return f"""
+WITH a AS ({per})
+SELECT rel, key, n_rows, n_keys, max_rows,
+       CAST(CAST(100 AS HUGEINT) * max_rows * n_keys // n_rows
+            AS BIGINT) AS skew_x100,
+       CAST(1000000 * max_rows // n_rows AS BIGINT) AS top_share_ppm,
+       CAST(least(32, greatest(1,
+            CAST(CAST(max_rows AS HUGEINT) * n_keys // n_rows
+                 AS BIGINT))) AS BIGINT) AS salt_hint
+FROM a
+"""
+
+
+@query("q_join_skew_report", oracle=_skew_oracle())
+def q_join_skew_report(spark, sf):
+    """Join-key SKEW diagnostics — the table a 100 TB join planner
+    reads before choosing a strategy, completing the skew lane that
+    q_join_salted executes and AQE handles at runtime: per (fact
+    relation, join key) the row/key counts, the heaviest key's row
+    count, the skew factor x100 (max over mean rows per key — 100
+    means perfectly uniform), the heaviest key's corpus share in
+    ppm, and a salt hint (the max/mean ratio clamped to [1, 32] —
+    the nsalt q_join_salted's replication actually needs; 1 means
+    don't salt). Plan-time salting needs plan-time evidence; this is
+    that evidence as a first-class query.
+
+    Arithmetic: max_rows * n_keys crosses 2^63 at 100 TB fact sizes
+    (1e9 rows x 1e9 keys), so the skew products run in the 128-bit
+    lane (decimal(38,0) on Spark, HUGEINT in the oracle — the
+    q_token_budget prod128 rule); everything else is exact BIGINT.
+
+    Scale: per relation ONE map-side-combinable count aggregate
+    (|keys| rows out of the scan) collapsed immediately into a 1-row
+    min/max/sum aggregate — the q_profile_columns shape; output is
+    |graded keys| rows at any corpus size, and nothing joins."""
+    t = load_tables(spark, sf)
+    out = None
+    for rel, key in _SKEW_KEYS:
+        c = (t[rel].groupBy(F.col(key).alias("k"))
+             .agg(F.count(F.lit(1)).alias("n")))
+        a = (c.agg(F.sum("n").cast("long").alias("n_rows"),
+                   F.count(F.lit(1)).cast("long").alias("n_keys"),
+                   F.max("n").cast("long").alias("max_rows"))
+             .select(F.lit(rel).alias("rel"), F.lit(key).alias("key"),
+                     "n_rows", "n_keys", "max_rows"))
+        out = a if out is None else out.unionByName(a)
+    return out.select(
+        "rel", "key", "n_rows", "n_keys", "max_rows",
+        F.expr("CAST(CAST(100 AS DECIMAL(38,0)) * max_rows * n_keys"
+               " div n_rows AS BIGINT)").alias("skew_x100"),
+        F.expr("CAST(1000000 * max_rows div n_rows AS BIGINT)")
+         .alias("top_share_ppm"),
+        F.expr("CAST(least(32, greatest(1,"
+               " CAST(CAST(max_rows AS DECIMAL(38,0)) * n_keys"
+               " div n_rows AS BIGINT))) AS BIGINT)")
+         .alias("salt_hint"),
+    )

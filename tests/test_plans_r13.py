@@ -187,3 +187,60 @@ def test_contamination_bloom_plan_is_broadcast_only(spark, sf_dir):
     for word in ("SortMergeJoin", "ShuffledHashJoin",
                  "CartesianProduct", "BatchEvalPython"):
         assert word not in plan, word
+
+
+def test_join_skew_report_matches_python_replay(spark, sf_dir):
+    """Every diagnostic reproduces from a Counter replay of the raw
+    key columns, and the salt hint is the clamped max/mean ratio."""
+    from collections import Counter
+
+    from engine.queries.profiling import _SKEW_KEYS
+
+    rows = {(r["rel"], r["key"]): r for r in
+            QUERIES["q_join_skew_report"](spark, sf_dir).collect()}
+    assert set(rows) == set(_SKEW_KEYS)
+    for rel, key in _SKEW_KEYS:
+        c = Counter(x[key] for x in spark.read.parquet(
+            f"{sf_dir}/{rel}.parquet").select(key).collect())
+        r = rows[(rel, key)]
+        n_rows, n_keys, mx = sum(c.values()), len(c), max(c.values())
+        assert r["n_rows"] == n_rows
+        assert r["n_keys"] == n_keys
+        assert r["max_rows"] == mx
+        assert r["skew_x100"] == 100 * mx * n_keys // n_rows
+        assert r["top_share_ppm"] == 1_000_000 * mx // n_rows
+        assert r["salt_hint"] == min(32, max(1, mx * n_keys // n_rows))
+
+
+def test_incr_join_refresh_identity_and_broadcast_deltas(
+        spark, sf_dir):
+    """The three-lane incremental refresh must equal the full-join
+    recompute cell for cell (the delta-join identity the oracle hash
+    also proves), the delta slices must be non-vacuous, and the plan
+    must contain broadcast joins for the delta lanes."""
+    from collections import defaultdict
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+    c = {r["c_custkey"]: r["c_mktsegment"] for r in
+         spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .select("c_custkey", "c_mktsegment").collect()}
+    assert any(r["o_orderkey"] % 13 == 0 for r in o), "empty delta-o"
+    assert any(k % 17 == 0 for k in c), "empty delta-c"
+    import math
+    full = defaultdict(lambda: [0, 0])
+    for r in o:
+        seg = c.get(r["o_custkey"])
+        if seg is None:
+            continue
+        cell = full[(r["o_orderstatus"], seg)]
+        cell[0] += 1
+        cell[1] += math.floor(r["o_totalprice"] * 100 + 0.5)
+    got = {(r["o_orderstatus"], r["c_mktsegment"]):
+           (r["n_orders"], r["total_cents"]) for r in
+           QUERIES["q_incr_join_refresh"](spark, sf_dir).collect()}
+    assert got == {k: tuple(v) for k, v in full.items()}
+    plan = (QUERIES["q_incr_join_refresh"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
