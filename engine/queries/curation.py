@@ -2231,3 +2231,4 @@ def q_contamination_bloom(spark, sf):
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pass_bloom"),
                  F.count("hit").cast("long").alias("n_shared")))
+

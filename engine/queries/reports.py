@@ -1,0 +1,132 @@
+"""Cross-family composite reports.
+
+Loads LAST in engine.registry._MODULES: these keys compose ORACLE
+strings registered by llm / pipeline / curation, so they must import
+after every producer (curation itself is transitively imported during
+llm's import, which is why the dataset card cannot live there — the
+q_token_budget oracle does not exist yet at that point).
+
+Reference (GFleishman/dask_stitch, stitch.py:7-121) has no reporting
+surface; this extends the engine's governance family
+(q_dedup_report / q_contamination_report / q_ingest_report).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..io import load_tables
+from ..registry import ORACLE as _ORACLE, query
+
+from .curation import q_pii_report  # noqa: E402
+
+
+def _data_card_oracle() -> str:
+    from .llm import QC_BUCKET_SQL, QC_LOGIT_SQL, QC_T_SQL
+    return f"""
+WITH tb AS ({_ORACLE['q_token_budget']}),
+de AS ({_ORACLE['q_dedup_exact']}),
+dup AS (SELECT d.source, count(*) AS n_dup
+        FROM documents d JOIN de ON md5(d.text) = de.h
+        WHERE d.doc_id <> de.keeper GROUP BY d.source),
+lg AS ({_ORACLE['q_text_langid']}),
+lc AS (SELECT d.source, lg.lang_guess, count(*) AS n
+       FROM lg JOIN documents d USING (doc_id)
+       GROUP BY d.source, lg.lang_guess),
+ltop AS (SELECT source, lang_guess AS top_lang, n FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY n DESC, lang_guess) AS rn FROM lc)
+         WHERE rn = 1),
+pr AS ({_ORACLE['q_pii_report']}),
+t AS ({QC_T_SQL}),
+sc AS (SELECT doc_id, {QC_LOGIT_SQL} AS logit FROM t),
+qb AS (SELECT doc_id, {QC_BUCKET_SQL} AS bucket FROM sc),
+qh AS (SELECT d.source,
+              count(CASE WHEN qb.bucket = 'high' THEN 1 END)
+                  AS n_high
+       FROM qb JOIN documents d USING (doc_id) GROUP BY d.source)
+SELECT tb.source, tb.n_docs, tb.n_tokens,
+       CAST(1000000 * coalesce(dup.n_dup, 0) // tb.n_docs AS BIGINT)
+           AS dup_ppm,
+       ltop.top_lang,
+       CAST(1000000 * ltop.n // tb.n_docs AS BIGINT) AS top_lang_ppm,
+       pr.quarantine_ppm AS pii_quarantine_ppm,
+       CAST(1000000 * qh.n_high // tb.n_docs AS BIGINT)
+           AS quality_high_ppm
+FROM tb
+LEFT JOIN dup USING (source)
+JOIN ltop USING (source)
+JOIN pr USING (source)
+JOIN qh USING (source)
+"""
+
+
+@query("q_data_card", oracle=_data_card_oracle())
+def q_data_card(spark, sf):
+    """Per-source DATASET CARD — the datasheet a corpus release ships
+    (Gebru et al.'s "Datasheets for Datasets" reduced to the numbers
+    a pre-training ingest actually gates on), and the capstone of
+    the report family (q_dedup_report / q_contamination_report /
+    q_ingest_report are per-METHOD dashboards; this is the
+    per-SOURCE one a data vendor review reads): available docs and
+    tokens (the REGISTERED q_token_budget planner's own counts),
+    exact-duplicate redundancy in ppm (q_dedup_exact's groups,
+    keeper-excluded), the dominant predicted language and its share
+    (q_text_langid's verdicts), the PII quarantine rate
+    (q_pii_report's screen verbatim), and the high-quality-bucket
+    share (the shared QC calibration fragments). Every column is
+    computed FROM a registered operator — Spark calls the q_* keys,
+    the oracle nests each key's ORACLE/fragment verbatim — so the
+    card can never disagree with the operators it summarizes (the
+    q_dedup_report discipline).
+
+    Scale: each composed pipeline is its own already-bounded shape
+    (see the operators); the card adds four |sources|-grain
+    aggregates and four broadcast-sized joins on source. NOT a
+    bench entry and probe-excluded (composes five pipelines — the
+    q_dedup_report precedent)."""
+    from .llm import (QC_BUCKET_SQL, q_dedup_exact, q_text_langid,
+                      qc_score)
+    from .pipeline import q_token_budget
+
+    d = load_tables(spark, sf)["documents"]
+    tb = q_token_budget(spark, sf).select(
+        "source", "n_docs", "n_tokens")
+    de = q_dedup_exact(spark, sf)
+    dup = (d.select("doc_id", "source",
+                    F.md5(F.col("text").cast("binary")).alias("h"))
+           .join(de, "h")
+           .filter(F.col("doc_id") != F.col("keeper"))
+           .groupBy("source").agg(F.count(F.lit(1)).alias("n_dup")))
+    src = d.select("doc_id", "source")
+    lc = (q_text_langid(spark, sf).select("doc_id", "lang_guess")
+          .join(src, "doc_id")
+          .groupBy("source", "lang_guess")
+          .agg(F.count(F.lit(1)).alias("n")))
+    wl = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), "lang_guess")
+    ltop = (lc.withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") == 1)
+            .select("source", F.col("lang_guess").alias("top_lang"),
+                    "n"))
+    pr = q_pii_report(spark, sf).select(
+        "source",
+        F.col("quarantine_ppm").alias("pii_quarantine_ppm"))
+    qh = (qc_score(d)
+          .select("source", F.expr(QC_BUCKET_SQL).alias("bucket"))
+          .groupBy("source")
+          .agg(F.count(F.when(F.col("bucket") == "high", 1))
+               .alias("n_high")))
+    return (tb.join(dup, "source", "left")
+            .join(F.broadcast(ltop), "source")
+            .join(F.broadcast(pr), "source")
+            .join(F.broadcast(qh), "source")
+            .select(
+                "source", "n_docs", "n_tokens",
+                F.expr("CAST(1000000 * coalesce(n_dup, 0)"
+                       " div n_docs AS BIGINT)").alias("dup_ppm"),
+                "top_lang",
+                F.expr("CAST(1000000 * n div n_docs AS BIGINT)")
+                 .alias("top_lang_ppm"),
+                "pii_quarantine_ppm",
+                F.expr("CAST(1000000 * n_high div n_docs AS BIGINT)")
+                 .alias("quality_high_ppm")))

@@ -43,6 +43,9 @@ _MODULES = [
     "engine.queries.ml",
     "engine.queries.profiling",
     "engine.queries.vectors",
+    # loads LAST: composes ORACLE strings from llm/pipeline/curation
+    # (see engine/queries/reports.py docstring).
+    "engine.queries.reports",
 ]
 
 _loaded = False
