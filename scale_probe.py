@@ -204,6 +204,17 @@ DOC_KEYS = [
     # aggregate; the merge-grid loop then runs on the type table,
     # which grows sub-linearly — the q_tokenizer_fit shape).
     "q_dp_histogram", "q_langid_eval", "q_tokenizer_eval",
+    # round-13: the exponential-mechanism quantile release (documents
+    # grow 10x; one map-side length histogram, |domain|-row windows
+    # after) and the production bloom gate (documents grow 10x; rides
+    # q_contamination's gram lineage, broadcast bit-set + broadcast
+    # confirm joins).
+    # q_token_budget_bpe is excluded (probe-exclusion rule): a
+    # |sources|-row planner lane OVER q_tokenizer_apply's probed
+    # per-doc counts — the q_pack_schedule rationale.
+    # q_data_card is excluded like q_dedup_report (a |sources|-row
+    # join of five probed/bounded pipelines).
+    "q_dp_quantile", "q_contamination_bloom",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -256,6 +267,11 @@ REL_KEYS = [
     # rides the probed q_zorder_cells aggregate + |preds| x |cells|
     # literal comparisons)
     "q_file_skipping_stats",
+    # round-13: join-key skew diagnostics (lineitem/orders/events all
+    # grow 10x; three map-side count aggregates) and the three-lane
+    # incremental join refresh (orders grow 10x; broadcast delta
+    # lanes + |groups|-row merge).
+    "q_join_skew_report", "q_incr_join_refresh",
 ]
 
 
