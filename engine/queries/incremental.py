@@ -970,33 +970,52 @@ def q_incr_join_refresh(spark, sf):
     vs the corpus — plan-pinned); the merge is |groups| rows. At
     100 TB the base lane is a stored table: total refresh work is
     O(Δ) + |groups|, never a second full join."""
+    o, c = _ijr_parts(spark, sf)
+    base_o = o.filter(F.col("o_orderkey") % 13 != 0)
+    dlt_o = o.filter(F.col("o_orderkey") % 13 == 0)
+    base_c = c.filter(F.col("c_custkey") % 17 != 0)
+    dlt_c = c.filter(F.col("c_custkey") % 17 == 0)
+
+    # standing MV (recomputed here only because the fixture has no
+    # stored state; production reads it) + the two O(Δ) lanes, each
+    # broadcasting its DELTA side
+    mv = _ijr_lane(base_o, base_c)
+    d1 = _ijr_lane(dlt_o, c, bcast="left")      # Δo against full c
+    d2 = _ijr_lane(base_o, dlt_c, bcast="right")  # base against Δc
+    return _ijr_merge(mv, d1, d2)
+
+
+def _ijr_parts(spark, sf):
+    """Projected orders/customer frames shared by q_incr_join_refresh
+    and its streaming twin (reports.py) — one price-to-cents rule,
+    one column set, so the lanes cannot desync."""
     t = load_tables(spark, sf)
     o = t["orders"].select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
          .cast("long").alias("cents"))
     c = t["customer"].select("c_custkey", "c_mktsegment")
-    base_o = o.filter(F.col("o_orderkey") % 13 != 0)
-    dlt_o = o.filter(F.col("o_orderkey") % 13 == 0)
-    base_c = c.filter(F.col("c_custkey") % 17 != 0)
-    dlt_c = c.filter(F.col("c_custkey") % 17 == 0)
+    return o, c
 
-    def lane(orders, custs, bcast=None):
-        left = F.broadcast(orders) if bcast == "left" else orders
-        right = F.broadcast(custs) if bcast == "right" else custs
-        j = left.join(right, orders.o_custkey == custs.c_custkey)
-        return j.groupBy("o_orderstatus", "c_mktsegment").agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("cents").cast("long").alias("total_cents"))
 
-    # standing MV (recomputed here only because the fixture has no
-    # stored state; production reads it) + the two O(Δ) lanes, each
-    # broadcasting its DELTA side
-    mv = lane(base_o, base_c)
-    d1 = lane(dlt_o, c, bcast="left")         # Δo against full c
-    d2 = lane(base_o, dlt_c, bcast="right")   # base against Δc
-    return (mv.unionByName(d1).unionByName(d2)
-            .groupBy("o_orderstatus", "c_mktsegment")
+def _ijr_lane(orders, custs, bcast=None):
+    """One refresh lane: join + partial (status, segment) aggregate;
+    bcast names the DELTA side to broadcast."""
+    left = F.broadcast(orders) if bcast == "left" else orders
+    right = F.broadcast(custs) if bcast == "right" else custs
+    j = left.join(right, orders.o_custkey == custs.c_custkey)
+    return j.groupBy("o_orderstatus", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"))
+
+
+def _ijr_merge(*lanes):
+    """Sum-merge of partial lane aggregates — the refresh's only
+    non-delta work (|groups| rows)."""
+    out = lanes[0]
+    for x in lanes[1:]:
+        out = out.unionByName(x)
+    return (out.groupBy("o_orderstatus", "c_mktsegment")
             .agg(F.sum("n_orders").cast("long").alias("n_orders"),
                  F.sum("total_cents").cast("long")
                  .alias("total_cents")))

@@ -130,3 +130,69 @@ def q_data_card(spark, sf):
                 "pii_quarantine_ppm",
                 F.expr("CAST(1000000 * n_high div n_docs AS BIGINT)")
                  .alias("quality_high_ppm")))
+
+
+@query("q_stream_incr_join_refresh",
+       oracle=_ORACLE["q_incr_join_refresh"])
+def q_stream_incr_join_refresh(spark, sf):
+    """Speed-layer twin of q_incr_join_refresh — the delta-join
+    lane as a LIVE ingest: the orders delta (o_orderkey ≡ 0 mod 13)
+    replays as a file stream, every arriving order joins the full
+    customer dimension through a stream-static BROADCAST hash join
+    (the q_stream_join_static shape — the stream is never
+    repartitioned for the join) and folds into a complete-mode
+    (status, segment) aggregate whose state is |groups| rows at any
+    stream length. Batch-side, the standing MV lane and the
+    base⋈Δc lane come from the SAME _ijr_parts/_ijr_lane helpers as
+    the batch twin (one cents rule, one delta split — the
+    dedup_incr_* no-desync discipline) and the three partials
+    sum-merge exactly as the batch refresh does. Both twins hash
+    against the SAME full-recompute oracle (composed verbatim), so
+    the live view and the batch refresh cannot disagree.
+
+    Scale: stream state is |groups| rows; the broadcast dimension
+    ships once per executor; the batch lanes are the registered
+    refresh shapes. Lives in reports.py because the composed oracle
+    needs q_incr_join_refresh registered first (module loads
+    last)."""
+    import hashlib
+    import os
+
+    from ..io import session_cache
+    from .incremental import _ijr_lane, _ijr_merge, _ijr_parts
+    from .streaming_q import _stage_source
+
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "incr_join")
+    if key not in per_session:
+        name = ("stream_incrjoin_"
+                + hashlib.md5(os.path.abspath(sf).encode())
+                .hexdigest()[:8])
+        src = _stage_source(sf, table="orders")
+        orders = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        dlt = (orders.filter(F.col("o_orderkey") % 13 == 0)
+               .select("o_custkey", "o_orderstatus",
+                       F.floor(F.col("o_totalprice") * 100
+                               + F.lit(0.5)).cast("long")
+                       .alias("cents")))
+        c_full = (load_tables(spark, sf)["customer"]
+                  .select("c_custkey", "c_mktsegment"))
+        g = (dlt.join(F.broadcast(c_full),
+                      dlt.o_custkey == c_full.c_custkey)
+             .groupBy("o_orderstatus", "c_mktsegment")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                  F.sum("cents").cast("long").alias("total_cents")))
+        q = (g.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    d1 = spark.table(per_session[key])
+    o, c = _ijr_parts(spark, sf)
+    base_o = o.filter(F.col("o_orderkey") % 13 != 0)
+    base_c = c.filter(F.col("c_custkey") % 17 != 0)
+    dlt_c = c.filter(F.col("c_custkey") % 17 == 0)
+    mv = _ijr_lane(base_o, base_c)
+    d2 = _ijr_lane(base_o, dlt_c, bcast="right")
+    return _ijr_merge(mv, d1, d2)

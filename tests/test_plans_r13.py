@@ -304,3 +304,18 @@ def test_data_card_reconciles_with_components(spark, sf_dir):
     assert any(v > 0 for v in pii.values()), "pii lane vacuous"
     assert any(r["quality_high_ppm"] > 0 for r in card.values()), \
         "quality lane vacuous"
+
+
+def test_stream_incr_join_refresh_equals_batch_twin(spark, sf_dir):
+    """The live refresh must equal the batch refresh cell for cell
+    (same helpers, same merge — the dedup_incr stream==batch
+    discipline), and its stream lane must exist as a memory sink."""
+    batch = {(r["o_orderstatus"], r["c_mktsegment"]):
+             (r["n_orders"], r["total_cents"]) for r in
+             QUERIES["q_incr_join_refresh"](spark, sf_dir).collect()}
+    live = {(r["o_orderstatus"], r["c_mktsegment"]):
+            (r["n_orders"], r["total_cents"]) for r in
+            QUERIES["q_stream_incr_join_refresh"](spark, sf_dir)
+            .collect()}
+    assert live == batch
+    assert batch, "empty refresh — fixture vacuous"
