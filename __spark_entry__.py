@@ -249,7 +249,7 @@ _R12_NEW: set[str] = {
 _R13_NEW: set[str] = {
     "q_token_budget_bpe", "q_dp_quantile", "q_contamination_bloom",
     "q_join_skew_report", "q_incr_join_refresh", "q_data_card",
-    "q_stream_incr_join_refresh",
+    "q_stream_incr_join_refresh", "q_dp_report",
 }
 
 

@@ -196,3 +196,63 @@ def q_stream_incr_join_refresh(spark, sf):
     mv = _ijr_lane(base_o, base_c)
     d2 = _ijr_lane(base_o, dlt_c, bcast="right")
     return _ijr_merge(mv, d1, d2)
+
+
+def _dp_report_oracle() -> str:
+    from .curation import _DP_HIST_TAU, _DPQ_PCTS
+    rows = []
+    for mech, unit, key, col in [
+        ("count", "groups released", "q_dp_count", "n_noised"),
+        ("sum", "groups released", "q_dp_sum", "sum_noised_cents"),
+        ("histogram", f"buckets kept (tau={_DP_HIST_TAU})",
+         "q_dp_histogram", "n_released"),
+        ("quantile", f"percentiles ({len(_DPQ_PCTS)}-point grid)",
+         "q_dp_quantile", "value_released"),
+    ]:
+        rows.append(
+            f"SELECT '{mech}' AS mechanism, '{unit}' AS unit,"
+            f" CAST(count(*) AS BIGINT) AS n_released,"
+            f" CAST(sum({col}) AS BIGINT) AS released_sum"
+            f" FROM ({_ORACLE[key]})")
+    return " UNION ALL ".join(rows)
+
+
+@query("q_dp_report", oracle=_dp_report_oracle())
+def q_dp_report(spark, sf):
+    """DP-release GOVERNANCE dashboard — the q_dedup_report
+    discipline on the privacy family: one row per registered release
+    mechanism (count / sum / histogram / quantile) with how many
+    rows the release published and their sum in the release's own
+    unit — the audit table a privacy officer reads to confirm what
+    actually left the boundary this period (row counts are
+    themselves part of the privacy ledger: the histogram's
+    suppressed-bucket count is visible as |released| vs |domain|).
+    Spark aggregates the REGISTERED q_dp_* keys; the oracle wraps
+    each key's ORACLE verbatim as a closed subquery — the dashboard
+    cannot disagree with the releases it summarizes.
+
+    Scale: each release is already |groups|/|buckets|/|pcts|-row
+    bounded; the report adds one 1-row aggregate per mechanism and
+    a 4-row union. NOT a bench entry, probe-excluded (composes four
+    pipelines — the q_dedup_report precedent)."""
+    from .curation import (_DP_HIST_TAU, _DPQ_PCTS, q_dp_count,
+                           q_dp_histogram, q_dp_quantile, q_dp_sum)
+
+    rows = [
+        ("count", "groups released", q_dp_count(spark, sf), "n_noised"),
+        ("sum", "groups released", q_dp_sum(spark, sf),
+         "sum_noised_cents"),
+        ("histogram", f"buckets kept (tau={_DP_HIST_TAU})",
+         q_dp_histogram(spark, sf), "n_released"),
+        ("quantile", f"percentiles ({len(_DPQ_PCTS)}-point grid)",
+         q_dp_quantile(spark, sf), "value_released"),
+    ]
+    out = None
+    for mech, unit, frame, col in rows:
+        r = (frame.agg(F.count(F.lit(1)).cast("long").alias("n_released"),
+                       F.sum(col).cast("long").alias("released_sum"))
+             .select(F.lit(mech).alias("mechanism"),
+                     F.lit(unit).alias("unit"),
+                     "n_released", "released_sum"))
+        out = r if out is None else out.unionByName(r)
+    return out

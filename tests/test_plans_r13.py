@@ -319,3 +319,23 @@ def test_stream_incr_join_refresh_equals_batch_twin(spark, sf_dir):
             .collect()}
     assert live == batch
     assert batch, "empty refresh — fixture vacuous"
+
+
+def test_dp_report_reconciles_with_releases(spark, sf_dir):
+    """Each dashboard row must equal a re-aggregation of its
+    registered release key's own output, and every mechanism must be
+    non-vacuous on the fixture."""
+    card = {r["mechanism"]: r for r in
+            QUERIES["q_dp_report"](spark, sf_dir).collect()}
+    comps = {
+        "count": ("q_dp_count", "n_noised"),
+        "sum": ("q_dp_sum", "sum_noised_cents"),
+        "histogram": ("q_dp_histogram", "n_released"),
+        "quantile": ("q_dp_quantile", "value_released"),
+    }
+    assert set(card) == set(comps)
+    for mech, (key, col) in comps.items():
+        rows = QUERIES[key](spark, sf_dir).collect()
+        assert card[mech]["n_released"] == len(rows)
+        assert card[mech]["released_sum"] == sum(r[col] for r in rows)
+        assert len(rows) > 0, f"{mech} release vacuous"
