@@ -72,6 +72,15 @@ KEYS = [
     "q_pack_shuffled",         # window cumsum over shuffled order
     "q_quality_drift",         # smoothed PSI from exact counts
     "q_batch_by_length",       # in-bucket md5-rank batching
+    # round-13 keys: planner/release/diagnostic tables must not move
+    # a row under a different physical partitioning
+    "q_token_budget_bpe",      # BPE totals + literal (S, B) planner
+    "q_dp_quantile",           # quantized Gumbel argmax per pct
+    "q_contamination_bloom",   # per-slot bloom pass + exact confirm
+    "q_join_skew_report",      # three count aggregates + 128-bit lane
+    "q_incr_join_refresh",     # three-lane partial-aggregate merge
+    "q_data_card",             # five-family per-source composition
+    "q_dp_report",             # four-release ledger union
 ]
 
 

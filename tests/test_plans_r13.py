@@ -1,7 +1,16 @@
 """Round-13 behavior pins for the _R13_NEW cohort:
 
 q_token_budget_bpe — the data-mix planner re-based on tokenizer
-tokens (verdict r12 item 4: budget in the unit the loader packs).
+tokens (verdict r12 item 4: budget in the unit the loader packs);
+q_dp_quantile — exponential-mechanism quantile release (Python
+mechanism replay + utility-loss bound);
+q_contamination_bloom — the production bloom gate (confirmed lane ==
+q_contamination, broadcast-only plan);
+q_join_skew_report / q_incr_join_refresh — skew diagnostics and the
+delta-join refresh identity;
+q_data_card / q_dp_report — composite governance reports
+(reconciliation against every composed key);
+q_stream_incr_join_refresh — live==batch refresh identity.
 """
 from __future__ import annotations
 
@@ -339,3 +348,19 @@ def test_dp_report_reconciles_with_releases(spark, sf_dir):
         assert card[mech]["n_released"] == len(rows)
         assert card[mech]["released_sum"] == sum(r[col] for r in rows)
         assert len(rows) > 0, f"{mech} release vacuous"
+
+
+def test_r13_cohort_plan_hygiene(spark, sf_dir):
+    """No cartesian product and no Python eval in any round-13 key —
+    the whole cohort is built from broadcast/equi-join + map-side
+    aggregate shapes (the composite reports excepted from nothing:
+    they aggregate registered pipelines, which carry the same
+    hygiene)."""
+    for k in ["q_token_budget_bpe", "q_dp_quantile",
+              "q_contamination_bloom", "q_join_skew_report",
+              "q_incr_join_refresh", "q_data_card", "q_dp_report"]:
+        plan = (QUERIES[k](spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        for word in ("CartesianProduct", "BatchEvalPython",
+                     "MapInPandas", "FlatMapGroupsInPandas"):
+            assert word not in plan, (k, word)
