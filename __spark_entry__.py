@@ -250,6 +250,7 @@ _R13_NEW: set[str] = {
     "q_token_budget_bpe", "q_dp_quantile", "q_contamination_bloom",
     "q_join_skew_report", "q_incr_join_refresh", "q_data_card",
     "q_stream_incr_join_refresh", "q_dp_report",
+    "q_ts_rolling_median", "q_stream_checkpoint_resume",
 }
 
 

@@ -268,6 +268,11 @@ HEADLINE = [
     # (broadcast delta lanes + |groups|-row merge).
     "q_join_skew_report",
     "q_incr_join_refresh",
+    # round 13: exact rolling median (bounded-frame window) and the
+    # checkpoint-resume proof (measures its memoized sink read, like
+    # the other stream entries).
+    "q_ts_rolling_median",
+    "q_stream_checkpoint_resume",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -1019,3 +1019,48 @@ def _ijr_merge(*lanes):
             .agg(F.sum("n_orders").cast("long").alias("n_orders"),
                  F.sum("total_cents").cast("long")
                  .alias("total_cents")))
+
+
+#: Rolling-median window length (rows), q_ts_rolling_median.
+_RMED_W = 24
+
+
+@query("q_ts_rolling_median", oracle=f"""
+SELECT event_id, user_id,
+       CAST(2 * median(cents)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN {_RMED_W - 1} PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS med_x2_cents
+FROM (SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+""")
+def q_ts_rolling_median(spark, sf):
+    """Exact ROLLING MEDIAN per user series (last {_RMED_W} rows) —
+    the robust companion of q_ts_ewma's mean smoothing: one outlier
+    tick shifts an EWMA for 16 rows but cannot move the median, so
+    this is the smoother an anomaly gate reads (q_anomaly_iqr's
+    robustness argument applied along time). Values are
+    cent-quantized BIGINTs and the published statistic is 2x the
+    median — an even window's median averages the two middle
+    integers, so doubling keeps the whole lane in exact integers
+    (the q_spearman_corr midrank x2 trick): Spark's exact
+    windowed percentile(cents, 0.5) and DuckDB's windowed median
+    agree on integer inputs by definition (both average the two
+    middle order statistics), and the 2x cast is exact in either
+    engine. No libm anywhere.
+
+    Scale: ONE hash exchange on user_id, then per-partition sorted
+    windows with a bounded {_RMED_W}-row frame — the q_ts_ewma
+    shape; rolling-median state is O(window) per row, corpus-size
+    independent."""
+    e = load_tables(spark, sf)["events"].select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+         .alias("cents"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-(_RMED_W - 1), W.currentRow))
+    return e.select(
+        "event_id", "user_id",
+        (F.lit(2) * F.expr("percentile(cents, 0.5)").over(w))
+        .cast("long").alias("med_x2_cents"))

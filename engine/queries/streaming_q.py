@@ -1550,3 +1550,91 @@ SELECT source, max(n_s) AS n_docs,
        (CAST(sum(tq) AS DOUBLE) / 1000000.0 > 0.1) AS drifted
 FROM term GROUP BY source
 """)
+
+
+@query("q_stream_checkpoint_resume", oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY event_type
+""")
+def q_stream_checkpoint_resume(spark, sf):
+    """CHECKPOINT-RESUME fault tolerance — the state-store recovery
+    path q_stream_sink_idempotent's commit-guard twin does NOT
+    exercise (that key replays the SOURCE from scratch and lets the
+    sink absorb duplicates; this one kills the query MID-STREAM and
+    resumes from the checkpoint, so the aggregation state store and
+    source offsets themselves are restored): the events table is
+    staged as 8 files, replayed one file per trigger into a
+    complete-mode per-type aggregate whose state is checkpointed to
+    disk and delivered through foreachBatch (overwrite-parquet — the
+    fault-tolerant sink pattern; memory sinks cannot recover). After
+    at least one committed batch the query is STOPPED, restarted
+    with the same checkpoint, and run to completion. The key returns
+    the sink — exactly-once totals that hash-match the batch oracle —
+    and records how many rows the restarted run consumed: the
+    resume-proof test pins that figure strictly between 0 and the
+    corpus size (a from-scratch rerun would re-read everything; a
+    lost offset log would double-count and fail the hash).
+
+    Scale: state is |event types| rows; the checkpoint write is
+    O(state) per trigger; recovery cost is reading one offset log +
+    one state-store version — independent of stream length. The 8x
+    restage exists only because the fixture is one file; a real
+    ingest is already many files/partitions."""
+    import shutil
+    import time as _t
+
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "ckpt_resume")
+    if key not in per_session:
+        digest = hashlib.md5(
+            os.path.abspath(sf).encode()).hexdigest()[:8]
+        base = os.path.join(tempfile.gettempdir(),
+                            f"engine_ckpt_{digest}_{os.getpid()}")
+        stage, ckpt, sink = (base + "_src", base + "_ck",
+                             base + "_out")
+        if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+            (load_tables(spark, sf)["events"]
+             .select("event_id", "event_type", "value")
+             .repartition(8).write.mode("overwrite").parquet(stage))
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+        def start():
+            ev = (spark.readStream
+                  .schema(spark.read.parquet(stage).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(stage))
+            agg = (ev.groupBy("event_type")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        dsum("value").alias("sum_value")))
+
+            def commit(bdf, bid):
+                bdf.write.mode("overwrite").parquet(sink)
+
+            return (agg.writeStream.outputMode("complete")
+                    .foreachBatch(commit)
+                    .option("checkpointLocation", ckpt).start())
+
+        q = start()
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            lp = q.lastProgress
+            if lp is not None and lp.get("batchId", -1) >= 1:
+                break
+            _t.sleep(0.05)
+        q.stop()          # mid-stream kill: ≥1 batch committed,
+        q.awaitTermination()  # files 3..8 still unread
+        q2 = start()
+        q2.processAllAvailable()
+        resumed = sum(p["numInputRows"] for p in
+                      (q2.recentProgress or []))
+        q2.stop()
+        per_session[key] = (sink, int(resumed))
+    sink, _ = per_session[key]
+    return spark.read.parquet(sink)
+
+
+def checkpoint_resume_meta(spark, sf):
+    """(sink_path, rows_consumed_after_restart) for the resume-proof
+    test — populated by q_stream_checkpoint_resume's first run."""
+    per_session = session_cache(spark, "_engine_stream_cache")
+    return per_session.get((sf.rstrip("/"), "ckpt_resume"))

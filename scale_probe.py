@@ -272,6 +272,12 @@ REL_KEYS = [
     # incremental join refresh (orders grow 10x; broadcast delta
     # lanes + |groups|-row merge).
     "q_join_skew_report", "q_incr_join_refresh",
+    # round-13 second wave: exact rolling median (events grow 10x;
+    # one hash exchange + bounded 24-row frames). The checkpoint
+    # twin is excluded like every q_stream_* key, and
+    # q_stream_incr_join_refresh / q_dp_report likewise
+    # (stream-replay setup / composed-report rationales).
+    "q_ts_rolling_median",
 ]
 
 

@@ -364,3 +364,55 @@ def test_r13_cohort_plan_hygiene(spark, sf_dir):
         for word in ("CartesianProduct", "BatchEvalPython",
                      "MapInPandas", "FlatMapGroupsInPandas"):
             assert word not in plan, (k, word)
+
+
+def test_ts_rolling_median_matches_python_replay(spark, sf_dir):
+    """Every row's doubled median reproduces from a sorted-window
+    Python replay over cent-quantized values, including the ramp-up
+    rows and even/odd window parity."""
+    import math
+    from collections import defaultdict
+
+    from engine.queries.incremental import _RMED_W
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value").collect()
+    series = defaultdict(list)
+    for r in rows:
+        series[r["user_id"]].append(
+            (r["ts"], r["event_id"],
+             math.floor(r["value"] * 100 + 0.5)))
+    expected = {}
+    for u, xs in series.items():
+        xs.sort(key=lambda t: (t[0], t[1]))
+        for i in range(len(xs)):
+            win = sorted(c for _, _, c in xs[max(0, i - _RMED_W + 1):
+                                            i + 1])
+            n = len(win)
+            m2 = (2 * win[n // 2] if n % 2 == 1
+                  else win[n // 2 - 1] + win[n // 2])
+            expected[xs[i][1]] = m2
+    got = {r["event_id"]: r["med_x2_cents"] for r in
+           QUERIES["q_ts_rolling_median"](spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_stream_checkpoint_resume_actually_resumes(spark, sf_dir):
+    """The restarted query must consume SOME rows (the stop landed
+    mid-stream) but strictly fewer than the corpus (offsets + state
+    were restored from the checkpoint — a from-scratch rerun reads
+    everything), while the key's totals hash the batch aggregate
+    (checked by the oracle gate; re-pinned here cheaply)."""
+    from engine.queries.streaming_q import checkpoint_resume_meta
+
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    out = {r["event_type"]: r["n"] for r in
+           QUERIES["q_stream_checkpoint_resume"](spark, sf_dir)
+           .collect()}
+    assert sum(out.values()) == total
+    meta = checkpoint_resume_meta(spark, sf_dir)
+    assert meta is not None
+    _, resumed = meta
+    assert 0 < resumed < total, (
+        f"restart consumed {resumed} of {total} rows — "
+        f"{'nothing left to resume' if resumed == 0 else 'no recovery'}")
