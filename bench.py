@@ -273,6 +273,9 @@ HEADLINE = [
     # the other stream entries).
     "q_ts_rolling_median",
     "q_stream_checkpoint_resume",
+    # round 13: the O(Δ) semantic gate (cluster-equi delta-vs-base
+    # join — the production path; never the within-cluster square).
+    "q_dedup_incremental_semantic",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -4305,3 +4305,150 @@ def q_sim_eval_quantized(spark, sf):
     return out.select(
         "bits", "n_candidates", "n_truth", "n_hit",
         rnd(nh / F.col("n_truth"), 6).alias("recall"))
+
+
+#: Delta/base predicates for the incremental SEMANTIC gate — the
+#: q_dedup_incremental_minhash ingest model applied to vectors:
+#: vec_id % 10 == 0 are new arrivals (never in the base index),
+#: vec_id % 7 == 0 (and % 10 != 0) are re-crawled base vectors
+#: re-presented bit-identically.
+_SEMINC_BASE = "vec_id % 10 <> 0"
+_SEMINC_DELTA = "(vec_id % 10 = 0 OR vec_id % 7 = 0)"
+
+
+def _seminc_oracle() -> str:
+    return f"""
+WITH xa AS (
+    SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, 64) AS t(i)),
+xb AS (SELECT * FROM xa WHERE {_SEMINC_BASE}),
+xd AS (SELECT * FROM xa WHERE {_SEMINC_DELTA}),
+cb AS (SELECT label AS cl, i, avg(v) AS cv FROM xb GROUP BY label, i),
+db AS (SELECT xb.vec_id, cb.cl,
+              {sql_rnd('sum((xb.v - cb.cv) * (xb.v - cb.cv))', 6)} AS d2
+       FROM xb JOIN cb ON xb.i = cb.i GROUP BY xb.vec_id, cb.cl),
+ab AS (SELECT vec_id, cl FROM (
+           SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2, cl) AS rn FROM db) WHERE rn = 1),
+dd AS (SELECT xd.vec_id, cb.cl,
+              {sql_rnd('sum((xd.v - cb.cv) * (xd.v - cb.cv))', 6)} AS d2
+       FROM xd JOIN cb ON xd.i = cb.i GROUP BY xd.vec_id, cb.cl),
+ad AS (SELECT vec_id, cl FROM (
+           SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2, cl) AS rn FROM dd) WHERE rn = 1),
+nm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM xa GROUP BY vec_id),
+p AS (SELECT a1.cl, x1.vec_id AS v1, x2.vec_id AS v2,
+             sum(x1.v * x2.v) AS dot
+      FROM xd x1
+      JOIN ad a1 ON x1.vec_id = a1.vec_id
+      JOIN ab a2 ON a2.cl = a1.cl
+      JOIN xb x2 ON x2.vec_id = a2.vec_id AND x2.i = x1.i
+      GROUP BY a1.cl, x1.vec_id, x2.vec_id),
+cosp AS (SELECT cl, v1, v2,
+                {sql_rnd('dot / (n1.nrm * n2.nrm)')} AS cos_sim
+         FROM p JOIN nm n1 ON n1.vec_id = v1
+                JOIN nm n2 ON n2.vec_id = v2)
+SELECT v1 AS vec_id, cl AS cluster,
+       CAST(count(*) AS BIGINT) AS n_dups, max(cos_sim) AS max_cos
+FROM cosp WHERE cos_sim >= {_SEM_TAU} GROUP BY v1, cl
+"""
+
+
+@query("q_dedup_incremental_semantic", oracle=_seminc_oracle())
+def q_dedup_incremental_semantic(spark, sf):
+    """Incremental SEMANTIC dedup gate — q_dedup_incremental's O(Δ)
+    discipline applied to SemDeDup, completing the incremental trio
+    (exact hash / banded MinHash / semantic): the ingest delta (10%
+    new vectors + re-crawled base vectors, the minhash twin's
+    model) is assigned to the BASE corpus's cluster structure (the
+    same label-seeded + one-Lloyd-step assignment q_dedup_semantic
+    replays in SQL — at 100 TB the persisted k-means artifact, a
+    k x d broadcast either way) and each delta vector compares
+    cosines ONLY against base members of its own cluster: per
+    flagged vector the cluster, the number of base duplicates and
+    the max cosine. Re-crawled vectors hit BY CONSTRUCTION
+    (identical embedding ⇒ cos 1.0 with their own index entry —
+    pinned); the base corpus never self-joins.
+
+    Scale: delta-vs-index is a cluster-equi join, O(Δ · cluster
+    size) — never the all-pairs within-cluster square of the full
+    recompute; the base assignment index is maintained, not
+    recomputed (the q_ivf_refresh argument). Quantization (d2 at
+    1e-6, cosine at 1e-4) is the registered semantic lane's own."""
+    e = load_tables(spark, sf)["embeddings"]
+    xa = (e.select("vec_id", "label",
+                   F.posexplode("embedding").alias("i0", "vf"))
+          .select("vec_id", "label",
+                  (F.col("i0") + 1).alias("i"),
+                  F.col("vf").cast("double").alias("v")))
+    xb = xa.filter(F.expr(_SEMINC_BASE))
+    xd = xa.filter(F.expr(_SEMINC_DELTA))
+    cb = (xb.groupBy(F.col("label").alias("cl"), "i")
+          .agg(F.avg("v").alias("cv")))
+
+    def assign(frame):
+        d = (frame.join(cb, "i")
+             .groupBy("vec_id", "cl")
+             .agg(rnd(F.sum((F.col("v") - F.col("cv"))
+                            * (F.col("v") - F.col("cv"))), 6)
+                  .alias("d2")))
+        w = W.partitionBy("vec_id").orderBy("d2", "cl")
+        return (d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select("vec_id", "cl"))
+
+    ab = assign(xb)
+    ad = assign(xd)
+    # bipartite per-cluster GEMM — the _semantic_pairs kernel shape
+    # (preselect on vectorized GEMM with a one-quantum margin, then
+    # strict left-to-right float64 fold for survivors), specialized
+    # to delta rows x base columns so the base corpus never
+    # self-joins. The earlier exploded-join dot formulation grew
+    # 73x at the 10x probe; this is the kernel the registered
+    # semantic lane ships.
+    import numpy as np
+    import pandas as pd
+
+    tau = _SEM_TAU
+    vb = (e.select("vec_id", "embedding").join(ab, "vec_id")
+          .withColumn("side", F.lit(0)))
+    vd = (e.select("vec_id", "embedding").join(ad, "vec_id")
+          .withColumn("side", F.lit(1)))
+    v = vb.unionByName(vd)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            columns=["cl", "v1", "v2", "cos_sim"])
+        base = pdf[pdf.side == 0].sort_values("vec_id")
+        dlt = pdf[pdf.side == 1].sort_values("vec_id")
+        if not len(base) or not len(dlt):
+            return out
+        B = np.stack(base.embedding.to_numpy()).astype(np.float64)
+        D = np.stack(dlt.embedding.to_numpy()).astype(np.float64)
+        nb = np.sqrt((B * B).sum(1))
+        nd = np.sqrt((D * D).sum(1))
+        S = np.floor(
+            (D @ B.T) / np.outer(nd, nb) * 1e4 + 0.5) / 1e4
+        ii, jj = np.where(S >= tau - 1e-4)
+        if not len(ii):
+            return out
+        prod = D[ii] * B[jj]
+        dots = np.zeros(len(prod))
+        for t in range(prod.shape[1]):
+            dots += prod[:, t]
+        vals = np.floor(dots / (nd[ii] * nb[jj]) * 1e4 + 0.5) / 1e4
+        keep = vals >= tau
+        if not keep.any():
+            return out
+        return pd.DataFrame({
+            "cl": np.full(keep.sum(), key[0]),
+            "v1": dlt.vec_id.to_numpy()[ii[keep]],
+            "v2": base.vec_id.to_numpy()[jj[keep]],
+            "cos_sim": vals[keep],
+        })
+
+    cosp = v.groupBy("cl").applyInPandas(
+        kernel, "cl int, v1 long, v2 long, cos_sim double")
+    return (cosp.groupBy(F.col("v1").alias("vec_id"),
+                         F.col("cl").alias("cluster"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dups"),
+                 F.max("cos_sim").alias("max_cos")))

@@ -278,6 +278,12 @@ REL_KEYS = [
     # q_stream_incr_join_refresh / q_dp_report likewise
     # (stream-replay setup / composed-report rationales).
     "q_ts_rolling_median",
+    # round-13 third wave: the O(Δ) semantic gate (embeddings grow
+    # 10x on both sides — the bipartite per-cluster GEMM keeps the
+    # growth in the linear band; the first exploded-join formulation
+    # probed 73x here and was replaced before registration, the
+    # probe doing exactly its job).
+    "q_dedup_incremental_semantic",
 ]
 
 

