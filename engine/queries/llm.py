@@ -4354,7 +4354,50 @@ FROM cosp WHERE cos_sim >= {_SEM_TAU} GROUP BY v1, cl
 """
 
 
-@query("q_dedup_incremental_semantic", oracle=_seminc_oracle())
+#: Shared oracle string for the incremental-semantic pair (batch +
+#: stream twin hash against the SAME SQL — the DEDUP_INCR_ORACLE
+#: discipline).
+DEDUP_INCR_SEM_ORACLE = _seminc_oracle()
+
+
+def _seminc_parts(spark, sf):
+    """Memoized (ab, ad, centroids): persisted base/delta cluster
+    assignments plus the collected base centroids {cl: [64 floats]}
+    — shared by q_dedup_incremental_semantic and its streaming twin
+    so the cluster structure cannot desync."""
+    cache = session_cache(spark, "_engine_seminc_cache")
+    ck = sf.rstrip("/")
+    if ck not in cache:
+        e = load_tables(spark, sf)["embeddings"]
+        xa = (e.select("vec_id", "label",
+                       F.posexplode("embedding").alias("i0", "vf"))
+              .select("vec_id", "label",
+                      (F.col("i0") + 1).alias("i"),
+                      F.col("vf").cast("double").alias("v")))
+        xb = xa.filter(F.expr(_SEMINC_BASE))
+        xd = xa.filter(F.expr(_SEMINC_DELTA))
+        cb = (xb.groupBy(F.col("label").alias("cl"), "i")
+              .agg(F.avg("v").alias("cv")))
+
+        def assign(frame):
+            d = (frame.join(cb, "i")
+                 .groupBy("vec_id", "cl")
+                 .agg(rnd(F.sum((F.col("v") - F.col("cv"))
+                                * (F.col("v") - F.col("cv"))), 6)
+                      .alias("d2")))
+            w = W.partitionBy("vec_id").orderBy("d2", "cl")
+            return (d.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1).select("vec_id", "cl"))
+
+        cents = {}
+        for r in cb.collect():
+            cents.setdefault(r["cl"], [0.0] * 64)[r["i"] - 1] = r["cv"]
+        cache[ck] = (assign(xb).persist(), assign(xd).persist(),
+                     cents)
+    return cache[ck]
+
+
+@query("q_dedup_incremental_semantic", oracle=DEDUP_INCR_SEM_ORACLE)
 def q_dedup_incremental_semantic(spark, sf):
     """Incremental SEMANTIC dedup gate — q_dedup_incremental's O(Δ)
     discipline applied to SemDeDup, completing the incremental trio
@@ -4376,28 +4419,7 @@ def q_dedup_incremental_semantic(spark, sf):
     recomputed (the q_ivf_refresh argument). Quantization (d2 at
     1e-6, cosine at 1e-4) is the registered semantic lane's own."""
     e = load_tables(spark, sf)["embeddings"]
-    xa = (e.select("vec_id", "label",
-                   F.posexplode("embedding").alias("i0", "vf"))
-          .select("vec_id", "label",
-                  (F.col("i0") + 1).alias("i"),
-                  F.col("vf").cast("double").alias("v")))
-    xb = xa.filter(F.expr(_SEMINC_BASE))
-    xd = xa.filter(F.expr(_SEMINC_DELTA))
-    cb = (xb.groupBy(F.col("label").alias("cl"), "i")
-          .agg(F.avg("v").alias("cv")))
-
-    def assign(frame):
-        d = (frame.join(cb, "i")
-             .groupBy("vec_id", "cl")
-             .agg(rnd(F.sum((F.col("v") - F.col("cv"))
-                            * (F.col("v") - F.col("cv"))), 6)
-                  .alias("d2")))
-        w = W.partitionBy("vec_id").orderBy("d2", "cl")
-        return (d.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1).select("vec_id", "cl"))
-
-    ab = assign(xb)
-    ad = assign(xd)
+    ab, ad, _ = _seminc_parts(spark, sf)
     # bipartite per-cluster GEMM — the _semantic_pairs kernel shape
     # (preselect on vectorized GEMM with a one-quantum margin, then
     # strict left-to-right float64 fold for survivors), specialized

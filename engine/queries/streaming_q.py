@@ -1638,3 +1638,103 @@ def checkpoint_resume_meta(spark, sf):
     test — populated by q_stream_checkpoint_resume's first run."""
     per_session = session_cache(spark, "_engine_stream_cache")
     return per_session.get((sf.rstrip("/"), "ckpt_resume"))
+
+
+from .llm import DEDUP_INCR_SEM_ORACLE  # noqa: E402
+
+
+@query("q_stream_dedup_incremental_semantic",
+       oracle=DEDUP_INCR_SEM_ORACLE)
+def q_stream_dedup_incremental_semantic(spark, sf):
+    """Speed-layer twin of q_dedup_incremental_semantic — the live
+    SEMANTIC ingest gate, completing the streaming incremental trio
+    (exact / minhash / semantic): the same %10-new / %7-recrawled
+    vector delta replays as a file stream, each arriving vector is
+    assigned to its cluster ROW-LOCALLY (argmin over the BASE
+    centroids folded in as 10 x 64 literals — array_min over
+    (d2, cl) structs reproduces the batch lane's d2-then-cl
+    tie-break on the same 1e-6-quantized distances), joined
+    stream-static against the PERSISTED base assignment index on
+    cluster id, cosines computed per joined row as a strict
+    left-to-right fold (F.aggregate over zip_with — the exact fold
+    the batch GEMM kernel requantizes with), and the per-vector
+    verdict accumulates in ONE complete-mode count/max aggregate.
+    Both twins hash against the SAME DEDUP_INCR_SEM_ORACLE string.
+
+    Scale: stream state is |flagged delta| rows; the centroid
+    literals are the broadcast k-means artifact; the cluster join
+    fans out to O(cluster size) per arriving vector — the same
+    delta-vs-index work as the batch lane, row by row."""
+    from .llm import _SEM_TAU, _seminc_parts
+
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "dedup_incremental_semantic")
+    if key not in per_session:
+        name = ("stream_dedup_incr_sem_"
+                + hashlib.md5(os.path.abspath(sf).encode())
+                .hexdigest()[:8])
+        ab, _, cents = _seminc_parts(spark, sf)
+        e = load_tables(spark, sf)["embeddings"]
+        ed_b = F.transform("embedding",
+                           lambda x: x.cast("double"))
+        base_idx = (e.select("vec_id", F.col("embedding")
+                             .alias("b_emb"))
+                    .join(ab, "vec_id")
+                    .select(F.col("vec_id").alias("b_id"), "cl",
+                            F.transform("b_emb",
+                                        lambda x: x.cast("double"))
+                            .alias("b_vec"))
+                    .withColumn("b_nrm", F.sqrt(F.aggregate(
+                        F.zip_with("b_vec", "b_vec",
+                                   lambda x, y: x * y),
+                        F.lit(0.0), lambda a, x: a + x)))
+                    .persist())
+        base_idx.count()
+
+        src = _stage_source(sf, table="embeddings")
+        vecs = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        delta = (
+            vecs.filter(F.col("vec_id") % 10 == 0)
+            .select("vec_id", "embedding")
+            .unionAll(
+                vecs.filter((F.col("vec_id") % 7 == 0)
+                            & (F.col("vec_id") % 10 != 0))
+                .select("vec_id", "embedding"))
+        )
+        dv = delta.select(
+            "vec_id", ed_b.alias("d_vec"))
+        # row-local cluster assignment: 1e-6-quantized fold distance
+        # per centroid, argmin via lexicographic struct min
+        cands = []
+        for cl in sorted(cents):
+            cvec = F.array(*[F.lit(float(v)) for v in cents[cl]])
+            d2 = rnd(F.aggregate(
+                F.zip_with("d_vec", cvec,
+                           lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0), lambda a, x: a + x), 6)
+            cands.append(F.struct(d2.alias("d2"),
+                                  F.lit(cl).alias("cl")))
+        assigned = dv.withColumn(
+            "cl", F.array_min(F.array(*cands))["cl"])
+        j = assigned.join(base_idx, "cl")
+        d_nrm = F.sqrt(F.aggregate(
+            F.zip_with("d_vec", "d_vec", lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x))
+        dot = F.aggregate(
+            F.zip_with("d_vec", "b_vec", lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x)
+        cos = rnd(dot / (d_nrm * F.col("b_nrm")), 4)
+        g = (j.select("vec_id", "cl", cos.alias("cos_sim"))
+             .filter(F.col("cos_sim") >= _SEM_TAU)
+             .groupBy("vec_id", "cl")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_dups"),
+                  F.max("cos_sim").alias("max_cos")))
+        q = (g.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    return (spark.table(per_session[key])
+            .select("vec_id", F.col("cl").alias("cluster"),
+                    "n_dups", "max_cos"))

@@ -442,3 +442,19 @@ def test_dedup_incremental_semantic_recrawl_and_consistency(
     for v, r in rows.items():
         assert 1 <= r["n_dups"]
         assert r["max_cos"] >= 0.35  # _SEM_TAU
+
+
+def test_stream_dedup_incremental_semantic_equals_batch_twin(
+        spark, sf_dir):
+    """The live semantic gate must equal the batch twin cell for
+    cell — same cluster structure (shared _seminc_parts), same
+    quantized distances and cosines, despite the stream computing
+    assignment and dot products row-locally."""
+    batch = {r["vec_id"]: (r["cluster"], r["n_dups"], r["max_cos"])
+             for r in QUERIES["q_dedup_incremental_semantic"](
+                 spark, sf_dir).collect()}
+    live = {r["vec_id"]: (r["cluster"], r["n_dups"], r["max_cos"])
+            for r in QUERIES["q_stream_dedup_incremental_semantic"](
+                spark, sf_dir).collect()}
+    assert live == batch
+    assert batch, "empty gate — fixture vacuous"
