@@ -274,8 +274,10 @@ HEADLINE = [
     "q_ts_rolling_median",
     "q_stream_checkpoint_resume",
     # round 13: the O(Δ) semantic gate (cluster-equi delta-vs-base
-    # join — the production path; never the within-cluster square).
+    # join — the production path; never the within-cluster square)
+    # and its live twin (measures the memoized sink projection).
     "q_dedup_incremental_semantic",
+    "q_stream_dedup_incremental_semantic",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that
