@@ -278,6 +278,9 @@ HEADLINE = [
     # and its live twin (measures the memoized sink projection).
     "q_dedup_incremental_semantic",
     "q_stream_dedup_incremental_semantic",
+    # round 13: the centroid-drift monitor (one corpus pass, k-row
+    # output — the q_ivf_refresh trigger signal).
+    "q_embed_centroid_drift",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -4474,3 +4474,108 @@ def q_dedup_incremental_semantic(spark, sf):
                          F.col("cl").alias("cluster"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_dups"),
                  F.max("cos_sim").alias("max_cos")))
+
+
+#: Centroid-shift threshold (quantized L2 distance in embedding
+#: units) above which a cluster is flagged for refresh — the
+#: q_ivf_refresh trigger made data. 0.15 sits at the fixture drift
+#: median (measured min/med/max 0.12/0.15/0.20 across the three
+#: committed scales) so both flag branches are exercised at every
+#: scale; a production index tunes this from the recall curve.
+_DRIFT_TAU = 0.15
+
+
+@query("q_embed_centroid_drift", oracle=f"""
+WITH xa AS (
+    SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, 64) AS t(i)),
+xb AS (SELECT * FROM xa WHERE {_SEMINC_BASE}),
+xd AS (SELECT * FROM xa WHERE {_SEMINC_DELTA}),
+cb AS (SELECT label AS cl, i, avg(v) AS cv FROM xb GROUP BY label, i),
+db AS (SELECT xb.vec_id, cb.cl,
+              {sql_rnd('sum((xb.v - cb.cv) * (xb.v - cb.cv))', 6)} AS d2
+       FROM xb JOIN cb ON xb.i = cb.i GROUP BY xb.vec_id, cb.cl),
+ab AS (SELECT vec_id, cl FROM (
+           SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2, cl) AS rn FROM db) WHERE rn = 1),
+dd AS (SELECT xd.vec_id, cb.cl,
+              {sql_rnd('sum((xd.v - cb.cv) * (xd.v - cb.cv))', 6)} AS d2
+       FROM xd JOIN cb ON xd.i = cb.i GROUP BY xd.vec_id, cb.cl),
+ad AS (SELECT vec_id, cl FROM (
+           SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2, cl) AS rn FROM dd) WHERE rn = 1),
+mem AS (SELECT a.cl, x.vec_id, x.i, x.v
+        FROM xb x JOIN ab a ON a.vec_id = x.vec_id
+        UNION ALL
+        SELECT a.cl, x.vec_id, x.i, x.v
+        FROM xd x JOIN ad a ON a.vec_id = x.vec_id),
+cn AS (SELECT cl, i, avg(v) AS cv2 FROM mem GROUP BY cl, i),
+sz AS (SELECT a.cl,
+              CAST(count(DISTINCT CASE WHEN {_SEMINC_BASE.replace('vec_id', 'a.vec_id')}
+                         THEN a.vec_id END) AS BIGINT) AS n_base,
+              CAST(count(DISTINCT a.vec_id) AS BIGINT) AS n_total
+       FROM (SELECT vec_id, cl FROM ab UNION ALL
+             SELECT vec_id, cl FROM ad) a
+       GROUP BY a.cl),
+dr AS (SELECT cb.cl,
+              {sql_rnd('sqrt(sum((cn.cv2 - cb.cv) * (cn.cv2 - cb.cv)))',
+                       6)} AS drift
+       FROM cb JOIN cn ON cn.cl = cb.cl AND cn.i = cb.i
+       GROUP BY cb.cl)
+SELECT sz.cl AS cluster, sz.n_base,
+       (sz.n_total - sz.n_base) AS n_delta, dr.drift,
+       (dr.drift > {_DRIFT_TAU}) AS needs_refresh
+FROM sz JOIN dr ON dr.cl = sz.cl
+""")
+def q_embed_centroid_drift(spark, sf):
+    """Centroid DRIFT monitor — the observability signal that
+    decides WHEN q_ivf_refresh must actually run (the refresh key
+    maintains the index O(Δ); this key tells the operator which
+    clusters the delta has dragged): per cluster of the incremental
+    semantic gate's shared structure (_seminc_parts — same base
+    centroids, same delta assignment, so the monitor can never
+    disagree with the gate it watches), the base/delta member
+    counts, the L2 distance between the BASE centroid and the
+    updated (base ∪ delta) centroid, and the refresh flag at the
+    {_DRIFT_TAU} threshold (both branches exercised at every
+    committed scale). An ANN index whose centroids drift serves
+    stale cells — recall decays silently; this is the dashboard row
+    that catches it.
+
+    Scale: membership frames are |vecs| x d exploded rows feeding
+    two map-side (cl, i) mean aggregates and one k x d drift
+    reduction — one pass over the corpus, k-row output; at 100 TB
+    the delta side is a day's arrivals and the base means are the
+    persisted index's own statistics (read, not recomputed)."""
+    ab, ad, cents = _seminc_parts(spark, sf)
+    e = load_tables(spark, sf)["embeddings"]
+    xa = (e.select("vec_id",
+                   F.posexplode("embedding").alias("i0", "vf"))
+          .select("vec_id", (F.col("i0") + 1).alias("i"),
+                  F.col("vf").cast("double").alias("v")))
+    xb = xa.filter(F.expr(_SEMINC_BASE))
+    xd = xa.filter(F.expr(_SEMINC_DELTA))
+    mem = (xb.join(ab, "vec_id").select("cl", "vec_id", "i", "v")
+           .unionAll(
+               xd.join(ad, "vec_id").select("cl", "vec_id", "i", "v")))
+    cn = mem.groupBy("cl", "i").agg(F.avg("v").alias("cv2"))
+    cb = spark.createDataFrame(
+        [(cl, i + 1, float(v)) for cl, vec in cents.items()
+         for i, v in enumerate(vec)], "cl int, i int, cv double")
+    a_all = ab.unionAll(ad)
+    sz = (a_all.groupBy("cl").agg(
+        F.countDistinct(F.when(F.expr(_SEMINC_BASE), F.col("vec_id")))
+         .cast("long").alias("n_base"),
+        F.countDistinct("vec_id").cast("long").alias("n_total")))
+    dr = (cb.join(cn, ["cl", "i"])
+          .groupBy("cl")
+          .agg(rnd(F.sqrt(F.sum((F.col("cv2") - F.col("cv"))
+                                * (F.col("cv2") - F.col("cv")))), 6)
+               .alias("drift")))
+    return (sz.join(dr, "cl")
+            .select(F.col("cl").alias("cluster"), "n_base",
+                    (F.col("n_total") - F.col("n_base")).cast("long")
+                    .alias("n_delta"),
+                    "drift",
+                    (F.col("drift") > F.lit(_DRIFT_TAU))
+                    .alias("needs_refresh")))

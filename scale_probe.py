@@ -282,8 +282,10 @@ REL_KEYS = [
     # 10x on both sides — the bipartite per-cluster GEMM keeps the
     # growth in the linear band; the first exploded-join formulation
     # probed 73x here and was replaced before registration, the
-    # probe doing exactly its job).
-    "q_dedup_incremental_semantic",
+    # probe doing exactly its job) and the centroid-drift monitor
+    # (embeddings grow 10x; two map-side (cl, i) mean aggregates +
+    # a k x d reduction).
+    "q_dedup_incremental_semantic", "q_embed_centroid_drift",
 ]
 
 

@@ -458,3 +458,49 @@ def test_stream_dedup_incremental_semantic_equals_batch_twin(
                 spark, sf_dir).collect()}
     assert live == batch
     assert batch, "empty gate — fixture vacuous"
+
+
+def test_centroid_drift_matches_numpy_replay(spark, sf_dir):
+    """Every cluster row reproduces from a numpy replay over the
+    shared assignment frames (base centroid = label mean of base
+    members; updated centroid = mean over assigned base ∪ delta
+    members; drift = quantized L2), counts balance, and BOTH flag
+    branches fire at the production threshold."""
+    import numpy as np
+
+    from engine.queries.llm import _DRIFT_TAU, _seminc_parts
+
+    ab, ad, cents = _seminc_parts(spark, sf_dir)
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding").collect()}
+    ab_r = [(r["vec_id"], r["cl"]) for r in ab.collect()]
+    ad_r = [(r["vec_id"], r["cl"]) for r in ad.collect()]
+    got = {r["cluster"]: r for r in
+           QUERIES["q_embed_centroid_drift"](spark, sf_dir)
+           .collect()}
+    from collections import defaultdict
+    members = defaultdict(list)
+    base_n = defaultdict(int)
+    seen = defaultdict(set)
+    for v, cl in ab_r:
+        members[cl].append(emb[v])
+        base_n[cl] += 1
+        seen[cl].add(v)
+    for v, cl in ad_r:
+        members[cl].append(emb[v])
+        seen[cl].add(v)
+    assert set(got) == set(members)
+    for cl, vecs in members.items():
+        new_c = np.mean(np.stack(vecs), axis=0)
+        old_c = np.array(cents[cl], dtype=np.float64)
+        drift = np.floor(
+            np.sqrt(((new_c - old_c) ** 2).sum()) * 1e6 + 0.5) / 1e6
+        r = got[cl]
+        assert r["n_base"] == base_n[cl]
+        assert r["n_base"] + r["n_delta"] == len(seen[cl])
+        assert abs(r["drift"] - drift) < 2e-6, (cl, r["drift"], drift)
+        assert r["needs_refresh"] == (r["drift"] > _DRIFT_TAU)
+    flags = [r["needs_refresh"] for r in got.values()]
+    assert any(flags) and not all(flags), (
+        "drift threshold vacuous on the fixture")
