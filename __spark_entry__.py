@@ -252,7 +252,7 @@ _R13_NEW: set[str] = {
     "q_stream_incr_join_refresh", "q_dp_report",
     "q_ts_rolling_median", "q_stream_checkpoint_resume",
     "q_dedup_incremental_semantic", "q_stream_dedup_incremental_semantic",
-    "q_embed_centroid_drift",
+    "q_embed_centroid_drift", "q_mix_schedule_bpe",
 }
 
 

@@ -302,7 +302,17 @@ def q_mix_schedule(spark, sf):
          .select("doc_id", "source",
                  F.size(F.split("text", " ")).cast("long")
                  .alias("n_tok")))
-    j = d.join(F.broadcast(tb), "source")
+    return _mix_manifest(tb, d)
+
+
+def _mix_manifest(planner, d):
+    """The manifest construction shared by q_mix_schedule and
+    q_mix_schedule_bpe: broadcast the |sources|-row planner onto the
+    per-doc (doc_id, source, n_tok) frame and emit epochs by ONE
+    explode of a narrowly-built array (full passes + the md5-grid
+    '#mix' conditional tail) — the two manifests can differ ONLY in
+    what a token is."""
+    j = d.join(F.broadcast(planner), "source")
     empty = F.array().cast("array<bigint>")
     keep_tail = (
         F.expr(hexpoly_sql("md5(concat(doc_id, '#mix'))")) % 1000000
@@ -2058,3 +2068,57 @@ def q_token_budget_bpe(spark, sf):
                      .cast("long").alias("n_tokens")))
     return _budget_plan(
         spark, sf, "_engine_token_budget_bpe_cache", counts)
+
+
+@query("q_mix_schedule_bpe", oracle=f"""
+WITH tb AS ({{TB}}),
+ta AS ({{TA}}),
+d AS (SELECT doc_id, source,
+             CAST(coalesce(ta.n_tokens, 0) AS BIGINT) AS n_tok
+      FROM documents LEFT JOIN ta USING (doc_id)),
+j AS (SELECT d.doc_id, d.source, d.n_tok,
+             tb.full_epochs, tb.tail_ppm
+      FROM d JOIN tb USING (source)),
+f AS (SELECT source, doc_id, CAST(t.e AS BIGINT) AS epoch, n_tok,
+             FALSE AS is_tail
+      FROM j, unnest(generate_series(0, full_epochs - 1)) AS t(e)),
+tl AS (SELECT source, doc_id, full_epochs AS epoch, n_tok,
+              TRUE AS is_tail
+       FROM j
+       WHERE {hexpoly_sql("md5(concat(doc_id, '#mix'))")}
+             % 1000000 < tail_ppm)
+SELECT source, doc_id, epoch, n_tok, is_tail FROM f
+UNION ALL
+SELECT source, doc_id, epoch, n_tok, is_tail FROM tl
+""".format(TB="{TB}", TA="{TA}")
+   .replace("{TB}", _ORACLE["q_token_budget_bpe"])
+   .replace("{TA}", _ORACLE["q_tokenizer_apply"]))
+def q_mix_schedule_bpe(spark, sf):
+    """The training-mix manifest in TOKENIZER tokens — the second
+    link of the unit-coherent chain q_token_budget_bpe started
+    (verdict r12 item 4 carried one level deeper): the SAME manifest
+    construction as q_mix_schedule (_mix_manifest shared verbatim —
+    full passes + the '#mix' md5-grid tail) materializing the BPE
+    planner's (full_epochs, tail_ppm) over per-doc BPE token counts,
+    so schedule rows carry n_tok in the unit the packer consumes and
+    the epochs/tails follow the BPE allocation. The oracle nests
+    q_token_budget_bpe's SQL verbatim (which itself nests the
+    tokenizer lineage) plus a second tokenizer-apply copy for the
+    per-doc counts — three composition levels, the deepest oracle
+    lineage in the registry alongside q_pack_shuffled's.
+
+    Scale: identical to q_mix_schedule (broadcast planner join + one
+    explode, zero stream-side exchange); the tokenizer lineage is
+    the memoized type-table apply."""
+    from .llm import q_tokenizer_apply
+
+    tb = q_token_budget_bpe(spark, sf).select(
+        "source", "full_epochs", "tail_ppm")
+    docs = load_tables(spark, sf)["documents"].select(
+        "doc_id", "source")
+    ta = q_tokenizer_apply(spark, sf).select("doc_id", "n_tokens")
+    d = (docs.join(ta, "doc_id", "left")
+         .select("doc_id", "source",
+                 F.coalesce("n_tokens", F.lit(0)).cast("long")
+                 .alias("n_tok")))
+    return _mix_manifest(tb, d)

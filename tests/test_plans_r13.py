@@ -504,3 +504,31 @@ def test_centroid_drift_matches_numpy_replay(spark, sf_dir):
     flags = [r["needs_refresh"] for r in got.values()]
     assert any(flags) and not all(flags), (
         "drift threshold vacuous on the fixture")
+
+
+def test_mix_schedule_bpe_reconciles_with_bpe_planner(spark, sf_dir):
+    """The BPE manifest's full-pass rows and tokens must reconcile
+    with the BPE planner per source (n_docs x full_epochs rows;
+    n_tokens x full_epochs tokens), tail flags must equal the
+    hashlib '#mix' replay against the BPE tail_ppm, and n_tok must
+    be the TOKENIZER unit (summing to the planner's n_tokens, not
+    the whitespace planner's)."""
+    import hashlib
+    from collections import defaultdict
+
+    plan = {r["source"]: r for r in
+            QUERIES["q_token_budget_bpe"](spark, sf_dir).collect()}
+    man = QUERIES["q_mix_schedule_bpe"](spark, sf_dir).collect()
+    full_rows = defaultdict(int)
+    full_toks = defaultdict(int)
+    for r in man:
+        if not r["is_tail"]:
+            full_rows[r["source"]] += 1
+            full_toks[r["source"]] += r["n_tok"]
+        else:
+            u = int(hashlib.md5(f"{r['doc_id']}#mix".encode())
+                    .hexdigest()[:8], 16) % 1_000_000
+            assert u < plan[r["source"]]["tail_ppm"], r
+    for s, p in plan.items():
+        assert full_rows[s] == p["n_docs"] * p["full_epochs"]
+        assert full_toks[s] == p["n_tokens"] * p["full_epochs"]
