@@ -1321,9 +1321,11 @@ def q_pack_efficiency(spark, sf):
          .alias("crossing_ppm"))
 
 
-@query("q_pack_schedule", oracle=f"""
-WITH m AS ({_ORACLE['q_mix_schedule']}),
-d AS (SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id, epoch, n_tok
+#: The epoch-major shard-tiling window over a scheduled manifest CTE
+#: named `m` — composed VERBATIM into q_pack_schedule (whitespace
+#: unit) and q_pack_schedule_bpe (tokenizer unit): the two packers
+#: can differ ONLY in which manifest they tile.
+_PACK_WINDOW_SQL = f"""d AS (SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id, epoch, n_tok
       FROM m),
 c AS (SELECT *,
              sum(n_tok) OVER (PARTITION BY shard
@@ -1335,7 +1337,28 @@ SELECT shard, doc_id, epoch, CAST(n_tok AS BIGINT) AS n_tok,
        CAST((cum - n_tok) // {_PACK_LEN} AS BIGINT) AS start_seq,
        CAST((cum - 1) // {_PACK_LEN} AS BIGINT) AS end_seq,
        CAST((cum - n_tok) % {_PACK_LEN} AS BIGINT) AS seq_offset
-FROM c
+FROM c"""
+
+
+def _pack_manifest(m):
+    """Spark twin of _PACK_WINDOW_SQL over a scheduled manifest
+    frame (doc_id, epoch, n_tok)."""
+    k, s = _PACK_LEN, _PACK_SHARDS
+    m = m.select((F.col("doc_id") % s).alias("shard"),
+                 "doc_id", "epoch", "n_tok")
+    w = (Window.partitionBy("shard").orderBy("epoch", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = m.withColumn("cum", F.sum("n_tok").over(w))
+    return c.select(
+        "shard", "doc_id", "epoch", "n_tok",
+        F.expr(f"(cum - n_tok) div {k}").alias("start_seq"),
+        F.expr(f"(cum - 1) div {k}").alias("end_seq"),
+        ((F.col("cum") - F.col("n_tok")) % k).alias("seq_offset"))
+
+
+@query("q_pack_schedule", oracle=f"""
+WITH m AS ({_ORACLE['q_mix_schedule']}),
+{_PACK_WINDOW_SQL}
 """)
 def q_pack_schedule(spark, sf):
     """Epoch-aware packing manifest — the END of the data-mix chain
@@ -1361,18 +1384,8 @@ def q_pack_schedule(spark, sf):
     (shard-local, parallel with the cluster; never a global order).
     Integer arithmetic end to end — div/mod on longs, nothing
     floats."""
-    k, s = _PACK_LEN, _PACK_SHARDS
-    m = q_mix_schedule(spark, sf).select(
-        (F.col("doc_id") % s).alias("shard"),
-        "doc_id", "epoch", "n_tok")
-    w = (Window.partitionBy("shard").orderBy("epoch", "doc_id")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    c = m.withColumn("cum", F.sum("n_tok").over(w))
-    return c.select(
-        "shard", "doc_id", "epoch", "n_tok",
-        F.expr(f"(cum - n_tok) div {k}").alias("start_seq"),
-        F.expr(f"(cum - 1) div {k}").alias("end_seq"),
-        ((F.col("cum") - F.col("n_tok")) % k).alias("seq_offset"))
+    return _pack_manifest(
+        q_mix_schedule(spark, sf).select("doc_id", "epoch", "n_tok"))
 
 
 from .llm import (  # noqa: E402  (quality fragments shared verbatim)
@@ -2122,3 +2135,28 @@ def q_mix_schedule_bpe(spark, sf):
                  F.coalesce("n_tokens", F.lit(0)).cast("long")
                  .alias("n_tok")))
     return _mix_manifest(tb, d)
+
+
+@query("q_pack_schedule_bpe", oracle=f"""
+WITH m AS ({{M}}),
+{_PACK_WINDOW_SQL}
+""".replace("{M}", _ORACLE["q_mix_schedule_bpe"]))
+def q_pack_schedule_bpe(spark, sf):
+    """Epoch-aware packing in TOKENIZER tokens — the END of the
+    unit-coherent chain budget→schedule→packing re-based on BPE
+    (q_token_budget_bpe → q_mix_schedule_bpe → this): the SAME
+    shard-tiling window as q_pack_schedule (_PACK_WINDOW_SQL /
+    _pack_manifest shared verbatim) over the BPE manifest, so
+    sequence boundaries now fall where the TOKENIZER says documents
+    end — the offsets a real loader feeds the trainer. With this
+    key a user can run the entire loading chain in either unit and
+    diff the two packings (the padding/boundary cost of planning in
+    the wrong unit, measured).
+
+    Oracle nests q_mix_schedule_bpe verbatim — FOUR composition
+    levels (tokenizer → budget → schedule → pack), the deepest
+    lineage in the registry. Scale: q_mix_schedule_bpe's
+    zero-exchange shape + the one shard-local window cumsum."""
+    return _pack_manifest(
+        q_mix_schedule_bpe(spark, sf).select("doc_id", "epoch",
+                                             "n_tok"))

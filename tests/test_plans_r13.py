@@ -532,3 +532,41 @@ def test_mix_schedule_bpe_reconciles_with_bpe_planner(spark, sf_dir):
     for s, p in plan.items():
         assert full_rows[s] == p["n_docs"] * p["full_epochs"]
         assert full_toks[s] == p["n_tokens"] * p["full_epochs"]
+
+
+def test_pack_schedule_bpe_tiling_replay_and_unit(spark, sf_dir):
+    """The BPE packing reproduces from a Python tiling replay over
+    the BPE manifest (shard cumsum in (epoch, doc_id) order), and
+    the two unit chains genuinely diverge: at least one document's
+    sequence placement differs between q_pack_schedule and the BPE
+    packer (otherwise the unit change packed nothing differently)."""
+    from collections import defaultdict
+
+    from engine.queries.pipeline import _PACK_LEN, _PACK_SHARDS
+
+    man = QUERIES["q_mix_schedule_bpe"](spark, sf_dir).collect()
+    shards = defaultdict(list)
+    for r in man:
+        shards[r["doc_id"] % _PACK_SHARDS].append(
+            (r["epoch"], r["doc_id"], r["n_tok"]))
+    expected = {}
+    for sh, rows in shards.items():
+        rows.sort()
+        cum = 0
+        for ep, doc, nt in rows:
+            cum += nt
+            expected[(sh, doc, ep)] = (
+                nt, (cum - nt) // _PACK_LEN, (cum - 1) // _PACK_LEN,
+                (cum - nt) % _PACK_LEN)
+    got = {(r["shard"], r["doc_id"], r["epoch"]):
+           (r["n_tok"], r["start_seq"], r["end_seq"],
+            r["seq_offset"]) for r in
+           QUERIES["q_pack_schedule_bpe"](spark, sf_dir).collect()}
+    assert got == expected
+    ws = {(r["shard"], r["doc_id"], r["epoch"]):
+          (r["start_seq"], r["seq_offset"]) for r in
+          QUERIES["q_pack_schedule"](spark, sf_dir).collect()}
+    common = set(got) & set(ws)
+    assert common, "no shared (shard, doc, epoch) rows to compare"
+    assert any((got[k][1], got[k][3]) != ws[k] for k in common), (
+        "identical packings in both units — the BPE chain is vacuous")
