@@ -253,7 +253,7 @@ _R13_NEW: set[str] = {
     "q_ts_rolling_median", "q_stream_checkpoint_resume",
     "q_dedup_incremental_semantic", "q_stream_dedup_incremental_semantic",
     "q_embed_centroid_drift", "q_mix_schedule_bpe",
-    "q_pack_schedule_bpe",
+    "q_pack_schedule_bpe", "q_pack_unit_ablation",
 }
 
 

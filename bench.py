@@ -281,6 +281,10 @@ HEADLINE = [
     # round 13: the centroid-drift monitor (one corpus pass, k-row
     # output — the q_ivf_refresh trigger signal).
     "q_embed_centroid_drift",
+    # round 13: the BPE-unit loading chain (enter like q_mix_schedule
+    # / q_pack_schedule — the composed lineage is the measured work).
+    "q_mix_schedule_bpe",
+    "q_pack_schedule_bpe",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

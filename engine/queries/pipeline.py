@@ -2160,3 +2160,65 @@ def q_pack_schedule_bpe(spark, sf):
     return _pack_manifest(
         q_mix_schedule_bpe(spark, sf).select("doc_id", "epoch",
                                              "n_tok"))
+
+
+@query("q_pack_unit_ablation", oracle=f"""
+WITH pw AS (WITH m AS ({_ORACLE['q_mix_schedule']}),
+            {_PACK_WINDOW_SQL}),
+pb AS ({_ORACLE['q_pack_schedule_bpe']}),
+u AS (SELECT 'whitespace' AS unit, shard, n_tok, end_seq FROM pw
+      UNION ALL
+      SELECT 'bpe' AS unit, shard, n_tok, end_seq FROM pb),
+s AS (SELECT unit, shard,
+             CAST(max(end_seq) + 1 AS BIGINT) AS n_seqs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_instances
+      FROM u GROUP BY unit, shard)
+SELECT unit,
+       CAST(sum(n_instances) AS BIGINT) AS n_instances,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_seqs) AS BIGINT) AS n_seqs,
+       CAST(sum(n_seqs) * {_PACK_LEN} - sum(n_tokens) AS BIGINT)
+           AS pad_tokens,
+       CAST(1000000 * (sum(n_seqs) * {_PACK_LEN} - sum(n_tokens))
+            // (sum(n_seqs) * {_PACK_LEN}) AS BIGINT) AS pad_ppm
+FROM s GROUP BY unit
+""")
+def q_pack_unit_ablation(spark, sf):
+    """Packing UNIT ablation — the measured answer to "what does
+    planning in the wrong token unit cost?": the whole loading chain
+    runs twice (the registered whitespace lane and the registered
+    BPE lane, composed verbatim on both sides) and this table
+    reports, per unit, the scheduled instances, true tokens, packed
+    {_PACK_LEN}-token sequences, and the tail padding each unit's
+    packing wastes (absolute + ppm of sequence slots). The units
+    schedule different token totals AND different tail draws, so
+    instances, sequences and padding all diverge — the diff a
+    loading team reads before standardizing on tokenizer-unit
+    budgeting. One q_pack_efficiency-shaped aggregate per lane.
+
+    Scale: both lanes are the zero-exchange manifest + shard-local
+    window shapes already probed; this adds two |shards|-row
+    aggregates and a 2-row union."""
+    out = None
+    for unit, frame in (
+            ("whitespace", q_pack_schedule(spark, sf)),
+            ("bpe", q_pack_schedule_bpe(spark, sf))):
+        s = (frame.groupBy("shard")
+             .agg((F.max("end_seq") + 1).cast("long").alias("n_seqs"),
+                  F.sum("n_tok").cast("long").alias("n_tokens"),
+                  F.count(F.lit(1)).cast("long").alias("n_instances")))
+        r = s.agg(
+            F.sum("n_instances").cast("long").alias("n_instances"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_seqs").cast("long").alias("n_seqs"),
+            (F.sum("n_seqs") * _PACK_LEN - F.sum("n_tokens"))
+            .cast("long").alias("pad_tokens"),
+            F.expr(f"CAST(1000000 * (sum(n_seqs) * {_PACK_LEN}"
+                   f" - sum(n_tokens))"
+                   f" div (sum(n_seqs) * {_PACK_LEN}) AS BIGINT)")
+            .alias("pad_ppm"),
+        ).select(F.lit(unit).alias("unit"), "n_instances",
+                 "n_tokens", "n_seqs", "pad_tokens", "pad_ppm")
+        out = r if out is None else out.unionByName(r)
+    return out

@@ -570,3 +570,38 @@ def test_pack_schedule_bpe_tiling_replay_and_unit(spark, sf_dir):
     assert common, "no shared (shard, doc, epoch) rows to compare"
     assert any((got[k][1], got[k][3]) != ws[k] for k in common), (
         "identical packings in both units — the BPE chain is vacuous")
+
+
+def test_pack_unit_ablation_reconciles_with_both_packers(
+        spark, sf_dir):
+    """Each ablation row re-aggregates its packer's own manifest
+    exactly, and the two units genuinely diverge in every measured
+    column (the table grades nothing otherwise)."""
+    from collections import defaultdict
+
+    from engine.queries.pipeline import _PACK_LEN
+
+    abl = {r["unit"]: r for r in
+           QUERIES["q_pack_unit_ablation"](spark, sf_dir).collect()}
+    assert set(abl) == {"whitespace", "bpe"}
+    for unit, key in (("whitespace", "q_pack_schedule"),
+                      ("bpe", "q_pack_schedule_bpe")):
+        rows = QUERIES[key](spark, sf_dir).collect()
+        per = defaultdict(lambda: [0, 0, 0])  # n_seqs, toks, inst
+        for r in rows:
+            c = per[r["shard"]]
+            c[0] = max(c[0], r["end_seq"] + 1)
+            c[1] += r["n_tok"]
+            c[2] += 1
+        n_seqs = sum(c[0] for c in per.values())
+        n_toks = sum(c[1] for c in per.values())
+        n_inst = sum(c[2] for c in per.values())
+        a = abl[unit]
+        assert a["n_instances"] == n_inst
+        assert a["n_tokens"] == n_toks
+        assert a["n_seqs"] == n_seqs
+        assert a["pad_tokens"] == n_seqs * _PACK_LEN - n_toks
+        assert a["pad_ppm"] == (1_000_000 * a["pad_tokens"]
+                                // (n_seqs * _PACK_LEN))
+    for col in ("n_tokens", "n_seqs", "pad_ppm"):
+        assert abl["whitespace"][col] != abl["bpe"][col], col
