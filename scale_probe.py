@@ -286,6 +286,13 @@ REL_KEYS = [
     # (embeddings grow 10x; two map-side (cl, i) mean aggregates +
     # a k x d reduction).
     "q_dedup_incremental_semantic", "q_embed_centroid_drift",
+    # q_mix_schedule_bpe / q_pack_schedule_bpe are excluded (the
+    # q_pack_schedule rationale, one unit over): the planner lane and
+    # window are the probed whitespace shapes over the probed
+    # tokenizer lineage. q_pack_unit_ablation is excluded like
+    # q_dedup_report (two |shards|-row aggregates OVER both probed
+    # chains). q_stream_dedup_incremental_semantic is excluded like
+    # every q_stream_* key.
 ]
 
 
