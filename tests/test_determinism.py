@@ -81,6 +81,12 @@ KEYS = [
     "q_incr_join_refresh",     # three-lane partial-aggregate merge
     "q_data_card",             # five-family per-source composition
     "q_dp_report",             # four-release ledger union
+    "q_ts_rolling_median",     # bounded-frame exact window percentile
+    "q_mix_schedule_bpe",      # BPE planner broadcast + '#mix' tail
+    "q_pack_schedule_bpe",     # shard-local cumsum over BPE manifest
+    "q_pack_unit_ablation",    # both chains re-aggregated to 2 rows
+    "q_dedup_incremental_semantic",  # per-cluster bipartite GEMM
+    "q_embed_centroid_drift",  # (cl, i) mean aggregates + k-row drift
 ]
 
 
