@@ -254,6 +254,7 @@ _R13_NEW: set[str] = {
     "q_dedup_incremental_semantic", "q_stream_dedup_incremental_semantic",
     "q_embed_centroid_drift", "q_mix_schedule_bpe",
     "q_pack_schedule_bpe", "q_pack_unit_ablation",
+    "q_join_asof_tolerance", "q_source_json_corrupt",
 }
 
 

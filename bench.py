@@ -285,6 +285,11 @@ HEADLINE = [
     # / q_pack_schedule — the composed lineage is the measured work).
     "q_mix_schedule_bpe",
     "q_pack_schedule_bpe",
+    # round 13: tolerance-bounded as-of (one window lag + codegen
+    # CASE) and the corrupt-record ingestion policy (permissive JSON
+    # read over the memoized stage).
+    "q_join_asof_tolerance",
+    "q_source_json_corrupt",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -347,3 +347,55 @@ def q_mjoin_volume(spark, sf):
         .agg(dsum(rev, 2).alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
+
+
+#: Max staleness (days) for the tolerance-bounded as-of join; 30
+#: keeps all three branches live on the fixtures (~13% of orders
+#: have a prior order within 30 days, ~87% beyond, plus each
+#: customer's first order with no prior at all).
+_ASOF_TOL_DAYS = 30
+
+
+@query("q_join_asof_tolerance", oracle=f"""
+WITH x AS (
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           lag(o_orderkey) OVER w AS pk,
+           lag(o_orderdate) OVER w AS pd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey))
+SELECT o_orderkey, o_custkey,
+       CASE WHEN pd IS NOT NULL
+                 AND date_diff('day', pd, o_orderdate)
+                     <= {_ASOF_TOL_DAYS}
+            THEN pk END AS prev_orderkey,
+       CASE WHEN pd IS NOT NULL
+                 AND date_diff('day', pd, o_orderdate)
+                     <= {_ASOF_TOL_DAYS}
+            THEN CAST(date_diff('day', pd, o_orderdate) AS BIGINT)
+            END AS gap_days
+FROM x
+""")
+def q_join_asof_tolerance(spark, sf):
+    """TOLERANCE-bounded as-of join (pandas merge_asof(tolerance=...),
+    kdb wj) — the staleness-aware variant q_join_asof lacks: each
+    order matches the same customer's most recent prior order ONLY
+    if it is at most {_ASOF_TOL_DAYS} days old; a staler match is
+    worse than no match (a feature-store lookup serving a 2-year-old
+    feature silently poisons the model — LEFT semantics keep the
+    row, NULL the feature, and publish the gap so the join is
+    auditable). Same single-shuffle window-lag plan as q_join_asof
+    (Spark has no native ASOF JOIN; the lag formulation beats the
+    naive range self-join at any scale), plus one codegen CASE —
+    the tolerance costs nothing."""
+    o = load_tables(spark, sf)["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pk = F.lag("o_orderkey").over(w)
+    pd_ = F.lag("o_orderdate").over(w)
+    gap = F.datediff("o_orderdate", pd_)
+    ok = pd_.isNotNull() & (gap <= _ASOF_TOL_DAYS)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.when(ok, pk).alias("prev_orderkey"),
+        F.when(ok, gap.cast("long")).alias("gap_days"),
+    )

@@ -350,3 +350,58 @@ def q_time_travel(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_rows"),
              dsum("bal").alias("total_bal"))
     )
+
+
+@query("q_source_json_corrupt", oracle=f"""
+SELECT event_type, count(*) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM events WHERE event_id % 37 <> 0 GROUP BY event_type
+UNION ALL
+SELECT '_corrupt' AS event_type, count(*) AS n, 0.0 AS sum_value
+FROM events WHERE event_id % 37 = 0
+""")
+def q_source_json_corrupt(spark, sf):
+    """MALFORMED-record ingestion policy — the connector capability
+    every real feed needs and the clean-roundtrip source keys don't
+    exercise: a JSONL stage where every event_id ≡ 0 (mod 37) row is
+    WRITTEN CORRUPTED (truncated JSON — the injection rule IS the
+    oracle's ground truth, so the driver hash checks that Spark's
+    parser quarantines exactly the right rows and parses every
+    survivor bit-identically), read back in PERMISSIVE mode with an
+    explicit columnNameOfCorruptRecord, and aggregated: per-type
+    counts/sums over the good rows plus one '_corrupt' accounting
+    row. The aggregate references data columns alongside the corrupt
+    column, so the single-pass plan is legal (Spark disallows
+    corrupt-column-only queries) and nothing is cached. At 100 TB
+    the same policy ships rejects to a badRecordsPath and alerts on
+    the '_corrupt' row's rate — the schema, mode, and accounting
+    here are exactly that plan."""
+    per_session = session_cache(spark, "_engine_source_cache")
+    key = (sf.rstrip("/"), "json_corrupt")
+    if key not in per_session:
+        digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(),
+                           f"engine_src_jcorrupt_{digest}_{os.getpid()}")
+        ev = load_tables(spark, sf)["events"]
+        line = F.when(
+            F.col("event_id") % 37 == 0,
+            F.concat(F.lit('{"event_id": '),
+                     F.col("event_id").cast("string"),
+                     F.lit(' "TRUNCATED')),
+        ).otherwise(F.to_json(F.struct("event_id", "event_type",
+                                       "value")))
+        (ev.select(line.alias("value"))
+         .write.mode("overwrite").text(out))
+        per_session[key] = out
+    df = (spark.read
+          .schema("event_id long, event_type string, value double,"
+                  " _bad string")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .json(per_session[key]))
+    return (df.groupBy(
+                F.when(F.col("_bad").isNotNull(), F.lit("_corrupt"))
+                 .otherwise(F.col("event_type")).alias("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.coalesce(dsum("value"), F.lit(0.0))
+                  .alias("sum_value")))

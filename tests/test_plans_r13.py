@@ -605,3 +605,53 @@ def test_pack_unit_ablation_reconciles_with_both_packers(
                                 // (n_seqs * _PACK_LEN))
     for col in ("n_tokens", "n_seqs", "pad_ppm"):
         assert abl["whitespace"][col] != abl["bpe"][col], col
+
+
+def test_asof_tolerance_matches_python_replay(spark, sf_dir):
+    """Every row reproduces from a per-customer sorted replay, and
+    all three branches are live: matched-within-tolerance,
+    staleness-nulled, and first-order-never-matched."""
+    from collections import defaultdict
+
+    from engine.queries.joins import _ASOF_TOL_DAYS
+
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate").collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["o_custkey"]].append((r["o_orderdate"], r["o_orderkey"]))
+    expected = {}
+    for c, xs in per.items():
+        xs.sort()
+        for i, (d, k) in enumerate(xs):
+            if i == 0:
+                expected[k] = (None, None)
+            else:
+                pd_, pk = xs[i - 1]
+                gap = (d.date() - pd_.date()).days
+                expected[k] = ((pk, gap) if gap <= _ASOF_TOL_DAYS
+                               else (None, None))
+    got = {r["o_orderkey"]: (r["prev_orderkey"], r["gap_days"])
+           for r in QUERIES["q_join_asof_tolerance"](
+               spark, sf_dir).collect()}
+    assert got == expected
+    vals = list(got.values())
+    assert any(v[0] is not None for v in vals), "no in-tolerance match"
+    assert any(v[0] is None for v in vals), "no nulled match"
+
+
+def test_source_json_corrupt_quarantines_exactly(spark, sf_dir):
+    """The '_corrupt' row must count exactly the injected rows
+    (event_id % 37 == 0) and the good-row totals must equal the
+    parquet original's — Spark's permissive parser neither drops a
+    good row nor passes a corrupted one."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type").collect()
+    n_bad = sum(1 for r in ev if r["event_id"] % 37 == 0)
+    from collections import Counter
+    good = Counter(r["event_type"] for r in ev
+                   if r["event_id"] % 37 != 0)
+    got = {r["event_type"]: r["n"] for r in
+           QUERIES["q_source_json_corrupt"](spark, sf_dir).collect()}
+    assert got.pop("_corrupt") == n_bad > 0
+    assert got == dict(good)
