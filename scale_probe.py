@@ -268,10 +268,14 @@ REL_KEYS = [
     # literal comparisons)
     "q_file_skipping_stats",
     # round-13: join-key skew diagnostics (lineitem/orders/events all
-    # grow 10x; three map-side count aggregates) and the three-lane
+    # grow 10x; three map-side count aggregates), the three-lane
     # incremental join refresh (orders grow 10x; broadcast delta
-    # lanes + |groups|-row merge).
+    # lanes + |groups|-row merge), and the tolerance as-of (orders
+    # grow 10x; one window lag). q_source_json_corrupt is excluded
+    # like the other source round-trip keys (staging I/O dominates
+    # the probe, not plan growth).
     "q_join_skew_report", "q_incr_join_refresh",
+    "q_join_asof_tolerance",
     # round-13 second wave: exact rolling median (events grow 10x;
     # one hash exchange + bounded 24-row frames). The checkpoint
     # twin is excluded like every q_stream_* key, and
