@@ -255,6 +255,9 @@ _R13_NEW: set[str] = {
     "q_embed_centroid_drift", "q_mix_schedule_bpe",
     "q_pack_schedule_bpe", "q_pack_unit_ablation",
     "q_join_asof_tolerance", "q_source_json_corrupt",
+    "q_join_asof_forward", "q_join_asof_nearest",
+    "q_anova", "q_langid_calibration", "q_decile_lift",
+    "q_source_csv_corrupt", "q_ts_lag_features",
 }
 
 

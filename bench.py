@@ -290,6 +290,23 @@ HEADLINE = [
     # read over the memoized stage).
     "q_join_asof_tolerance",
     "q_source_json_corrupt",
+    # round 13: the forward/nearest as-of directions (same
+    # single-shuffle window plan as q_join_asof; nearest adds the
+    # lag+lead arbitration CASE).
+    "q_join_asof_forward",
+    "q_join_asof_nearest",
+    # round 13: one-way ANOVA (one map-side aggregate + k-row folds),
+    # langid calibration/ECE (the langid vote plan + one doc window),
+    # and the leakage-safe decile-lift gains table (two order
+    # aggregates + 10-row grain).
+    "q_anova",
+    "q_langid_calibration",
+    "q_decile_lift",
+    # round 13: the CSV corrupt-record policy twin (permissive CSV
+    # read over the memoized stage) and the leakage-safe lag-feature
+    # frame (one window exchange, bounded frames).
+    "q_source_csv_corrupt",
+    "q_ts_lag_features",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -1155,3 +1155,204 @@ def q_winsorize(spark, sf):
             ((F.col("value") < F.col("lo"))
              | (F.col("value") > F.col("hi"))).alias("was_clipped"))
     )
+
+
+# ------------------------------------------------- one-way ANOVA
+@query("q_anova", oracle=f"""
+WITH v AS (
+  SELECT event_type AS grp,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(vc) AS BIGINT) AS s_g,
+         CAST(sum(CAST(vc AS HUGEINT) * vc) AS DOUBLE) AS q_g
+  FROM v GROUP BY 1),
+t AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS DOUBLE) AS tt,
+         CAST(count(*) AS BIGINT) AS k
+  FROM g),
+s AS (
+  SELECT max(n) AS n, max(k) AS k,
+         sum(CAST(s_g AS DOUBLE) * s_g / n_g) - max(tt * tt / n)
+             AS ssb_c2,
+         sum(q_g - CAST(s_g AS DOUBLE) * s_g / n_g) AS ssw_c2
+  FROM g, t)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CAST(k - 1 AS BIGINT) AS dof_between,
+       CAST(n - k AS BIGINT) AS dof_within,
+       {sql_rnd("ssb_c2 / 10000.0")} AS ss_between,
+       {sql_rnd("ssw_c2 / 10000.0")} AS ss_within,
+       {sql_rnd("(ssb_c2 / (k - 1)) / nullif(ssw_c2 / (n - k), 0)")}
+           AS f_stat,
+       {sql_rnd("ssb_c2 / nullif(ssb_c2 + ssw_c2, 0)")} AS eta_sq
+FROM s
+""")
+def q_anova(spark, sf):
+    """One-way ANOVA: does mean event value differ across event
+    types? Completes the engine's hypothesis-test family (Welch t =
+    2 groups, Mann-Whitney = 2 groups rank-based, chi2 = two
+    categoricals, KS = two distributions) with the k-group mean
+    comparison, publishing the F statistic, both sums of squares,
+    degrees of freedom, and the eta-squared effect size.
+
+    Determinism: values are cent-quantized BIGINTs, so each group's
+    (n, sum, sum-of-squares) triple is EXACT integer arithmetic —
+    one map-side aggregate, order-independent by construction; the
+    per-row square runs in the 128-bit lane (prod128 — the
+    q_mann_whitney overflow lesson, since sum(vc^2) crosses 2^63 at
+    the 100x probe grain). The SSB/SSW folds then run in doubles
+    over |k| rows only (k = |event types|, broadcast-grain) and
+    quantize once — the q_mutual_info discipline. Scale: ONE
+    data-sized shuffle (the groupBy), everything downstream is
+    k-row."""
+    e = load_tables(spark, sf)["events"]
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    g = (e.select(F.col("event_type").alias("grp"), vc.alias("vc"))
+         .groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("n_g"),
+              F.sum("vc").alias("s_g"),
+              sum128(prod128(F.col("vc"), F.col("vc"))).alias("q_g")))
+    t = g.agg(F.sum("n_g").alias("n"),
+              F.sum("s_g").cast("double").alias("tt"),
+              F.count(F.lit(1)).alias("k"))
+    sg2 = F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+    s = (g.crossJoin(F.broadcast(t))
+         .agg(F.max("n").alias("n"), F.max("k").alias("k"),
+              (F.sum(sg2)
+               - F.max(F.col("tt") * F.col("tt") / F.col("n")))
+              .alias("ssb_c2"),
+              F.sum(F.col("q_g") - sg2).alias("ssw_c2")))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        (F.col("k") - 1).cast("long").alias("dof_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("dof_within"),
+        rnd(F.col("ssb_c2") / 10000.0).alias("ss_between"),
+        rnd(F.col("ssw_c2") / 10000.0).alias("ss_within"),
+        # nullif guard: a zero-variance-within corpus (all values
+        # equal inside every group) NULLs F instead of erroring
+        rnd((F.col("ssb_c2") / (F.col("k") - 1))
+            / F.nullif(F.col("ssw_c2") / (F.col("n") - F.col("k")),
+                       F.lit(0.0))).alias("f_stat"),
+        rnd(F.col("ssb_c2")
+            / F.nullif(F.col("ssb_c2") + F.col("ssw_c2"),
+                       F.lit(0.0))).alias("eta_sq"))
+
+
+# --------------------------------------------- decile lift / gains
+#: Temporal feature/outcome split for the lift table: features come
+#: from orders STRICTLY BEFORE the split, the response from on/after
+#: it — the leakage rule every supervised pipeline lives by. 2001-01
+#: leaves ~6 years of history and a 7-month response window, so both
+#: responders and non-responders exist at every committed scale.
+_LIFT_SPLIT = "TIMESTAMP '2001-01-01'"
+#: Literal model weights (the q_quality_classifier discipline): the
+#: score is cents + 10000·order-count — a deployed propensity model's
+#: coefficients become plan constants, exact integer arithmetic.
+_LIFT_W_FREQ = 10_000
+
+
+@query("q_decile_lift", oracle=f"""
+WITH a AS (
+  SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS freq_a,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS mon_a
+  FROM orders WHERE o_orderdate < {_LIFT_SPLIT} GROUP BY 1),
+r AS (SELECT DISTINCT o_custkey AS ck FROM orders
+      WHERE o_orderdate >= {_LIFT_SPLIT}),
+s AS (SELECT a.ck, mon_a + {_LIFT_W_FREQ} * freq_a AS score,
+             (r.ck IS NOT NULL) AS resp
+      FROM a LEFT JOIN r ON a.ck = r.ck),
+c AS (SELECT quantile_disc(score,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM s),
+d AS (SELECT resp, CAST(1
+          + CAST(score <= qs[1] AS INT) + CAST(score <= qs[2] AS INT)
+          + CAST(score <= qs[3] AS INT) + CAST(score <= qs[4] AS INT)
+          + CAST(score <= qs[5] AS INT) + CAST(score <= qs[6] AS INT)
+          + CAST(score <= qs[7] AS INT) + CAST(score <= qs[8] AS INT)
+          + CAST(score <= qs[9] AS INT) AS INT) AS decile
+      FROM s, c),
+g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(count(CASE WHEN resp THEN 1 END) AS BIGINT) AS n_resp
+      FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n_cust) AS BIGINT) AS nt,
+             CAST(sum(n_resp) AS BIGINT) AS rt FROM g)
+SELECT decile, n_cust, n_resp,
+       {sql_rnd('CAST(n_resp AS DOUBLE) / n_cust', 6)} AS resp_rate,
+       {sql_rnd('(CAST(n_resp AS DOUBLE) / n_cust)'
+                ' / nullif(CAST(rt AS DOUBLE) / nt, 0)', 6)} AS lift,
+       CAST(1000000 * CAST(sum(n_resp) OVER (ORDER BY decile)
+                           AS BIGINT) // nullif(rt, 0) AS BIGINT)
+           AS cum_capture_ppm
+FROM g, t
+""")
+def q_decile_lift(spark, sf):
+    """DECILE LIFT / gains table — the standard readout for 'does
+    this model rank well': customers are scored by a literal-weight
+    propensity model over their PRE-SPLIT order history (exact
+    integer score — cents + 10000·orders), the response is whether
+    they ordered ON/AFTER the split (the leakage-safe temporal
+    protocol: no feature can see the outcome window), and each score
+    decile reports its response rate, lift over the base rate, and
+    the cumulative capture curve a campaign-targeting or
+    data-selection budget reads (decile 1 = top scores). Customers
+    with no pre-split history are unscorable and excluded — in
+    production they fall to a cold-start policy, not this table.
+
+    Determinism: scores and responses are exact integers/booleans;
+    decile assignment counts strict comparisons against the 9
+    discrete-percentile cutpoints (the q_rfm_segment discipline —
+    never a global ntile window over the data); cum_capture_ppm is
+    exact integer arithmetic (1e6·cum_resp // total_resp). The only
+    doubles are the two published rates, quantized once.
+
+    Scale: two map-side-combinable aggregates over orders (feature
+    window + responder set), one 9-scalar percentile aggregate
+    broadcast back, then everything is 10-row grain — including the
+    cumulative window, which orders 10 rows, not the data."""
+    o = load_tables(spark, sf)["orders"]
+    split = F.expr(_LIFT_SPLIT)
+    a = (o.filter(F.col("o_orderdate") < split)
+         .groupBy(F.col("o_custkey").alias("ck"))
+         .agg(F.count(F.lit(1)).alias("freq_a"),
+              F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long")).alias("mon_a")))
+    r = (o.filter(F.col("o_orderdate") >= split)
+         .select(F.col("o_custkey").alias("ck")).distinct()
+         .withColumn("resp0", F.lit(True)))
+    s = (a.select("ck", (F.col("mon_a")
+                         + F.lit(_LIFT_W_FREQ) * F.col("freq_a"))
+                  .alias("score"))
+         .join(r, "ck", "left")
+         .select("score", F.coalesce("resp0", F.lit(False)).alias("resp")))
+    c = s.agg(*[
+        F.expr(f"percentile_disc({p / 10}) WITHIN GROUP "
+               f"(ORDER BY score)").alias(f"q{p}")
+        for p in range(1, 10)])
+    decile = F.lit(1)
+    for p in range(1, 10):
+        decile = decile + (F.col("score") <= F.col(f"q{p}")).cast("int")
+    g = (s.crossJoin(F.broadcast(c))
+         .groupBy(decile.cast("int").alias("decile"))
+         .agg(F.count(F.lit(1)).alias("n_cust"),
+              F.count(F.when(F.col("resp"), 1)).alias("n_resp")))
+    t = g.agg(F.sum("n_cust").alias("nt"), F.sum("n_resp").alias("rt"))
+    cum = F.sum("n_resp").over(
+        W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0))
+    return (g.crossJoin(F.broadcast(t))
+            .select("decile", "n_cust", "n_resp",
+                    rnd(F.col("n_resp").cast("double")
+                        / F.col("n_cust"), 6).alias("resp_rate"),
+                    rnd((F.col("n_resp").cast("double") / F.col("n_cust"))
+                        / F.nullif(F.col("rt").cast("double")
+                                   / F.col("nt"), F.lit(0.0)), 6)
+                    .alias("lift"),
+                    (F.lit(1000000) * cum.cast("long"))
+                    .cast("long").alias("_cr"),
+                    "rt")
+            .select("decile", "n_cust", "n_resp", "resp_rate", "lift",
+                    F.expr("_cr div nullif(rt, 0)")
+                    .alias("cum_capture_ppm")))

@@ -1064,3 +1064,63 @@ def q_ts_rolling_median(spark, sf):
         "event_id", "user_id",
         (F.lit(2) * F.expr("percentile(cents, 0.5)").over(w))
         .cast("long").alias("med_x2_cents"))
+
+
+# ---------------------------------------- supervised lag-feature frame
+@query("q_ts_lag_features", oracle="""
+WITH v AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+         row_number() OVER w AS rn,
+         lag(value, 1) OVER w AS lag1,
+         lag(value, 2) OVER w AS lag2,
+         lag(value, 3) OVER w AS lag3,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+             AS BIGINT) AS sum4c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id, value AS target,
+       lag1, lag2, lag3,
+       CAST(sum4c AS DOUBLE) / 400.0 AS mean4,
+       CAST(rn - 1 AS BIGINT) AS n_prev
+FROM v WHERE rn > 4
+""")
+def q_ts_lag_features(spark, sf):
+    """Supervised LAG-FEATURE frame — the feature matrix a
+    forecasting / uplift trainer consumes, built leakage-safe by
+    construction: per user-series (ordered by ts, event_id) each row
+    becomes one training example whose features are the previous
+    three raw values, the previous-4 rolling mean, and the history
+    length, and whose target is the CURRENT value — every feature
+    frame ends at row −1, so no expression can see the label. Rows
+    with fewer than 4 priors are dropped (incomplete feature vector
+    — a trainer imputing cold-start rows does it downstream,
+    explicitly).
+
+    Determinism: the lag features are BIT-COPIED doubles (no
+    arithmetic, hash-exact); the rolling mean sums CENT-QUANTIZED
+    BIGINTs in the frame (exact integers — a sliding double sum
+    would depend on each engine's subtract-vs-rescan strategy) and
+    divides by the literal 400 once. Scale: ONE hash exchange on
+    user_id serves every window expression (they share the
+    partition+order), frames are bounded at 4 rows — the plan is a
+    single Window operator over a single sort at any corpus size."""
+    e = load_tables(spark, sf)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    v = e.select(
+        "user_id", "event_id", "value",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        F.lag("value", 3).over(w).alias("lag3"),
+        F.sum(vc).over(w.rowsBetween(-4, -1)).alias("sum4c"))
+    return (v.filter(F.col("rn") > 4)
+            .select("user_id", "event_id",
+                    F.col("value").alias("target"),
+                    "lag1", "lag2", "lag3",
+                    (F.col("sum4c").cast("double") / 400.0)
+                    .alias("mean4"),
+                    (F.col("rn") - 1).cast("long").alias("n_prev")))

@@ -399,3 +399,95 @@ def q_join_asof_tolerance(spark, sf):
         F.when(ok, pk).alias("prev_orderkey"),
         F.when(ok, gap.cast("long")).alias("gap_days"),
     )
+
+
+@query("q_join_asof_forward", oracle="""
+SELECT o_orderkey, o_custkey,
+       lead(o_orderkey) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+""")
+def q_join_asof_forward(spark, sf):
+    """FORWARD-direction as-of join (pandas merge_asof(
+    direction='forward')): each order matched to the same customer's
+    EARLIEST SUBSEQUENT order — the shape of "next purchase after
+    this touchpoint" attribution and forward-fill feature joins.
+    Identical single-shuffle window plan to q_join_asof with lead in
+    place of lag (Spark has no native ASOF JOIN in either direction;
+    the window formulation beats the naive range self-join at any
+    scale). Together with q_join_asof (backward), q_join_asof_nearest
+    and q_join_asof_tolerance this completes the merge_asof direction
+    surface."""
+    o = load_tables(spark, sf)["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query("q_join_asof_nearest", oracle="""
+WITH x AS (
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           lag(o_orderkey)   OVER w AS pk,
+           lag(o_orderdate)  OVER w AS pd,
+           lead(o_orderkey)  OVER w AS nk,
+           lead(o_orderdate) OVER w AS nd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey))
+SELECT o_orderkey, o_custkey,
+       CASE WHEN pd IS NULL AND nd IS NULL THEN NULL
+            WHEN nd IS NULL OR (pd IS NOT NULL
+                 AND date_diff('day', pd, o_orderdate)
+                     <= date_diff('day', o_orderdate, nd))
+            THEN pk ELSE nk END AS match_orderkey,
+       CASE WHEN pd IS NULL AND nd IS NULL THEN NULL
+            WHEN nd IS NULL OR (pd IS NOT NULL
+                 AND date_diff('day', pd, o_orderdate)
+                     <= date_diff('day', o_orderdate, nd))
+            THEN CAST(date_diff('day', pd, o_orderdate) AS BIGINT)
+            ELSE CAST(date_diff('day', o_orderdate, nd) AS BIGINT)
+            END AS gap_days,
+       CASE WHEN pd IS NULL AND nd IS NULL THEN NULL
+            WHEN nd IS NULL OR (pd IS NOT NULL
+                 AND date_diff('day', pd, o_orderdate)
+                     <= date_diff('day', o_orderdate, nd))
+            THEN 'prior' ELSE 'next' END AS matched_dir
+FROM x
+""")
+def q_join_asof_nearest(spark, sf):
+    """NEAREST-direction as-of join (pandas merge_asof(
+    direction='nearest')): each order matched to the same customer's
+    temporally CLOSEST other order, prior or subsequent, with the
+    deterministic tie rule gap_prior <= gap_next → prior (the
+    backward match is the one that was actually observable at event
+    time, so ties resolve to the causally-safe side). Publishes the
+    winning key, its absolute gap in days, and the direction so the
+    join is auditable. One window exchange computes BOTH neighbors
+    (lag and lead share the window spec, so Catalyst evaluates them
+    in a single Window operator over a single sort) — the same
+    single-shuffle cost as the one-direction keys; the direction
+    arbitration is pure codegen CASE on top."""
+    o = load_tables(spark, sf)["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pk, pd_ = F.lag("o_orderkey").over(w), F.lag("o_orderdate").over(w)
+    nk, nd = F.lead("o_orderkey").over(w), F.lead("o_orderdate").over(w)
+    gb = F.datediff(F.col("o_orderdate"), pd_)
+    gf = F.datediff(nd, F.col("o_orderdate"))
+    # three-valued: NULL when no neighbor at all; True → prior wins
+    take_prior = (
+        F.when(pd_.isNull() & nd.isNull(), F.lit(None).cast("boolean"))
+        .when(nd.isNull() | (pd_.isNotNull() & (gb <= gf)), F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.when(take_prior, pk).when(~take_prior, nk)
+         .alias("match_orderkey"),
+        F.when(take_prior, gb.cast("long"))
+         .when(~take_prior, gf.cast("long")).alias("gap_days"),
+        F.when(take_prior, F.lit("prior"))
+         .when(~take_prior, F.lit("next")).alias("matched_dir"),
+    )

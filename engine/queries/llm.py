@@ -974,11 +974,11 @@ def q_tfidf_top(spark, sf):
     )
 
 
-#: Shared langid-verdict SQL — composed verbatim into q_text_langid
-#: (the per-doc verdicts) and q_langid_eval (the per-class report) so
-#: the graded classifier cannot drift from the operator.
-LANGID_ORACLE = """
-WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+#: Shared langid VOTE CTEs (signature lexicons + the per-(doc, lang)
+#: match counts) — the fragment every langid key builds on, split out
+#: so q_langid_calibration can read the raw votes without re-deriving
+#: the classifier (and therefore can never desync from it).
+_LANGID_VOTE_CTES = """w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
 c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word),
 sig AS (SELECT lang AS sig_lang, word FROM (
             SELECT *, row_number() OVER (PARTITION BY lang
@@ -987,7 +987,13 @@ sig AS (SELECT lang AS sig_lang, word FROM (
 dw AS (SELECT DISTINCT doc_id, lang,
               unnest(string_split(text, ' ')) AS word FROM documents),
 m AS (SELECT doc_id, lang, sig_lang, count(*) AS matches
-      FROM dw JOIN sig USING (word) GROUP BY doc_id, lang, sig_lang),
+      FROM dw JOIN sig USING (word) GROUP BY doc_id, lang, sig_lang)"""
+
+#: Shared langid-verdict SQL — composed verbatim into q_text_langid
+#: (the per-doc verdicts) and q_langid_eval (the per-class report) so
+#: the graded classifier cannot drift from the operator.
+LANGID_ORACLE = f"""
+WITH {_LANGID_VOTE_CTES},
 g AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY matches DESC, sig_lang) AS rn
       FROM m)
@@ -997,11 +1003,13 @@ FROM g WHERE rn = 1
 """
 
 
-@query("q_text_langid", oracle=LANGID_ORACLE)
-def q_text_langid(spark, sf):
-    """Signature-word language ID: the per-language top-5 word lists
-    (learned from the corpus itself, one aggregate) act as the n-gram
-    profile; each document votes by distinct-word overlap."""
+def _langid_votes(spark, sf):
+    """The (doc_id, lang, sig_lang, matches) vote frame — the Spark
+    twin of _LANGID_VOTE_CTES' m, shared by q_text_langid (argmax →
+    verdict) and q_langid_calibration (vote mass → confidence).
+    Signature lexicons broadcast; docs with zero signature overlap
+    in ANY language emit no votes and are absent downstream (the
+    verdict key's long-standing contract)."""
     d = load_tables(spark, sf)["documents"]
     w = d.select("lang", F.explode(F.split("text", " ")).alias("word"))
     c = w.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1014,11 +1022,19 @@ def q_text_langid(spark, sf):
     dw = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
     ).distinct()
-    m = (
+    return (
         dw.join(F.broadcast(sig), "word")
         .groupBy("doc_id", "lang", "sig_lang")
         .agg(F.count(F.lit(1)).alias("matches"))
     )
+
+
+@query("q_text_langid", oracle=LANGID_ORACLE)
+def q_text_langid(spark, sf):
+    """Signature-word language ID: the per-language top-5 word lists
+    (learned from the corpus itself, one aggregate) act as the n-gram
+    profile; each document votes by distinct-word overlap."""
+    m = _langid_votes(spark, sf)
     gw = W.partitionBy("doc_id").orderBy(F.col("matches").desc(), "sig_lang")
     return (
         m.withColumn("rn", F.row_number().over(gw))
@@ -4579,3 +4595,90 @@ def q_embed_centroid_drift(spark, sf):
                     "drift",
                     (F.col("drift") > F.lit(_DRIFT_TAU))
                     .alias("needs_refresh")))
+
+
+# ------------------------------------------- langid calibration / ECE
+@query("q_langid_calibration", oracle=f"""
+WITH {_LANGID_VOTE_CTES},
+pd AS (SELECT doc_id, lang, sig_lang, matches,
+              CAST(sum(matches) OVER (PARTITION BY doc_id)
+                   AS BIGINT) AS total,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY matches DESC, sig_lang) AS rn
+       FROM m),
+top AS (SELECT doc_id, (lang = sig_lang) AS correct,
+               CAST(1000000 * matches // total AS BIGINT) AS conf_ppm
+        FROM pd WHERE rn = 1),
+b AS (SELECT least(CAST(conf_ppm // 100000 AS BIGINT),
+                   CAST(9 AS BIGINT)) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN correct THEN 1 END) AS BIGINT)
+                 AS n_correct,
+             CAST(sum(conf_ppm) AS BIGINT) AS sum_conf_ppm
+      FROM top GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+             CAST(sum(abs(1000000 * n_correct - sum_conf_ppm))
+                  AS BIGINT) AS dev
+      FROM b)
+SELECT bin, n, n_correct,
+       {sql_rnd('sum_conf_ppm / (1000000.0 * n)', 6)} AS conf_avg,
+       {sql_rnd('CAST(n_correct AS DOUBLE) / n', 6)} AS acc,
+       {sql_rnd('abs(1000000 * n_correct - sum_conf_ppm)'
+                ' / (1000000.0 * n)', 6)} AS gap_abs,
+       CAST(dev // n_tot AS BIGINT) AS ece_ppm
+FROM b, t
+""")
+def q_langid_calibration(spark, sf):
+    """CALIBRATION report for the langid classifier — the reliability
+    diagram + expected-calibration-error readout (Guo et al. 2017)
+    the eval family lacked: q_langid_eval grades WHAT the classifier
+    got right per class; this grades whether its CONFIDENCE means
+    anything. Confidence is the winning language's share of the
+    document's total signature-vote mass (an exact integer ppm —
+    1e6·matches_top/Σmatches, no float softmax to desync engines),
+    bucketed into ten fixed bins; per bin the empirical accuracy is
+    compared with the mean claimed confidence, and the ECE folds the
+    per-bin |acc − conf| gaps weighted by bin mass. ece_ppm is
+    EXACT integer arithmetic end-to-end: Σ_b|1e6·n_correct_b −
+    Σconf_ppm_b| // N — a calibration gate threshold can never
+    flake on float noise.
+
+    Composes the REGISTERED langid lineage: the Spark side builds on
+    _langid_votes (the exact frame q_text_langid argmaxes), the
+    oracle nests _LANGID_VOTE_CTES verbatim — the report cannot
+    disagree with the classifier it audits. Scale: the vote frame is
+    the langid plan (lexicons broadcast); one doc-keyed window pass
+    (sum + row_number share the partition) then TWO bounded
+    aggregates — ≤10 output rows at any corpus size."""
+    m = _langid_votes(spark, sf)
+    wd = W.partitionBy("doc_id")
+    win = wd.orderBy(F.col("matches").desc(), "sig_lang")
+    pd_ = m.select(
+        "doc_id", "lang", "sig_lang", "matches",
+        F.sum("matches").over(wd).alias("total"),
+        F.row_number().over(win).alias("rn"))
+    top = (pd_.filter(F.col("rn") == 1)
+           .select((F.col("lang") == F.col("sig_lang")).alias("correct"),
+                   F.expr("1000000 * matches div total").alias("conf_ppm")))
+    b = (top.groupBy(
+            F.least(F.expr("conf_ppm div 100000"),
+                    F.lit(9).cast("long")).alias("bin"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.count(F.when(F.col("correct"), 1)).alias("n_correct"),
+              F.sum("conf_ppm").alias("sum_conf_ppm")))
+    t = b.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum(F.abs(F.lit(1000000) * F.col("n_correct")
+                    - F.col("sum_conf_ppm"))).alias("dev"))
+    gap = F.abs(F.lit(1000000) * F.col("n_correct")
+                - F.col("sum_conf_ppm"))
+    return (b.crossJoin(F.broadcast(t))
+            .select("bin", "n", "n_correct",
+                    rnd(F.col("sum_conf_ppm")
+                        / (F.lit(1000000.0) * F.col("n")), 6)
+                    .alias("conf_avg"),
+                    rnd(F.col("n_correct").cast("double") / F.col("n"), 6)
+                    .alias("acc"),
+                    rnd(gap / (F.lit(1000000.0) * F.col("n")), 6)
+                    .alias("gap_abs"),
+                    F.expr("dev div n_tot").alias("ece_ppm")))

@@ -405,3 +405,58 @@ def q_source_json_corrupt(spark, sf):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.coalesce(dsum("value"), F.lit(0.0))
                   .alias("sum_value")))
+
+
+@query("q_source_csv_corrupt", oracle=f"""
+SELECT event_type, count(*) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM events WHERE event_id % 41 <> 0 GROUP BY event_type
+UNION ALL
+SELECT '_corrupt' AS event_type, count(*) AS n, 0.0 AS sum_value
+FROM events WHERE event_id % 41 = 0
+""")
+def q_source_csv_corrupt(spark, sf):
+    """MALFORMED-record policy for the CSV lane — the
+    q_source_json_corrupt discipline on the other text format a real
+    feed arrives in (and the format where corruption looks DIFFERENT:
+    a type-cast failure mid-row, not broken framing): every event_id
+    ≡ 0 (mod 41) row is staged with an unparseable value field, the
+    stage is read back PERMISSIVE with an explicit
+    columnNameOfCorruptRecord, and the aggregate publishes per-type
+    good-row counts/sums plus the '_corrupt' accounting row. The
+    injection rule is the oracle's ground truth, so the driver hash
+    proves Spark's CSV parser flags exactly the cast-failed rows and
+    parses every survivor bit-identically (the staged value string is
+    the double's own cast, so the CSV→double round trip must be
+    exact). PERMISSIVE CSV keeps the columns that DID parse on a
+    corrupt row — the quarantine bucket still counts the row once,
+    which is the accounting a badRecordsPath alert needs. Same
+    100 TB posture as the JSONL twin: schema, mode, and the
+    '_corrupt'-rate alert are the production plan."""
+    per_session = session_cache(spark, "_engine_source_cache")
+    key = (sf.rstrip("/"), "csv_corrupt")
+    if key not in per_session:
+        digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(),
+                           f"engine_src_ccorrupt_{digest}_{os.getpid()}")
+        ev = load_tables(spark, sf)["events"]
+        line = F.concat(
+            F.col("event_id").cast("string"), F.lit(","),
+            F.col("event_type"), F.lit(","),
+            F.when(F.col("event_id") % 41 == 0, F.lit("NOT_A_DOUBLE"))
+             .otherwise(F.col("value").cast("string")))
+        (ev.select(line.alias("value"))
+         .write.mode("overwrite").text(out))
+        per_session[key] = out
+    df = (spark.read
+          .schema("event_id long, event_type string, value double,"
+                  " _bad string")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(per_session[key]))
+    return (df.groupBy(
+                F.when(F.col("_bad").isNotNull(), F.lit("_corrupt"))
+                 .otherwise(F.col("event_type")).alias("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.coalesce(dsum("value"), F.lit(0.0))
+                  .alias("sum_value")))

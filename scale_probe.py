@@ -215,6 +215,10 @@ DOC_KEYS = [
     # q_data_card is excluded like q_dedup_report (a |sources|-row
     # join of five probed/bounded pipelines).
     "q_dp_quantile", "q_contamination_bloom",
+    # round-13 closing wave: langid calibration (documents grow 10x;
+    # the langid vote plan + one doc-keyed window + two bounded
+    # aggregates).
+    "q_langid_calibration",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -282,6 +286,19 @@ REL_KEYS = [
     # q_stream_incr_join_refresh / q_dp_report likewise
     # (stream-replay setup / composed-report rationales).
     "q_ts_rolling_median",
+    # round-13 closing wave: the forward/nearest as-of directions
+    # (orders grow 10x; same one-window-exchange shape as the
+    # tolerance key).
+    "q_join_asof_forward", "q_join_asof_nearest",
+    # round-13 closing wave: one-way ANOVA (events grow 10x; one
+    # map-side aggregate) and the decile-lift gains table (orders
+    # grow 10x; two aggregates + percentile broadcast).
+    "q_anova", "q_decile_lift",
+    # round-13 closing wave: the supervised lag-feature frame
+    # (events grow 10x; one user-keyed window exchange, 4-row
+    # frames). q_source_csv_corrupt is excluded like the JSONL twin
+    # (staging I/O dominates the probe, not plan growth).
+    "q_ts_lag_features",
     # round-13 third wave: the O(Δ) semantic gate (embeddings grow
     # 10x on both sides — the bipartite per-cluster GEMM keeps the
     # growth in the linear band; the first exploded-join formulation

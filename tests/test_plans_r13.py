@@ -655,3 +655,220 @@ def test_source_json_corrupt_quarantines_exactly(spark, sf_dir):
            QUERIES["q_source_json_corrupt"](spark, sf_dir).collect()}
     assert got.pop("_corrupt") == n_bad > 0
     assert got == dict(good)
+
+
+def test_asof_forward_matches_python_replay(spark, sf_dir):
+    """Forward direction: each order's next_orderkey is the sorted
+    successor within its customer; each customer's last order has
+    none."""
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate").collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["o_custkey"]].append((r["o_orderdate"], r["o_orderkey"]))
+    expected = {}
+    for xs in per.values():
+        xs.sort()
+        for i, (_, k) in enumerate(xs):
+            expected[k] = xs[i + 1][1] if i + 1 < len(xs) else None
+    got = {r["o_orderkey"]: r["next_orderkey"]
+           for r in QUERIES["q_join_asof_forward"](
+               spark, sf_dir).collect()}
+    assert got == expected
+    assert any(v is None for v in got.values())
+    assert any(v is not None for v in got.values())
+
+
+def test_asof_nearest_matches_python_replay(spark, sf_dir):
+    """Nearest direction: the closest neighbor wins with the
+    documented tie rule (gap_prior <= gap_next → prior), singletons
+    match nothing, and BOTH directions are live on the fixture."""
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate").collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["o_custkey"]].append((r["o_orderdate"], r["o_orderkey"]))
+    expected = {}
+    for xs in per.values():
+        xs.sort()
+        for i, (d, k) in enumerate(xs):
+            pd_, pk = xs[i - 1] if i > 0 else (None, None)
+            nd, nk = xs[i + 1] if i + 1 < len(xs) else (None, None)
+            if pd_ is None and nd is None:
+                expected[k] = (None, None, None)
+            elif nd is None or (pd_ is not None
+                                and (d.date() - pd_.date()).days
+                                <= (nd.date() - d.date()).days):
+                expected[k] = (pk, (d.date() - pd_.date()).days, "prior")
+            else:
+                expected[k] = (nk, (nd.date() - d.date()).days, "next")
+    got = {r["o_orderkey"]: (r["match_orderkey"], r["gap_days"],
+                             r["matched_dir"])
+           for r in QUERIES["q_join_asof_nearest"](
+               spark, sf_dir).collect()}
+    assert got == expected
+    dirs = {v[2] for v in got.values()}
+    assert "prior" in dirs and "next" in dirs
+
+
+def test_asof_direction_family_single_window_exchange(spark, sf_dir):
+    """All four as-of keys keep the single-shuffle window plan: one
+    Exchange and one Window operator each — lag and lead in
+    q_join_asof_nearest share the window spec, so adding the second
+    direction costs zero extra exchanges."""
+    for key in ("q_join_asof", "q_join_asof_forward",
+                "q_join_asof_tolerance", "q_join_asof_nearest"):
+        plan = QUERIES[key](spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        n_ex = plan.count("Exchange hashpartitioning")
+        n_w = plan.count("Window ")
+        assert n_ex == 1, f"{key}: {n_ex} exchanges"
+        assert n_w == 1, f"{key}: {n_w} window ops"
+
+
+def test_anova_matches_python_replay(spark, sf_dir):
+    """Exact integer fields match a from-scratch replay; F and
+    eta-squared match the closed form within float tolerance."""
+    from collections import defaultdict
+
+    import pytest
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value").collect()
+    g = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        vc = math.floor(r["value"] * 100 + 0.5)
+        st = g[r["event_type"]]
+        st[0] += 1
+        st[1] += vc
+        st[2] += vc * vc
+    n = sum(s[0] for s in g.values())
+    tt = float(sum(s[1] for s in g.values()))
+    k = len(g)
+    ssb = sum(float(s[1]) * s[1] / s[0] for s in g.values()) - tt * tt / n
+    ssw = sum(s[2] - float(s[1]) * s[1] / s[0] for s in g.values())
+    got = QUERIES["q_anova"](spark, sf_dir).collect()[0]
+    assert (got["n"], got["k"]) == (n, k)
+    assert (got["dof_between"], got["dof_within"]) == (k - 1, n - k)
+    # published values carry the engine's 1e-4 quantization
+    assert got["ss_between"] == pytest.approx(ssb / 1e4, abs=2e-4)
+    assert got["ss_within"] == pytest.approx(ssw / 1e4, abs=2e-4)
+    assert got["f_stat"] == pytest.approx(
+        (ssb / (k - 1)) / (ssw / (n - k)), abs=2e-4)
+    assert got["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=2e-4)
+
+
+def test_langid_calibration_reconciles_with_verdicts(spark, sf_dir):
+    """The calibration table must aggregate EXACTLY the verdict frame
+    q_text_langid publishes: bin masses sum to the verdict row count,
+    per-bin corrects sum to the verdict match count, ece_ppm equals
+    the published per-bin gaps folded at 1e-6 grain, and bins/rates
+    are well-formed."""
+    verd = QUERIES["q_text_langid"](spark, sf_dir).collect()
+    cal = QUERIES["q_langid_calibration"](spark, sf_dir).collect()
+    assert sum(r["n"] for r in cal) == len(verd)
+    assert (sum(r["n_correct"] for r in cal)
+            == sum(1 for v in verd if v["is_match"]))
+    assert len(cal) >= 2, "degenerate reliability diagram"
+    n_tot = sum(r["n"] for r in cal)
+    ece_from_bins = sum(r["n"] * r["gap_abs"] for r in cal) / n_tot
+    assert abs(ece_from_bins * 1_000_000 - cal[0]["ece_ppm"]) <= len(cal) + 1
+    for r in cal:
+        assert 0 <= r["bin"] <= 9
+        assert 0 < r["conf_avg"] <= 1.0
+        assert 0 <= r["acc"] <= 1.0
+        assert len({x["ece_ppm"] for x in cal}) == 1
+
+
+def test_decile_lift_matches_python_replay(spark, sf_dir):
+    """Full replay of the gains table: leakage-safe split, integer
+    score, quantile_disc cutpoints, per-decile counts and the exact
+    cumulative capture curve; decile 1 must out-lift decile 10."""
+    import datetime
+
+    from collections import defaultdict
+
+    split = datetime.datetime(2001, 1, 1)
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate", "o_totalprice").collect()
+    feat = defaultdict(lambda: [0, 0])
+    resp = set()
+    for r in rows:
+        if r["o_orderdate"] < split:
+            st = feat[r["o_custkey"]]
+            st[0] += 1
+            st[1] += math.floor(r["o_totalprice"] * 100 + 0.5)
+        else:
+            resp.add(r["o_custkey"])
+    scored = [(st[1] + 10_000 * st[0], ck in resp)
+              for ck, st in feat.items()]
+    srt = sorted(s for s, _ in scored)
+    cuts = [srt[max(0, math.ceil(p / 10 * len(srt)) - 1)]
+            for p in range(1, 10)]
+    per = defaultdict(lambda: [0, 0])
+    for s, rp in scored:
+        d = 1 + sum(s <= c for c in cuts)
+        per[d][0] += 1
+        per[d][1] += rp
+    rt = sum(v[1] for v in per.values())
+    got = sorted(QUERIES["q_decile_lift"](spark, sf_dir).collect(),
+                 key=lambda r: r["decile"])
+    assert [r["decile"] for r in got] == sorted(per)
+    cum = 0
+    for r in got:
+        n, nr = per[r["decile"]]
+        cum += nr
+        assert (r["n_cust"], r["n_resp"]) == (n, nr)
+        assert r["cum_capture_ppm"] == 1_000_000 * cum // rt
+    # well-formed gains table: both outcomes live, curve completes
+    nt = sum(v[0] for v in per.values())
+    assert 0 < rt < nt, "outcome window degenerate"
+    assert got[-1]["cum_capture_ppm"] == 1_000_000
+    assert all(0.0 <= r["resp_rate"] <= 1.0 for r in got)
+
+
+def test_source_csv_corrupt_quarantines_exactly(spark, sf_dir):
+    """The '_corrupt' row counts exactly the injected cast-failure
+    rows (event_id % 41 == 0) and the survivors' totals equal the
+    parquet original's — the CSV parser neither drops a good row nor
+    passes a poisoned one."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type").collect()
+    n_bad = sum(1 for r in ev if r["event_id"] % 41 == 0)
+    from collections import Counter
+    good = Counter(r["event_type"] for r in ev
+                   if r["event_id"] % 41 != 0)
+    got = {r["event_type"]: r["n"] for r in
+           QUERIES["q_source_csv_corrupt"](spark, sf_dir).collect()}
+    assert got.pop("_corrupt") == n_bad
+    assert got == dict(good)
+
+
+def test_ts_lag_features_match_python_replay(spark, sf_dir):
+    """Every training example reproduces from a per-user sorted
+    replay: bit-copied lags, the exact cent-grain rolling mean, and
+    the strict >=4-priors admission rule."""
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts", "value").collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    expected = {}
+    for u, xs in per.items():
+        xs.sort(key=lambda x: (x[0], x[1]))
+        for i in range(4, len(xs)):
+            prev = [xs[i - k][2] for k in (1, 2, 3)]
+            s4 = sum(math.floor(xs[i - k][2] * 100 + 0.5)
+                     for k in (1, 2, 3, 4))
+            expected[xs[i][1]] = (u, xs[i][2], *prev, s4 / 400.0, i)
+    got = {r["event_id"]: (r["user_id"], r["target"], r["lag1"],
+                           r["lag2"], r["lag3"], r["mean4"], r["n_prev"])
+           for r in QUERIES["q_ts_lag_features"](spark, sf_dir).collect()}
+    assert got == expected
+    assert expected, "no training examples emitted"
