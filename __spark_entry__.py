@@ -258,6 +258,8 @@ _R13_NEW: set[str] = {
     "q_join_asof_forward", "q_join_asof_nearest",
     "q_anova", "q_langid_calibration", "q_decile_lift",
     "q_source_csv_corrupt", "q_ts_lag_features",
+    "q_stream_late_data",
+    "q_sample_balanced", "q_kruskal_wallis", "q_levene_test",
 }
 
 

@@ -307,6 +307,16 @@ HEADLINE = [
     # frame (one window exchange, bounded frames).
     "q_source_csv_corrupt",
     "q_ts_lag_features",
+    # round 13: the watermark late-drop accounting key (3-file
+    # ordered replay into a 1-day windowed update aggregate).
+    "q_stream_late_data",
+    # round 13: class-balanced sampling (one count aggregate + one
+    # lang-keyed rank window), Kruskal-Wallis (the q_ks_test
+    # distinct-value shape), and Brown-Forsythe Levene (per-group
+    # percentile broadcast + one moment aggregate).
+    "q_sample_balanced",
+    "q_kruskal_wallis",
+    "q_levene_test",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -1356,3 +1356,175 @@ def q_decile_lift(spark, sf):
             .select("decile", "n_cust", "n_resp", "resp_rate", "lift",
                     F.expr("_cr div nullif(rt, 0)")
                     .alias("cum_capture_ppm")))
+
+
+# --------------------------------------------- Kruskal-Wallis H test
+@query("q_kruskal_wallis", oracle=f"""
+WITH vg AS (
+  SELECT event_type AS grp, value AS v, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+tv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM vg GROUP BY 1),
+r AS (
+  SELECT v, t,
+         CAST(coalesce(sum(t) OVER (
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS prior
+  FROM tv),
+g AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n_g,
+         CAST(sum(c * (2 * prior + t + 1)) AS BIGINT) AS r2
+  FROM vg JOIN r USING (v) GROUP BY grp),
+n AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k FROM g),
+tt AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE)
+           AS ties FROM tv),
+s AS (
+  SELECT max(n) AS n, max(k) AS k, max(ties) AS ties,
+         sum(CAST(r2 AS DOUBLE) * r2 / n_g) AS sr2
+  FROM g, n, tt)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CAST(k - 1 AS BIGINT) AS dof,
+       {sql_rnd("3.0 * sr2 / (n * (n + 1.0)) - 3.0 * (n + 1)")}
+           AS h_stat,
+       {sql_rnd("(3.0 * sr2 / (n * (n + 1.0)) - 3.0 * (n + 1))"
+                " / nullif(1.0 - ties"
+                " / (CAST(n AS DOUBLE) * n * n - n), 0)")}
+           AS h_tie_corrected
+FROM s
+""")
+def q_kruskal_wallis(spark, sf):
+    """Kruskal–Wallis H — the k-group RANK test pairing with q_anova
+    the way q_mann_whitney pairs with q_ab_welch: does the value
+    distribution's location differ across event types when nothing
+    about normality can be assumed? Publishes H and the tie-corrected
+    H' = H / (1 − Σ(t³−t)/(N³−N)).
+
+    Exactness: doubled midranks are exact BIGINTs (2·midrank =
+    2·prior + t + 1, the q_spearman_corr ×2 trick), so each group's
+    rank sum R2_g is pure integer arithmetic; the tie cube runs
+    128-bit from the first multiply (the q_mann_whitney overflow
+    lesson). The only doubles are the k-row Σ R2_g²/n_g fold and the
+    closed form — quantized once; at the hash-checked scales the
+    fold's ulp noise sits orders below the 1e-4 quantum (the q_gini
+    headroom discipline; past ~1e6 rows the published statistic is
+    probe-timed, never hashed). Scale: one data-sized groupBy to
+    |distinct (type, value)| cells, the ordered window touches only
+    the |distinct value| frame — the q_ks_test shape."""
+    e = load_tables(spark, sf)["events"]
+    vg = (e.groupBy(F.col("event_type").alias("grp"),
+                    F.col("value").alias("v"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    tv = vg.groupBy("v").agg(F.sum("c").alias("t"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    r = tv.select(
+        "v", "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("prior"))
+    g = (vg.join(r, "v")
+         .groupBy("grp")
+         .agg(F.sum("c").alias("n_g"),
+              F.sum(F.col("c") * (2 * F.col("prior")
+                                  + F.col("t") + 1)).alias("r2")))
+    n = g.agg(F.sum("n_g").alias("n"), F.count(F.lit(1)).alias("k"))
+    td = F.col("t").cast("decimal(38,0)")
+    tt = tv.agg(F.sum(td * td * td - td).cast("double").alias("ties"))
+    s = (g.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(tt))
+         .agg(F.max("n").alias("n"), F.max("k").alias("k"),
+              F.max("ties").alias("ties"),
+              F.sum(F.col("r2").cast("double") * F.col("r2")
+                    / F.col("n_g")).alias("sr2")))
+    nd = F.col("n").cast("double")
+    h = 3.0 * F.col("sr2") / (nd * (nd + 1.0)) - 3.0 * (F.col("n") + 1)
+    corr = 1.0 - F.col("ties") / (nd * nd * nd - nd)
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        rnd(h).alias("h_stat"),
+        # nullif guard: an all-tied corpus (every value identical)
+        # zeroes the correction — NULL beats a hard /0 error
+        rnd(h / F.nullif(corr, F.lit(0.0))).alias("h_tie_corrected"))
+
+
+# ------------------------------------- Levene / Brown-Forsythe test
+@query("q_levene_test", oracle=f"""
+WITH v AS (
+  SELECT event_type AS grp,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events),
+md AS (SELECT grp, CAST(2 * median(vc) AS BIGINT) AS m2
+       FROM v GROUP BY 1),
+d AS (SELECT v.grp, abs(2 * vc - m2) AS dc
+      FROM v JOIN md USING (grp)),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(dc) AS BIGINT) AS s_g,
+         CAST(sum(CAST(dc AS HUGEINT) * dc) AS DOUBLE) AS q_g
+  FROM d GROUP BY 1),
+t AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS DOUBLE) AS tt,
+         CAST(count(*) AS BIGINT) AS k
+  FROM g),
+s AS (
+  SELECT max(n) AS n, max(k) AS k,
+         sum(CAST(s_g AS DOUBLE) * s_g / n_g) - max(tt * tt / n)
+             AS ssb,
+         sum(q_g - CAST(s_g AS DOUBLE) * s_g / n_g) AS ssw
+  FROM g, t)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CAST(k - 1 AS BIGINT) AS dof_between,
+       CAST(n - k AS BIGINT) AS dof_within,
+       {sql_rnd("(ssb / (k - 1)) / nullif(ssw / (n - k), 0)")}
+           AS w_stat
+FROM s
+""")
+def q_levene_test(spark, sf):
+    """Levene's test, Brown–Forsythe variant — the
+    variance-homogeneity check that guards q_anova's equal-variance
+    assumption (the test a careful analyst runs FIRST; scipy's
+    levene(center='median')): a one-way F on the absolute deviations
+    from each group's MEDIAN. The median centering is what makes it
+    robust — one outlier shifts a group mean and poisons a
+    mean-centered Levene, but cannot move the median.
+
+    Exactness: deviations are |2·vc − 2·median| on cent-quantized
+    BIGINTs — 2× the median of integers is integer-valued even for
+    even groups (the q_ts_rolling_median trick), so every deviation
+    is an exact integer and the group moments are exact (squares in
+    the 128-bit lane); the k-row SSB/SSW folds are the q_anova
+    discipline, quantized once. W is unit-free, so the 2×-cent
+    scaling cancels. Scale: one percentile aggregate per group
+    (broadcast back as a |k|-row join) + one map-side moment
+    aggregate — two passes over the data, k-row everything after."""
+    e = load_tables(spark, sf)["events"]
+    v = e.select(F.col("event_type").alias("grp"),
+                 F.floor(F.col("value") * 100 + F.lit(0.5))
+                 .cast("long").alias("vc"))
+    md = (v.groupBy("grp")
+          .agg((2 * F.expr("percentile(vc, 0.5)")).cast("long")
+               .alias("m2")))
+    d = (v.join(F.broadcast(md), "grp")
+         .select("grp", F.abs(2 * F.col("vc") - F.col("m2"))
+                 .alias("dc")))
+    g = (d.groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("n_g"),
+              F.sum("dc").alias("s_g"),
+              sum128(prod128(F.col("dc"), F.col("dc"))).alias("q_g")))
+    t = g.agg(F.sum("n_g").alias("n"),
+              F.sum("s_g").cast("double").alias("tt"),
+              F.count(F.lit(1)).alias("k"))
+    sg2 = F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+    s = (g.crossJoin(F.broadcast(t))
+         .agg(F.max("n").alias("n"), F.max("k").alias("k"),
+              (F.sum(sg2)
+               - F.max(F.col("tt") * F.col("tt") / F.col("n")))
+              .alias("ssb"),
+              F.sum(F.col("q_g") - sg2).alias("ssw")))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        (F.col("k") - 1).cast("long").alias("dof_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("dof_within"),
+        rnd((F.col("ssb") / (F.col("k") - 1))
+            / F.nullif(F.col("ssw") / (F.col("n") - F.col("k")),
+                       F.lit(0.0))).alias("w_stat"))

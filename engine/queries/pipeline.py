@@ -2222,3 +2222,53 @@ def q_pack_unit_ablation(spark, sf):
                  "n_tokens", "n_seqs", "pad_tokens", "pad_ppm")
         out = r if out is None else out.unionByName(r)
     return out
+
+
+# ------------------------------------------- class-balanced sampling
+@query("q_sample_balanced", oracle=f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+m AS (SELECT min(n) AS k FROM c),
+r AS (SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {hex32_sql("concat('bal#', doc_id)")}, doc_id)
+                 AS rk
+      FROM documents)
+SELECT lang, doc_id, n_chars, CAST(rk AS INT) AS rk
+FROM r, m WHERE rk <= k
+""")
+def q_sample_balanced(spark, sf):
+    """CLASS-BALANCED downsampling — the anti-skew draw a
+    lang-conditioned eval set or a balanced fine-tuning mix needs:
+    every language is cut to the SMALLEST language's document count
+    (the fixture's en outnumbers fr 3:1; after this draw every lang
+    contributes equally), membership decided by per-lang rank over
+    each document's md5 draw — deterministic across engines, runs,
+    and partitionings where TABLESAMPLE/rand() are none of those
+    (the q_sample_weighted discipline), and uniform because the hash
+    is independent of content. Differs from q_group_sample_k in the
+    one place that matters: k is LEARNED from the data (the min
+    class mass, one broadcast scalar), not a constant — the draw
+    self-adjusts as the corpus mix drifts.
+
+    Scale: one map-side count aggregate → 1-row min → broadcast; the
+    rank is one window exchange partitioned by lang. A language's
+    partition is single-reducer for the rank — at 100 TB the same
+    draw runs as a per-lang hash-threshold preselect (keep rows with
+    draw below ~(k/n_lang)-quantile, slightly over-admitted, then
+    rank only the preselected sliver); the fixture-scale plan keeps
+    the exact-rank formulation the oracle can replay verbatim."""
+    d = load_tables(spark, sf)["documents"]
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.min("n").alias("k"))
+    h = hexpoly_col(F.md5(F.concat(F.lit("bal#"),
+                                   F.col("doc_id").cast("string"))))
+    w = Window.partitionBy("lang").orderBy(h.asc(),
+                                           F.col("doc_id").asc())
+    r = d.select("lang", "doc_id", "n_chars",
+                 F.row_number().over(w).alias("rk"))
+    return (r.crossJoin(F.broadcast(m))
+            .filter(F.col("rk") <= F.col("k"))
+            .select("lang", "doc_id", "n_chars",
+                    F.col("rk").cast("int").alias("rk")))

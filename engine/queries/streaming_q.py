@@ -1738,3 +1738,126 @@ def q_stream_dedup_incremental_semantic(spark, sf):
     return (spark.table(per_session[key])
             .select("vec_id", F.col("cl").alias("cluster"),
                     "n_dups", "max_cos"))
+
+
+
+_US_DAY = 86_400_000_000  # one day in microseconds
+
+#: Late-data split for the watermark-accounting key: the last week of
+#: the fixture arrives FIRST (as two files — see the lag note in the
+#: docstring), everything older arrives LAST as one straggler file.
+#: With a 90-minute watermark delay the straggler windows all closed
+#: weeks before the watermark, so every straggler row must be
+#: dropped — deterministically, because the head files alone set the
+#: watermark before the straggler file is read.
+_LATE_CUT = "TIMESTAMP '2024-01-24 00:00:00'"
+_LATE_DELAY = "90 minutes"
+
+
+@query("q_stream_late_data", oracle=f"""
+WITH e AS (SELECT (epoch_ns(ts) // 1000 // {_US_DAY}) * {_US_DAY}
+                      AS ws_us,
+                  event_type, value
+           FROM events WHERE ts >= {_LATE_CUT})
+SELECT ws_us, event_type, count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM e GROUP BY ws_us, event_type
+""")
+def q_stream_late_data(spark, sf):
+    """WATERMARK LATE-DATA semantics made provable — the one
+    streaming behavior the existing watermark keys never pin from
+    the DROP side (q_stream_tumbling_append proves completed windows
+    are emitted; this proves expired data is REJECTED): the fixture
+    is staged in forced arrival order — the last week of events
+    first, everything older last (a straggler bulk arrival, e.g. a
+    recovered upstream partition) — and replayed one file per
+    trigger into a 1-day windowed UPDATE-mode aggregate under
+    withWatermark(ts, 90 minutes). The head alone advances the
+    watermark to max(ts) − 90 min, so when the straggler file
+    arrives every one of its windows closed weeks earlier: Spark
+    MUST drop all of it, and the driver hash against the
+    on-time-only batch oracle proves it dropped exactly that (one
+    surviving straggler row changes a count; one wrongly dropped
+    head row changes one too). The straggler rows ARE read — the
+    progress log records them as input, dropped by the stateful
+    operator, not the source: the distinction an ingest SLA audits.
+
+    The head is staged as TWO files because this engine version
+    applies the late-record DATA filter with the watermark lagged
+    one batch behind the planning value (measured here: a straggler
+    in batch 1 is accepted even though batch 1's reported watermark
+    would reject it; in batch 2 it is dropped and
+    numRowsDroppedByWatermark records it) — so the straggler must
+    arrive no earlier than the second batch after the head. Split
+    is by event_id parity: either half's maximum event time sits in
+    the fixture's last day, weeks past the straggler windows, so
+    the drop decision has ~6 days of margin at every scale.
+
+    Scale: state is |open windows × types| rows; the drop is O(1)
+    per late row (a watermark comparison ahead of the state
+    lookup) — precisely the mechanism that bounds state on an
+    infinite stream, here pinned against an exact oracle."""
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "late_data")
+    if key not in per_session:
+        digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+        name = f"stream_late_data_{digest}"
+        base = os.path.join(tempfile.gettempdir(),
+                            f"engine_late_{digest}_{os.getpid()}")
+        ev = load_tables(spark, sf)["events"].select(
+            "event_id", "ts", "event_type", "value")
+        cut = F.expr(_LATE_CUT)
+        head = ev.filter(F.col("ts") >= cut)
+        if not os.path.exists(os.path.join(base, "_STAGED")):
+            parts = (
+                ("0_head_a", head.filter(F.col("event_id") % 2 == 0)),
+                ("1_head_b", head.filter(F.col("event_id") % 2 == 1)),
+                ("2_straggler", ev.filter(F.col("ts") < cut)),
+            )
+            for i, (nm, part) in enumerate(parts):
+                d = os.path.join(base, nm)
+                part.coalesce(1).write.mode("overwrite").parquet(d)
+                # FileStreamSource orders new files by modification
+                # time: pin the arrival order explicitly so a
+                # same-second write tie can never reorder the replay
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        mt = (i + 1) * 1_000_000
+                        os.utime(os.path.join(d, f), (mt, mt))
+            open(os.path.join(base, "_STAGED"), "w").close()
+        schema = spark.read.parquet(os.path.join(base, "0_head_a")).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("recursiveFileLookup", "true")
+                  .parquet(base))
+        agg = (stream.withWatermark("ts", _LATE_DELAY)
+               .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    dsum("value").alias("sum_value"))
+               .select(F.unix_micros("w.start").alias("ws_us"),
+                       "event_type", "n", "sum_value"))
+        q = (agg.writeStream.outputMode("update")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        prog = [(p["batchId"], p["numInputRows"],
+                 sum(o.get("numRowsDroppedByWatermark", 0)
+                     for o in p.get("stateOperators", [])))
+                for p in (q.recentProgress or [])]
+        q.stop()
+        per_session[key] = (name, prog)
+    name, _ = per_session[key]
+    # update-mode sinks append one row per CHANGED key per batch; the
+    # per-key counts/sums only grow, so last-write-wins == max — and
+    # the straggler batch, having been dropped, changes nothing
+    return (spark.table(name)
+            .groupBy("ws_us", "event_type")
+            .agg(F.max("n").alias("n"),
+                 F.max("sum_value").alias("sum_value")))
+
+
+def late_data_meta(spark, sf):
+    """[(batchId, numInputRows, numRowsDroppedByWatermark), ...]
+    recorded by q_stream_late_data's run — the read-then-dropped
+    accounting for the pytest pin."""
+    per_session = session_cache(spark, "_engine_stream_cache")
+    v = per_session.get((sf.rstrip("/"), "late_data"))
+    return v[1] if v else None

@@ -219,6 +219,9 @@ DOC_KEYS = [
     # the langid vote plan + one doc-keyed window + two bounded
     # aggregates).
     "q_langid_calibration",
+    # round-13 closing wave: the class-balanced draw (documents grow
+    # 10x; one count aggregate + one lang-keyed rank window).
+    "q_sample_balanced",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -299,6 +302,10 @@ REL_KEYS = [
     # frames). q_source_csv_corrupt is excluded like the JSONL twin
     # (staging I/O dominates the probe, not plan growth).
     "q_ts_lag_features",
+    # round-13 closing wave: the k-group rank test and the
+    # Brown-Forsythe Levene (events grow 10x; distinct-value /
+    # two-pass moment shapes).
+    "q_kruskal_wallis", "q_levene_test",
     # round-13 third wave: the O(Δ) semantic gate (embeddings grow
     # 10x on both sides — the bipartite per-cluster GEMM keeps the
     # growth in the linear band; the first exploded-join formulation

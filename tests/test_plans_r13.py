@@ -872,3 +872,136 @@ def test_ts_lag_features_match_python_replay(spark, sf_dir):
            for r in QUERIES["q_ts_lag_features"](spark, sf_dir).collect()}
     assert got == expected
     assert expected, "no training examples emitted"
+
+
+def test_stream_late_data_reads_then_drops(spark, sf_dir):
+    """The straggler file must be READ (its rows appear as batch
+    input) and fully DROPPED (the final state equals the on-time
+    aggregate; the drop counter fires). Non-vacuity: the straggler
+    is most of the corpus."""
+    from engine.queries.streaming_q import late_data_meta
+
+    got = {(r["ws_us"], r["event_type"]): r["n"] for r in
+           QUERIES["q_stream_late_data"](spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type").collect()
+    import datetime
+    cut = datetime.datetime(2024, 1, 24)
+    from collections import Counter
+    day_us = 86_400_000_000
+    ontime = Counter(
+        ((int(r["ts"].replace(tzinfo=datetime.timezone.utc)
+              .timestamp() * 1_000_000) // day_us) * day_us,
+         r["event_type"])
+        for r in ev if r["ts"] >= cut)
+    n_late = sum(1 for r in ev if r["ts"] < cut)
+    assert got == dict(ontime)
+    assert n_late > sum(ontime.values()), "straggler not dominant"
+    prog = late_data_meta(spark, sf_dir)
+    assert prog is not None and len(prog) >= 3
+    # the straggler batch read every late row...
+    assert any(rows == n_late for _, rows, _ in prog)
+    # ...and the state operator recorded watermark drops
+    assert sum(d for _, _, d in prog) > 0
+
+
+def test_sample_balanced_equalizes_classes(spark, sf_dir):
+    """Every language contributes exactly the min class mass, the
+    kept set matches the md5-rank replay, and the draw is
+    deterministic (same result twice)."""
+    from collections import Counter, defaultdict
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang").collect()
+    counts = Counter(r["lang"] for r in docs)
+    k = min(counts.values())
+    import hashlib
+    draws = defaultdict(list)
+    for r in docs:
+        h = int(hashlib.md5(
+            f"bal#{r['doc_id']}".encode()).hexdigest()[:8], 16)
+        draws[r["lang"]].append((h, r["doc_id"]))
+    expected = {}
+    for lang, xs in draws.items():
+        xs.sort()
+        for rk, (_, did) in enumerate(xs[:k], 1):
+            expected[did] = (lang, rk)
+    got = {r["doc_id"]: (r["lang"], r["rk"]) for r in
+           QUERIES["q_sample_balanced"](spark, sf_dir).collect()}
+    assert got == expected
+    per_lang = Counter(v[0] for v in got.values())
+    assert set(per_lang.values()) == {k}
+    got2 = {r["doc_id"]: (r["lang"], r["rk"]) for r in
+            QUERIES["q_sample_balanced"](spark, sf_dir).collect()}
+    assert got2 == got
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark, sf_dir):
+    """H and the tie-corrected H' match a from-scratch midrank
+    replay (the scipy.stats.kruskal closed form) within the
+    publication quantum."""
+    from collections import Counter, defaultdict
+
+    import pytest
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value").collect()
+    byv = Counter(r["value"] for r in rows)
+    order = sorted(byv)
+    rank2 = {}
+    prior = 0
+    for v in order:
+        rank2[v] = 2 * prior + byv[v] + 1
+        prior += byv[v]
+    r2 = defaultdict(int)
+    ng = Counter()
+    for r in rows:
+        r2[r["event_type"]] += rank2[r["value"]]
+        ng[r["event_type"]] += 1
+    n = len(rows)
+    k = len(ng)
+    sr2 = sum(float(r2[g]) * r2[g] / ng[g] for g in ng)
+    h = 3.0 * sr2 / (n * (n + 1.0)) - 3.0 * (n + 1)
+    ties = float(sum(t ** 3 - t for t in byv.values()))
+    hc = h / (1.0 - ties / (float(n) ** 3 - n))
+    got = QUERIES["q_kruskal_wallis"](spark, sf_dir).collect()[0]
+    assert (got["n"], got["k"], got["dof"]) == (n, k, k - 1)
+    assert got["h_stat"] == pytest.approx(h, abs=2e-4)
+    assert got["h_tie_corrected"] == pytest.approx(hc, abs=2e-4)
+
+
+def test_levene_bf_matches_python_replay(spark, sf_dir):
+    """W matches a from-scratch Brown-Forsythe replay (median-
+    centered absolute deviations, one-way F) within the publication
+    quantum — and the medians really are the even/odd-exact 2x
+    integers."""
+    from collections import defaultdict
+
+    import pytest
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value").collect()
+    grp = defaultdict(list)
+    for r in rows:
+        grp[r["event_type"]].append(math.floor(r["value"] * 100 + 0.5))
+    dev = defaultdict(list)
+    for g, xs in grp.items():
+        xs.sort()
+        m = len(xs)
+        m2 = (xs[m // 2] * 2 if m % 2
+              else xs[m // 2 - 1] + xs[m // 2])
+        assert isinstance(m2, int)
+        for x in xs:
+            dev[g].append(abs(2 * x - m2))
+    n = sum(len(xs) for xs in dev.values())
+    k = len(dev)
+    tt = float(sum(sum(xs) for xs in dev.values()))
+    ssb = sum(float(sum(xs)) ** 2 / len(xs) for xs in dev.values()) \
+        - tt * tt / n
+    ssw = sum(float(sum(x * x for x in xs))
+              - float(sum(xs)) ** 2 / len(xs) for xs in dev.values())
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    got = QUERIES["q_levene_test"](spark, sf_dir).collect()[0]
+    assert (got["n"], got["k"]) == (n, k)
+    assert (got["dof_between"], got["dof_within"]) == (k - 1, n - k)
+    assert got["w_stat"] == pytest.approx(w, abs=2e-4)
