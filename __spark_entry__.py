@@ -260,6 +260,8 @@ _R13_NEW: set[str] = {
     "q_source_csv_corrupt", "q_ts_lag_features",
     "q_stream_late_data",
     "q_sample_balanced", "q_kruskal_wallis", "q_levene_test",
+    "q_window_rolling_distinct", "q_ts_changepoint", "q_stream_anova",
+    "q_bootstrap_ci", "q_dp_topk",
 }
 
 

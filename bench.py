@@ -317,6 +317,17 @@ HEADLINE = [
     "q_sample_balanced",
     "q_kruskal_wallis",
     "q_levene_test",
+    # round 13: exact sliding-window distinct (dedupe + lag window +
+    # bounded explode), the two-window changepoint detector (one
+    # type-keyed window exchange), and the live ANOVA twin.
+    "q_window_rolling_distinct",
+    "q_ts_changepoint",
+    "q_stream_anova",
+    # round 13: the Poisson bootstrap CI (32x bounded explode into
+    # one combine-heavy aggregate) and the one-shot Gumbel DP top-k
+    # (|domain|-grain after one map-side histogram).
+    "q_bootstrap_ci",
+    "q_dp_topk",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -8,8 +8,8 @@ from pyspark.sql import Window as W, functions as F
 
 from ..io import load_tables
 from ..registry import query
-from .util import (dsum, prod128, rnd, sql_dsum, sql_rnd,
-                   sum128)
+from .util import (dsum, hexpoly_col, hexpoly_sql, prod128, rnd,
+                   sql_dsum, sql_rnd, sum128)
 
 
 @query("q_window_ntile", oracle="""
@@ -1158,7 +1158,10 @@ def q_winsorize(spark, sf):
 
 
 # ------------------------------------------------- one-way ANOVA
-@query("q_anova", oracle=f"""
+#: Shared one-way-ANOVA oracle — composed verbatim into q_anova and
+#: its streaming twin q_stream_anova (streaming_q.py), so live and
+#: batch hash the same ground truth.
+ANOVA_ORACLE = f"""
 WITH v AS (
   SELECT event_type AS grp,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
@@ -1188,32 +1191,14 @@ SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
            AS f_stat,
        {sql_rnd("ssb_c2 / nullif(ssb_c2 + ssw_c2, 0)")} AS eta_sq
 FROM s
-""")
-def q_anova(spark, sf):
-    """One-way ANOVA: does mean event value differ across event
-    types? Completes the engine's hypothesis-test family (Welch t =
-    2 groups, Mann-Whitney = 2 groups rank-based, chi2 = two
-    categoricals, KS = two distributions) with the k-group mean
-    comparison, publishing the F statistic, both sums of squares,
-    degrees of freedom, and the eta-squared effect size.
+"""
 
-    Determinism: values are cent-quantized BIGINTs, so each group's
-    (n, sum, sum-of-squares) triple is EXACT integer arithmetic —
-    one map-side aggregate, order-independent by construction; the
-    per-row square runs in the 128-bit lane (prod128 — the
-    q_mann_whitney overflow lesson, since sum(vc^2) crosses 2^63 at
-    the 100x probe grain). The SSB/SSW folds then run in doubles
-    over |k| rows only (k = |event types|, broadcast-grain) and
-    quantize once — the q_mutual_info discipline. Scale: ONE
-    data-sized shuffle (the groupBy), everything downstream is
-    k-row."""
-    e = load_tables(spark, sf)["events"]
-    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    g = (e.select(F.col("event_type").alias("grp"), vc.alias("vc"))
-         .groupBy("grp")
-         .agg(F.count(F.lit(1)).alias("n_g"),
-              F.sum("vc").alias("s_g"),
-              sum128(prod128(F.col("vc"), F.col("vc"))).alias("q_g")))
+
+def anova_from_moments(g):
+    """The k-row closed form over a (grp, n_g, s_g, q_g) moment frame
+    — shared by q_anova (one batch aggregate feeds it) and
+    q_stream_anova (the complete-mode sink feeds it), so the two
+    lanes cannot diverge in the fold."""
     t = g.agg(F.sum("n_g").alias("n"),
               F.sum("s_g").cast("double").alias("tt"),
               F.count(F.lit(1)).alias("k"))
@@ -1239,6 +1224,35 @@ def q_anova(spark, sf):
         rnd(F.col("ssb_c2")
             / F.nullif(F.col("ssb_c2") + F.col("ssw_c2"),
                        F.lit(0.0))).alias("eta_sq"))
+
+
+@query("q_anova", oracle=ANOVA_ORACLE)
+def q_anova(spark, sf):
+    """One-way ANOVA: does mean event value differ across event
+    types? Completes the engine's hypothesis-test family (Welch t =
+    2 groups, Mann-Whitney = 2 groups rank-based, chi2 = two
+    categoricals, KS = two distributions) with the k-group mean
+    comparison, publishing the F statistic, both sums of squares,
+    degrees of freedom, and the eta-squared effect size.
+
+    Determinism: values are cent-quantized BIGINTs, so each group's
+    (n, sum, sum-of-squares) triple is EXACT integer arithmetic —
+    one map-side aggregate, order-independent by construction; the
+    per-row square runs in the 128-bit lane (prod128 — the
+    q_mann_whitney overflow lesson, since sum(vc^2) crosses 2^63 at
+    the 100x probe grain). The SSB/SSW folds then run in doubles
+    over |k| rows only (k = |event types|, broadcast-grain) and
+    quantize once — the q_mutual_info discipline. Scale: ONE
+    data-sized shuffle (the groupBy), everything downstream is
+    k-row."""
+    e = load_tables(spark, sf)["events"]
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    g = (e.select(F.col("event_type").alias("grp"), vc.alias("vc"))
+         .groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("n_g"),
+              F.sum("vc").alias("s_g"),
+              sum128(prod128(F.col("vc"), F.col("vc"))).alias("q_g")))
+    return anova_from_moments(g)
 
 
 # --------------------------------------------- decile lift / gains
@@ -1528,3 +1542,113 @@ def q_levene_test(spark, sf):
         rnd((F.col("ssb") / (F.col("k") - 1))
             / F.nullif(F.col("ssw") / (F.col("n") - F.col("k")),
                        F.lit(0.0))).alias("w_stat"))
+
+
+
+# --------------------------------------------- Poisson bootstrap CI
+#: Replicate count. 32 replicate means give stable 5%/95% discrete
+#: percentiles while keeping the explode a fixed small constant.
+_BS_B = 32
+#: Poisson(1) CDF in exact ppm — the inverse-CDF thresholds that turn
+#: one md5 ppm draw into a bootstrap weight (w = #thresholds <= u,
+#: capped at 8; P(w >= 8) < 1e-5 so the cap is unreachable in ppm
+#: grain). Literal in BOTH plans, so the weight is engine-exact.
+_BS_THRESH = [367879, 735759, 919699, 981012, 996340,
+              999406, 999917, 999990]
+
+
+def _bs_weight_sql() -> str:
+    return "(" + " + ".join(
+        f"CAST(uu >= {t} AS INT)" for t in _BS_THRESH) + ")"
+
+
+@query("q_bootstrap_ci", oracle=f"""
+WITH v AS (
+  SELECT event_type AS grp, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events),
+pt AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(vc) AS BIGINT) AS s
+  FROM v GROUP BY 1),
+d AS (
+  SELECT grp, vc,
+         b.b,
+         {hexpoly_sql("md5(concat(event_id, '#bs', b.b))")} % 1000000
+             AS uu
+  FROM v CROSS JOIN
+       (SELECT CAST(unnest(generate_series(0, {_BS_B - 1})) AS BIGINT)
+            AS b) b),
+r AS (
+  SELECT grp, b,
+         CAST(sum({_bs_weight_sql()} * vc) AS BIGINT) AS ws,
+         CAST(sum({_bs_weight_sql()}) AS BIGINT) AS wn
+  FROM d GROUP BY grp, b),
+m AS (
+  SELECT grp, b,
+         CAST(ws AS DOUBLE) / (100.0 * nullif(wn, 0)) AS mb
+  FROM r),
+q AS (
+  SELECT grp, quantile_disc(mb, 0.05) AS lo,
+         quantile_disc(mb, 0.95) AS hi
+  FROM m GROUP BY grp)
+SELECT pt.grp, pt.n,
+       {sql_rnd('CAST(pt.s AS DOUBLE) / (100.0 * pt.n)', 6)} AS mean,
+       {sql_rnd('q.lo', 6)} AS ci_lo,
+       {sql_rnd('q.hi', 6)} AS ci_hi
+FROM pt JOIN q ON pt.grp = q.grp
+""")
+def q_bootstrap_ci(spark, sf):
+    """POISSON-BOOTSTRAP confidence interval for each group mean —
+    the bootstrap that actually runs at 100 TB (and powers
+    production A/B systems): classical resampling draws n rows with
+    replacement — a global operation no partition can do alone —
+    but Poisson(1) per-row weights are an excellent approximation
+    to multinomial resampling AND embarrassingly parallel: each row
+    computes its own {_BS_B} replicate weights from an md5 ppm draw
+    against the LITERAL Poisson CDF thresholds (w = #thresholds <=
+    u — pure integer comparisons, engine-exact and replayable,
+    where rand() is neither), so one bounded {_BS_B}x explode + one
+    map-side aggregate yields every replicate's weighted mean and
+    the 5%/95% discrete percentiles of those means are the CI.
+
+    Determinism: weights and weighted sums are exact integers;
+    replicate means are identical doubles on both engines (same
+    integer inputs, same single division), so the discrete
+    percentile picks the same elements; published floats quantized
+    once. Scale: corpus-sized work is the {_BS_B}x explode feeding
+    ONE combine-heavy groupBy to |groups|x{_BS_B} rows — no global
+    resample, no shuffle of raw rows, CI cost is a constant factor
+    on one aggregate."""
+    e = load_tables(spark, sf)["events"]
+    v = e.select(F.col("event_type").alias("grp"), "event_id",
+                 F.floor(F.col("value") * 100 + F.lit(0.5))
+                 .cast("long").alias("vc"))
+    pt = v.groupBy("grp").agg(F.count(F.lit(1)).alias("n"),
+                              F.sum("vc").alias("s"))
+    d = v.select(
+        "grp", "vc",
+        F.explode(F.sequence(F.lit(0), F.lit(_BS_B - 1))).alias("b"),
+        "event_id")
+    uu = hexpoly_col(F.md5(F.concat(
+        F.col("event_id").cast("string"), F.lit("#bs"),
+        F.col("b").cast("string")))) % 1000000
+    w = sum((uu >= t).cast("int") for t in _BS_THRESH)
+    r = (d.select("grp", "b", "vc", w.alias("w"))
+         .groupBy("grp", "b")
+         .agg(F.sum(F.col("w") * F.col("vc")).alias("ws"),
+              F.sum("w").alias("wn")))
+    m = r.select("grp", (F.col("ws").cast("double")
+                         / (100.0 * F.nullif(F.col("wn").cast("double"),
+                                             F.lit(0.0)))).alias("mb"))
+    q = m.groupBy("grp").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY mb)")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY mb)")
+        .alias("hi"))
+    return (pt.join(F.broadcast(q), "grp")
+            .select("grp", "n",
+                    rnd(F.col("s").cast("double")
+                        / (100.0 * F.col("n")), 6).alias("mean"),
+                    rnd(F.col("lo"), 6).alias("ci_lo"),
+                    rnd(F.col("hi"), 6).alias("ci_hi")))

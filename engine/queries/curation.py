@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..io import evict_persisted_lru, load_tables, session_cache
 from ..registry import ORACLE as _ORACLE, query
-from .util import dsum, hexpoly_sql, rnd, sql_dsum, sql_rnd
+from .util import dsum, hexpoly_col, hexpoly_sql, rnd, sql_dsum, sql_rnd
 
 
 # --------------------------------------------------------------- bloom join
@@ -2232,3 +2232,77 @@ def q_contamination_bloom(spark, sf):
             .agg(F.count(F.lit(1)).cast("long").alias("n_pass_bloom"),
                  F.count("hit").cast("long").alias("n_shared")))
 
+
+
+
+#: One-shot Gumbel top-k parameters: k released, eps split across the
+#: k releases (Durfee & Rogers 2019 — adding Gumbel(2k/eps) noise to
+#: every candidate's count and taking the k largest is EXACTLY the
+#: k-fold peeling exponential mechanism, in one pass).
+_DPT_K = 3
+#: Same literal candidate domain as q_dp_quantile — the released set
+#: must be data-independent.
+_DPT_SCORE_SQL = (
+    f"CAST(floor((cnt / (2.0 * {_DPT_K})"
+    " + (- ln(- ln((uu + 0.5) / 4294967296.0))))"
+    " * 1000000 + 0.5) AS BIGINT)")
+
+
+@query("q_dp_topk", oracle=f"""
+WITH h AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+                  count(*) AS cnt
+           FROM documents GROUP BY v),
+dom AS (SELECT CAST(i AS BIGINT) AS v
+        FROM generate_series(1, {_DPQ_DOMAIN}) t(i)),
+c AS (SELECT dom.v, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+      FROM dom LEFT JOIN h USING (v)),
+s AS (SELECT v, cnt,
+             {hexpoly_sql("md5(concat(v, '#dpt'))")} AS uu
+      FROM c),
+sq AS (SELECT v, {_DPT_SCORE_SQL} AS score_q FROM s),
+r AS (SELECT v, row_number() OVER
+          (ORDER BY score_q DESC, v) AS rk
+      FROM sq)
+SELECT CAST(rk AS BIGINT) AS rk, v AS value_released
+FROM r WHERE rk <= {_DPT_K}
+""")
+def q_dp_topk(spark, sf):
+    """Differentially-private TOP-K release — the SELECTION mechanism
+    completing the DP family (count/sum release numbers, histogram
+    releases thresholded bins, quantile releases one order statistic;
+    this releases WHICH candidates lead): the k={_DPT_K} most common
+    document token-lengths from the same LITERAL domain as
+    q_dp_quantile, via one-shot Gumbel top-k (Durfee & Rogers 2019 —
+    Gumbel(2k/eps) noise on every candidate count, take the k
+    largest; exactly equivalent to running the peeling exponential
+    mechanism k times, in ONE pass instead of k). Counts are never
+    published — ranks and values only, the shape of a private
+    "trending queries" release.
+
+    Determinism vs DP, stated honestly (the q_dp_quantile caveat):
+    Gumbel draws come from the md5 grid uniform so the oracle
+    replays the release bit-for-bit; swap in a CSPRNG and the plan
+    is unchanged. Utilities are exact integer counts over the
+    |domain| grid; the single float crossing is the shared quantized
+    score expression. Scale: ONE map-side histogram collapses the
+    corpus to <= |domain| rows; everything after is |domain|-grain
+    with a {_DPT_K}-row release."""
+    d = load_tables(spark, sf)["documents"]
+    h = (d.select(F.size(F.split("text", " ")).cast("long").alias("v"))
+         .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")))
+    dom = spark.range(1, _DPQ_DOMAIN + 1).select(
+        F.col("id").alias("v"))
+    c = (dom.join(F.broadcast(h), "v", "left")
+         .select("v", F.coalesce("cnt", F.lit(0)).cast("long")
+                 .alias("cnt")))
+    uu = hexpoly_col(F.md5(F.concat(F.col("v").cast("string"),
+                                    F.lit("#dpt"))))
+    g = -F.log(-F.log((uu + 0.5) / F.lit(4294967296.0)))
+    score_q = F.floor((F.col("cnt") / F.lit(2.0 * _DPT_K) + g)
+                      * 1000000 + F.lit(0.5)).cast("long")
+    rk = F.row_number().over(
+        Window.orderBy(F.col("score_q").desc(), "v"))
+    return (c.select("v", score_q.alias("score_q"))
+            .withColumn("rk", rk).filter(F.col("rk") <= _DPT_K)
+            .select(F.col("rk").cast("long").alias("rk"),
+                    F.col("v").alias("value_released")))

@@ -640,3 +640,65 @@ def q_user_growth(spark, sf):
         "n_active", "n_new",
         (F.col("n_active") - F.col("n_new")).alias("n_returning"),
         F.sum("n_new").over(w).alias("n_cum_users"))
+
+
+
+# ------------------------------------- exact sliding-window distinct
+@query("q_window_rolling_distinct", oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+mm AS (SELECT min(d) AS mn, max(d) AS mx FROM ud),
+cal AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE
+            AS w_day
+        FROM mm)
+SELECT strftime(w_day, '%Y-%m-%d') AS w_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM cal JOIN ud ON ud.d BETWEEN w_day - 6 AND w_day
+GROUP BY 1
+""")
+def q_window_rolling_distinct(spark, sf):
+    """EXACT sliding-window distinct count — trailing-7-day active
+    users per day, the metric every growth dashboard wants and every
+    engine struggles with, because COUNT(DISTINCT) OVER a sliding
+    frame is unsupported (Spark) or a full re-scan per window
+    (naive SQL), and the usual escape is an approximate HLL union.
+    This is the EXACT scale path: a user contributes +1 to window
+    w iff their FIRST active day inside [w-6, w] exists, and that
+    first-day condition is local to one lag — an active day d whose
+    previous active day is p covers exactly the window-ends
+    [max(d, p+7), d+6]. Emitting that span (≤7 rows per active day)
+    and counting per window-end reproduces the distinct count with
+    NO distinct aggregation over windows at all.
+
+    The oracle is the honest brute force (calendar × activity range
+    join + COUNT(DISTINCT)) — |days| windows make it cheap to
+    verify, and the hash proves the emission identity. Scale: one
+    (user, day) dedupe + one user-keyed lag window + a ≤7× bounded
+    explode + one |days|-row count — the corpus is never joined
+    against the calendar, and state never exceeds the activity
+    grain. Partial windows at the range start are reported as-is
+    (the ramp a dashboard annotates, not hides)."""
+    e = load_tables(spark, sf)["events"]
+    ud = (e.select("user_id", F.to_date("ts").alias("d"))
+          .distinct())
+    mx = ud.agg(F.max("d").alias("mx"))
+    w = W.partitionBy("user_id").orderBy("d")
+    # materialize the lag before the explode: a window expression
+    # cannot sit inside a generator's argument in one projection
+    spans = (ud.crossJoin(F.broadcast(mx))
+             .select("d", "mx", F.lag("d").over(w).alias("p"))
+             .select(
+                 F.greatest(F.col("d"),
+                            F.coalesce(F.date_add(F.col("p"), 7),
+                                       F.col("d"))).alias("lo"),
+                 F.least(F.date_add(F.col("d"), 6),
+                         F.col("mx")).alias("hi")))
+    return (spans
+            # an empty span (re-activation within 7 days at the range
+            # end: lo > hi) must emit NOTHING — Spark's sequence()
+            # would otherwise generate it DESCENDING
+            .filter(F.col("lo") <= F.col("hi"))
+            .select(F.explode(F.sequence("lo", "hi")).alias("wd"))
+            # publish the day as a string: DATE is not in the driver
+            # hash's primitive set (the strftime/odate convention)
+            .groupBy(F.date_format("wd", "yyyy-MM-dd").alias("w_day"))
+            .agg(F.count(F.lit(1)).alias("n_active")))

@@ -1124,3 +1124,87 @@ def q_ts_lag_features(spark, sf):
                     (F.col("sum4c").cast("double") / 400.0)
                     .alias("mean4"),
                     (F.col("rn") - 1).cast("long").alias("n_prev")))
+
+
+
+# ------------------------------------------- two-window changepoint
+#: Contrast half-width (rows on each side). 50 keeps ~19 admissible
+#: positions per type-series even at sf0.001 (~2000 rows / 5 types /
+#: ... -> ~400 rows per type).
+_CHG_W = 50
+
+
+@query("q_ts_changepoint", oracle=f"""
+WITH v AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+         row_number() OVER w AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN {_CHG_W} PRECEDING AND 1 PRECEDING)
+             AS BIGINT) AS s_prev,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 1 FOLLOWING AND {_CHG_W} FOLLOWING)
+             AS BIGINT) AS s_next
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+c AS (
+  SELECT event_type, event_id, ts,
+         abs(s_next - s_prev) AS diff_c
+  FROM v WHERE rn > {_CHG_W} AND rn + {_CHG_W} <= m),
+r AS (
+  SELECT event_type, event_id, ts, diff_c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY diff_c DESC, ts, event_id) AS rk
+  FROM c)
+SELECT event_type, event_id,
+       CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+       (CAST(diff_c AS DOUBLE) / {100 * _CHG_W}) AS mean_shift
+FROM r WHERE rk = 1
+""")
+def q_ts_changepoint(spark, sf):
+    """CHANGEPOINT detection per metric series — where did the mean
+    shift? The two-window contrast detector (the windowed form of
+    CUSUM that IS expressible as a plan — CUSUM's recursive fold is
+    not): at every admissible position the trailing-{_CHG_W} and
+    leading-{_CHG_W} sums are compared, and the position with the
+    largest |mean shift| is published per event type with its
+    timestamp and the shift magnitude. Edge positions with an
+    incomplete window on either side are inadmissible (a half-window
+    contrast is biased toward the edges, the classic rookie
+    changepoint artifact).
+
+    Determinism: sums are cent-quantized BIGINTs in bounded frames —
+    the contrast is EXACT integer arithmetic, argmax tie-broken by
+    (ts, event_id); the only double is the published mean shift,
+    one exact-integer division by a literal. Scale: ONE hash
+    exchange on event_type serves both frame sums, the rank, and
+    the admissibility count (all windows share the partitioning);
+    output is |types| rows."""
+    e = load_tables(spark, sf)["events"]
+    wp = W.partitionBy("event_type")
+    w = wp.orderBy("ts", "event_id")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    v = e.select(
+        "event_type", "event_id", "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+        F.sum(vc).over(w.rowsBetween(-_CHG_W, -1)).alias("s_prev"),
+        F.sum(vc).over(w.rowsBetween(1, _CHG_W)).alias("s_next"))
+    c = (v.filter((F.col("rn") > _CHG_W)
+                  & (F.col("rn") + _CHG_W <= F.col("m")))
+         .select("event_type", "event_id", "ts",
+                 F.abs(F.col("s_next") - F.col("s_prev"))
+                 .alias("diff_c")))
+    rk = F.row_number().over(
+        W.partitionBy("event_type")
+        .orderBy(F.col("diff_c").desc(), "ts", "event_id"))
+    return (c.withColumn("rk", rk).filter(F.col("rk") == 1)
+            # publish the position as epoch micros: TIMESTAMP is not
+            # in the driver hash's primitive set (the ws_us convention)
+            .select("event_type", "event_id",
+                    F.unix_micros("ts").alias("ts_us"),
+                    (F.col("diff_c").cast("double")
+                     / F.lit(float(100 * _CHG_W))).alias("mean_shift")))

@@ -1861,3 +1861,37 @@ def late_data_meta(spark, sf):
     per_session = session_cache(spark, "_engine_stream_cache")
     v = per_session.get((sf.rstrip("/"), "late_data"))
     return v[1] if v else None
+
+
+from .analytics_extra import ANOVA_ORACLE, anova_from_moments  # noqa: E402
+from .util import prod128  # noqa: E402
+
+
+@query("q_stream_anova", oracle=ANOVA_ORACLE)
+def q_stream_anova(spark, sf):
+    """Speed-layer twin of q_anova — the k-group mean comparison
+    LIVE, the q_stream_ab_welch discipline extended from 2 groups to
+    k: the exact integer moment triple (n, Σvc, Σvc²-in-128-bit) per
+    event type accumulates in ONE complete-mode streaming aggregate
+    (moments are the sufficient statistics — F is a pure function of
+    them, so the closed form runs on the |k|-row sink, not in the
+    stream), and both twins hash the SAME ANOVA_ORACLE through the
+    SAME anova_from_moments fold — live and batch cannot diverge in
+    either the math or the ground truth. State is |event types|
+    rows at any stream length."""
+    def build(events):
+        vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        g = (events.select(F.col("event_type").alias("grp"),
+                           vc.alias("vc"))
+             .groupBy("grp")
+             .agg(F.count(F.lit(1)).alias("n_g"),
+                  F.sum("vc").alias("s_g"),
+                  F.sum(prod128(F.col("vc"), F.col("vc")))
+                  .alias("q_g_dec")))
+        return g, "complete"
+
+    name = _run_stream(spark, sf, "anova", build)
+    g = spark.table(name).select(
+        "grp", "n_g", "s_g",
+        F.col("q_g_dec").cast("double").alias("q_g"))
+    return anova_from_moments(g)

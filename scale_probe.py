@@ -215,6 +215,9 @@ DOC_KEYS = [
     # q_data_card is excluded like q_dedup_report (a |sources|-row
     # join of five probed/bounded pipelines).
     "q_dp_quantile", "q_contamination_bloom",
+    # round-13 closing wave: the DP top-k selection (documents grow
+    # 10x; one map-side histogram + |domain|-grain mechanism).
+    "q_dp_topk",
     # round-13 closing wave: langid calibration (documents grow 10x;
     # the langid vote plan + one doc-keyed window + two bounded
     # aggregates).
@@ -306,6 +309,13 @@ REL_KEYS = [
     # Brown-Forsythe Levene (events grow 10x; distinct-value /
     # two-pass moment shapes).
     "q_kruskal_wallis", "q_levene_test",
+    # round-13 closing wave: exact sliding distinct + two-window
+    # changepoint (events grow 10x). q_stream_anova is excluded like
+    # every q_stream_* key (stream-replay setup dominates).
+    "q_window_rolling_distinct", "q_ts_changepoint",
+    # round-13 closing wave: the Poisson bootstrap (events grow 10x;
+    # the 32x explode is the measured work).
+    "q_bootstrap_ci",
     # round-13 third wave: the O(Δ) semantic gate (embeddings grow
     # 10x on both sides — the bipartite per-cluster GEMM keeps the
     # growth in the linear band; the first exploded-join formulation

@@ -1005,3 +1005,156 @@ def test_levene_bf_matches_python_replay(spark, sf_dir):
     assert (got["n"], got["k"]) == (n, k)
     assert (got["dof_between"], got["dof_within"]) == (k - 1, n - k)
     assert got["w_stat"] == pytest.approx(w, abs=2e-4)
+
+
+def test_window_rolling_distinct_matches_brute(spark, sf_dir):
+    """The first-appearance emission identity: the bounded-explode
+    plan reproduces the brute trailing-7-day COUNT(DISTINCT) for
+    every window-end day, including the ramp-up partials, and emits
+    nothing past the activity range."""
+    import datetime
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts").collect()
+    active = defaultdict(set)
+    for r in rows:
+        active[r["user_id"]].add(r["ts"].date())
+    all_days = sorted({d for ds in active.values() for d in ds})
+    mn, mx = all_days[0], all_days[-1]
+    brute = {}
+    d = mn
+    while d <= mx:
+        lo = d - datetime.timedelta(days=6)
+        brute[d] = sum(1 for ds in active.values()
+                       if any(lo <= x <= d for x in ds))
+        d += datetime.timedelta(days=1)
+    brute = {d.isoformat(): n for d, n in brute.items() if n > 0}
+    got = {r["w_day"]: r["n_active"] for r in
+           QUERIES["q_window_rolling_distinct"](spark, sf_dir).collect()}
+    assert got == brute
+    assert max(got) == mx.isoformat(), (
+        "emitted windows past the activity range")
+
+
+def test_ts_changepoint_matches_python_replay(spark, sf_dir):
+    """Each type's published position is the exact argmax of the
+    two-window contrast over admissible positions, with the
+    (ts, event_id) tie-break."""
+    from collections import defaultdict
+
+    from engine.queries.incremental import _CHG_W
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", "ts", "value").collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["event_type"]].append(
+            (r["ts"], r["event_id"], math.floor(r["value"] * 100 + 0.5)))
+    expected = {}
+    for g, xs in per.items():
+        xs.sort(key=lambda x: (x[0], x[1]))
+        pre = [0]
+        for _, _, vc in xs:
+            pre.append(pre[-1] + vc)
+        best = None
+        for i in range(_CHG_W, len(xs) - _CHG_W):
+            s_prev = pre[i] - pre[i - _CHG_W]
+            s_next = pre[i + 1 + _CHG_W] - pre[i + 1]
+            d = abs(s_next - s_prev)
+            key = (-d, xs[i][0], xs[i][1])
+            if best is None or key < best[0]:
+                best = (key, xs[i][1], xs[i][0], d)
+        assert best is not None, f"{g}: no admissible position"
+        us = int(best[2].replace(
+            tzinfo=__import__("datetime").timezone.utc)
+            .timestamp() * 1_000_000)
+        expected[g] = (best[1], us, best[3] / (100.0 * _CHG_W))
+    got = {r["event_type"]: (r["event_id"], r["ts_us"], r["mean_shift"])
+           for r in QUERIES["q_ts_changepoint"](spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_stream_anova_equals_batch_twin(spark, sf_dir):
+    """Live == batch, cell for cell: the streaming moment
+    accumulation and the batch aggregate feed the same fold and must
+    produce identical rows."""
+    live = QUERIES["q_stream_anova"](spark, sf_dir).collect()
+    batch = QUERIES["q_anova"](spark, sf_dir).collect()
+    assert [r.asDict() for r in live] == [r.asDict() for r in batch]
+
+
+def test_bootstrap_ci_matches_python_replay(spark, sf_dir):
+    """Every replicate weight, weighted mean, and the discrete
+    percentile picks reproduce from a from-scratch md5 replay; the
+    CI brackets the point mean in every group."""
+    import hashlib
+    import math as _m
+    from collections import defaultdict
+
+    import pytest
+
+    from engine.queries.analytics_extra import _BS_B, _BS_THRESH
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", "value").collect()
+    acc = defaultdict(lambda: [[0, 0] for _ in range(_BS_B)])
+    pt = defaultdict(lambda: [0, 0])
+    for r in rows:
+        vc = _m.floor(r["value"] * 100 + 0.5)
+        pt[r["event_type"]][0] += 1
+        pt[r["event_type"]][1] += vc
+        for b in range(_BS_B):
+            u = int(hashlib.md5(
+                f"{r['event_id']}#bs{b}".encode()).hexdigest()[:8],
+                16) % 1000000
+            w = sum(u >= t for t in _BS_THRESH)
+            acc[r["event_type"]][b][0] += w
+            acc[r["event_type"]][b][1] += w * vc
+    got = {r["grp"]: r for r in
+           QUERIES["q_bootstrap_ci"](spark, sf_dir).collect()}
+    assert set(got) == set(pt)
+    for g, reps in acc.items():
+        means = sorted(s / (100.0 * n) for n, s in reps if n)
+        lo = means[max(0, _m.ceil(0.05 * len(means)) - 1)]
+        hi = means[max(0, _m.ceil(0.95 * len(means)) - 1)]
+        r = got[g]
+        assert r["n"] == pt[g][0]
+        assert r["mean"] == pytest.approx(
+            pt[g][1] / (100.0 * pt[g][0]), abs=2e-6)
+        assert r["ci_lo"] == pytest.approx(lo, abs=2e-6)
+        assert r["ci_hi"] == pytest.approx(hi, abs=2e-6)
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+        assert r["ci_lo"] < r["ci_hi"], "degenerate interval"
+
+
+def test_dp_topk_matches_python_mechanism_replay(spark, sf_dir):
+    """The release equals a from-scratch one-shot-Gumbel replay, and
+    the mechanism is sane: every released value's true count is
+    within the eps=1 utility bound of the k-th best count."""
+    import hashlib
+    import math as _m
+    from collections import Counter
+
+    from engine.queries.curation import _DPQ_DOMAIN, _DPT_K
+
+    lens = Counter(
+        len(r["text"].split(" ")) for r in
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text").collect())
+    scored = []
+    for v in range(1, _DPQ_DOMAIN + 1):
+        u = int(hashlib.md5(f"{v}#dpt".encode()).hexdigest()[:8], 16)
+        g = -_m.log(-_m.log((u + 0.5) / 4294967296.0))
+        sq = _m.floor((lens.get(v, 0) / (2.0 * _DPT_K) + g)
+                      * 1000000 + 0.5)
+        scored.append((-sq, v))
+    scored.sort()
+    expected = {rk: v for rk, (_, v) in enumerate(scored[:_DPT_K], 1)}
+    got = {r["rk"]: r["value_released"] for r in
+           QUERIES["q_dp_topk"](spark, sf_dir).collect()}
+    assert got == expected
+    kth = sorted(lens.values(), reverse=True)[_DPT_K - 1]
+    bound = 2 * _DPT_K * (_m.log(_DPQ_DOMAIN) + 5)
+    for v in got.values():
+        assert lens.get(v, 0) >= kth - bound
