@@ -262,6 +262,8 @@ _R13_NEW: set[str] = {
     "q_sample_balanced", "q_kruskal_wallis", "q_levene_test",
     "q_window_rolling_distinct", "q_ts_changepoint", "q_stream_anova",
     "q_bootstrap_ci", "q_dp_topk",
+    "q_survival_km", "q_ab_srm",
+    "q_ab_power", "q_stream_srm",
 }
 
 

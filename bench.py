@@ -328,6 +328,15 @@ HEADLINE = [
     # (|domain|-grain after one map-side histogram).
     "q_bootstrap_ci",
     "q_dp_topk",
+    # round 13: Kaplan-Meier repurchase survival (one lead window +
+    # |distinct gap|-row folds) and the SRM assignment gate (one
+    # distinct + one map-side aggregate).
+    "q_survival_km",
+    "q_ab_srm",
+    # round 13: the MDE planning table (one 3-scalar moment
+    # aggregate) and the live SRM gate twin.
+    "q_ab_power",
+    "q_stream_srm",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

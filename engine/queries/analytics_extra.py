@@ -1652,3 +1652,267 @@ def q_bootstrap_ci(spark, sf):
                         / (100.0 * F.col("n")), 6).alias("mean"),
                     rnd(F.col("lo"), 6).alias("ci_lo"),
                     rnd(F.col("hi"), 6).alias("ci_hi")))
+
+
+# --------------------------------------------- Kaplan-Meier survival
+@query("q_survival_km", oracle=f"""
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         lead(o_orderdate) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders),
+hz AS (SELECT max(o_orderdate) AS horizon FROM orders),
+sp AS (
+  SELECT CASE WHEN nxt IS NOT NULL
+              THEN CAST(date_diff('day', o_orderdate, nxt) AS BIGINT)
+              ELSE CAST(date_diff('day', o_orderdate, horizon)
+                        AS BIGINT) END AS t,
+         (nxt IS NOT NULL) AS ev
+  FROM o, hz),
+c AS (
+  SELECT t, CAST(count(CASE WHEN ev THEN 1 END) AS BIGINT) AS d,
+         CAST(count(CASE WHEN NOT ev THEN 1 END) AS BIGINT) AS cns
+  FROM sp GROUP BY t),
+r AS (
+  SELECT t, d, cns,
+         CAST((SELECT count(*) FROM sp) AS BIGINT)
+         - CAST(coalesce(sum(d + cns) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM c),
+k AS (
+  SELECT t, n_risk, d, cns,
+         CASE WHEN d > 0 AND d < n_risk
+              THEN CAST(floor(ln((n_risk - d)
+                                 / CAST(n_risk AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT)
+              WHEN d = 0 THEN 0 END AS lnq
+  FROM r)
+SELECT t AS t_days, n_risk, d AS d_event, cns AS c_censored,
+       CAST(1000000 * d // n_risk AS BIGINT) AS hazard_ppm,
+       {sql_rnd("CAST(sum(lnq) OVER (ORDER BY t"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " AS DOUBLE) / 1000000.0", 6)} AS km_log_survival
+FROM k WHERE d > 0
+""")
+def q_survival_km(spark, sf):
+    """KAPLAN-MEIER survival curve for repurchase time — the
+    censoring-correct answer to "how long until a customer orders
+    again", where the naive mean-gap silently drops every customer
+    who hasn't reordered YET (the classic churn-analysis bias): each
+    consecutive-order gap is an observed event, each customer's tail
+    (last order to the corpus horizon) enters as a CENSORED spell
+    that keeps them in the at-risk denominator until their censor
+    time. Published per event time: at-risk count, events, censored,
+    the exact hazard (1e6·d//n, integer), and the KM curve in LOG
+    domain — log S(t) = Σ ln((n−d)/n) over event times, each ln
+    quantized at 1e-6 BEFORE the sum (the PSI discipline) so the
+    running fold is integer-exact and the single published double is
+    one division by a literal. The log form also sidesteps exp(),
+    which is not hash-safe cross-engine (the q_ts_ewma lesson);
+    S(t) = exp(log S) is the reader's one-liner.
+
+    Scale: one lead window on customers (single shuffle), one
+    map-side (t, event) count — the curve lives on |distinct gap|
+    rows (bounded by the corpus day span), and the running fold
+    orders that bounded frame, not the data."""
+    o0 = load_tables(spark, sf)["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hz = o0.agg(F.max("o_orderdate").alias("horizon"))
+    o = (o0.select("o_custkey", "o_orderdate",
+                   F.lead("o_orderdate").over(w).alias("nxt"))
+         .crossJoin(F.broadcast(hz)))
+    sp = o.select(
+        F.when(F.col("nxt").isNotNull(),
+               F.datediff("nxt", "o_orderdate"))
+         .otherwise(F.datediff("horizon", "o_orderdate"))
+         .cast("long").alias("t"),
+        F.col("nxt").isNotNull().alias("ev"))
+    c = sp.groupBy("t").agg(
+        F.count(F.when(F.col("ev"), 1)).alias("d"),
+        F.count(F.when(~F.col("ev"), 1)).alias("cns"))
+    tot = sp.agg(F.count(F.lit(1)).alias("n_tot"))
+    wp = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    r = (c.crossJoin(F.broadcast(tot))
+         .select("t", "d", "cns",
+                 (F.col("n_tot")
+                  - F.coalesce(F.sum(F.col("d") + F.col("cns"))
+                               .over(wp), F.lit(0)))
+                 .alias("n_risk")))
+    lnq = (F.when((F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                  F.floor(F.log((F.col("n_risk") - F.col("d"))
+                                / F.col("n_risk").cast("double"))
+                          * 1000000 + F.lit(0.5)).cast("long"))
+           .when(F.col("d") == 0, F.lit(0).cast("long")))
+    k = r.select("t", "n_risk", "d", "cns", lnq.alias("lnq"))
+    run = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    return (k.select(
+                "t", "n_risk", "d", "cns",
+                F.sum("lnq").over(run).alias("lnsum"))
+            .filter(F.col("d") > 0)
+            .select(F.col("t").alias("t_days"), "n_risk",
+                    F.col("d").alias("d_event"),
+                    F.col("cns").alias("c_censored"),
+                    F.expr("1000000 * d div n_risk").alias("hazard_ppm"),
+                    rnd(F.col("lnsum").cast("double") / 1000000.0, 6)
+                    .alias("km_log_survival")))
+
+
+# ----------------------------------------------- sample-ratio check
+#: The SRM gate's experiment registry: salt + intended A-share in
+#: percent, as LITERALS (a real registry is a broadcast dim table).
+_SRM_EXPERIMENTS = [("exp1", 50), ("exp2", 50), ("exp3", 20)]
+#: chi-square 95% critical value, 1 dof — the standard SRM alarm.
+_SRM_CRIT = 3.841459
+
+
+def _srm_rows_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{s}' AS exp_id, CAST({p} AS BIGINT) AS pct_a"
+        for s, p in _SRM_EXPERIMENTS)
+
+
+@query("q_ab_srm", oracle=f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+e AS ({_srm_rows_sql()}),
+a AS (
+  SELECT e.exp_id, e.pct_a,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(CASE WHEN
+             {hexpoly_sql("md5(concat(user_id, '#', exp_id))")}
+                 % 100 < e.pct_a THEN 1 END) AS BIGINT) AS n_a
+  FROM u CROSS JOIN e GROUP BY e.exp_id, e.pct_a),
+s AS (
+  SELECT exp_id, n, n_a, n - n_a AS n_b,
+         (n_a - n * pct_a / 100.0)
+             * (n_a - n * pct_a / 100.0)
+             / (n * pct_a / 100.0)
+         + ((n - n_a) - n * (100 - pct_a) / 100.0)
+             * ((n - n_a) - n * (100 - pct_a) / 100.0)
+             / (n * (100 - pct_a) / 100.0) AS chi2
+  FROM a)
+SELECT exp_id, n AS n_units, n_a, n_b,
+       {sql_rnd("chi2", 6)} AS chi2_srm,
+       ({sql_rnd("chi2", 6)} > {_SRM_CRIT}) AS srm_flag
+FROM s
+""")
+def q_ab_srm(spark, sf):
+    """SAMPLE-RATIO-MISMATCH gate — the first thing a trustworthy
+    A/B platform checks before showing anyone a p-value: for each
+    registered experiment (salt + intended A-share), users are
+    hash-assigned (md5 of user and salt — the deterministic
+    assignment a real platform uses, so the oracle replays it
+    bit-for-bit) and the observed arm counts are chi-square-tested
+    against the INTENDED ratio; a flagged experiment has a broken
+    randomizer or a differentially-dropped arm, and every downstream
+    stat on it is garbage (Fabijan et al. 2019). The 80/20 exp3 row
+    keeps the unequal-split lane live.
+
+    Determinism: unit counts are exact integers from one distinct +
+    one cross-join aggregate; chi2 is closed-form double arithmetic
+    on them, quantized once, and the flag compares the QUANTIZED
+    value so it can never disagree with the published statistic.
+    Scale: |experiments| is a literal registry; the corpus-sized
+    work is ONE distinct + one map-side combined aggregate — output
+    is |experiments| rows."""
+    e = load_tables(spark, sf)["events"]
+    u = e.select("user_id").distinct()
+    exps = spark.createDataFrame(
+        _SRM_EXPERIMENTS, "exp_id string, pct_a long")
+    h = hexpoly_col(F.md5(F.concat(
+        F.col("user_id").cast("string"), F.lit("#"),
+        F.col("exp_id")))) % 100
+    a = (u.crossJoin(F.broadcast(exps))
+         .groupBy("exp_id", "pct_a")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.count(F.when(h < F.col("pct_a"), 1)).alias("n_a")))
+    ea = F.col("n") * F.col("pct_a") / 100.0
+    eb = F.col("n") * (100 - F.col("pct_a")) / 100.0
+    chi2 = ((F.col("n_a") - ea) * (F.col("n_a") - ea) / ea
+            + ((F.col("n") - F.col("n_a")) - eb)
+            * ((F.col("n") - F.col("n_a")) - eb) / eb)
+    q = rnd(chi2, 6)
+    return a.select(
+        "exp_id", F.col("n").alias("n_units"), "n_a",
+        (F.col("n") - F.col("n_a")).alias("n_b"),
+        q.alias("chi2_srm"),
+        (q > _SRM_CRIT).alias("srm_flag"))
+
+
+# ------------------------------------------------- A/B power table
+#: Candidate per-arm sample sizes for the MDE table — a LITERAL
+#: planning grid (the experiment sizes a team actually debates).
+_PWR_NS = [100, 1_000, 10_000, 100_000, 1_000_000]
+#: z_{1-alpha/2} + z_{power} for alpha=5% two-sided, 80% power —
+#: the canonical 2.8016 planning constant, as a literal.
+_PWR_Z = 2.801585
+
+
+@query("q_ab_power", oracle=f"""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS s,
+         sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+             * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS q
+  FROM events WHERE event_type IN ('click', 'view')),
+v AS (
+  SELECT n,
+         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+             / (n - 1) / 10000.0 AS var_pooled,
+         CAST(s AS DOUBLE) / (100.0 * n) AS mean_v
+  FROM m),
+g AS (SELECT CAST(unnest({_PWR_NS}) AS BIGINT) AS n_per_arm)
+SELECT g.n_per_arm,
+       {sql_rnd('v.mean_v', 6)} AS metric_mean,
+       {sql_rnd('v.var_pooled', 6)} AS metric_var,
+       {sql_rnd(f'{_PWR_Z} * sqrt(2.0 * v.var_pooled / g.n_per_arm)',
+                6)} AS mde_abs,
+       {sql_rnd(f'{_PWR_Z} * sqrt(2.0 * v.var_pooled / g.n_per_arm)'
+                ' / nullif(v.mean_v, 0) * 100.0', 6)} AS mde_pct
+FROM g, v
+""")
+def q_ab_power(spark, sf):
+    """A/B POWER / minimum-detectable-effect table — the planning
+    step that belongs BEFORE q_ab_srm (validity) and q_ab_welch
+    (inference), completing the experimentation lifecycle: from the
+    metric's pooled variance (exact cent-integer moments over the
+    click/view population — the q_anova discipline), the table
+    answers "at n users per arm, what's the smallest lift we could
+    detect?" for a literal grid of candidate sizes, via the
+    canonical two-sample formula MDE = (z_{{α/2}} + z_{{power}}) ·
+    sqrt(2σ²/n) at 5%/80%. A team reads the row where mde_pct drops
+    below their practical-significance bar and sizes the experiment
+    there — no more "we ran two weeks and saw nothing" experiments
+    that were underpowered on day one.
+
+    Determinism: ONE map-side moment aggregate (exact integers,
+    128-bit squares); the grid is literal; everything published is
+    closed-form double arithmetic quantized once. Scale: the corpus
+    collapses to one 3-scalar row, then |grid| rows."""
+    e = load_tables(spark, sf)["events"]
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    m = (e.filter(F.col("event_type").isin("click", "view"))
+         .select(vc.alias("vc"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("vc").alias("s"),
+              sum128(prod128(F.col("vc"), F.col("vc"))).alias("q")))
+    v = m.select(
+        "n",
+        ((F.col("q") - F.col("s").cast("double") * F.col("s")
+          / F.col("n")) / (F.col("n") - 1) / 10000.0)
+        .alias("var_pooled"),
+        (F.col("s").cast("double") / (100.0 * F.col("n")))
+        .alias("mean_v"))
+    g = spark.createDataFrame([(n,) for n in _PWR_NS],
+                              "n_per_arm long")
+    mde = F.lit(_PWR_Z) * F.sqrt(2.0 * F.col("var_pooled")
+                                 / F.col("n_per_arm"))
+    return (g.crossJoin(F.broadcast(v))
+            .select("n_per_arm",
+                    rnd(F.col("mean_v"), 6).alias("metric_mean"),
+                    rnd(F.col("var_pooled"), 6).alias("metric_var"),
+                    rnd(mde, 6).alias("mde_abs"),
+                    rnd(mde / F.nullif(F.col("mean_v"), F.lit(0.0))
+                        * 100.0, 6).alias("mde_pct")))

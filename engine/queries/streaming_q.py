@@ -1895,3 +1895,72 @@ def q_stream_anova(spark, sf):
         "grp", "n_g", "s_g",
         F.col("q_g_dec").cast("double").alias("q_g"))
     return anova_from_moments(g)
+
+
+from .analytics_extra import (_SRM_CRIT, _SRM_EXPERIMENTS  # noqa: E402
+                              )
+from .util import hexpoly_col  # noqa: E402
+
+# the batch twin's oracle, composed verbatim (registered after it in
+# module load order, so the registry lookup is safe here)
+
+
+@query("q_stream_srm", oracle=_ORACLE["q_ab_srm"])
+def q_stream_srm(spark, sf):
+    """Speed-layer twin of q_ab_srm — the sample-ratio alarm LIVE,
+    which is where SRM detection actually earns its keep (a broken
+    randomizer caught after the experiment ran is a post-mortem; a
+    platform watches assignment counts as units arrive): the event
+    stream deduplicates to first-seen units (state = |users| rows,
+    the q_stream_dedup shape), each unit's md5 arm draws for EVERY
+    registered experiment are literal-salt codegen columns, and ONE
+    complete-mode global aggregate carries (n, n_a per experiment);
+    the |experiments|-row gate table with the chi-square and flag is
+    derived from that single state row at read time. Hashes the same
+    registry and assignment as the batch twin; live==batch is pinned
+    cell-for-cell in pytest (the oracle slot stays with the batch
+    key — this key's correctness IS that identity)."""
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "srm")
+    if key not in per_session:
+        digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+        name = f"stream_srm_{digest}"
+        src = _stage_source(sf)
+        from ..streaming import _with_event_time, event_stream_schema
+        events = _with_event_time(
+            spark.readStream.schema(
+                event_stream_schema(spark, src)).parquet(src))
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for salt, pct in _SRM_EXPERIMENTS:
+            h = hexpoly_col(F.md5(F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(f"#{salt}")))) % 100
+            aggs.append(F.count(F.when(h < pct, 1))
+                        .alias(f"n_a_{salt}"))
+        agg = events.dropDuplicates(["user_id"]).agg(*aggs)
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    name = per_session[key]
+    t = spark.table(name)
+    rows = []
+    for salt, pct in _SRM_EXPERIMENTS:
+        rows.append(t.select(
+            F.lit(salt).alias("exp_id"),
+            F.col("n").alias("n_units"),
+            F.col(f"n_a_{salt}").alias("n_a"),
+            (F.col("n") - F.col(f"n_a_{salt}")).alias("n_b"),
+            F.lit(pct).alias("pct_a")))
+    a = rows[0]
+    for r in rows[1:]:
+        a = a.unionAll(r)
+    ea = F.col("n_units") * F.col("pct_a") / 100.0
+    eb = F.col("n_units") * (100 - F.col("pct_a")) / 100.0
+    chi2 = ((F.col("n_a") - ea) * (F.col("n_a") - ea) / ea
+            + (F.col("n_b") - eb) * (F.col("n_b") - eb) / eb)
+    qv = rnd(chi2, 6)
+    return a.select("exp_id", "n_units", "n_a", "n_b",
+                    qv.alias("chi2_srm"),
+                    (qv > _SRM_CRIT).alias("srm_flag"))

@@ -316,6 +316,13 @@ REL_KEYS = [
     # round-13 closing wave: the Poisson bootstrap (events grow 10x;
     # the 32x explode is the measured work).
     "q_bootstrap_ci",
+    # round-13 closing wave: KM survival (orders grow 10x) and the
+    # SRM gate (events grow 10x; distinct users + one aggregate).
+    "q_survival_km", "q_ab_srm",
+    # round-13 closing wave: the MDE planning table (events grow
+    # 10x; one moment aggregate). q_stream_srm is excluded like
+    # every q_stream_* key.
+    "q_ab_power",
     # round-13 third wave: the O(Δ) semantic gate (embeddings grow
     # 10x on both sides — the bipartite per-cluster GEMM keeps the
     # growth in the linear band; the first exploded-join formulation

@@ -87,6 +87,25 @@ KEYS = [
     "q_pack_unit_ablation",    # both chains re-aggregated to 2 rows
     "q_dedup_incremental_semantic",  # per-cluster bipartite GEMM
     "q_embed_centroid_drift",  # (cl, i) mean aggregates + k-row drift
+    # round-13 closing-session keys: every ordering is explicit
+    # (window tiebreaks / md5 ranks / literal grids), so physical
+    # partitioning must not move a row
+    "q_join_asof_forward",     # window lead with (date, key) order
+    "q_join_asof_nearest",     # lag+lead arbitration, same window
+    "q_anova",                 # exact moments + k-row folds
+    "q_langid_calibration",    # integer conf bins + exact ECE
+    "q_decile_lift",           # percentile cutpoints + 10-row curve
+    "q_ts_lag_features",       # bounded frames, bit-copied lags
+    "q_sample_balanced",       # per-lang md5 rank, learned k
+    "q_kruskal_wallis",        # doubled midranks, 128-bit ties
+    "q_levene_test",           # 2x-median deviations + moments
+    "q_window_rolling_distinct",  # first-appearance emission spans
+    "q_ts_changepoint",        # exact contrast argmax per type
+    "q_bootstrap_ci",          # literal-threshold Poisson weights
+    "q_dp_topk",               # quantized Gumbel top-k over domain
+    "q_survival_km",           # ordered integer risk-set folds
+    "q_ab_srm",                # md5 assignment + closed-form chi2
+    "q_ab_power",              # one moment row x literal grid
 ]
 
 
@@ -96,8 +115,13 @@ def _rows(spark, key, parts):
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         df = QUERIES[key](spark, "/root/testdata/sf0.001")
         cols = sorted(df.columns)
+        # None-safe total order (check.py's canon discipline): a
+        # nullable leading column (e.g. q_join_asof_forward's
+        # next_orderkey) otherwise TypeErrors the plain tuple sort
         return sorted(
-            tuple(r[c] for c in cols) for r in df.collect()
+            (tuple(r[c] for c in cols) for r in df.collect()),
+            key=lambda t: tuple((x is None, str(type(x)), str(x))
+                                for x in t),
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)

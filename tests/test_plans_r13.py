@@ -1158,3 +1158,120 @@ def test_dp_topk_matches_python_mechanism_replay(spark, sf_dir):
     bound = 2 * _DPT_K * (_m.log(_DPQ_DOMAIN) + 5)
     for v in got.values():
         assert lens.get(v, 0) >= kth - bound
+
+
+def test_survival_km_matches_python_replay(spark, sf_dir):
+    """Spells, risk sets, hazards and the log-KM fold reproduce from
+    a from-scratch censoring-aware replay; the curve is monotone
+    non-increasing and censoring is genuinely present."""
+    from collections import Counter, defaultdict
+
+    import pytest
+
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderdate").collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["o_custkey"]].append((r["o_orderdate"], r["o_orderkey"]))
+    horizon = max(r["o_orderdate"] for r in rows)
+    events, cens = Counter(), Counter()
+    for xs in per.values():
+        xs.sort()
+        for i, (d, _) in enumerate(xs):
+            if i + 1 < len(xs):
+                events[(xs[i + 1][0].date() - d.date()).days] += 1
+            else:
+                cens[(horizon.date() - d.date()).days] += 1
+    n_tot = sum(events.values()) + sum(cens.values())
+    got = sorted(QUERIES["q_survival_km"](spark, sf_dir).collect(),
+                 key=lambda r: r["t_days"])
+    assert [r["t_days"] for r in got] == sorted(events)
+    run, at_risk = 0, n_tot
+    prev_t = None
+    lnsum = 0
+    for t in sorted(set(events) | set(cens)):
+        d, c = events.get(t, 0), cens.get(t, 0)
+        if d > 0:
+            row = next(r for r in got if r["t_days"] == t)
+            assert row["n_risk"] == at_risk
+            assert row["d_event"] == d
+            assert row["c_censored"] == c
+            assert row["hazard_ppm"] == 1_000_000 * d // at_risk
+            if d < at_risk:
+                lnsum += math.floor(
+                    math.log((at_risk - d) / at_risk) * 1e6 + 0.5)
+            assert row["km_log_survival"] == pytest.approx(
+                lnsum / 1e6, abs=2e-6)
+        at_risk -= d + c
+    kls = [r["km_log_survival"] for r in got]
+    assert all(a >= b for a, b in zip(kls, kls[1:])), "not monotone"
+    assert sum(cens.values()) > 0, "no censoring on fixture"
+
+
+def test_ab_srm_matches_python_replay(spark, sf_dir):
+    """Arm counts reproduce from the md5 assignment for every
+    registered experiment, the chi2 matches the closed form, and the
+    flag agrees with the published statistic."""
+    import hashlib
+
+    import pytest
+
+    from engine.queries.analytics_extra import (_SRM_CRIT,
+                                                _SRM_EXPERIMENTS)
+
+    users = {r["user_id"] for r in
+             spark.read.parquet(f"{sf_dir}/events.parquet")
+             .select("user_id").distinct().collect()}
+    got = {r["exp_id"]: r for r in
+           QUERIES["q_ab_srm"](spark, sf_dir).collect()}
+    assert set(got) == {s for s, _ in _SRM_EXPERIMENTS}
+    for salt, pct in _SRM_EXPERIMENTS:
+        n_a = sum(1 for u in users
+                  if int(hashlib.md5(f"{u}#{salt}".encode())
+                         .hexdigest()[:8], 16) % 100 < pct)
+        n = len(users)
+        ea, eb = n * pct / 100.0, n * (100 - pct) / 100.0
+        chi2 = ((n_a - ea) ** 2 / ea + ((n - n_a) - eb) ** 2 / eb)
+        r = got[salt]
+        assert (r["n_units"], r["n_a"], r["n_b"]) == (n, n_a, n - n_a)
+        assert r["chi2_srm"] == pytest.approx(chi2, abs=2e-6)
+        assert r["srm_flag"] == (r["chi2_srm"] > _SRM_CRIT)
+
+
+def test_ab_power_matches_closed_form(spark, sf_dir):
+    """Every grid row's MDE reproduces from the exact pooled moments
+    and the literal planning constant; MDE shrinks as 1/sqrt(n)."""
+    import pytest
+
+    from engine.queries.analytics_extra import _PWR_NS, _PWR_Z
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value").collect()
+    vc = [math.floor(r["value"] * 100 + 0.5) for r in rows
+          if r["event_type"] in ("click", "view")]
+    n = len(vc)
+    s, q = sum(vc), sum(x * x for x in vc)
+    var = (float(q) - float(s) * s / n) / (n - 1) / 1e4
+    mean = s / (100.0 * n)
+    got = sorted(QUERIES["q_ab_power"](spark, sf_dir).collect(),
+                 key=lambda r: r["n_per_arm"])
+    assert [r["n_per_arm"] for r in got] == sorted(_PWR_NS)
+    for r in got:
+        mde = _PWR_Z * math.sqrt(2.0 * var / r["n_per_arm"])
+        assert r["metric_mean"] == pytest.approx(mean, abs=2e-6)
+        assert r["metric_var"] == pytest.approx(var, abs=2e-6)
+        assert r["mde_abs"] == pytest.approx(mde, abs=2e-6)
+        assert r["mde_pct"] == pytest.approx(mde / mean * 100,
+                                             abs=2e-4)
+    mdes = [r["mde_abs"] for r in got]
+    assert all(a > b for a, b in zip(mdes, mdes[1:]))
+
+
+def test_stream_srm_equals_batch_twin(spark, sf_dir):
+    """Live == batch, cell for cell: the streaming first-seen-unit
+    accumulation must reproduce the batch gate exactly."""
+    live = sorted(QUERIES["q_stream_srm"](spark, sf_dir).collect(),
+                  key=lambda r: r["exp_id"])
+    batch = sorted(QUERIES["q_ab_srm"](spark, sf_dir).collect(),
+                   key=lambda r: r["exp_id"])
+    assert [r.asDict() for r in live] == [r.asDict() for r in batch]
