@@ -264,6 +264,7 @@ _R13_NEW: set[str] = {
     "q_bootstrap_ci", "q_dp_topk",
     "q_survival_km", "q_ab_srm",
     "q_ab_power", "q_stream_srm",
+    "q_ab_cuped", "q_stream_bootstrap_ci",
 }
 
 

@@ -337,6 +337,10 @@ HEADLINE = [
     # aggregate) and the live SRM gate twin.
     "q_ab_power",
     "q_stream_srm",
+    # round 13: CUPED variance reduction (two map-side aggregates)
+    # and the live bootstrap-CI twin.
+    "q_ab_cuped",
+    "q_stream_bootstrap_ci",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

@@ -1916,3 +1916,99 @@ def q_ab_power(spark, sf):
                     rnd(mde, 6).alias("mde_abs"),
                     rnd(mde / F.nullif(F.col("mean_v"), F.lit(0.0))
                         * 100.0, 6).alias("mde_pct")))
+
+
+# ------------------------------------------------- CUPED adjustment
+#: Pre/post boundary for the CUPED covariate: the first half of the
+#: fixture month is "pre-experiment" history, the second half the
+#: experiment window — both sides populated at every committed scale.
+_CUPED_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+@query("q_ab_cuped", oracle=f"""
+WITH v AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < {_CUPED_SPLIT}
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= {_CUPED_SPLIT}
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+  FROM v),
+s AS (
+  SELECT n,
+         (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) AS theta,
+         (n * syy - sy * sy) / (CAST(n AS DOUBLE) * n) / 10000.0
+             AS var_y,
+         (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n) / 10000.0
+             AS var_x
+  FROM m)
+SELECT n AS n_units,
+       {sql_rnd('theta', 6)} AS theta,
+       {sql_rnd('var_y', 6)} AS var_y,
+       {sql_rnd('var_y - theta * theta * var_x', 6)} AS var_cuped,
+       {sql_rnd('100.0 * theta * theta * var_x / nullif(var_y, 0)',
+                6)} AS var_reduction_pct
+FROM s
+""")
+def q_ab_cuped(spark, sf):
+    """CUPED variance reduction (Deng et al. 2013) — the production
+    A/B technique that slots between q_ab_power and q_ab_welch:
+    each unit's PRE-experiment metric (first-half-of-month value
+    sum; a user with no history enters at 0, the real-platform
+    convention) becomes the control covariate, θ = cov(x,y)/var(x)
+    is the optimal adjustment coefficient, and the table publishes
+    the adjusted metric variance and the variance-reduction
+    percentage (= 100·ρ²) — the number that says how much smaller
+    an experiment this metric now needs (compose with q_ab_power:
+    the MDE shrinks by sqrt of the reduction).
+
+    Determinism: per-unit (x, y) are exact cent BIGINTs from one
+    user-keyed aggregate; the five co-moments are exact integers
+    with the cross products in the 128-bit lane (Σxy crosses 2^63
+    near 1e7 users — the q_mann_whitney lesson); θ and the
+    variances are closed-form doubles on those exact moments,
+    quantized once. Scale: TWO map-side-combinable aggregates
+    (user rollup, then one 5-scalar moment row) — nothing after is
+    data-sized."""
+    e = load_tables(spark, sf)["events"]
+    split = F.expr(_CUPED_SPLIT)
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    v = (e.groupBy("user_id")
+         .agg(F.sum(F.when(F.col("ts") < split, vc).otherwise(0))
+              .alias("x"),
+              F.sum(F.when(F.col("ts") >= split, vc).otherwise(0))
+              .alias("y")))
+    m = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        sum128(prod128(F.col("x"), F.col("x"))).alias("sxx"),
+        sum128(prod128(F.col("y"), F.col("y"))).alias("syy"),
+        sum128(prod128(F.col("x"), F.col("y"))).alias("sxy"))
+    nd = F.col("n").cast("double")
+    theta = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / F.nullif(F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx"), F.lit(0.0)))
+    var_y = ((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+             / (nd * nd) / 10000.0)
+    var_x = ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+             / (nd * nd) / 10000.0)
+    s = m.select("n", theta.alias("theta"), var_y.alias("var_y"),
+                 var_x.alias("var_x"))
+    return s.select(
+        F.col("n").alias("n_units"),
+        rnd(F.col("theta"), 6).alias("theta"),
+        rnd(F.col("var_y"), 6).alias("var_y"),
+        rnd(F.col("var_y") - F.col("theta") * F.col("theta")
+            * F.col("var_x"), 6).alias("var_cuped"),
+        rnd(100.0 * F.col("theta") * F.col("theta") * F.col("var_x")
+            / F.nullif(F.col("var_y"), F.lit(0.0)), 6)
+        .alias("var_reduction_pct"))

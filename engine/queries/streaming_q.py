@@ -1964,3 +1964,73 @@ def q_stream_srm(spark, sf):
     return a.select("exp_id", "n_units", "n_a", "n_b",
                     qv.alias("chi2_srm"),
                     (qv > _SRM_CRIT).alias("srm_flag"))
+
+
+from .analytics_extra import _BS_B, _BS_THRESH  # noqa: E402
+
+
+@query("q_stream_bootstrap_ci", oracle=_ORACLE["q_bootstrap_ci"])
+def q_stream_bootstrap_ci(spark, sf):
+    """Speed-layer twin of q_bootstrap_ci — live bootstrap CIs, the
+    shape of a real-time experiment dashboard (point estimates
+    without uncertainty bands invite day-one peeking decisions):
+    each arriving event explodes into an IDENTITY lane (b = −1,
+    weight 1 — the point-estimate moments ride the same aggregate
+    instead of a second query) plus the {_BS_B} Poisson replicate
+    lanes, all weights from the same literal-threshold md5 draw as
+    the batch twin, accumulating in ONE complete-mode (group, lane)
+    aggregate — state is |groups|·({_BS_B}+1) rows at any stream
+    length. The CI percentiles and the published table derive from
+    that sink at read time; both twins hash the SAME
+    q_bootstrap_ci oracle (composed verbatim via the registry) and
+    live==batch is pinned cell-for-cell."""
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "bootstrap_ci")
+    if key not in per_session:
+        digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+        name = f"stream_bootstrap_{digest}"
+        src = _stage_source(sf)
+        from ..streaming import _with_event_time, event_stream_schema
+        events = _with_event_time(
+            spark.readStream.schema(
+                event_stream_schema(spark, src)).parquet(src))
+        vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        d = events.select(
+            F.col("event_type").alias("grp"), vc.alias("vc"),
+            "event_id",
+            F.explode(F.sequence(F.lit(-1), F.lit(_BS_B - 1)))
+            .alias("b"))
+        uu = hexpoly_col(F.md5(F.concat(
+            F.col("event_id").cast("string"), F.lit("#bs"),
+            F.col("b").cast("string")))) % 1000000
+        w = F.when(F.col("b") == -1, F.lit(1)).otherwise(
+            sum((uu >= t).cast("int") for t in _BS_THRESH))
+        agg = (d.select("grp", "b", "vc", w.alias("w"))
+               .groupBy("grp", "b")
+               .agg(F.sum(F.col("w") * F.col("vc")).alias("ws"),
+                    F.sum("w").alias("wn")))
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    name = per_session[key]
+    # one aggregate with FILTER lanes — a pt/percentile self-join of
+    # the memory sink trips Spark's conflicting-reference resolution
+    t = spark.table(name).select(
+        "grp", "b", "wn", "ws",
+        (F.col("ws").cast("double")
+         / (100.0 * F.nullif(F.col("wn").cast("double"),
+                             F.lit(0.0)))).alias("mb"))
+    g = t.groupBy("grp").agg(
+        F.max(F.when(F.col("b") == -1, F.col("wn"))).alias("n"),
+        F.max(F.when(F.col("b") == -1, F.col("ws"))).alias("s"),
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY mb) "
+               "FILTER (WHERE b >= 0)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY mb) "
+               "FILTER (WHERE b >= 0)").alias("hi"))
+    return g.select("grp", "n",
+                    rnd(F.col("s").cast("double")
+                        / (100.0 * F.col("n")), 6).alias("mean"),
+                    rnd(F.col("lo"), 6).alias("ci_lo"),
+                    rnd(F.col("hi"), 6).alias("ci_hi"))

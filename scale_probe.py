@@ -323,6 +323,10 @@ REL_KEYS = [
     # 10x; one moment aggregate). q_stream_srm is excluded like
     # every q_stream_* key.
     "q_ab_power",
+    # round-13 closing wave: CUPED co-moments (events grow 10x; two
+    # map-side aggregates). q_stream_bootstrap_ci is excluded like
+    # every q_stream_* key.
+    "q_ab_cuped",
     # round-13 third wave: the O(Δ) semantic gate (embeddings grow
     # 10x on both sides — the bipartite per-cluster GEMM keeps the
     # growth in the linear band; the first exploded-join formulation

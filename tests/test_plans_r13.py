@@ -1275,3 +1275,54 @@ def test_stream_srm_equals_batch_twin(spark, sf_dir):
     batch = sorted(QUERIES["q_ab_srm"](spark, sf_dir).collect(),
                    key=lambda r: r["exp_id"])
     assert [r.asDict() for r in live] == [r.asDict() for r in batch]
+
+
+def test_ab_cuped_matches_python_replay(spark, sf_dir):
+    """Theta, variances and the reduction reproduce from a
+    from-scratch per-user pre/post replay; the covariate genuinely
+    reduces variance on the fixture (theta != 0, reduction > 0) and
+    var_cuped == var_y * (1 - rho^2) within quantization."""
+    import datetime
+
+    from collections import defaultdict
+
+    import pytest
+
+    split = datetime.datetime(2024, 1, 16)
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value").collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in rows:
+        vc = math.floor(r["value"] * 100 + 0.5)
+        per[r["user_id"]][0 if r["ts"] < split else 1] += vc
+    n = len(per)
+    xs = [v[0] for v in per.values()]
+    ys = [v[1] for v in per.values()]
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxx = float(sum(x * x for x in xs))
+    syy = float(sum(y * y for y in ys))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    var_y = (n * syy - sy * sy) / (n * n) / 1e4
+    var_x = (n * sxx - sx * sx) / (n * n) / 1e4
+    got = QUERIES["q_ab_cuped"](spark, sf_dir).collect()[0]
+    assert got["n_units"] == n
+    assert got["theta"] == pytest.approx(theta, abs=2e-6)
+    assert got["var_y"] == pytest.approx(var_y, abs=2e-4)
+    assert got["var_cuped"] == pytest.approx(
+        var_y - theta * theta * var_x, abs=2e-4)
+    assert got["var_reduction_pct"] == pytest.approx(
+        100.0 * theta * theta * var_x / var_y, abs=2e-4)
+    assert got["theta"] != 0.0
+    assert 0.0 < got["var_reduction_pct"] < 100.0
+
+
+def test_stream_bootstrap_ci_equals_batch_twin(spark, sf_dir):
+    """Live == batch, cell for cell: the identity-lane streaming
+    accumulation must reproduce the batch bootstrap exactly."""
+    live = sorted(
+        QUERIES["q_stream_bootstrap_ci"](spark, sf_dir).collect(),
+        key=lambda r: r["grp"])
+    batch = sorted(QUERIES["q_bootstrap_ci"](spark, sf_dir).collect(),
+                   key=lambda r: r["grp"])
+    assert [r.asDict() for r in live] == [r.asDict() for r in batch]
