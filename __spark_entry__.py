@@ -265,6 +265,7 @@ _R13_NEW: set[str] = {
     "q_survival_km", "q_ab_srm",
     "q_ab_power", "q_stream_srm",
     "q_ab_cuped", "q_stream_bootstrap_ci",
+    "q_stream_cuped",
 }
 
 

@@ -341,6 +341,8 @@ HEADLINE = [
     # and the live bootstrap-CI twin.
     "q_ab_cuped",
     "q_stream_bootstrap_ci",
+    # round 13: the live CUPED twin (|users|-row update-mode state).
+    "q_stream_cuped",
 ]
 # HEADLINE is APPEND-ONLY (never reordered, never pruned): a
 # cross-round BENCH_r{N} per-key diff is valid for every key that

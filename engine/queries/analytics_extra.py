@@ -1925,7 +1925,10 @@ def q_ab_power(spark, sf):
 _CUPED_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
 
 
-@query("q_ab_cuped", oracle=f"""
+#: Shared CUPED oracle — composed verbatim into q_ab_cuped and its
+#: streaming twin q_stream_cuped (streaming_q.py), so live and batch
+#: hash the same ground truth.
+AB_CUPED_ORACLE = f"""
 WITH v AS (
   SELECT user_id,
          CAST(sum(CASE WHEN ts < {_CUPED_SPLIT}
@@ -1957,7 +1960,42 @@ SELECT n AS n_units,
        {sql_rnd('100.0 * theta * theta * var_x / nullif(var_y, 0)',
                 6)} AS var_reduction_pct
 FROM s
-""")
+"""
+
+
+def cuped_from_xy(v):
+    """The closed form over a (user, x, y) exact-cent frame — shared
+    by q_ab_cuped and q_stream_cuped so the twins cannot diverge in
+    the moments or the fold."""
+    m = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        sum128(prod128(F.col("x"), F.col("x"))).alias("sxx"),
+        sum128(prod128(F.col("y"), F.col("y"))).alias("syy"),
+        sum128(prod128(F.col("x"), F.col("y"))).alias("sxy"))
+    nd = F.col("n").cast("double")
+    theta = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / F.nullif(F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx"), F.lit(0.0)))
+    var_y = ((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+             / (nd * nd) / 10000.0)
+    var_x = ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+             / (nd * nd) / 10000.0)
+    s = m.select("n", theta.alias("theta"), var_y.alias("var_y"),
+                 var_x.alias("var_x"))
+    return s.select(
+        F.col("n").alias("n_units"),
+        rnd(F.col("theta"), 6).alias("theta"),
+        rnd(F.col("var_y"), 6).alias("var_y"),
+        rnd(F.col("var_y") - F.col("theta") * F.col("theta")
+            * F.col("var_x"), 6).alias("var_cuped"),
+        rnd(100.0 * F.col("theta") * F.col("theta") * F.col("var_x")
+            / F.nullif(F.col("var_y"), F.lit(0.0)), 6)
+        .alias("var_reduction_pct"))
+
+
+@query("q_ab_cuped", oracle=AB_CUPED_ORACLE)
 def q_ab_cuped(spark, sf):
     """CUPED variance reduction (Deng et al. 2013) — the production
     A/B technique that slots between q_ab_power and q_ab_welch:
@@ -1986,29 +2024,4 @@ def q_ab_cuped(spark, sf):
               .alias("x"),
               F.sum(F.when(F.col("ts") >= split, vc).otherwise(0))
               .alias("y")))
-    m = v.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        sum128(prod128(F.col("x"), F.col("x"))).alias("sxx"),
-        sum128(prod128(F.col("y"), F.col("y"))).alias("syy"),
-        sum128(prod128(F.col("x"), F.col("y"))).alias("sxy"))
-    nd = F.col("n").cast("double")
-    theta = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-             / F.nullif(F.col("n") * F.col("sxx")
-                        - F.col("sx") * F.col("sx"), F.lit(0.0)))
-    var_y = ((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-             / (nd * nd) / 10000.0)
-    var_x = ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-             / (nd * nd) / 10000.0)
-    s = m.select("n", theta.alias("theta"), var_y.alias("var_y"),
-                 var_x.alias("var_x"))
-    return s.select(
-        F.col("n").alias("n_units"),
-        rnd(F.col("theta"), 6).alias("theta"),
-        rnd(F.col("var_y"), 6).alias("var_y"),
-        rnd(F.col("var_y") - F.col("theta") * F.col("theta")
-            * F.col("var_x"), 6).alias("var_cuped"),
-        rnd(100.0 * F.col("theta") * F.col("theta") * F.col("var_x")
-            / F.nullif(F.col("var_y"), F.lit(0.0)), 6)
-        .alias("var_reduction_pct"))
+    return cuped_from_xy(v)

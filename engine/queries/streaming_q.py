@@ -2034,3 +2034,51 @@ def q_stream_bootstrap_ci(spark, sf):
                         / (100.0 * F.col("n")), 6).alias("mean"),
                     rnd(F.col("lo"), 6).alias("ci_lo"),
                     rnd(F.col("hi"), 6).alias("ci_hi"))
+
+
+from .analytics_extra import _CUPED_SPLIT, cuped_from_xy  # noqa: E402
+
+
+@query("q_stream_cuped", oracle=_ORACLE["q_ab_cuped"])
+def q_stream_cuped(spark, sf):
+    """Speed-layer twin of q_ab_cuped — the covariate adjustment
+    maintained LIVE, so the experiment dashboard's variance-reduced
+    readout is current as units arrive: each event lands in its
+    unit's (pre, post) exact-cent pair inside ONE update-mode
+    user-keyed aggregate (state = |users| rows — the
+    q_stream_stateful_totals shape), the sink keeps each unit's
+    LAST update (counts only grow, so last == max over both lanes),
+    and the same cuped_from_xy fold the batch twin uses runs on the
+    |users|-row sink at read time. Hashes the SAME q_ab_cuped
+    oracle (composed verbatim via the registry); live==batch pinned
+    cell-for-cell."""
+    per_session = session_cache(spark, "_engine_stream_cache")
+    key = (sf.rstrip("/"), "cuped")
+    if key not in per_session:
+        digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+        name = f"stream_cuped_{digest}"
+        src = _stage_source(sf)
+        from ..streaming import _with_event_time, event_stream_schema
+        events = _with_event_time(
+            spark.readStream.schema(
+                event_stream_schema(spark, src)).parquet(src))
+        vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        split = F.expr(_CUPED_SPLIT)
+        agg = (events.groupBy("user_id")
+               .agg(F.sum(F.when(F.col("ts") < split, vc)
+                          .otherwise(0)).alias("x"),
+                    F.sum(F.when(F.col("ts") >= split, vc)
+                          .otherwise(0)).alias("y")))
+        q = (agg.writeStream.outputMode("update")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        per_session[key] = name
+    name = per_session[key]
+    # update-mode sink: one row per CHANGED unit per batch; both
+    # lanes are nonnegative sums, so the final state is the per-unit
+    # max of each lane
+    v = (spark.table(name)
+         .groupBy("user_id")
+         .agg(F.max("x").alias("x"), F.max("y").alias("y")))
+    return cuped_from_xy(v)

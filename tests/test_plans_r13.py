@@ -1326,3 +1326,11 @@ def test_stream_bootstrap_ci_equals_batch_twin(spark, sf_dir):
     batch = sorted(QUERIES["q_bootstrap_ci"](spark, sf_dir).collect(),
                    key=lambda r: r["grp"])
     assert [r.asDict() for r in live] == [r.asDict() for r in batch]
+
+
+def test_stream_cuped_equals_batch_twin(spark, sf_dir):
+    """Live == batch, cell for cell: the update-mode per-unit state
+    must reproduce the batch CUPED table exactly."""
+    live = QUERIES["q_stream_cuped"](spark, sf_dir).collect()
+    batch = QUERIES["q_ab_cuped"](spark, sf_dir).collect()
+    assert [r.asDict() for r in live] == [r.asDict() for r in batch]
