@@ -239,13 +239,15 @@ _R12_NEW: set[str] = {
     "q_sim_eval_truncated", "q_sim_eval_quantized",
 }
 
-# Keys first registered in round 13: the newest cohort, demoted
-# behind EVERY green key (the same discipline _R07_NEW.._R12_NEW got
-# on registration) — round-13 newcomers take no window slot while the
-# round-13 window gives the 31 _R12_NEW keys their first driver rows
-# and drains the remaining slots through the oldest greens; they earn
-# their first driver rows in round 14, covered until then by the
-# local check.py sweep + their tests.
+# Keys first registered in round 13. In round 13 this cohort was
+# demoted behind EVERY green key so the _R12_NEW drain could take
+# the window first. That drain completed in CORRECTNESS_r13 (48
+# green + 2 rows-only-by-design, 0 fails; all 31 _R12_NEW keys got
+# first rows), so per the round-13 verdict's top priority these 41
+# now LEAD the round-14 window as the NEWEST waiting cohort —
+# nothing is registered ahead of them. At 41 keys they fill all but
+# ~9 of the 50-slot window; the spare slots re-confirm the stalest
+# greens (r7-era keys).
 _R13_NEW: set[str] = {
     "q_token_budget_bpe", "q_dp_quantile", "q_contamination_bloom",
     "q_join_skew_report", "q_incr_join_refresh", "q_data_card",
@@ -269,24 +271,51 @@ _R13_NEW: set[str] = {
 }
 
 
-def _rotated(keys) -> list[str]:
-    """Waiting-longest-first key order (relative registration order
-    preserved within each tier): keys with no passing driver
-    CORRECTNESS row yet (pre-round-5 keys before round-5 newcomers),
-    then driver greens ordered oldest-round first (so long-
-    unconfirmed keys are re-confirmed before fresh ones). Derived
-    from the driver artifacts each call — no manual list maintenance
-    between rounds; the static _R0N_GREEN lists remain only as
-    documentation of earlier rounds."""
+def _rotated(keys, green=None) -> list[str]:
+    """Waiting-longest-first key order over the FULL registry.
+
+    NORMATIVE round-N procedure (the per-round maintenance contract;
+    everything else in this function is derived automatically from
+    the driver's own CORRECTNESS_r*.json artifacts):
+
+    1. **Fold-in at round start.** When round N-1's verdict confirms
+       the previous waiting cohort drained (all its keys earned green
+       driver rows), the newest cohort `_R{N-1}_NEW` simply rejoins
+       the waiting tiers below — no code change needed beyond adding
+       its set to `cohorts` when it is first declared. If a round
+       registers NEW keys mid-round, declare `_R{N}_NEW`, append it
+       LAST in `cohorts`, and (only while the previous drain is still
+       pending) pre-filter it behind the greens as rounds 12/13 did.
+       As of round 14 no pre-filter is active: every registered key
+       competes in the ordinary tiers.
+    2. **Ordering.** Three groups, concatenated:
+       (a) keys with NO passing driver row, oldest registration
+           cohort first (pre-round-5 keys, then _R05_NEW, …, in
+           declaration order of `cohorts`), registry order within a
+           cohort — so the longest-waiting key is always first;
+       (b) driver-green keys sorted by (latest green round,
+           registry index) — provably oldest-green-first, with the
+           registry index making ties within a round deterministic
+           and independent of dict iteration accidents;
+       (c) nothing else — the ordering is total over the registry, so
+           a key can never be silently dropped (round-11 ADVICE).
+       A key whose LATEST driver row failed has no green entry and
+       rotates back into group (a).
+    3. **Window arithmetic.** The driver checks the FIRST ~50 keys of
+       this ordering per round. At 341 registry keys and 50
+       slots/round, a green key is re-confirmed every
+       ceil(341/50) ≈ 7 rounds; a round that registers K new keys
+       delays the re-confirmation tail by K slots. Keep new-key
+       registration ≤ the window size so a cohort always drains in
+       one round.
+
+    `green` is injectable for unit tests (tests/test_rotation.py);
+    production callers omit it and the driver artifacts are read."""
     def tiered(waiting):
-        # Newer cohorts demote behind older waiting keys; _R13_NEW is
-        # ALSO appended here (last) so tiered() is total over every
-        # registered key — callers still pre-filter _R13_NEW to place
-        # it behind the greens, but a missed upstream filter can no
-        # longer silently drop a registry key (round-11 ADVICE).
-        # _R12_NEW rejoined the waiting tiers at round-13 start (the
-        # usual fold-in) — its 31 never-rowed keys now lead the
-        # window as the newest waiting cohort.
+        # Newer cohorts demote behind older waiting keys. _R13_NEW
+        # folded into the ordinary tiers at round-14 start (the usual
+        # fold-in): its 41 never-rowed keys now lead the window as
+        # the newest waiting cohort, nothing registered ahead of them.
         cohorts = (_R05_NEW, _R06_NEW, _R06B_NEW, _R06C_NEW, _R07_NEW,
                    _R08_NEW, _R09_NEW, _R10_NEW, _R11_NEW, _R12_NEW,
                    _R13_NEW)
@@ -295,23 +324,18 @@ def _rotated(keys) -> list[str]:
         return older + sum(([k for k in waiting if k in c]
                             for c in cohorts), [])
 
-    green = _driver_green()
+    if green is None:
+        green = _driver_green()
     if not green:  # artifacts missing (fresh checkout): static fallback
         r2, r3 = set(_R02_GREEN), set(_R03_GREEN)
-        waiting = tiered(
-            [k for k in keys if k not in r2 and k not in r3
-             and k not in _R13_NEW])
+        waiting = tiered([k for k in keys if k not in r2 and k not in r3])
         return (waiting + [k for k in keys if k in r2]
-                + [k for k in keys if k in r3]
-                + [k for k in keys if k in _R13_NEW])
-    waiting = tiered([k for k in keys if k not in green and k not in _R13_NEW])
+                + [k for k in keys if k in r3])
+    idx = {k: i for i, k in enumerate(keys)}  # registry tie-break
+    waiting = tiered([k for k in keys if k not in green])
     seen = sorted((k for k in keys if k in green),
-                  key=lambda k: green[k])  # stable: registry order within a round
-    # round-13 newcomers with no driver row yet go BEHIND the greens
-    # (see _R13_NEW comment); once a newcomer has a green row it
-    # sorts into `seen` like everyone else and this tail is empty
-    back = [k for k in keys if k in _R13_NEW and k not in green]
-    return waiting + seen + back
+                  key=lambda k: (green[k], idx[k]))
+    return waiting + seen
 
 
 def entry(spark: SparkSession) -> DataFrame:
