@@ -225,6 +225,24 @@ DOC_KEYS = [
     # round-13 closing wave: the class-balanced draw (documents grow
     # 10x; one count aggregate + one lang-keyed rank window).
     "q_sample_balanced",
+    # round-14 broadening (VERDICT r13 item 4): the long-green text /
+    # dedup / vector core joins the sweep. documents/embeddings grow
+    # 10x; per-copy text perturbation keeps exact dups apart while
+    # near-dup clusters stay 10-bounded, so pair-generating keys are
+    # cluster-bounded, not quadratic. q_dedup_ngram_jaccard stays
+    # excluded like q_dedup_eval — its shingle-posting equi-join is
+    # quadratic in posting-list length, which the replicated fixture
+    # inflates by design (it is the exact baseline for the banded
+    # siblings already probed).
+    "q_text_tokens", "q_text_langid", "q_text_quality",
+    "q_text_fingerprint", "q_text_repetition", "q_text_clean",
+    "q_token_histogram",
+    # simhash banding (cluster-bounded pairs), best-copy resolution,
+    # and the CC clustering over the probed minhash pair stream
+    "q_dedup_simhash", "q_dedup_resolve", "q_dedup_cluster",
+    # vector core: centroid kNN (broadcast centroids), whitening
+    # (one Gram partial + codegen transform), posexplode flatten
+    "q_knn_centroid", "q_embed_whiten", "q_explode_unnest",
 ]
 REL_KEYS = [
     "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
@@ -342,6 +360,37 @@ REL_KEYS = [
     # q_dedup_report (two |shards|-row aggregates OVER both probed
     # chains). q_stream_dedup_incremental_semantic is excluded like
     # every q_stream_* key.
+    # round-14 broadening (VERDICT r13 item 4: probed-key count
+    # >= 175): the long-green relational core joins the sweep so the
+    # linear-band claim covers the whole surface, not just the
+    # novel operators. All inputs below grow 10x in the fixture
+    # (lineitem/orders/events); broadcast dims (part/customer) stay
+    # fixture constants, which is exactly the broadcast contract
+    # being proven.
+    "q_join_broadcast", "q_join_left", "q_join_semi", "q_join_anti",
+    "q_agg_distinct", "q_agg_cube", "q_agg_grouping_sets",
+    "q_agg_stats",
+    # window family: one hash exchange + sorted frames, frame width
+    # fixed — growth must track rows, not frames
+    "q_window_lag_lead", "q_window_frame_rows", "q_window_frame_range",
+    "q_window_running_total",
+    # event-time family (events grow 10x): tumbling/sliding/session
+    # windows, first-event dedup, transition bigrams, the capped
+    # sessionizer scan, attribution walk, retention cohorts, funnel
+    "q_window_tumbling", "q_window_sliding", "q_window_session",
+    "q_event_dedup_first", "q_event_transitions", "q_session_capped",
+    "q_attribution", "q_retention", "q_events_funnel",
+    # exact-quantile / moment family over lineitem-orders: the
+    # distributed value-counts pattern must stay linear
+    "q_percentile_cont", "q_percentile_disc", "q_corr_stats",
+    "q_rollup_time", "q_quantile_bins", "q_robust_stats",
+    # sketch rollup + layout keys (events grow 10x): HLL union tree,
+    # z-order cell stats (q_file_skipping_stats' substrate — this
+    # makes its 'rides the probed aggregate' note literally true)
+    "q_hll_rollup", "q_zorder_cells",
+    # reshape + history keys: fixed pivot width, 4-col unpivot,
+    # SCD2 window over events
+    "q_pivot", "q_unpivot", "q_scd2_history",
 ]
 
 

@@ -106,6 +106,12 @@ KEYS = [
     "q_survival_km",           # ordered integer risk-set folds
     "q_ab_srm",                # md5 assignment + closed-form chi2
     "q_ab_power",              # one moment row x literal grid
+    # round-14 (VERDICT r13 item 6): the sweep now covers the FULL
+    # r13 batch cohort — the last four keys join here
+    "q_ab_cuped",              # theta from exact co-moments
+    "q_join_asof_tolerance",   # lag window + literal cutoff filter
+    "q_source_json_corrupt",   # PERMISSIVE parse + policy aggregate
+    "q_source_csv_corrupt",    # DROPMALFORMED/corrupt-column triage
 ]
 
 
@@ -129,4 +135,23 @@ def _rows(spark, key, parts):
 
 @pytest.mark.parametrize("key", KEYS)
 def test_partitioning_invariance(spark, key):
+    assert _rows(spark, key, 5) == _rows(spark, key, 32)
+
+
+# Streaming twins: spark.sql.shuffle.partitions is baked into a NEW
+# stream's state-store layout at first checkpoint, so a twin that is
+# correct only under the session default would silently depend on
+# cluster sizing. Each key below replays its file-source pipeline
+# twice — 5-partition and 32-partition state stores, fresh checkpoints
+# each — and must produce bit-identical result sets (VERDICT r13
+# item 6: sensitivity pin for the streaming twins).
+STREAM_KEYS = [
+    "q_stream_stateful_totals",   # applyInPandasWithState GroupState
+    "q_stream_srm",               # watermarked agg + closed-form chi2
+    "q_stream_cuped",             # two-aggregate co-moment twin
+]
+
+
+@pytest.mark.parametrize("key", STREAM_KEYS)
+def test_streaming_shuffle_partitions_invariance(spark, key):
     assert _rows(spark, key, 5) == _rows(spark, key, 32)
