@@ -748,11 +748,31 @@ REL100_KEYS = [
     # round-7: rank correlation (value-grouped midrank models) and
     # the Q5 star join (dims constant, facts grow 100x)
     "q_spearman_corr", "q_mjoin_volume",
+    # round-14: the round-13 experimentation / survival / as-of /
+    # time-series stack joins the three-decade claim. The x100rel
+    # fixture now replicates EVENTS 100x as well (remapped event AND
+    # user ids, the 10x build discipline), so the events-driven
+    # stats family measures a real 100x curve, not a symlinked 10x
+    # plateau. orders-driven keys ride the 15M-row orders table.
+    "q_survival_km", "q_decile_lift",
+    "q_join_asof_tolerance", "q_join_asof_forward",
+    "q_join_asof_nearest", "q_incr_join_refresh",
+    "q_anova", "q_kruskal_wallis", "q_levene_test",
+    "q_ab_srm", "q_ab_power", "q_ab_cuped",
+    # the Poisson bootstrap is the stress entry: the bounded 32x
+    # explode into ONE map-side-combined aggregate is exactly the
+    # claim that must survive 60M input rows (1.9G exploded)
+    "q_bootstrap_ci",
+    "q_ts_changepoint", "q_ts_rolling_median", "q_ts_lag_features",
+    "q_window_rolling_distinct",
 ]
 
 
 def build_x100rel(spark) -> None:
-    """100x lineitem/orders (60M / 15M rows) from the 10x fixture."""
+    """100x lineitem/orders/events (60M / 15M / 10M rows) from the
+    10x fixture. Events replicate with remapped event AND user ids
+    (the 10x build discipline) so per-user series and the A/B
+    assignment space grow 100x rather than densifying."""
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{OUT}/lineitem.parquet")
@@ -768,8 +788,23 @@ def build_x100rel(spark) -> None:
             big = big.union(c)
         big.repartition(64).write.mode("overwrite") \
             .parquet(f"{OUTREL}/{name}.parquet")
+    ev = spark.read.parquet(f"{OUT}/events.parquet")
+    ne = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    nu = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    evp = [
+        ev.withColumn("event_id", (F.col("event_id") + i * ne).cast("long"))
+        .withColumn("user_id", (F.col("user_id") + i * nu).cast("long"))
+        for i in range(10)
+    ]
+    bigev = evp[0]
+    for c in evp[1:]:
+        bigev = bigev.union(c)
+    dst = f"{OUTREL}/events.parquet"
+    if os.path.islink(dst):  # pre-round-14 fixture symlinked 10x events
+        os.unlink(dst)
+    bigev.repartition(64).write.mode("overwrite").parquet(dst)
     for t in ("region", "nation", "customer", "supplier", "part",
-              "events", "documents", "embeddings"):
+              "documents", "embeddings"):
         dst = f"{OUTREL}/{t}.parquet"
         if not os.path.lexists(dst):
             os.symlink(f"{OUT}/{t}.parquet", dst)
@@ -781,10 +816,11 @@ def run_x100rel(spark) -> None:
     from engine.io import load_tables
     from engine.registry import QUERIES
 
-    if not os.path.exists(f"{OUTREL}/lineitem.parquet"):
+    if (not os.path.exists(f"{OUTREL}/lineitem.parquet")
+            or os.path.islink(f"{OUTREL}/events.parquet")):
         build_x100rel(spark)
     t = load_tables(spark, OUTREL)
-    for name in ("lineitem", "orders"):
+    for name in ("lineitem", "orders", "events"):
         t[name].cache().count()
     row = {}
     for k in REL100_KEYS:
@@ -795,7 +831,8 @@ def run_x100rel(spark) -> None:
             dt = _t.time() - t0
             best = dt if best is None else min(best, dt)
         row[k] = round(best, 2)
-    for name in ("lineitem", "orders"):
+        print(json.dumps({"key": k, "x100rel_sec": row[k]}), flush=True)
+    for name in ("lineitem", "orders", "events"):
         t[name].unpersist()
     print(json.dumps({"scale": "x100rel", "seconds": row}), flush=True)
 
