@@ -531,6 +531,14 @@ X100_KEYS = [
     # three-decade claim (linear doc op: position explode + hash
     # filter + two doc-keyed windows).
     "q_span_corruption_mask",
+    # round-14: the newly 10x-probed text/dedup/vector core extends
+    # to three decades (500k docs). All linear doc ops: tokenize /
+    # vote / feature / shingle-hash / regex-clean maps with hash-only
+    # or cardinality-bounded shuffles; simhash pairs stay
+    # cluster-bounded under the perturbed-replica fixture.
+    "q_text_tokens", "q_text_langid", "q_text_quality",
+    "q_text_fingerprint", "q_text_clean", "q_token_histogram",
+    "q_dedup_simhash",
 ]
 
 
