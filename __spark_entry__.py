@@ -270,6 +270,14 @@ _R13_NEW: set[str] = {
     "q_stream_cuped",
 }
 
+# Keys first registered in round 14 (the one exception to the
+# round-14 growth pause: the arbitrary-stateful sessionization twin
+# completes the lifecycle of the operator round 14 itself added for
+# VERDICT item 3). Demoted behind the _R13_NEW waiting cohort per
+# the normative procedure in _rotated() — it takes window slot 42,
+# after the 41 round-13 first-rows.
+_R14_NEW: set[str] = {"q_stream_session_capped"}
+
 
 def _rotated(keys, green=None) -> list[str]:
     """Waiting-longest-first key order over the FULL registry.
@@ -318,7 +326,7 @@ def _rotated(keys, green=None) -> list[str]:
         # the newest waiting cohort, nothing registered ahead of them.
         cohorts = (_R05_NEW, _R06_NEW, _R06B_NEW, _R06C_NEW, _R07_NEW,
                    _R08_NEW, _R09_NEW, _R10_NEW, _R11_NEW, _R12_NEW,
-                   _R13_NEW)
+                   _R13_NEW, _R14_NEW)
         older = [k for k in waiting
                  if not any(k in c for c in cohorts)]
         return older + sum(([k for k in waiting if k in c]

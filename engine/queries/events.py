@@ -252,8 +252,10 @@ def q_interval_union(spark, sf):
 _SESS_GAP_US = 28_800_000_000   # 8-hour inactivity ends a session
 _SESS_CAP_US = 86_400_000_000   # hard 24-hour session-duration cap
 
-
-@query("q_session_capped", oracle=f"""
+#: shared by q_session_capped and its arbitrary-stateful streaming
+#: twin q_stream_session_capped (streaming_q.py) — one oracle string
+#: so the twins cannot diverge (the AB_CUPED_ORACLE discipline)
+SESSION_CAPPED_ORACLE = f"""
 WITH RECURSIVE seq AS (
   SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id,
          row_number() OVER (PARTITION BY user_id
@@ -277,7 +279,10 @@ SELECT user_id, sess_idx, count(*) AS n_events,
        CAST(min(us) AS BIGINT) AS start_us,
        CAST(max(us) AS BIGINT) AS end_us
 FROM walk GROUP BY user_id, sess_idx
-""")
+"""
+
+
+@query("q_session_capped", oracle=SESSION_CAPPED_ORACLE)
 def q_session_capped(spark, sf):
     """Capped sessionization: a session ends after 8 h of inactivity
     OR when it would exceed a hard 24 h duration cap — the bot-guard

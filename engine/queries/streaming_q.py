@@ -31,7 +31,7 @@ from pyspark.sql import Window as W, functions as F
 from ..io import load_tables, session_cache
 from ..registry import ORACLE as _ORACLE, query
 from ..streaming import read_event_stream
-from .events import CDC_LOG_SQL
+from .events import CDC_LOG_SQL, SESSION_CAPPED_ORACLE
 from .analytics_extra import AB_WELCH_ORACLE, BENFORD_ORACLE
 from .incremental import GROUP_TOPK_ORACLE
 from .util import dsum, rnd, sql_dsum, sql_rnd
@@ -61,7 +61,54 @@ def _stage_source(sf: str, table: str = "events") -> str:
     return src
 
 
-def _run_stream(spark, sf: str, kind: str, build, one_batch: bool = False) -> str:
+def _stage_source_time_sliced(sf: str, n_slices: int = 12) -> str:
+    """Time-ORDERED staged copy of the events table for keys whose
+    stream semantics need micro-batches to arrive in event-time
+    order (cross-batch per-user scan state — the capped
+    sessionizer). `_stage_source` symlinks the fixture's part files,
+    which are hash-partitioned and carry no time order, so a
+    multi-batch replay would hand a stateful operator time-travelling
+    batches a real queue never produces. Here the table is sorted by
+    (ts, event_id) once and written as ``n_slices`` contiguous time
+    slices with strictly increasing mtimes, so the file source's
+    modification-time ordering replays event time faithfully.
+    Memoized per (sf, pid) via a completion marker; the copy is one
+    pyarrow sort+write of the events table (fixture-sized, done once
+    per process)."""
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    digest = hashlib.md5(
+        f"{os.path.abspath(sf)}|events|sliced{n_slices}".encode()
+    ).hexdigest()[:8]
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"engine_stream_tsrc_{digest}_{os.getpid()}")
+    marker = os.path.join(src, "_SLICED")
+    if os.path.exists(marker):
+        return src
+    os.makedirs(src, exist_ok=True)
+    tbl = pq.read_table(f"{sf.rstrip('/')}/events.parquet")
+    order = pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+    tbl = tbl.take(order)
+    rows = tbl.num_rows
+    now = _time.time()
+    for i in range(n_slices):
+        lo = i * rows // n_slices
+        hi = (i + 1) * rows // n_slices
+        p = os.path.join(src, f"slice-{i:03d}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), p)
+        os.utime(p, (now + i, now + i))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return src
+
+
+def _run_stream(spark, sf: str, kind: str, build, one_batch: bool = False,
+                src: str | None = None) -> str:
     """Run a bounded stream to completion once per (session, sf) —
     memory-sink tables live in the session, so the memo is
     session-attached (engine.io.session_cache); returns the table
@@ -71,14 +118,17 @@ def _run_stream(spark, sf: str, kind: str, build, one_batch: bool = False) -> st
     micro-batch (no maxFilesPerTrigger): required for append-mode
     keys checked against a batch oracle, where a multi-batch replay
     of unordered part-files could legitimately drop late rows behind
-    the advancing watermark."""
+    the advancing watermark.
+
+    ``src`` overrides the staged source directory (e.g. the
+    time-sliced stager for order-sensitive stateful keys)."""
     per_session = session_cache(spark, "_engine_stream_cache")
     key = (sf.rstrip("/"), kind)
     if key in per_session:
         return per_session[key]
     digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
     name = f"stream_{kind}_{digest}"
-    src = _stage_source(sf)
+    src = src or _stage_source(sf)
     if one_batch:
         from ..streaming import _with_event_time, event_stream_schema
 
@@ -324,6 +374,52 @@ def q_stream_stateful_totals(spark, sf):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
+    )
+
+
+@query("q_stream_session_capped", oracle=SESSION_CAPPED_ORACLE)
+def q_stream_session_capped(spark, sf):
+    """Arbitrary-stateful streaming twin of ``q_session_capped``:
+    capped sessionization (8 h inactivity gap OR hard 24 h duration
+    cap ends a session) as ``applyInPandasWithState`` — the operator
+    ``session_window`` cannot express, because whether an event
+    extends a session depends on the session's START, itself the
+    product of earlier sequential decisions. The kernel is
+    :func:`engine.streaming.capped_sessions_stateful` (registered
+    round 14 as the executable custom-stateful proof while the
+    transformWithState runtime stays env-blocked): GroupState carries
+    (session index, start, previous ts, count, min/max) per user
+    across micro-batches.
+
+    Replay discipline: this key streams from the TIME-SLICED staged
+    source (:func:`_stage_source_time_sliced` — the fixture's events
+    sorted by (ts, event_id), written as 12 contiguous time slices
+    with increasing mtimes), because cross-batch scan state is only
+    meaningful when batches arrive in event-time order, which the
+    hash-partitioned fixture part files do not guarantee. At 4
+    files/trigger the replay crosses ≥2 micro-batch boundaries
+    mid-session. Update mode emits one row per (user, session)
+    touched per batch; within a session ``n_events`` only grows, so
+    the final session table is the max/min/max rollup of the update
+    rows — the same recursion the shared oracle walks.
+
+    Scale: state is 6 scalars per user; per batch, one shuffle on
+    user_id plus a sorted linear scan of each user's new events —
+    identical to the batch key's repartition+sortWithinPartitions
+    discipline, but amortized over the stream's lifetime."""
+    from ..streaming import capped_sessions_stateful
+
+    def build(events):
+        return capped_sessions_stateful(events), "update"
+
+    name = _run_stream(spark, sf, "sess_capped", build,
+                       src=_stage_source_time_sliced(sf))
+    return (
+        spark.table(name)
+        .groupBy("user_id", "sess_idx")
+        .agg(F.max("n_events").alias("n_events"),
+             F.min("start_us").alias("start_us"),
+             F.max("end_us").alias("end_us"))
     )
 
 

@@ -579,7 +579,8 @@ def run_x100(spark) -> None:
     t = load_tables(spark, OUT100)
     t["documents"].cache().count()
     row = {}
-    for k in X100_KEYS:
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for k in [k for k in X100_KEYS if not only or k in only]:
         best = None
         for _ in range(2):
             t0 = _t.time()

@@ -149,9 +149,23 @@ STREAM_KEYS = [
     "q_stream_stateful_totals",   # applyInPandasWithState GroupState
     "q_stream_srm",               # watermarked agg + closed-form chi2
     "q_stream_cuped",             # two-aggregate co-moment twin
+    "q_stream_session_capped",    # r14: cross-batch scan state per user
 ]
+
+
+def _fresh_stream_rows(spark, key, parts):
+    """_rows with the per-session stream memo cleared first: without
+    this, the second run would read the FIRST run's memory-sink table
+    (q_stream_* keys memoize per (session, sf)) and the pin would
+    compare the stream against itself instead of re-executing it
+    under the new state-store partitioning."""
+    from engine.io import session_cache
+
+    session_cache(spark, "_engine_stream_cache").clear()
+    return _rows(spark, key, parts)
 
 
 @pytest.mark.parametrize("key", STREAM_KEYS)
 def test_streaming_shuffle_partitions_invariance(spark, key):
-    assert _rows(spark, key, 5) == _rows(spark, key, 32)
+    assert (_fresh_stream_rows(spark, key, 5)
+            == _fresh_stream_rows(spark, key, 32))
