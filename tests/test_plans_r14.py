@@ -125,3 +125,52 @@ def test_stream_session_capped_slicing_invariance(spark):
         }
 
     assert final("sess_capped_s5", 5) == final("sess_capped", 12)
+
+
+def test_stream_session_capped_rocksdb_state_store(spark):
+    """State-backend independence: the sessionizer must produce the
+    identical final table under the RocksDB state store provider (the
+    production backend — bounded JVM heap, state spills to disk) as
+    under the default HDFS-backed in-memory provider. Unlike
+    transformWithState, applyInPandasWithState needs no protobuf
+    state-server, so the RocksDB path is executable in this
+    container."""
+    from pyspark.sql import functions as F
+
+    from engine.io import session_cache
+    from engine.queries.streaming_q import _run_stream, \
+        _stage_source_time_sliced
+    from engine.streaming import capped_sessions_stateful
+
+    def build(events):
+        return capped_sessions_stateful(events), "update"
+
+    def final(kind):
+        name = _run_stream(spark, SF, kind, build,
+                           src=_stage_source_time_sliced(SF))
+        return {
+            (r.user_id, r.sess_idx): (r.n_events, r.start_us, r.end_us)
+            for r in spark.table(name)
+            .groupBy("user_id", "sess_idx")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.min("start_us").alias("start_us"),
+                 F.max("end_us").alias("end_us")).collect()
+        }
+
+    default = final("sess_capped")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    session_cache(spark, "_engine_stream_cache").pop(
+        (SF.rstrip("/"), "sess_capped_rocks"), None)
+    try:
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+        rocks = final("sess_capped_rocks")
+    finally:
+        if old is not None:
+            spark.conf.set(prov_key, old)
+        else:
+            spark.conf.unset(prov_key)
+    assert rocks == default
