@@ -501,9 +501,15 @@ X100_KEYS = [
     # broadcast stats join back to the exploded corpus (linear).
     "q_tokenizer_fit", "q_tokenizer_apply",
     # round-9: RRF fusion (documents grow 10x; candidates stay
-    # posting-list-bounded per query) + perceptual-hash dedup
-    # (payload bytes grow 10x; banding bounds the pair join)
-    "q_rank_fusion", "q_dedup_phash",
+    # posting-list-bounded per query). q_dedup_phash left this list
+    # in round 14: at x100 the replicated fixture multiplies every
+    # near-dup FAMILY by 10, so true pairs grow ~100x per decade
+    # (measured 245k -> 22.5M output pairs, 98x candidates) while
+    # runtime grew only 16x — pair-OUTPUT-bound, and real corpora
+    # don't grow family sizes with corpus size; it keeps its
+    # cluster-bounded 10x probe (the q_dedup_ngram_jaccard exclusion
+    # family, adjudicated in SCALE.md round 14).
+    "q_rank_fusion",
     # round-10: substring-dedup removal joins the three-decade claim
     # (linear doc op: hash-only shuffles + codegen splice)
     "q_dedup_substring_cut",
