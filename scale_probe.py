@@ -780,6 +780,19 @@ REL100_KEYS = [
     "q_bootstrap_ci",
     "q_ts_changepoint", "q_ts_rolling_median", "q_ts_lag_features",
     "q_window_rolling_distinct",
+    # round-14 second wave: the event-time family the 10x sweep
+    # admitted this round rides the 10M-row events table to three
+    # decades (one user/type-keyed exchange each; session scans are
+    # per-partition linear), plus the exact-quantile/moment family
+    # over the 60M-row lineitem (distributed value-counts must stay
+    # stage-linear at any scale).
+    "q_window_tumbling", "q_window_sliding", "q_window_session",
+    "q_event_dedup_first", "q_event_transitions", "q_session_capped",
+    "q_attribution", "q_retention", "q_events_funnel",
+    "q_scd2_history", "q_hll_rollup", "q_zorder_cells",
+    "q_rollup_time",
+    "q_percentile_cont", "q_robust_stats", "q_corr_stats",
+    "q_window_frame_rows",
 ]
 
 
@@ -838,7 +851,8 @@ def run_x100rel(spark) -> None:
     for name in ("lineitem", "orders", "events"):
         t[name].cache().count()
     row = {}
-    for k in REL100_KEYS:
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for k in [k for k in REL100_KEYS if not only or k in only]:
         best = None
         for _ in range(2):
             t0 = _t.time()
