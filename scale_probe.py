@@ -793,6 +793,16 @@ REL100_KEYS = [
     "q_rollup_time",
     "q_percentile_cont", "q_robust_stats", "q_corr_stats",
     "q_window_frame_rows",
+    # round-14 third wave: the join / aggregate / window families
+    # complete the rule "every relational key the 10x sweep admitted
+    # this round also has a three-decade curve" (facts grow 100x,
+    # dims stay broadcast constants — which is the broadcast contract
+    # itself under test).
+    "q_join_broadcast", "q_join_left", "q_join_semi", "q_join_anti",
+    "q_agg_distinct", "q_agg_cube", "q_agg_grouping_sets",
+    "q_agg_stats",
+    "q_window_lag_lead", "q_window_frame_range",
+    "q_window_running_total", "q_percentile_disc",
 ]
 
 
