@@ -273,9 +273,10 @@ _R13_NEW: set[str] = {
 # Keys first registered in round 14 (the one exception to the
 # round-14 growth pause: the arbitrary-stateful sessionization twin
 # completes the lifecycle of the operator round 14 itself added for
-# VERDICT item 3). Demoted behind the _R13_NEW waiting cohort per
-# the normative procedure in _rotated() — it takes window slot 42,
-# after the 41 round-13 first-rows.
+# VERDICT item 3). Drained in CORRECTNESS_r14 (green first row), so
+# as of round 15 the cohort is folded into the ordinary tiers like
+# its predecessors — with zero never-rowed keys left in the
+# registry, the window is pure stalest-first re-confirmation.
 _R14_NEW: set[str] = {"q_stream_session_capped"}
 
 
@@ -310,12 +311,13 @@ def _rotated(keys, green=None) -> list[str]:
        A key whose LATEST driver row failed has no green entry and
        rotates back into group (a).
     3. **Window arithmetic.** The driver checks the FIRST ~50 keys of
-       this ordering per round. At 341 registry keys and 50
-       slots/round, a green key is re-confirmed every
-       ceil(341/50) ≈ 7 rounds; a round that registers K new keys
-       delays the re-confirmation tail by K slots. Keep new-key
-       registration ≤ the window size so a cohort always drains in
-       one round.
+       this ordering per round. At len(registry) keys (342 as of
+       round 15 — state the figure from the registry, not this
+       docstring, if they ever disagree) and 50 slots/round, a green
+       key is re-confirmed every ceil(len(registry)/50) ≈ 7 rounds; a
+       round that registers K new keys delays the re-confirmation
+       tail by K slots. Keep new-key registration ≤ the window size
+       so a cohort always drains in one round.
 
     `green` is injectable for unit tests (tests/test_rotation.py);
     production callers omit it and the driver artifacts are read."""

@@ -350,6 +350,22 @@ HEADLINE = [
 # COMPACT stdout line only via the loud n_omitted_fastest fallback
 # below — see BASELINE.md "bench entry-set rule".
 
+# Fixed sf1-scale lane (round-15 verdict item 6): ten standing keys
+# measured every round at the 10x fixture (/tmp/engine_scale_x10 —
+# 500k docs / 6M lineitem, the sf1 equivalent; built from sf0.1 by
+# scale_probe.build if absent). Absolute regime drift vs genuine
+# growth used to be disentangled by ad-hoc adjudication paragraphs;
+# a standing sf1 block in every BENCH_r{N} makes it mechanical: a
+# uniform shift across BOTH blocks is the environment, a shift in
+# one key's sf1 number alone is the operator. Same append-only rule
+# as HEADLINE.
+SF1_KEYS = [
+    "q_agg_pricing_summary", "q_join_inner", "q_window_rank",
+    "q_topk_orders", "q_dedup_exact", "q_dedup_fuzzy_minhash",
+    "q_tfidf_top", "q_rag_retrieve", "q_corpus_curate",
+    "q_tokenizer_apply",
+]
+
 
 def run_full(df) -> None:
     """The full-compute bench action, shared with scale_probe.py:
@@ -505,12 +521,42 @@ def main() -> None:
     timings["stitch_user_fn_128cube"] = min(
         _bench_user_fn_path(spark) for _ in range(3))
     total = round(sum(timings.values()), 3)
+
+    # sf1 lane: the ten standing SF1_KEYS at the 10x fixture. Not
+    # part of the headline total (the 300 s gate stays defined over
+    # the sf0.1 suite); reported as its own block so every BENCH_r{N}
+    # carries one fixed cross-scale reading.
+    sf1 = None
+    try:
+        import scale_probe
+        if not os.path.exists(f"{scale_probe.OUT}/documents.parquet"):
+            scale_probe.build(spark)
+        t1 = load_tables(spark, scale_probe.OUT)
+        for name in ("lineitem", "orders", "documents", "embeddings"):
+            t1[name].cache().count()
+        sf1_timings: dict[str, float] = {}
+        for key in SF1_KEYS:
+            fn = QUERIES[key]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                run_full(fn(spark, scale_probe.OUT))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            sf1_timings[key] = round(best, 3)
+        for name in ("lineitem", "orders", "documents", "embeddings"):
+            t1[name].unpersist()
+        sf1 = {"queries": sf1_timings,
+               "total": round(sum(sf1_timings.values()), 3)}
+    except Exception as e:  # never let the sf1 lane kill the headline
+        sf1 = {"error": f"{type(e).__name__}: {e}"[:200]}
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "sf1": sf1,
     }
     # attach the committed scaling evidence (scale_probe.py
     # --emit-json) so the per-round BENCH artifact records measured
@@ -541,6 +587,12 @@ def main() -> None:
         "sf": out["sf"],
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
+    if isinstance(sf1, dict) and "queries" in sf1:
+        compact["sf1"] = {k.removeprefix("q_"): round(v, 2)
+                          for k, v in sf1["queries"].items()}
+        compact["sf1_total"] = sf1["total"]
+    elif sf1 is not None:
+        compact["sf1"] = sf1  # the loud error, never silence
     if worst_growth is not None:
         compact["worst_growth_10x"] = worst_growth
         compact["n_superlinear"] = n_superlinear

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
-from ..io import load_tables, session_cache, table_count
+from ..io import evict_persisted_lru, load_tables, session_cache, table_count
 from ..registry import query
 from .util import hex32_sql, hexpoly_col, rnd, sql_rnd
 
@@ -3446,7 +3446,24 @@ def q_tokenizer_apply(spark, sf):
     the exploded corpus as a broadcast (|vocab| rows — bucketed join
     at vocabularies beyond broadcast reach). The corpus is touched by
     exactly two narrow passes (type extraction + the stats join) and
-    one count aggregate. All-integer output: trivially hash-stable."""
+    one count aggregate. All-integer output: trivially hash-stable.
+
+    The per-doc counts frame is memoized per (session, sf) and
+    persisted (round-15: the BPE loading chain — q_token_budget_bpe →
+    q_mix_schedule_bpe → q_pack_schedule_bpe → q_pack_unit_ablation —
+    composes this key up to three times per downstream action, and
+    without the memo every call re-ran the corpus explode + stats
+    join; with it the chain pays the corpus pass once, exactly like
+    the whitespace lane whose planner side _budget_plan already
+    memoizes). |docs| rows x 4 integer columns — a fit-shaped
+    side-input; at 100 TB this is the per-doc token-count table a
+    pipeline materializes to storage once per tokenizer version."""
+    # dedicated cache (NOT _engine_bpe_cache): the LRU evict below
+    # must never be able to drop the fit's memoized merges/type table
+    per_session = session_cache(spark, "_engine_bpe_apply_cache")
+    ak = sf.rstrip("/")
+    if ak in per_session:
+        return per_session[ak]
     # the learned merges come from the shared memoized fit loop, as
     # replace() literals — the fit lineage executes once per session
     # (round-9 ADVICE; now load-bearing at 12 merges)
@@ -3467,13 +3484,16 @@ def q_tokenizer_apply(spark, sf):
     nt = s.select(
         "word",
         F.size(F.split(F.trim("seq"), "  ")).cast("long").alias("n_tok"))
-    return (
+    out = (
         dw.join(F.broadcast(nt), "word")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_words"),
              F.sum(F.length("word")).cast("long").alias("n_chars"),
              F.sum("n_tok").cast("long").alias("n_tokens"))
     )
+    evict_persisted_lru(per_session, keep=3)
+    per_session[ak] = out.persist()
+    return per_session[ak]
 
 
 @query("q_tokenizer_vocab", oracle=f"""

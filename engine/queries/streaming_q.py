@@ -121,13 +121,19 @@ def _run_stream(spark, sf: str, kind: str, build, one_batch: bool = False,
     the advancing watermark.
 
     ``src`` overrides the staged source directory (e.g. the
-    time-sliced stager for order-sensitive stateful keys)."""
+    time-sliced stager for order-sensitive stateful keys). It may be
+    a CALLABLE returning the directory — evaluated only after the
+    memo check, so a non-trivial stager (the time-sliced sort+write)
+    is never paid when the stream result is already cached
+    (round-14 ADVICE)."""
     per_session = session_cache(spark, "_engine_stream_cache")
     key = (sf.rstrip("/"), kind)
     if key in per_session:
         return per_session[key]
     digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
     name = f"stream_{kind}_{digest}"
+    if callable(src):
+        src = src()
     src = src or _stage_source(sf)
     if one_batch:
         from ..streaming import _with_event_time, event_stream_schema
@@ -412,8 +418,11 @@ def q_stream_session_capped(spark, sf):
     def build(events):
         return capped_sessions_stateful(events), "update"
 
+    # thunk, not a value: the time-sliced stager (pyarrow sort + 12
+    # slice writes) must run only when the stream actually executes,
+    # not on every memoized re-read (round-14 ADVICE)
     name = _run_stream(spark, sf, "sess_capped", build,
-                       src=_stage_source_time_sliced(sf))
+                       src=lambda: _stage_source_time_sliced(sf))
     return (
         spark.table(name)
         .groupBy("user_id", "sess_idx")

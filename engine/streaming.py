@@ -143,11 +143,20 @@ def capped_sessions_stateful(events: DataFrame) -> DataFrame:
         else:
             sess, start, prev, n, smin, smax = 0, 0, 0, 0, 0, 0
         touched: dict[int, tuple[int, int, int]] = {}
-        for pdf in pdfs:
-            # micro-batch rows are not order-guaranteed; the state
-            # contract only needs batches to arrive in time order
-            pdf = pdf.sort_values(["us", "event_id"])
-            for t in pdf["us"].to_numpy():
+        # materialize ALL of the group's micro-batch chunks before
+        # sorting: applyInPandasWithState delivers a group's batch as
+        # multiple Arrow chunks with NO cross-chunk order guarantee
+        # (a group larger than arrow maxRecordsPerBatch spans chunks),
+        # so a per-chunk sort would scan time-misordered chunks and
+        # missassign sessions — round-14 ADVICE. The concat is bounded
+        # by the group's per-micro-batch row count, which a streaming
+        # deployment already bounds via trigger sizing.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (pd.concat(chunks, ignore_index=True)
+                     if len(chunks) > 1 else chunks[0])
+            batch = batch.sort_values(["us", "event_id"])
+            for t in batch["us"].to_numpy():
                 t = int(t)
                 if sess == 0 or t - prev > gap or t - start > cap:
                     sess += 1

@@ -45,6 +45,23 @@ def test_entry_contract(spark):
     assert set(E.oracle_sql()) <= set(E.queries())
 
 
+def test_approx_distinct_estimate_close_to_exact(spark, sf_dir):
+    """Quantitative bound for the rows-only key q_agg_approx_distinct
+    (round-15 verdict item 4 — every rows-only key carries a named
+    engine-side bound, not just a row count): the HLL++ estimate must
+    land within 10% of the exact per-group distinct count on every
+    group, at the driver's own sf. The key exposes the comparison as
+    its within_10pct column; this test is what makes that column a
+    GATE instead of a report."""
+    rows = QUERIES["q_agg_approx_distinct"](spark, sf_dir).collect()
+    assert len(rows) >= 3  # one per l_returnflag
+    for r in rows:
+        assert r["exact_parts"] > 0
+        assert r["within_10pct"], (
+            f"{r['l_returnflag']}: approx {r['approx_parts']} vs "
+            f"exact {r['exact_parts']} beyond 10%")
+
+
 def test_ann_paths_recall(spark):
     """The bucketed ANN paths (LSH, IVF) recover a meaningful share of
     the exact brute-force top-20 — on random synthetic embeddings

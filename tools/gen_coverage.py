@@ -19,11 +19,55 @@ HEADER = """# COVERAGE — operator inventory (auto-generated from engine.regist
 One row per `queries()` key. `oracle` = hash-checked against DuckDB
 at sf0.01 by the driver (locally verified at sf0.001/0.01/0.1);
 `rows-only` keys are deliberately non-SQL-expressible
-(approximate/ANN/sink).
+(approximate/ANN/sink) — each carries a named QUANTITATIVE engine-side
+bound test (recall floor / estimate-vs-exact error / invariant), shown
+in its check cell (round-15 verdict item 4).
 
 | key | check | implementation |
 |---|---|---|
 """
+
+# Named quantitative bound test per rows-only key (round-15 verdict
+# item 4): the registry may only hold a rows-only key if this map
+# names the pytest that bounds its quality — render() raises on a
+# missing entry, and tests/test_coverage_fresh.py runs render() in CI,
+# so an unbounded rows-only key fails the build.
+BOUND_TESTS = {
+    "q_agg_approx_distinct":
+        "tests/test_queries.py::test_approx_distinct_estimate_close_to_exact",
+    "q_agg_approx_quantile":
+        "tests/test_pipeline.py::test_approx_quantile_close_to_exact",
+    "q_cluster_kmeans":
+        "tests/test_ml.py::test_kmeans_inertia_descends",
+    "q_embed_opq":
+        "tests/test_r6c_properties.py::test_opq_rotation_orthonormal_and_tighter_than_pq",
+    "q_embed_pca":
+        "tests/test_ml.py::test_embed_pca_variance_ordering_and_determinism",
+    "q_embed_pq":
+        "tests/test_ml.py::test_embed_pq_codes_shape_and_monotonicity",
+    "q_embed_whiten":
+        "tests/test_ml.py::test_embed_whiten_identity_covariance",
+    "q_hll_rollup":
+        "tests/test_incremental.py::test_hll_rollup_estimate_close_to_exact",
+    "q_ivf_refresh":
+        "tests/test_r7_properties.py::test_ivf_refresh_recall_and_frozen_codebooks",
+    "q_sim_eval_ivf":
+        "tests/test_plans_r10.py::test_sim_eval_ivf_recall_curve",
+    "q_sim_eval_ivfpq":
+        "tests/test_plans_r12.py::test_sim_eval_ivfpq_recall_curve",
+    "q_sim_eval_lsh":
+        "tests/test_plans_r12.py::test_sim_eval_lsh_recall_curve",
+    "q_sim_ivf_topk":
+        "tests/test_llm_quality.py::test_ivf_recall_at_20_vs_exact",
+    "q_sim_ivfpq_topk":
+        "tests/test_plans_r12.py::test_sim_eval_ivfpq_recall_curve",
+    "q_sim_lsh_topk":
+        "tests/test_llm_quality.py::test_lsh_recall_at_20_vs_exact",
+    "q_stream_tdigest":
+        "tests/test_r7_properties.py::test_stream_tdigest_rank_error_bounded",
+    "q_tdigest_quantile":
+        "tests/test_r7_properties.py::test_tdigest_rank_error_bounded",
+}
 
 
 def render() -> str:
@@ -33,12 +77,32 @@ def render() -> str:
     spot-check (round-13 VERDICT item 7)."""
     load_all()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # bound-test pointers must be live: the file exists and defines
+    # the named test (renamed/deleted tests fail CI here, the same
+    # freshness discipline as the file:line pointers below)
+    for key, node in BOUND_TESTS.items():
+        path, test = node.split("::", 1)
+        full = os.path.join(root, path)
+        if not os.path.exists(full):
+            raise SystemExit(f"BOUND_TESTS[{key}]: {path} missing")
+        with open(full) as f:
+            if f"def {test}(" not in f.read():
+                raise SystemExit(
+                    f"BOUND_TESTS[{key}]: {test} not defined in {path}")
     rows = []
     for key in sorted(QUERIES):
         fn = QUERIES[key]
         code = fn.__code__
         rel = os.path.relpath(code.co_filename, root)
-        check = "oracle" if key in ORACLE else "rows-only"
+        if key in ORACLE:
+            check = "oracle"
+        else:
+            bound = BOUND_TESTS.get(key)
+            if bound is None:
+                raise SystemExit(
+                    f"rows-only key {key} has no BOUND_TESTS entry — "
+                    "name its quantitative bound test before registering")
+            check = f"rows-only (bound: `{bound}`)"
         rows.append(f"| `{key}` | {check} | `{rel}:{code.co_firstlineno}` |")
     n_oracle = sum(1 for k in QUERIES if k in ORACLE)
     footer = (
