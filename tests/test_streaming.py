@@ -428,3 +428,82 @@ def test_capped_sessions_stateful_equals_batch(spark, sf_dir):
             for r in QUERIES["q_session_capped"](spark, sf_dir).collect()
         }
         assert streamed == batch
+
+
+def test_capped_sessions_stateful_multichunk_group(spark):
+    """A group LARGER than arrow maxRecordsPerBatch arrives at the
+    applyInPandasWithState kernel as MULTIPLE Arrow chunks with no
+    cross-chunk order guarantee (round-14 ADVICE, medium): the kernel
+    must materialize all chunks before its time sort, or a
+    reverse-ordered delivery misassigns sessions. This test forces
+    the failure mode the fixture never exercises — one user, 40
+    events written in REVERSE time order, maxRecordsPerBatch=5, a
+    single micro-batch — and asserts the stateful result equals the
+    pure-Python capped-session recursion over time-sorted events."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries.events import _SESS_CAP_US, _SESS_GAP_US
+    from engine.streaming import _with_event_time, capped_sessions_stateful
+
+    # 40 events: 3h spacing (crosses the 24h cap twice) plus one 9h
+    # gap at index 20 (crosses the 8h inactivity split) — both
+    # session-break branches exercised
+    base = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in us
+    us, t = [], base
+    for i in range(40):
+        t += 9 * 3_600_000_000 if i == 20 else 3 * 3_600_000_000
+        us.append(t)
+
+    # expected sessions via the batch recursion
+    sess, start, prev = 0, 0, 0
+    expect: dict[tuple[int, int], tuple[int, int, int]] = {}
+    for x in us:
+        if sess == 0 or x - prev > _SESS_GAP_US or x - start > _SESS_CAP_US:
+            sess += 1
+            start = x
+        prev = x
+        n, smin, smax = expect.get((1, sess), (0, x, x))
+        expect[(1, sess)] = (n + 1, min(smin, x), max(smax, x))
+
+    tbl = pa.table({
+        "event_id": pa.array(range(40), pa.int64()),
+        "user_id": pa.array([1] * 40, pa.int64()),
+        "ts": pa.array(list(reversed(us)), pa.timestamp("us")),
+        "event_type": pa.array(["view"] * 40),
+        "value": pa.array([1.0] * 40),
+    })
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 5)
+        with tempfile.TemporaryDirectory() as wd:
+            src = f"{wd}/src"
+            os.makedirs(src)
+            pq.write_table(tbl, f"{src}/part-0.parquet")
+            events = _with_event_time(spark.readStream.schema(
+                spark.read.parquet(src).schema).parquet(src))
+            q = (capped_sessions_stateful(events)
+                 .writeStream.outputMode("update")
+                 .format("memory").queryName("t_sess_chunks").start())
+            q.processAllAvailable()
+            q.stop()
+            got = {
+                (r.user_id, r.sess_idx): (r.n_events, r.start_us, r.end_us)
+                for r in spark.sql("""
+                    SELECT user_id, sess_idx, max(n_events) AS n_events,
+                           min(start_us) AS start_us,
+                           max(end_us) AS end_us
+                    FROM t_sess_chunks GROUP BY user_id, sess_idx
+                """).collect()
+            }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == expect
