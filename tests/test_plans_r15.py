@@ -1,0 +1,48 @@
+"""Round-15 behavior pins for the two perf/laziness fixes this round
+made to session-level memoization:
+
+1. q_tokenizer_apply's per-doc counts frame is memoized per
+   (session, sf) — the BPE loading chain (budget -> mix -> pack ->
+   ablation) composes it up to three times per downstream action, and
+   the round-14 BENCH outliers were exactly this lineage recomputing
+   per call. The pin asserts call identity (same DataFrame object),
+   which only the memo can produce.
+2. q_stream_session_capped's time-sliced stager is passed to
+   _run_stream as a THUNK evaluated after the memo check — a memoized
+   re-read must never pay the pyarrow sort + 12-slice write again
+   (round-14 ADVICE). The pin primes the memo, then re-invokes the
+   key with the stager monkeypatched to raise.
+"""
+from engine.registry import QUERIES, load_all
+
+load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tokenizer_apply_memoized_per_session(spark):
+    a = QUERIES["q_tokenizer_apply"](spark, SF)
+    b = QUERIES["q_tokenizer_apply"](spark, SF)
+    assert a is b, "q_tokenizer_apply must return its session memo"
+    # the memoized frame is persisted (a fit-shaped side-input): the
+    # chain that composes it three times must read storage, not
+    # recompute the corpus pass
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+
+
+def test_stream_session_capped_staging_is_lazy(spark, monkeypatch):
+    from engine.queries import streaming_q
+
+    # prime the session memo (runs the stream + stager once)
+    first = QUERIES["q_stream_session_capped"](spark, SF).count()
+    assert first > 0
+
+    def boom(sf, n_slices=12):
+        raise AssertionError(
+            "stager ran on a memoized re-read — the src thunk must "
+            "only be evaluated when the stream actually executes")
+
+    monkeypatch.setattr(
+        streaming_q, "_stage_source_time_sliced", boom)
+    again = QUERIES["q_stream_session_capped"](spark, SF).count()
+    assert again == first
