@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load_tables, session_cache
+from ..io import load_tables, session_cache, table_count
 from ..registry import query
 from .util import rnd, sql_rnd
 
@@ -221,12 +221,23 @@ def q_graph_bfs(spark, sf):
             .select(F.col("user_id").alias("u"), F.col("anchor").alias("v"))
         )
         # hash-partition by u (the frontier-join key — the bucketed
-        # layout a cluster would persist) into FAT partitions: per-hop
-        # wall time is task-launch bound on a warm cache, so ~1/8 of
-        # the core count beats one task per core (measured 3.7 s ->
-        # 1.8 s for the 3-hop phase at sf0.1); a real cluster's
-        # defaultParallelism scales the count with the machine.
-        nparts = max(4, spark.sparkContext.defaultParallelism // 8)
+        # layout a cluster would persist). Partition count is sized
+        # from the DATA, not a constant: edges are bounded by
+        # members x K x 2, so the memoized events row count (a
+        # parquet-footer read) gives a plan-time edge estimate, and
+        # we target ~2M edges per partition. At sf0.1 this floors to
+        # defaultParallelism/8 — per-hop wall time there is
+        # task-launch bound on a warm cache, and FAT partitions
+        # measured 3.7 s -> 1.8 s for the 3-hop phase. At the 100x
+        # fixture (10M events -> 99M edges) the old constant-4 layout
+        # ran every hop's join on 4 of 32 cores at 25M rows/task
+        # (probe-caught: 38.6x for 10x data); data-scaled it lands at
+        # 2x the core count and the hops parallelize. A real
+        # cluster's defaultParallelism scales both bounds.
+        dp = spark.sparkContext.defaultParallelism
+        est_edges = table_count(spark, sf, "events") * 2 * _BFS_K_ANCHOR
+        nparts = max(max(4, dp // 8),
+                     min(2 * dp, est_edges // 2_000_000))
         cache[ckey] = (
             half.unionAll(half.select(F.col("v").alias("u"),
                                       F.col("u").alias("v")))

@@ -32,6 +32,16 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing can only shrink from the INITIAL partition
+    # count; with the fixed 32-way layout a decade-scale shuffle
+    # (e.g. the 180M-row salted lineitem x orders join at the 100x
+    # fixture) sorts ~300 MB per task and spills (probe-caught,
+    # round 15: 20.7x time for 10x data; 256 initial partitions
+    # measured it back to ~11x). Start high and let AQE coalesce
+    # small shuffles down to the 64 MB advisory target — the
+    # canonical AQE sizing on a real cluster, where this would be
+    # several x the executor-core count.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
 }
 
 

@@ -569,6 +569,19 @@ X100_KEYS = [
     "q_contamination_bloom", "q_langid_eval", "q_langid_calibration",
     "q_tokenizer_eval", "q_text_perplexity", "q_quality_drift",
     "q_text_entropy", "q_ngram_freq",
+    # round-15 second wave: the remaining documents-driven 10x-only
+    # keys (scan set = documents.parquet, which this fixture grows to
+    # 500k rows). DP release surface, sampling planners, grouped
+    # sketches, BM25, the curation composite, and the exact-hash
+    # incremental gate (hash-equi-join on the persisted index — not
+    # the pair-emitting MinHash family, which stays excluded above).
+    # q_explode_unnest / q_feature_scale are EMBEDDINGS-driven and
+    # stay 10x-only (both x100 fixtures symlink the 10x embeddings).
+    "q_batch_by_length", "q_bm25_score", "q_corpus_curate",
+    "q_dedup_incremental", "q_dp_histogram", "q_dp_quantile",
+    "q_dp_topk", "q_group_sample_k", "q_group_topk_sketch",
+    "q_sample_balanced", "q_sample_temperature", "q_sample_weighted",
+    "q_vocab_coverage",
 ]
 
 
@@ -842,6 +855,29 @@ REL100_KEYS = [
     "q_agg_stats",
     "q_window_lag_lead", "q_window_frame_range",
     "q_window_running_total", "q_percentile_disc",
+    # round-15 second wave: every remaining 10x-only key whose scan
+    # set (df.inputFiles()) is driven by a table the x100rel fixture
+    # grows (events 10M / orders 15M / lineitem 60M; dims stay
+    # broadcast constants). The events-driven time-series /
+    # incremental / graph stack and the lineitem/orders-driven
+    # relational tail join the three-decade claim. Exclusions, each
+    # with a scan-set rationale:
+    # - q_merge_idempotent reads customer (constant dim) + its own
+    #   staged update feed — no grown side exists in this fixture;
+    # - q_time_travel reads its own versioned staging dir
+    #   (fixture-size-independent by construction);
+    # - q_tdigest_quantile times the memoized read of its staged
+    #   per-day digest dir (sketch bound lives in pytest instead).
+    "q_ab_welch", "q_anomaly_iqr", "q_bitmap_rollup", "q_cdc_apply",
+    "q_conversion_lag", "q_file_skipping_stats", "q_gap_fill",
+    "q_graph_bfs", "q_interval_union", "q_join_time_range",
+    "q_mutual_info", "q_pagerank", "q_pct_change",
+    "q_time_weighted_avg", "q_ts_autocorr", "q_ts_ewma", "q_ts_ohlc",
+    "q_ts_seasonal", "q_user_growth", "q_winsorize",
+    "q_agg_mode", "q_basket_rules", "q_graph_triangles",
+    "q_join_lateral", "q_join_salted", "q_join_skew_report",
+    "q_pivot", "q_table_checksum", "q_unpivot", "q_variant_funcs",
+    "q_weighted_quantile", "q_dp_sum",
 ]
 
 
