@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
-from ..io import load_tables
+from ..io import load_tables, plan_persist, spread
 from ..registry import query
 from .util import (dsum, hexpoly_col, hexpoly_sql, prod128, rnd,
                    sql_dsum, sql_rnd, sum128)
@@ -323,7 +323,11 @@ def q_robust_stats(spark, sf):
     back; pass 2 takes the discrete median of absolute deviations.
     Both aggregations are map-side combinable; nothing driver-sized
     but the medians."""
-    li = load_tables(spark, sf)["lineitem"]
+    # percentile_disc's per-partition sort is the dominant cost of
+    # both passes; spread() floors the 3-partition fixture scan at
+    # the core count so the partial aggregates parallelize
+    li = spread(load_tables(spark, sf)["lineitem"]
+                .select("l_returnflag", "l_extendedprice"))
     med = (li.groupBy("l_returnflag")
            .agg(F.expr("percentile_disc(0.5) WITHIN GROUP "
                        "(ORDER BY l_extendedprice)").alias("med")))
@@ -1337,11 +1341,18 @@ def q_decile_lift(spark, sf):
     r = (o.filter(F.col("o_orderdate") >= split)
          .select(F.col("o_custkey").alias("ck")).distinct()
          .withColumn("resp0", F.lit(True)))
-    s = (a.select("ck", (F.col("mon_a")
-                         + F.lit(_LIFT_W_FREQ) * F.col("freq_a"))
-                  .alias("score"))
-         .join(r, "ck", "left")
-         .select("score", F.coalesce("resp0", F.lit(False)).alias("resp")))
+    # s feeds BOTH the cutpoint aggregate and the decile groupBy;
+    # pruning specializes the two copies (score-only vs score+resp)
+    # so exchange reuse cannot collapse them — plan_persist computes
+    # the scored frame once per invocation instead of twice
+    s = plan_persist(spark, "decile_lift:s",
+                     a.select("ck", (F.col("mon_a")
+                                     + F.lit(_LIFT_W_FREQ)
+                                     * F.col("freq_a"))
+                             .alias("score"))
+                     .join(r, "ck", "left")
+                     .select("score", F.coalesce("resp0", F.lit(False))
+                             .alias("resp")))
     c = s.agg(*[
         F.expr(f"percentile_disc({p / 10}) WITHIN GROUP "
                f"(ORDER BY score)").alias(f"q{p}")
@@ -1626,6 +1637,10 @@ def q_bootstrap_ci(spark, sf):
                  .cast("long").alias("vc"))
     pt = v.groupBy("grp").agg(F.count(F.lit(1)).alias("n"),
                               F.sum("vc").alias("s"))
+    # the {B}x explode + per-replicate md5 is the corpus-sized CPU
+    # cost; spread() floors the pre-explode partition count at the
+    # core count so the weight kernel parallelizes (no-op at scale)
+    v = spread(v)
     d = v.select(
         "grp", "vc",
         F.explode(F.sequence(F.lit(0), F.lit(_BS_B - 1))).alias("b"),

@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..io import evict_persisted_lru, load_tables, session_cache
+from ..io import (evict_persisted_lru, load_tables, session_cache,
+                  spread)
 from ..registry import ORACLE as _ORACLE, query
 from .util import dsum, hexpoly_col, hexpoly_sql, rnd, sql_dsum, sql_rnd
 
@@ -221,7 +222,11 @@ def q_text_redact(spark, sf):
     shuffle — at 100 TB this runs at scan speed inside whole-stage
     codegen (regexp_replace/regexp_count are JVM expressions, not
     Python UDFs)."""
-    d = load_tables(spark, sf)["documents"]
+    # four regex passes per row, chained narrowly onto a single-
+    # row-group scan — spread() floors the parallelism at the core
+    # count (no-op at scale)
+    d = spread(load_tables(spark, sf)["documents"]
+               .select("doc_id", "text"))
     aug = F.expr(
         "concat(text, ' contact user', CAST(doc_id AS STRING),"
         " '@example.com or 555-', CAST(doc_id % 10000 AS STRING))")
@@ -254,7 +259,12 @@ def _contam_grams(spark, sf):
     """(doc_id, pos, gh): positioned 4-gram hashes of every document
     — the Spark twin of _CONTAM_CTES' g, shared by q_contamination
     and q_contamination_cut."""
-    d = load_tables(spark, sf)["documents"]
+    # spread() floors the scan's partition count at the core count
+    # before the split/gram/md5 chain (single-row-group fixture
+    # scans otherwise serialize the kernel on one core; no-op at
+    # scale — see engine.io.spread)
+    d = spread(load_tables(spark, sf)["documents"]
+               .select("doc_id", "text"))
     # token array materialized first — see q_word_pmi: split() inside
     # the transform lambda would re-split the text per gram
     tk = d.select("doc_id", F.split("text", " ").alias("l")) \
@@ -496,9 +506,16 @@ def q_word_pmi(spark, sf):
         )
         .select("p.w1", "p.w2")
     )
-    pcf = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    from ..io import plan_persist
+    # pcf feeds the support-pruned pair frame AND the marginal; uc
+    # feeds the eager total plus BOTH join sides — persisted once
+    # per invocation each, or the bigram lineage executes 4x
+    pcf = plan_persist(spark, "pmi:pcf",
+                       bg.groupBy("w1", "w2")
+                       .agg(F.count(F.lit(1)).alias("n_ab")))
     pc = pcf.filter(F.col("n_ab") >= 5)
-    uc = pcf.groupBy("w1").agg(F.sum("n_ab").alias("n"))
+    uc = plan_persist(spark, "pmi:uc",
+                      pcf.groupBy("w1").agg(F.sum("n_ab").alias("n")))
     tot = uc.agg(F.sum("n")).collect()[0][0]
     a = uc.withColumnRenamed("w1", "wa").withColumnRenamed("n", "na")
     b = uc.withColumnRenamed("w1", "wb").withColumnRenamed("n", "nb")
@@ -1477,7 +1494,7 @@ def q_dp_count(spark, sf):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     u = c.withColumn(
-        "uu", F.expr(hexpoly_sql("md5(concat(c_nationkey, '#dp'))")))
+        "uu", hexpoly_col(F.expr("md5(concat(c_nationkey, '#dp'))")))
     noise = F.expr(_dp_case_sql("uu"))
     return u.select(
         "c_nationkey",
@@ -1561,7 +1578,7 @@ def q_dp_sum(spark, sf):
         "c_nationkey",
         F.expr(f"(2 * sc + {_DP_SUM_CLIP}) div (2 * {_DP_SUM_CLIP})")
         .alias("units"),
-        F.expr(hexpoly_sql("md5(concat(c_nationkey, '#dpsum'))"))
+        hexpoly_col(F.expr("md5(concat(c_nationkey, '#dpsum'))"))
         .alias("uu"))
     noise = F.expr(_dp_case_sql("uu"))
     return u.select(
@@ -1616,7 +1633,7 @@ def q_dp_histogram(spark, sf):
                    .cast("long").alias("bucket"))
          .agg(F.count(F.lit(1)).alias("n")))
     u = h.withColumn(
-        "uu", F.expr(hexpoly_sql("md5(concat(bucket, '#dph'))")))
+        "uu", hexpoly_col(F.expr("md5(concat(bucket, '#dph'))")))
     noised = F.greatest(F.col("n") + F.expr(_dp_case_sql("uu")),
                         F.lit(0).cast("long"))
     return (u.select("bucket", noised.alias("n_released"))
@@ -1713,8 +1730,8 @@ def q_dp_quantile(spark, sf):
             F.broadcast(spark.range(1).select(F.explode(F.array(
                 *[F.lit(p) for p in _DPQ_PCTS])).alias("p"))
                 .select(F.col("p").cast("long").alias("pct"))))
-         .withColumn("uu", F.expr(
-             hexpoly_sql("md5(concat(v, '#dpq', pct))")))
+         .withColumn("uu", hexpoly_col(
+             F.expr("md5(concat(v, '#dpq', pct))")))
          .withColumn("score_q", F.expr(_DPQ_SCORE_SQL)))
     wr = Window.partitionBy("pct").orderBy(
         F.col("score_q").desc(), "v")
@@ -1973,8 +1990,8 @@ def q_contamination_bloom_eval(spark, sf):
     with per-gram map-side combine. Composes _CONTAM_CTES verbatim —
     the same grams, the same holdout slice as the production
     detector twins."""
-    # the hold/corp gram frames feed NINE plan branches (bits x3,
-    # probes x3, tested, true x2), so they are memoized per
+    # the hold/corp gram frames feed FIVE plan branches (bits,
+    # probes, tested, true x2), so they are memoized per
     # (session, sf) and persisted — the gram-dup pipeline's r10
     # headroom-buy pattern; blocks materialize once inside the first
     # stage that needs them and every later branch reuses them. The
@@ -2012,8 +2029,8 @@ def q_contamination_bloom_eval(spark, sf):
             px(grams.filter(F.col("doc_id") % 97 != 0)
                .select("gh").distinct()))
     hold, corp = cache[ck]
-    # everything stays LAZY — per size, three 1-row aggregates are
-    # cross-joined and the sizes unioned, so the whole table is ONE
+    # everything stays LAZY — the 1-row aggregates are cross-joined
+    # onto the per-size pass counts, so the whole table is ONE
     # action (eager per-size .count() actions re-scanned the gram
     # lineage 8 times; measured 2.5x slower at sf0.1). Gram counts
     # come from the exploded frames (exactly k rows per gram).
@@ -2023,29 +2040,48 @@ def q_contamination_bloom_eval(spark, sf):
                 F.broadcast(hold.select("gh").distinct()), "gh")
              .agg((F.count(F.lit(1)) / _BLOOM_K).cast("long")
                   .alias("n_true")))
-    out = None
-    for m in _BLOOM_SIZES:
-        bits = (hold.select((F.col("p64") % m).alias("p"))
-                .distinct())
-        probes = corp.select(
-            "gh", (F.col("p64") % m).alias("p"))
-        # each gram contributes exactly k probe ROWS (one per hash
-        # slot, duplicate positions kept); bits is a DISTINCT
-        # position set, so a probe row survives the join iff its
-        # slot's bit is set, and count(*)==k tests every slot
-        # individually — real bloom membership even when a gram's
-        # md5-derived positions collide (countDistinct(p)==k failed
-        # such grams: a true member could be rejected)
-        passed = (probes.join(F.broadcast(bits), "p")
-                  .groupBy("gh")
-                  .agg(F.count(F.lit(1)).alias("k"))
-                  .filter(F.col("k") == _BLOOM_K)
-                  .agg(F.count(F.lit(1)).alias("n_pass")))
-        row = (passed.crossJoin(F.broadcast(tested))
-               .crossJoin(F.broadcast(true_))
-               .select(F.lit(m).cast("long").alias("m_bits"),
-                       "n_tested", "n_true", "n_pass"))
-        out = row if out is None else out.unionByName(row)
+    # ALL sizes ride ONE join: the size dimension is exploded onto
+    # both the bit frame and the probe frame and the membership test
+    # runs once, keyed (m, p) / grouped (m, gh). The round-14 shape
+    # ran the identical math as three per-size join+groupBy branches
+    # (25 jobs / 62 stages / ~6900 tasks at sf0.1, the most
+    # expensive key in BENCH_r14's profile census); stacking the
+    # sizes into the key cuts it to one broadcast join + one
+    # exchange with the same row volume (k rows per gram per size
+    # either way).
+    sizes = F.array(*[F.lit(m).cast("long") for m in _BLOOM_SIZES])
+    bits = (hold.select(F.explode(sizes).alias("m"), "p64")
+            .select("m", (F.col("p64") % F.col("m")).alias("p"))
+            .distinct())
+    probes = (corp.select("gh", F.explode(sizes).alias("m"), "p64")
+              .select("gh", "m", (F.col("p64") % F.col("m"))
+                      .alias("p")))
+    # each gram contributes exactly k probe ROWS per size (one per
+    # hash slot, duplicate positions kept); bits is a DISTINCT
+    # (m, position) set, so a probe row survives the join iff its
+    # slot's bit is set at that size, and count(*)==k tests every
+    # slot individually — real bloom membership even when a gram's
+    # md5-derived positions collide (countDistinct(p)==k failed
+    # such grams: a true member could be rejected)
+    passed = (probes.join(F.broadcast(bits), ["m", "p"])
+              .groupBy("m", "gh")
+              .agg(F.count(F.lit(1)).alias("k"))
+              .filter(F.col("k") == _BLOOM_K)
+              .groupBy("m")
+              .agg(F.count(F.lit(1)).alias("n_pass")))
+    # a size where nothing passes would drop out of the groupBy; the
+    # literal size frame pins all rows (n_pass -> 0) so the table
+    # keeps one row per graded size at every scale
+    mrows = spark.createDataFrame(
+        [(m,) for m in _BLOOM_SIZES], "m_bits long")
+    out = (mrows.join(
+               F.broadcast(passed.withColumnRenamed("m", "m_bits")),
+               "m_bits", "left")
+           .crossJoin(F.broadcast(tested))
+           .crossJoin(F.broadcast(true_))
+           .select("m_bits", "n_tested", "n_true",
+                   F.coalesce("n_pass", F.lit(0).cast("long"))
+                   .alias("n_pass")))
     return out.select(
         "m_bits", "n_tested", "n_true", "n_pass",
         F.expr("(1000000 * (n_pass - n_true))"
@@ -2130,7 +2166,10 @@ def q_pii_report(spark, sf):
     |sources| rows. Integer end to end."""
     d = load_tables(spark, sf)["documents"]
     r = q_text_redact(spark, sf).select("doc_id", "n_emails", "n_nums")
-    p = pii_density(d)
+    # batch lane only: the density regex kernel parallelizes past
+    # the single-row-group scan (pii_density itself must stay
+    # stream-applicable, so the spread lives at this call site)
+    p = pii_density(spread(d.select("doc_id", "source", "text")))
     g = p.join(r, "doc_id").groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_emails").alias("n_emails"),

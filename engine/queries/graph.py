@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load_tables, session_cache, table_count
+from ..io import load_tables, plan_persist, session_cache, table_count
 from ..registry import query
 from .util import rnd, sql_rnd
 
@@ -70,11 +70,16 @@ def q_graph_triangles(spark, sf):
              .select("l_orderkey", "l_partkey").distinct())
     b = items.select(F.col("l_orderkey").alias("o"),
                      F.col("l_partkey").alias("p2"))
-    edges = (items.select(F.col("l_orderkey").alias("o"),
-                          F.col("l_partkey").alias("p1"))
-             .join(b, "o")
-             .where(F.col("p1") < F.col("p2"))
-             .select("p1", "p2").distinct())
+    # edges feeds THREE consumers (degree frame, orientation join,
+    # n_edges count) whose pruned copies defeat exchange reuse —
+    # plan_persist runs the co-purchase self-join once per invocation
+    edges = plan_persist(
+        spark, "tri:edges",
+        items.select(F.col("l_orderkey").alias("o"),
+                     F.col("l_partkey").alias("p1"))
+        .join(b, "o")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2").distinct())
     deg = (edges.select(F.col("p1").alias("node"))
            .unionAll(edges.select(F.col("p2").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -86,11 +91,14 @@ def q_graph_triangles(spark, sf):
                           F.col("d").alias("d2")), "p2"))
     lo_first = (F.col("d1") < F.col("d2")) | (
         (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2")))
-    oriented = e.select(
+    # plan_persist (not a bare .persist()) — the previous per-
+    # invocation persist was never unpersisted, leaking one oriented
+    # copy into executor storage per bench rep for the session's life
+    oriented = plan_persist(spark, "tri:oriented", e.select(
         F.when(lo_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(lo_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
         F.when(lo_first, F.col("d2")).otherwise(F.col("d1")).alias("ddst"),
-    ).persist()
+    ))
     # wedges pivoted at src, ordered by (deg, id) so each triangle
     # closes exactly once via the oriented (b, c) edge
     w2 = oriented.select(F.col("src"), F.col("dst").alias("dst2"),
@@ -255,7 +263,13 @@ def q_graph_bfs(spark, sf):
     # back to the bucketed shuffle join if a hop ever produces a
     # frontier too large to ship — graceful at 100 TB, not an OOM.
     for depth in (1, 2, 3):
-        frontier = (
+        # each hop frontier feeds BOTH the next hop's join and the
+        # level union; without a persist the unrolled DAG re-executes
+        # hop d once per deeper hop (measured 94 stages for the
+        # 3-hop phase at sf0.1). plan_persist computes each hop once
+        # per invocation, no cross-invocation reuse.
+        frontier = plan_persist(
+            spark, f"bfs:d{depth}",
             ed.join(frontier.select(F.col("v").alias("u")), "u")
             .select("v").distinct()
         )

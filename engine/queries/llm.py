@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
-from ..io import evict_persisted_lru, load_tables, session_cache, table_count
+from ..io import (evict_persisted_lru, load_tables, session_cache,
+                  spread, table_count)
 from ..registry import query
 from .util import hex32_sql, hexpoly_col, rnd, sql_rnd
 
@@ -48,7 +49,12 @@ def _shingle_hashes(spark, sf):
     its own column before the shingle lambda: a split() referenced
     inside a higher-order-function body is re-evaluated per element
     (measured ~5× slowdown at sf0.1)."""
-    d = load_tables(spark, sf)["documents"]
+    # spread() floors the scan's partition count at the core count
+    # BEFORE the split/shingle/md5 chain — the fixture corpus is one
+    # parquet row group, so without it the whole kernel serializes
+    # on one core (no-op at scale; shuffles only the raw text rows)
+    d = spread(load_tables(spark, sf)["documents"]
+               .select("doc_id", "text"))
     words = d.select("doc_id", F.split("text", " ").alias("ws"))
     ws = F.col("ws")
     tri = F.transform(
@@ -1075,7 +1081,10 @@ def q_langid_eval(spark, sf):
     map-side combinable to |langs| rows) + one |langs|-row join.
     The verdict frame itself is the langid plan (signature lexicons
     broadcast); output is |langs| rows at any corpus size."""
-    p = q_text_langid(spark, sf)
+    # the verdict frame feeds BOTH per-class aggregates; without a
+    # persist the full langid lineage executes twice
+    from ..io import plan_persist
+    p = plan_persist(spark, "langid_eval:p", q_text_langid(spark, sf))
     t = p.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_true"),
         F.count(F.when(F.col("is_match"), 1)).cast("long")
@@ -1636,8 +1645,11 @@ def q_fuzzy_match(spark, sf):
     # whose distance exceeds 3 instead of filling the full DP table
     # (returns -1 above the bound) — same integers for survivors.
     d3 = F.levenshtein("probe", "c_name", 3)
+    # the |master| x |probes| DP is the whole cost and chains
+    # narrowly onto a single-row-group scan; spread() floors the
+    # master side at the core count so the DP parallelizes
     return (
-        c.crossJoin(F.broadcast(probes))
+        spread(c).crossJoin(F.broadcast(probes))
         .where(F.abs(F.length("probe") - F.length("c_name")) <= 3)
         .where(d3 >= 0)
         .select("probe", "c_custkey", "c_name", d3.alias("dist"))
@@ -2903,6 +2915,12 @@ def q_rag_retrieve(spark, sf):
         c.withColumn("dl", F.size("cws"))
         .filter(F.col("dl") >= _RAG_MINLEN)
     )
+    # NOT persisted (round-15 measurement): the inverted index feeds
+    # both the df-ranking path and the scoring join, but a persist
+    # here measured a wash at sf0.1 (min-of-5 1.32 s vs 1.39 s) while
+    # caching a corpus-sized index — the opposite of the 100 TB
+    # discipline (df-ranking reads only w; the pruned re-pass is
+    # cheaper than materializing every column into storage)
     tok = (
         c2.select("doc_id", "s", "dl", F.explode("cws").alias("w"))
         .groupBy("doc_id", "s", "dl", "w")
@@ -4686,6 +4704,10 @@ def q_langid_calibration(spark, sf):
          .agg(F.count(F.lit(1)).alias("n"),
               F.count(F.when(F.col("correct"), 1)).alias("n_correct"),
               F.sum("conf_ppm").alias("sum_conf_ppm")))
+    # b is <=10 rows but feeds BOTH the ECE fold and the published
+    # table — persist it so the vote lineage executes once
+    from ..io import plan_persist
+    b = plan_persist(spark, "langid_cal:b", b)
     t = b.agg(
         F.sum("n").alias("n_tot"),
         F.sum(F.abs(F.lit(1000000) * F.col("n_correct")

@@ -72,22 +72,19 @@ def _lloyd(spark, sf, k: int = K, iters: int = ITERS):
                 yield pd.DataFrame(rows, columns=["c", "n", "s"])
 
         part = e.mapInPandas(partials, "c int, n long, s array<long>")
+        # ONE shuffle to the k x d grain, collected directly (<= k*d
+        # index-sized rows); the former second groupBy that re-packed
+        # the components into sorted arrays was a whole extra
+        # exchange per iteration just to prettify a k-row collect
         agg = (part.select("c", "n", F.posexplode("s").alias("i", "v"))
                .groupBy("c", "i")
                .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
-               .groupBy("c")
-               .agg(F.max(F.col("n")).alias("n"),
-                    F.array_sort(F.collect_list(F.struct("i", "v")))
-                    .alias("sv"))
-               .select("c", "n",
-                       F.expr("transform(sv, x -> x.v)").alias("sums"))
-               .collect())  # k rows — the codebook update, never data
-        # n is summed per (c, i) then max'd across i (all equal); the
+               .collect())  # k x d rows — the codebook update
+        # n is summed per (c, i) (equal across i for a cluster); the
         # fixed-point mean is exact integer arithmetic before ONE div
         new = cents.copy()
         for r in agg:
-            new[r.c] = (np.asarray(r.sums, dtype=np.float64)
-                        / (r.n * float(_SCALE)))
+            new[r.c][r.i] = r.v / (r.n * float(_SCALE))
         cb.destroy()
         cents = new
 

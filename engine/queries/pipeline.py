@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from ..io import load_tables
+from ..io import load_tables, spread
 from ..registry import ORACLE as _ORACLE, query
 from ..layout import z_expr_sql
 from ..skew import salted_join
@@ -78,7 +78,7 @@ def q_sample_stratified(spark, sf):
         cond, val = F.col("lang") == k, F.lit(r)
         rate = F.when(cond, val) if rate is None else rate.when(cond, val)
     rate = rate.otherwise(F.lit(_DEFAULT_RATE))
-    h = F.expr(hexpoly_sql("md5(concat(doc_id, '#strat'))"))
+    h = hexpoly_col(F.expr("md5(concat(doc_id, '#strat'))"))
     return (
         d.filter((h % 100) < rate)
         .select("doc_id", "lang", "source")
@@ -116,7 +116,7 @@ def q_dataset_mix(spark, sf):
              .cast("long").alias("threshold"),
         )
     )
-    h = F.expr(hexpoly_sql("md5(concat(doc_id, '#mix'))"))
+    h = hexpoly_col(F.expr("md5(concat(doc_id, '#mix'))"))
     return (
         d.join(F.broadcast(thr), "source")
         .filter((h % 10000) < F.col("threshold"))
@@ -315,7 +315,7 @@ def _mix_manifest(planner, d):
     j = d.join(F.broadcast(planner), "source")
     empty = F.array().cast("array<bigint>")
     keep_tail = (
-        F.expr(hexpoly_sql("md5(concat(doc_id, '#mix'))")) % 1000000
+        hexpoly_col(F.expr("md5(concat(doc_id, '#mix'))")) % 1000000
         < F.col("tail_ppm"))
     epochs = F.concat(
         F.when(F.col("full_epochs") > 0,
@@ -564,7 +564,13 @@ def q_corpus_curate(spark, sf):
     groupBy-min + semi-join rewrite kept the exchange thin but
     re-evaluated the clean/regexp subtree on BOTH join sides,
     measured 15.7 s at 10x vs 7-ish for one pass.)"""
-    d = load_tables(spark, sf)["documents"]
+    # the regexp-heavy clean chain is the pipeline's whole CPU cost
+    # and runs in the scan stage; spread() floors the fixture's
+    # single-row-group layout at the core count (no-op at scale —
+    # the one-shuffle scale shape below is untouched: spread only
+    # round-robins the raw rows before the narrow stages)
+    d = spread(load_tables(spark, sf)["documents"]
+               .select("doc_id", "lang", "source", "text"))
     clean = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "))
     cleaned = d.select("doc_id", "lang", "source", clean.alias("clean"))
@@ -580,7 +586,7 @@ def q_corpus_curate(spark, sf):
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
-    hs = F.expr(hexpoly_sql("md5(concat(doc_id, '#curate'))"))
+    hs = hexpoly_col(F.expr("md5(concat(doc_id, '#curate'))"))
     return (
         deduped.filter((hs % 100) < 30)
         .select("doc_id", "lang", "source",
@@ -612,7 +618,7 @@ def q_split_train(spark, sf):
     ``partitionBy(split)`` on the sink so each split lands in its own
     directory tree."""
     d = load_tables(spark, sf)["documents"]
-    b = F.expr(hexpoly_sql("md5(concat(doc_id, '#split'))")) % 100
+    b = hexpoly_col(F.expr("md5(concat(doc_id, '#split'))")) % 100
     split = (F.when(b < 80, "train").when(b < 90, "val").otherwise("test"))
     return (
         d.select(split.alias("split"), "n_chars")
@@ -708,7 +714,7 @@ def q_upsert_merge(spark, sf):
     the change set is broadcastable. The anti-join side shuffles only
     the tiny Δ."""
     c = load_tables(spark, sf)["customer"]
-    b = F.expr(hexpoly_sql("md5(concat(c_custkey, '#upd'))")) % 100
+    b = hexpoly_col(F.expr("md5(concat(c_custkey, '#upd'))")) % 100
     upd = (
         c.filter(b < 10).select(
             "c_custkey", F.lit("UPDATED").alias("u_seg"),
@@ -786,7 +792,7 @@ def q_merge_idempotent(spark, sf):
     from ..io import session_cache
 
     c = load_tables(spark, sf)["customer"]
-    h = F.expr(hexpoly_sql("md5(concat(c_custkey, '#idem'))")) % 100
+    h = hexpoly_col(F.expr("md5(concat(c_custkey, '#idem'))")) % 100
     upd = (
         c.filter(h < 10).select("c_custkey", F.lit(100.0).alias("d_bal"))
         .unionAll(c.filter(h >= 95).select(
@@ -1167,12 +1173,17 @@ def q_dsir_weight(spark, sf):
     per-doc sum. Both n-gram models are persistable artifacts like
     the IVF/PQ codebooks; the apply is one broadcast join — no
     vocabulary shuffle, no UDF."""
-    d = (load_tables(spark, sf)["documents"]
-         .filter(F.length("text") > 0))
-    tok = d.select(
+    from ..io import plan_persist
+    d = spread(load_tables(spark, sf)["documents"]
+               .filter(F.length("text") > 0)
+               .select("doc_id", "text"))
+    # tok (explode + per-word md5, the corpus-sized cost) feeds BOTH
+    # the bucket-count pass and the scoring join; spread()
+    # parallelizes the kernel and plan_persist computes it once
+    tok = plan_persist(spark, "dsir:tok", d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).select(
-        "doc_id", (hexpoly_col(F.md5("w")) % _DSIR_DIM).alias("bucket"))
+        "doc_id", (hexpoly_col(F.md5("w")) % _DSIR_DIM).alias("bucket")))
     is_t = F.col("doc_id") % 97 == 0
     cnt = tok.groupBy("bucket").agg(
         F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("ct"),
@@ -1509,7 +1520,7 @@ def q_sample_temperature(spark, sf):
     aggregate (map-side partial). The q_dataset_mix plan shape."""
     d = load_tables(spark, sf)["documents"]
     thr = temp_thresholds(d)
-    h = F.expr(hexpoly_sql("md5(concat(doc_id, '#temp'))"))
+    h = hexpoly_col(F.expr("md5(concat(doc_id, '#temp'))"))
     return (
         d.join(F.broadcast(thr), "lang")
         .filter((h % 10000) < F.col("threshold"))
@@ -1555,7 +1566,7 @@ def q_shuffle_shards(spark, sf):
     d = load_tables(spark, sf)["documents"]
     k = d.select(
         "doc_id",
-        F.expr(hexpoly_sql("md5(concat(doc_id, '#shuf'))")).alias("skey"),
+        hexpoly_col(F.expr("md5(concat(doc_id, '#shuf'))")).alias("skey"),
     )
     w = Window.partitionBy("shard").orderBy("skey", "doc_id")
     return (
@@ -1621,7 +1632,7 @@ def q_interleave_sources(spark, sf):
                                   F.count(F.lit(1)).alias("n_docs")))
     weights = [(int(r["wt"]), int(r["n_docs"]))
                for r in wdf.collect()]
-    key = F.expr(hexpoly_sql("md5(concat(doc_id, '#il'))"))
+    key = hexpoly_col(F.expr("md5(concat(doc_id, '#il'))"))
     win = Window.partitionBy("source").orderBy(key, F.col("doc_id"))
     p = d.select(
         "doc_id", "source",
@@ -1828,7 +1839,7 @@ def q_shuffle_epoch(spark, sf):
     m = q_mix_schedule(spark, sf)
     k = m.select(
         "doc_id", "source", "epoch", "is_tail", "n_tok",
-        F.expr(hexpoly_sql("md5(concat(doc_id, '#e', epoch))"))
+        hexpoly_col(F.expr("md5(concat(doc_id, '#e', epoch))"))
         .alias("skey"))
     w = Window.partitionBy("epoch", "shard").orderBy("skey", "doc_id")
     return (
@@ -1886,14 +1897,16 @@ def q_span_corruption_mask(spark, sf):
     island idiom — then sentinel numbering over |spans| rows).
     Shuffles are keyed by doc_id only; all-integer output."""
     d = load_tables(spark, sf)["documents"].filter(F.length("text") > 0)
-    tok = d.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n"))
+    # spread() parallelizes the position explode + per-position md5
+    # (the corpus-sized cost) past the single-row-group scan
+    tok = spread(d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")))
     p = tok.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1).cast("long"), F.col("n")))
         .alias("pos"))
     mk = p.filter(
-        F.expr(hexpoly_sql("md5(concat(doc_id, '#sc', pos))"))
+        hexpoly_col(F.expr("md5(concat(doc_id, '#sc', pos))"))
         % 100 < _SC_RATE)
     wg = Window.partitionBy("doc_id").orderBy("pos")
     g = mk.withColumn(
@@ -2024,7 +2037,7 @@ def q_batch_by_length(spark, sf):
     expr = F.coalesce(
         F.when(F.col("n_tok") <= _LB_EDGES[-1], expr),
         F.lit(_LB_EDGES[-1] * 2)).cast("long")
-    key = F.expr(hexpoly_sql("md5(concat(doc_id, '#lb'))"))
+    key = hexpoly_col(F.expr("md5(concat(doc_id, '#lb'))"))
     b = d.withColumn("bucket", expr)
     w = Window.partitionBy("bucket").orderBy(key, F.col("doc_id"))
     m = b.select(

@@ -84,7 +84,12 @@ def q_profile_columns(spark, sf):
     an n-fold row expansion. Null counts and min/max are identical in
     both modes; the approx distincts are within the HLL rsd bound of
     exact (equality-within-bound pinned in the same test file)."""
-    li = load_tables(spark, sf)["lineitem"]
+    from ..io import spread
+    # the n-fold Expand of the exact-distinct aggregate is the whole
+    # cost and runs in the scan stage; spread() parallelizes it past
+    # the 3-partition fixture layout (no-op at scale)
+    li = spread(load_tables(spark, sf)["lineitem"]
+                .select(*(_PROF_NUM + _PROF_CAT)))
     approx = (str(spark.conf.get(
         "spark.engine.profile.approx", "false")).lower() == "true")
     aggs = []

@@ -257,8 +257,15 @@ def q_variant_funcs(spark, sf):
     # warm time inside the bench gate at sf0.1 under the round-7
     # full-compute action (at %2 the GC-heavy JSON/variant transient
     # band peaked at 3.1 s, over the 3 s/query gate; see BASELINE.md)
-    li = load_tables(spark, sf)["lineitem"].filter(
+    from ..io import spread
+    # the JSON serialize -> variant parse -> typed extract chain is
+    # heavy per-row JVM work chained narrowly onto a 3-partition
+    # fixture scan; spread() floors it at the core count (no-op at
+    # scale — see engine.io.spread)
+    li = spread(load_tables(spark, sf)["lineitem"].filter(
         (F.col("l_orderkey") + F.col("l_linenumber")) % 4 == 0)
+        .select("l_quantity", "l_returnflag", "l_linestatus",
+                "l_extendedprice", "l_discount"))
     j = F.to_json(F.struct(
         F.col("l_quantity").alias("qty"),
         F.struct(F.col("l_returnflag").alias("flag"),

@@ -148,7 +148,7 @@ def q_sample_hash(spark, sf):
     partitionings (the property a training-data pipeline needs for
     stable held-out splits)."""
     li = load_tables(spark, sf)["lineitem"]
-    h = F.expr(hexpoly_sql("md5(concat(l_orderkey, '#', l_linenumber))"))
+    h = hexpoly_col(F.expr("md5(concat(l_orderkey, '#', l_linenumber))"))
     return (
         li.withColumn("_h", h)
         .filter(F.col("_h") % 100 < 10)

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_tables, session_cache
 from ..registry import query
-from .util import dsum, hexpoly_sql, sql_dsum
+from .util import dsum, hexpoly_col, hexpoly_sql, sql_dsum
 
 
 def _roundtrip_dir(spark, sf: str, fmt: str) -> str:
@@ -328,8 +328,8 @@ def q_time_travel(spark, sf):
         root = os.path.join(tempfile.gettempdir(),
                             f"engine_tt_{digest}_{os.getpid()}")
         c = load_tables(spark, sf)["customer"]
-        h1 = F.expr(hexpoly_sql("md5(concat(c_custkey, '#tt1'))")) % 100
-        h2 = F.expr(hexpoly_sql("md5(concat(c_custkey, '#tt2'))")) % 100
+        h1 = hexpoly_col(F.expr("md5(concat(c_custkey, '#tt1'))")) % 100
+        h2 = hexpoly_col(F.expr("md5(concat(c_custkey, '#tt2'))")) % 100
         v0 = c.select("c_custkey", F.col("c_acctbal").alias("bal"))
         v1 = v0.select(
             "c_custkey",

@@ -1194,7 +1194,7 @@ def q_stream_quality_gate(spark, sf):
 
 
 from .pipeline import TEMP_THR_SQL, temp_thresholds  # noqa: E402
-from .util import hexpoly_sql  # noqa: E402
+from .util import hexpoly_col, hexpoly_sql  # noqa: E402
 
 TEMP_GATE_ORACLE = f"""
 WITH {TEMP_THR_SQL}
@@ -1240,7 +1240,7 @@ def q_stream_temperature_gate(spark, sf):
         src = _stage_source(sf, table="documents")
         docs = spark.readStream.schema(
             spark.read.parquet(src).schema).parquet(src)
-        h = F.expr(hexpoly_sql("md5(concat(doc_id, '#temp'))"))
+        h = hexpoly_col(F.expr("md5(concat(doc_id, '#temp'))"))
         g = (docs.join(F.broadcast(thr), "lang")
              .select("lang", "threshold",
                      ((h % 10000) < F.col("threshold")).alias("kept"))

@@ -42,6 +42,18 @@ RUNTIME_CONFS = {
     # canonical AQE sizing on a real cluster, where this would be
     # several x the executor-core count.
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
+    # AQE is OFF inside cached plans by default (Spark preserves the
+    # cache's output partitioning for potential reuse), so every
+    # persist() of a shuffled intermediate materializes at the full
+    # initial partition count and each downstream branch pays that
+    # many tasks per scan (round-15 profile census: the persist-using
+    # keys were the task-heaviest in the suite, e.g.
+    # q_contamination_bloom_eval at ~6.9k tasks). Letting AQE
+    # re-plan cached shuffles coalesces them to the same 64 MB
+    # advisory target as everything else — scale-adaptive in both
+    # directions (a 100 TB cached frame keeps thousands of
+    # partitions; a kB-sized eval intermediate keeps one).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
