@@ -492,6 +492,9 @@ def q_word_pmi(spark, sf):
     # split() referenced inside a transform() lambda is re-evaluated
     # per element (O(len²) per doc — measured 7× slower at the 100×
     # probe); a named column is computed once per row
+    # measured and deliberately NOT spread: a same-session A/B was a
+    # slight loss — the bigram explode feeds the pair-count shuffle
+    # either way (OPTIMIZATION_r15.md)
     tk = d.select(F.split("text", " ").alias("l")).filter(F.size("l") >= 2)
     bg = (
         tk.select(
@@ -895,8 +898,12 @@ def q_contamination_chunk(spark, sf):
     higher-order transform over the split array (no UDF, no
     re-split per gram — the q_word_pmi discipline)."""
     n, k = _CCHUNK_N, _CCHUNK_WORDS
-    d = (load_tables(spark, sf)["documents"]
-         .filter(F.length("text") > 0)
+    # spread() before the gram expansion: the md5-per-gram transform
+    # is the dominant per-row cost and chains narrowly onto the
+    # fixture's single-row-group scan (no-op at scale)
+    d = (spread(load_tables(spark, sf)["documents"]
+                .filter(F.length("text") > 0)
+                .select("doc_id", "text"))
          .select("doc_id", F.split("text", " ").alias("l"))
          .filter(F.size("l") >= n))
     grams = d.select(
@@ -1406,7 +1413,10 @@ def q_dedup_url(spark, sf):
     canonical URL) rides the same exchange as a two-phase distinct
     count."""
     ev = load_tables(spark, sf)["events"]
-    e = ev.select(
+    # spread() before the canonicalizer: the JSON extraction + the
+    # dozen regexp ops per row are the whole cost and chain narrowly
+    # onto the fixture's single-row-group scan (no-op at scale)
+    e = spread(ev.select("event_id", "ts", "event_type", "props")).select(
         "event_id", "ts", "event_type",
         F.get_json_object("props", "$.k").alias("k"))
     u = e.select("event_id", "ts", F.expr(_URL_FIXTURE_SQL).alias("url"))

@@ -119,6 +119,10 @@ def q_heavy_hitters(spark, sf):
     summary frame is checkpointed so the Python pass runs once."""
     spark_ = spark
     d = load_tables(spark_, sf)["documents"]
+    # measured and deliberately NOT spread: the MG summary is an
+    # Arrow pass whose per-task overhead grows with task count — a
+    # same-session A/B measured the round-robin exchange as a clear
+    # loss (OPTIMIZATION_r15.md)
     words = d.select(F.explode(F.split("text", " ")).alias("word"))
     summary = mg_summary(words)
     if spark_.sparkContext.getCheckpointDir() is not None:

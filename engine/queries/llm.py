@@ -926,6 +926,9 @@ SELECT lang, source,
 FROM t GROUP BY lang, source
 """)
 def q_text_stats(spark, sf):
+    # measured and deliberately NOT spread: the split/array_distinct
+    # folds are cheap enough that the round-robin exchange costs more
+    # than the parallelism buys (same-session A/B, OPTIMIZATION_r15.md)
     d = load_tables(spark, sf)["documents"]
     ws = F.split("text", " ")
     t = d.select(
@@ -959,6 +962,9 @@ SELECT doc_id, word, score FROM r WHERE rn = 1
 """)
 def q_tfidf_top(spark, sf):
     d = load_tables(spark, sf)["documents"]
+    # measured and deliberately NOT spread: a same-session A/B was a
+    # wash — the explode feeds a shuffle either way, so the extra
+    # round-robin exchange buys nothing (OPTIMIZATION_r15.md)
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
@@ -1016,6 +1022,9 @@ def _langid_votes(spark, sf):
     Signature lexicons broadcast; docs with zero signature overlap
     in ANY language emit no votes and are absent downstream (the
     verdict key's long-standing contract)."""
+    # measured and deliberately NOT spread: a same-session A/B on
+    # both downstream eval keys was a wash-to-loss — the explodes
+    # feed shuffles either way (OPTIMIZATION_r15.md)
     d = load_tables(spark, sf)["documents"]
     w = d.select("lang", F.explode(F.split("text", " ")).alias("word"))
     c = w.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1136,8 +1145,11 @@ def _quality_features(spark, sf):
     d0 = load_tables(spark, sf)["documents"]
     # materialize the token array once: the feature expressions below
     # each take the array as input, and a named column splits once
-    # per row instead of once per expression
-    d = d0.select("doc_id", F.split("text", " ").alias("ws"))
+    # per row instead of once per expression; spread() first — the
+    # array folds are the entire per-row cost and chain narrowly onto
+    # the fixture's single-row-group scan (no-op at scale)
+    d = (spread(d0.select("doc_id", "text"))
+         .select("doc_id", F.split("text", " ").alias("ws")))
     ws = F.col("ws")
     # Global top-20 via orderBy+limit → TakeOrderedAndProject (per-partition
     # 20-row heaps merged on the driver), NOT an unpartitioned window, which

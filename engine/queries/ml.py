@@ -41,6 +41,10 @@ def _lloyd(spark, sf, k: int = K, iters: int = ITERS):
     import numpy as np
     import pandas as pd
 
+    # measured and deliberately NOT spread: the per-iteration Arrow
+    # GEMM repeats 5x, so a round-robin exchange repeats 5x too — a
+    # same-session A/B measured it as a clear loss (more Python task
+    # overhead than GEMM parallelism gained; OPTIMIZATION_r15.md)
     e = load_tables(spark, sf)["embeddings"].select("vec_id", "embedding")
 
     # Forgy init, deterministic: the k lowest vec_ids

@@ -448,7 +448,11 @@ def q_ngram_freq(spark, sf):
         " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
     )
     c = (
-        d.select("lang", F.split("text", " ").alias("w"))
+        # spread() before tokenizing: the split + bigram transform +
+        # explode is the whole per-row cost and chains narrowly onto
+        # the fixture's single-row-group scan (no-op at scale)
+        spread(d.select("lang", "text"))
+        .select("lang", F.split("text", " ").alias("w"))
         # guard single-word/empty docs: sequence(1, 0) is the
         # DESCENDING array [1, 0] and element_at(w, 2) would throw;
         # the oracle's range(1, 1) = [] skips them the same way
