@@ -1109,6 +1109,11 @@ def q_spearman_corr(spark, sf):
                    F.col("v").alias("v_x"), F.col("r2").alias("x"))
     ry = ry.select(F.col("l_returnflag").alias("rf_y"),
                    F.col("v").alias("v_y"), F.col("r2").alias("y"))
+    # measured and deliberately NOT spread: two same-session A/Bs of
+    # a round-robin floor before the co-moment pass were a wash
+    # (medians 2.98→2.55 then 1.60→1.53 with mins equal-or-worse) —
+    # the decimal partial aggregation is not heavy enough to pay for
+    # the exchange (OPTIMIZATION_r15.md)
     j = (li.select("l_returnflag", "l_quantity", "l_discount")
          .join(F.broadcast(rx),
                (F.col("l_returnflag") == F.col("rf_x"))
