@@ -1408,7 +1408,7 @@ def q_decile_lift(spark, sf):
 @query("q_kruskal_wallis", oracle=f"""
 WITH vg AS (
   SELECT event_type AS grp, value AS v, CAST(count(*) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
 tv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM vg GROUP BY 1),
 r AS (
   SELECT v, t,
@@ -1457,8 +1457,16 @@ def q_kruskal_wallis(spark, sf):
     |distinct (type, value)| cells, the ordered window touches only
     the |distinct value| frame — the q_ks_test shape."""
     e = load_tables(spark, sf)["events"]
-    vg = (e.groupBy(F.col("event_type").alias("grp"),
-                    F.col("value").alias("v"))
+    # NULL values are excluded up front ON BOTH SIDES (r16, r15
+    # ADVICE): the engine's tie sum flows through vg.join(r, 'v'),
+    # which drops NULL-valued cells, while the oracle's tt previously
+    # kept them — a latent engine-vs-oracle divergence on any corpus
+    # with NULL values (fixtures have none; dual-SF oracle-verified
+    # bit-identical before and after). A rank test has no defined
+    # rank for NULL anyway.
+    vg = (e.filter(F.col("value").isNotNull())
+          .groupBy(F.col("event_type").alias("grp"),
+                   F.col("value").alias("v"))
           .agg(F.count(F.lit(1)).alias("c")))
     tv = vg.groupBy("v").agg(F.sum("c").alias("t"))
     w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)

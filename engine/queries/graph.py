@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load_tables, plan_persist, session_cache, table_count
+from ..io import (load_tables, plan_persist, plan_persist_at_scale,
+                  session_cache, table_count)
 from ..registry import query
 from .util import rnd, sql_rnd
 
@@ -72,14 +73,22 @@ def q_graph_triangles(spark, sf):
                      F.col("l_partkey").alias("p2"))
     # edges feeds THREE consumers (degree frame, orientation join,
     # n_edges count) whose pruned copies defeat exchange reuse —
-    # plan_persist runs the co-purchase self-join once per invocation
-    edges = plan_persist(
+    # persisted AT SCALE only (r16): the r15 driver flagged
+    # graph_triangles 0.89x despite the task-count win, and an
+    # interleaved ab_persist A/B confirmed the fixture-scale persist
+    # is a net LOSS (median 4.18 s persisted vs 2.76 s recomputed,
+    # min 2.93 vs 2.11 — the materialization barrier outweighs the
+    # in-memory recompute). At the 100 TB design point each extra
+    # consumer is a corpus pass, so the gate opens and the subtree
+    # persists — same structural signal as spread/plan_persist_at_scale
+    # everywhere else.
+    edges = plan_persist_at_scale(
         spark, "tri:edges",
         items.select(F.col("l_orderkey").alias("o"),
                      F.col("l_partkey").alias("p1"))
         .join(b, "o")
         .where(F.col("p1") < F.col("p2"))
-        .select("p1", "p2").distinct())
+        .select("p1", "p2").distinct(), li)
     deg = (edges.select(F.col("p1").alias("node"))
            .unionAll(edges.select(F.col("p2").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -93,12 +102,13 @@ def q_graph_triangles(spark, sf):
         (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2")))
     # plan_persist (not a bare .persist()) — the previous per-
     # invocation persist was never unpersisted, leaking one oriented
-    # copy into executor storage per bench rep for the session's life
-    oriented = plan_persist(spark, "tri:oriented", e.select(
+    # copy into executor storage per bench rep for the session's life.
+    # Gated at-scale with edges (r16, same ab_persist evidence).
+    oriented = plan_persist_at_scale(spark, "tri:oriented", e.select(
         F.when(lo_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(lo_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
         F.when(lo_first, F.col("d2")).otherwise(F.col("d1")).alias("ddst"),
-    ))
+    ), li)
     # wedges pivoted at src, ordered by (deg, id) so each triangle
     # closes exactly once via the oriented (b, c) edge
     w2 = oriented.select(F.col("src"), F.col("dst").alias("dst2"),

@@ -67,6 +67,36 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Python-worker allocator environment (round 16, guide §4.5/§5 —
+# Python worker memory behavior). The Arrow block path moves ~20 MB
+# binary slabs per row through mapInPandas/applyInPandas workers, and
+# on hosts with transparent hugepages in madvise mode numpy's
+# MADV_HUGEPAGE on every large fresh buffer forces a synchronous
+# 2 MB-page compaction at fault time: a pure-Python repro (no Spark)
+# of 32 processes cycling 20 MB arrays measured iterations of median
+# 0.067 s stalling to 12.9 s — the exact bimodal "GC band" the
+# 128-cube bench entries have shown since round 8, and the whole of
+# the r15 driver regression (block path 2.29 -> 10.32 s at 32 cores;
+# kcompactd was the only busy kernel thread). glibc compounds it by
+# returning >=128 KB mmap'd buffers to the OS on free, so every
+# allocation re-faults. Disabling the hugepage madvise and keeping
+# large buffers on the heap removed the stalls entirely (max 0.118 s
+# across 32 procs). Applied via spark.executorEnv.* — verified to
+# reach the pyspark daemon (and every forked worker) in local mode
+# too — NOT via the JVM's own process environment: the MALLOC_ knobs
+# would also rebind the driver JVM's glibc (netty/Arrow native
+# buffers onto lock-contended arenas instead of mmap), an untested
+# behavior change for a process that was never the stall source.
+# NUMPY_MADVISE_HUGEPAGE is additionally exported to this (driver
+# python) process, which the JVM ignores. Scale-safe: allocator
+# behavior only, never what any query computes.
+PY_WORKER_ENV = {
+    "NUMPY_MADVISE_HUGEPAGE": "0",
+    "MALLOC_MMAP_THRESHOLD_": "268435456",
+    "MALLOC_TRIM_THRESHOLD_": "268435456",
+}
+
+
 def get_spark(app: str = "engine") -> SparkSession:
     """Build (or fetch) the engine's local session.
 
@@ -75,6 +105,7 @@ def get_spark(app: str = "engine") -> SparkSession:
     default (right for local; on a real cluster AQE coalescing takes
     over).
     """
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -86,6 +117,8 @@ def get_spark(app: str = "engine") -> SparkSession:
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    for k, v in PY_WORKER_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return configure(spark)

@@ -7,6 +7,14 @@ alternating per repetition so regime drift hits both arms equally.
 Algebraic restructures are not toggleable and stay active in both
 arms; this isolates exactly the persist-vs-recompute trade.
 
+LIMITATION (r15 ADVICE): call sites routed through
+``plan_persist_at_scale`` return the frame BEFORE plan_persist is
+ever called when the fixture-scale gate trips (source partitions <
+defaultParallelism), so for those keys arm B is identical to arm A at
+fixture scale and this A/B measures nothing — run it against ungated
+``plan_persist`` sites, or at a fixture large enough to open the gate
+(e.g. the x10 corpus), where the toggle is live again.
+
 Usage: python tools/ab_persist.py q_mutual_info q_levene_test ... [-n 4]
 """
 from __future__ import annotations
